@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Measurement mirrors the reference harness semantics
+(/root/reference/benchmark/tpch/config/sf1.yaml bench block /
+infra/spark/bench.py): wall clock around the collecting action, one
+warmup pass of the session, per-query timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    # relational core (TPC-H shapes)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_revenue",
+    "q10_returned_items",
+    "q18_large_volume",
+    # merge/window surface
+    "merge_latest_state",
+    "merge_delete_aware",
+    "win_sessionize",
+    # data-pipeline operators
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "sim_brute_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    from hudi_rs_spark.session import get_spark
+    from hudi_rs_spark.workloads import load_all
+
+    spark = get_spark("hudi-rs-spark-bench")
+    specs = load_all()
+
+    # warmup: touch the fact table once so JVM/codegen/FS caches are warm
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        n = spec.build(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""File groups, slices, base/log file name parsing.
+
+Behavior of /root/reference/crates/core/src/file_group/mod.rs:47-51
+(model), base_file/mod.rs:96 (base name format), log_file/mod.rs:77-123
+(log name format), mod.rs:196-281 (log association + as-of selection).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BaseFile:
+    file_id: str
+    write_token: str
+    commit_timestamp: str
+    extension: str
+    file_name: str
+    size: int = 0
+
+    @classmethod
+    def parse(cls, file_name: str, size: int = 0) -> "BaseFile":
+        # {file_id}_{write_token}_{commit_ts}.{ext}
+        stem, _, ext = file_name.rpartition(".")
+        parts = stem.split("_")
+        if len(parts) != 3 or not ext:
+            raise ValueError(f"bad base file name: {file_name}")
+        file_id, write_token, ts = parts
+        if not file_id or not write_token or not ts:
+            raise ValueError(f"bad base file name: {file_name}")
+        return cls(file_id, write_token, ts, ext, file_name, size)
+
+
+@dataclass(frozen=True)
+class LogFile:
+    file_id: str
+    timestamp: str  # base/deltacommit requested ts embedded in the name
+    extension: str
+    version: int
+    write_token: str
+    file_name: str
+    size: int = 0
+    completion_timestamp: str | None = None  # set from timeline (v8+)
+
+    @classmethod
+    def parse(cls, file_name: str, size: int = 0) -> "LogFile":
+        # .{file_id}_{ts}.{ext}.{version}_{write_token}
+        if not file_name.startswith("."):
+            raise ValueError(f"log file must start with '.': {file_name}")
+        body = file_name[1:]
+        file_id, _, rest = body.partition("_")
+        middle, _, write_token = rest.rpartition("_")
+        parts = middle.split(".")
+        if len(parts) != 3:
+            raise ValueError(f"bad log file name: {file_name}")
+        ts, ext, version = parts
+        if not all((file_id, ts, ext, version, write_token)):
+            raise ValueError(f"bad log file name: {file_name}")
+        return cls(file_id, ts, ext, int(version), write_token, file_name, size)
+
+    def sort_key(self) -> tuple:
+        return (self.timestamp, self.version, self.write_token)
+
+
+@dataclass
+class FileSlice:
+    base_file: BaseFile
+    partition_path: str
+    log_files: list[LogFile] = field(default_factory=list)
+
+    @property
+    def commit_timestamp(self) -> str:
+        return self.base_file.commit_timestamp
+
+    def base_file_relative_path(self) -> str:
+        if self.partition_path:
+            return f"{self.partition_path}/{self.base_file.file_name}"
+        return self.base_file.file_name
+
+    def log_file_relative_paths(self) -> list[str]:
+        out = []
+        for lf in sorted(self.log_files, key=LogFile.sort_key):
+            if self.partition_path:
+                out.append(f"{self.partition_path}/{lf.file_name}")
+            else:
+                out.append(lf.file_name)
+        return out
+
+    @property
+    def has_log_files(self) -> bool:
+        return bool(self.log_files)
+
+
+@dataclass
+class FileGroup:
+    file_id: str
+    partition_path: str
+    # commit_ts -> FileSlice, kept sorted on access (BTreeMap analog)
+    slices: dict[str, FileSlice] = field(default_factory=dict)
+
+    def add_base_file(self, bf: BaseFile) -> None:
+        # newer write_token for same commit wins (retried writes)
+        existing = self.slices.get(bf.commit_timestamp)
+        if existing is None or bf.write_token > existing.base_file.write_token:
+            keep_logs = existing.log_files if existing else []
+            self.slices[bf.commit_timestamp] = FileSlice(bf, self.partition_path, keep_logs)
+
+    def add_log_file(self, lf: LogFile) -> None:
+        """Associate by completion time (v8+) else by embedded base ts (v6):
+        attach to the slice with the largest base commit_ts <= anchor
+        (file_group/mod.rs:196-248)."""
+        anchor = lf.completion_timestamp or lf.timestamp
+        candidates = [ts for ts in self.slices if ts <= anchor]
+        if not candidates:
+            return  # log for a pending/compacted-away base; skip
+        self.slices[max(candidates)].log_files.append(lf)
+
+    def get_file_slice_as_of(self, timestamp: str | None) -> FileSlice | None:
+        """Max slice with commit_ts <= timestamp (mod.rs:261-281); None
+        timestamp means latest."""
+        keys = sorted(self.slices)
+        if timestamp is not None:
+            keys = [k for k in keys if k <= timestamp]
+        return self.slices[keys[-1]] if keys else None

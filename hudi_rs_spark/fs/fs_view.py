@@ -1,0 +1,115 @@
+"""File-system view: storage listing -> file groups -> file slices.
+
+Behavior of /root/reference/crates/core/src/table/listing.rs:41-201 and
+table/fs_view.rs:91-300. Driver-side: listing cost ∝ number of files, and
+the result is a compact slice list handed to Spark as parquet paths. (The
+reference's MDT/HFile fast path is an optional optimization it itself
+falls back from — table/mod.rs:494-506; direct listing is
+correctness-equivalent.)
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from hudi_rs_spark.fs.file_group import BaseFile, FileGroup, FileSlice, LogFile
+
+BASE_EXTENSIONS = ("parquet", "orc", "lance")
+
+
+def list_data_files(base_path: str):
+    """Yield (partition_path, file_name, size) for every data file under
+    the table, skipping the .hoodie metadata tree."""
+    for root, dirs, files in os.walk(base_path):
+        dirs[:] = [d for d in dirs if d != ".hoodie"]
+        rel = os.path.relpath(root, base_path)
+        partition = "" if rel == "." else rel.replace(os.sep, "/")
+        for name in files:
+            yield partition, name, os.path.getsize(os.path.join(root, name))
+
+
+def build_file_groups(
+    base_path: str,
+    completion_times: dict[str, str] | None = None,
+    partition_filter: Callable[[str], bool] | None = None,
+) -> dict[tuple[str, str], FileGroup]:
+    """Group listed files into FileGroups keyed by (partition, file_id).
+
+    ``completion_times`` maps requested commit ts -> completion ts (from
+    the timeline) for v8+ log-file association; None for v6 tables.
+    ``partition_filter`` prunes whole partitions before any file work.
+    """
+    groups: dict[tuple[str, str], FileGroup] = {}
+    logs: list[tuple[str, LogFile]] = []
+    for partition, name, size in list_data_files(base_path):
+        if partition_filter is not None and not partition_filter(partition):
+            continue
+        if name.startswith("."):
+            if ".log." not in name:
+                continue
+            try:
+                lf = LogFile.parse(name, size)
+            except ValueError:
+                continue
+            if completion_times is not None:
+                ct = completion_times.get(lf.timestamp)
+                if ct is None:
+                    continue  # pending deltacommit -> its logs are invisible
+                lf = LogFile(
+                    lf.file_id, lf.timestamp, lf.extension, lf.version,
+                    lf.write_token, lf.file_name, lf.size, ct,
+                )
+            logs.append((partition, lf))
+            continue
+        ext = name.rpartition(".")[2].lower()
+        if ext not in BASE_EXTENSIONS:
+            continue
+        try:
+            bf = BaseFile.parse(name, size)
+        except ValueError:
+            continue
+        key = (partition, bf.file_id)
+        if key not in groups:
+            groups[key] = FileGroup(bf.file_id, partition)
+        groups[key].add_base_file(bf)
+
+    for partition, lf in logs:
+        key = (partition, lf.file_id)
+        group = groups.get(key)
+        if group is not None:
+            group.add_log_file(lf)
+    return groups
+
+
+def get_file_slices(
+    groups: dict[tuple[str, str], FileGroup],
+    as_of_timestamp: str | None,
+    excluded_file_ids: set[str] | None = None,
+    valid_commit_timestamps: set[str] | None = None,
+) -> list[FileSlice]:
+    """As-of slice per group, minus replaced groups
+    (table/fs_view.rs:236-254). ``valid_commit_timestamps`` drops base
+    files written by pending/unknown commits (uncommitted data must stay
+    invisible)."""
+    out: list[FileSlice] = []
+    for (partition, file_id), group in sorted(groups.items()):
+        if excluded_file_ids and file_id in excluded_file_ids:
+            continue
+        sl = group.get_file_slice_as_of(as_of_timestamp)
+        if sl is None:
+            continue
+        if (
+            valid_commit_timestamps is not None
+            and sl.commit_timestamp not in valid_commit_timestamps
+        ):
+            # base written by a non-completed commit: fall back to the
+            # newest older slice that IS committed
+            keys = sorted(k for k in group.slices if k in valid_commit_timestamps)
+            if as_of_timestamp is not None:
+                keys = [k for k in keys if k <= as_of_timestamp]
+            if not keys:
+                continue
+            sl = group.slices[keys[-1]]
+        out.append(sl)
+    return out

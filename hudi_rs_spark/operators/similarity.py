@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — the query set is broadcast, the
+corpus is scanned once, and top-k per query is a window over the
+(bounded) candidate set. Scale path: LSH bucketing via signed random
+hyperplanes so candidate generation becomes an equi-join on bucket
+signatures; brute force then runs only within buckets.
+
+All arithmetic folds element-wise with F.aggregate/F.zip_with in double
+precision, sequential order — deterministic and oracle-matchable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast (it is the small side by construction); the
+    corpus streams through one stage. Returns
+    (query_id, neighbor_id, rank) ranked by (cosine desc, neighbor_id).
+    """
+    # Precompute norms on each side so the per-pair work is one dot
+    # product, not three array folds.
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _plane(seed: str, dim: int, j: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 — reproducible
+    across engines and runs without Math.random."""
+    import hashlib
+
+    vals = []
+    for d in range(dim):
+        h = hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()
+        # map 8 hex chars -> [-1, 1)
+        vals.append(int(h[:8], 16) / float(0x80000000) - 1.0)
+    return vals
+
+
+def lsh_bucket_signature(
+    vec: Column, dim: int, n_planes: int = 8, seed: str = "hudi-rs-spark"
+) -> Column:
+    """Sign-of-projection signature: n_planes bits packed into an int.
+    Vectors in the same bucket are likely neighbors (random hyperplane
+    LSH for cosine similarity)."""
+    sig = F.lit(0)
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _plane(seed, dim, j)])
+        proj = dot(vec, plane)
+        sig = sig + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """ANN top-k: candidates = same LSH bucket; exact cosine re-rank within.
+
+    At 100 TB the bucket signature is the shuffle key; each bucket's
+    candidate set is small, so the per-query work no longer scans the
+    corpus. Recall < 1.0 by construction (probe multiplicity can be added
+    by hashing with several plane sets).
+    """
+    from pyspark.sql import Window
+
+    csig = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
+        lsh_bucket_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    qsig = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
+        lsh_bucket_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    scored = (
+        csig.join(F.broadcast(qsig), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked then exact.
+
+    Returns (id_a, id_b) with cosine >= threshold, id_a < id_b.
+    """
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("vnorm"),
+        lsh_bucket_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    a = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("vnorm").alias("na"), "bucket")
+    b = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("vnorm").alias("nb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All built-in-function pipelines (JVM-side), so
+they run at scan speed and scale linearly with partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hudi_rs_spark.functions.numeric import microf
+from hudi_rs_spark.operators.dedup import normalized
+
+TOKEN_RE = "[A-Za-z0-9]+"
+
+# Tiny per-language stopword marker sets for the n-gram/stopword-voting
+# language heuristic. Deliberately small and ASCII so the same logic is
+# expressible in the DuckDB oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "pour"),
+    "es": ("el", "los", "las", "es", "una", "que", "por", "para"),
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace/alnum token count via regexp (vectorized)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def approx_bpe_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: words + punctuation marks, long words count
+    ceil(len/4) subword units — a common serving-side approximation."""
+    words = F.regexp_extract_all(normalized(text), F.lit("[a-z0-9]+"), F.lit(0))
+    word_units = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
+    )
+    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
+    return word_units + punct
+
+
+def lang_votes(text: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts over the token set."""
+    toks = F.regexp_extract_all(F.lower(text), F.lit("[a-z]+"), F.lit(0))
+    votes = {}
+    for lang, markers in LANG_MARKERS.items():
+        votes[lang] = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(m) for m in markers])))
+    return votes
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over language votes; deterministic tie-break by language code
+    order; 'und' (undetermined) when no marker hits."""
+    votes = lang_votes(text)
+    best = F.greatest(*votes.values())
+    out = F.lit("und")
+    # reversed so earlier language codes win ties via later .when override
+    for lang in sorted(votes, reverse=True):
+        out = F.when((votes[lang] > 0) & (votes[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    n_upper = F.length(F.regexp_replace(text, "[^A-Z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    n_tokens = token_count(text)
+    mean_word_len = F.when(
+        n_tokens > 0, n_alpha.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": microf(n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")),
+        "upper_ratio": microf(n_upper.cast("double") / F.greatest(n_alpha, F.lit(1)).cast("double")),
+        "punct_ratio": microf(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")),
+        "mean_word_len": microf(mean_word_len),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality score from length/punct/alpha ratios.
+    Piecewise-linear so the oracle SQL reproduces it exactly."""
+    f = quality_features(text)
+    len_score = F.least(f["n_tokens"].cast("double") / F.lit(50.0), F.lit(1.0))
+    alpha_score = f["alpha_ratio"]
+    punct_penalty = F.least(f["punct_ratio"] * 5.0, F.lit(1.0))
+    score = (len_score * 0.4 + alpha_score * 0.5 - punct_penalty * 0.2 + 0.3)
+    return microf(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)))
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint (md5 of canonical form). Documents
+    with equal fingerprints are near-identical modulo case/punct."""
+    return F.md5(normalized(text))
+
+
+def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One-pass per-document profile: tokens, quality, language, fingerprint."""
+    t = F.col(text_col)
+    feats = quality_features(t)
+    return df.select(
+        F.col(id_col),
+        feats["n_tokens"].alias("n_tokens"),
+        approx_bpe_token_count(t).alias("approx_bpe_tokens"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("pred_lang"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,316 @@
+"""HudiTable: the engine's table API — plan on the driver, execute as
+DataFrames.
+
+Query lifecycle mirrors SURVEY.md §3 / docs/reader-spec.md:
+  1. parse hoodie.properties, load timeline ONCE (snapshot pinning,
+     reader-spec.md:295-297)
+  2. plan: timeline view as-of -> partition pruning -> file groups ->
+     as-of slice per group -> minus replaced groups
+  3. execute: COW / read-optimized -> spark.read.parquet(planned files)
+     (Catalyst handles filter/projection pushdown, op 9/10/18/21/24);
+     MOR snapshot -> base ∪ decoded log rows -> OVERWRITE_WITH_LATEST
+     merge (operators/merge.py) -> anti delete resolution.
+
+Scale: planning cost ∝ files in surviving partitions (driver-side
+listing); execution is standard Spark parquet scan + at most one shuffle
+on the record key for the MOR merge. Log decode currently runs on the
+driver (log payloads are tiny next to base files); the decode functions
+are pure and can move into mapInPandas over log paths when log volume
+warrants it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hudi_rs_spark.avro.spark_schema import avro_record_to_struct
+from hudi_rs_spark.config.read_config import HudiReadOptions
+from hudi_rs_spark.config.table_config import HudiTableConfig, MergeStrategy, TableType
+from hudi_rs_spark.fs.file_group import FileSlice
+from hudi_rs_spark.fs.fs_view import build_file_groups, get_file_slices
+from hudi_rs_spark.functions.filters import apply_filters
+from hudi_rs_spark.logfile import reader as logreader
+from hudi_rs_spark.operators.merge import latest_by_key, merge_with_deletes
+from hudi_rs_spark.plans.partition_pruner import Filter, PartitionPruner
+from hudi_rs_spark.timeline.instant import Action
+from hudi_rs_spark.timeline.timeline import Timeline
+
+META_FIELDS = [
+    "_hoodie_commit_time",
+    "_hoodie_commit_seqno",
+    "_hoodie_record_key",
+    "_hoodie_partition_path",
+    "_hoodie_file_name",
+]
+
+
+class HudiTable:
+    def __init__(self, base_path: str, spark: SparkSession | None = None):
+        self.base_path = base_path.rstrip("/")
+        self.spark = spark or SparkSession.getActiveSession()
+        if self.spark is None:
+            raise RuntimeError("no active SparkSession")
+        self.config = HudiTableConfig.from_base_path(self.base_path)
+        self.timeline = Timeline.load(self.base_path, self.config)
+
+    # ------------------------------------------------------------------
+    # schema resolution (resolver.rs:41-114 priority order)
+    # ------------------------------------------------------------------
+    def schema_json(self) -> dict | None:
+        s = self.timeline.latest_schema_json()
+        if s:
+            return json.loads(s)
+        s = self.config.create_schema
+        if s:
+            return json.loads(s)
+        return None
+
+    def get_schema(self) -> T.StructType:
+        """Data schema (with meta fields when the table populates them)."""
+        slices = self.get_file_slices()
+        if slices:
+            import pyarrow.parquet as pq
+
+            path = os.path.join(self.base_path, slices[0].base_file_relative_path())
+            arrow_schema = pq.read_schema(path)
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            return from_arrow_schema(arrow_schema)
+        sj = self.schema_json()
+        if sj is None:
+            raise ValueError("cannot resolve table schema")
+        struct = avro_record_to_struct(sj)
+        if self.config.populates_meta_fields and "_hoodie_commit_time" not in struct.fieldNames():
+            meta = [T.StructField(m, T.StringType(), True) for m in META_FIELDS]
+            struct = T.StructType(meta + list(struct.fields))
+        return struct
+
+    def get_partition_schema(self) -> list[tuple[str, str]]:
+        """[(name, spark-ddl type)] for partition fields, typed from the
+        resolved schema (defaults to string)."""
+        sj = self.schema_json()
+        types: dict[str, str] = {}
+        if sj is not None:
+            struct = avro_record_to_struct(sj)
+            for f in struct.fields:
+                types[f.name] = f.dataType.simpleString()
+        return [(name, types.get(name, "string")) for name in self.config.partition_fields]
+
+    # ------------------------------------------------------------------
+    # planning
+    # ------------------------------------------------------------------
+    def _completion_times(self) -> dict[str, str] | None:
+        if self.config.timeline_layout_version < 2:
+            return None
+        return {
+            i.timestamp: i.completion_timestamp or i.timestamp
+            for i in self.timeline.instants
+        }
+
+    def get_file_slices(
+        self,
+        as_of_timestamp: str | None = None,
+        filters: list[Filter] | None = None,
+    ) -> list[FileSlice]:
+        pruner = PartitionPruner(
+            self.get_partition_schema(),
+            filters or [],
+            self.config.hive_style_partitioning,
+            self.config.partition_path_url_encoded,
+        )
+        part_filter = None if pruner.is_empty else pruner.should_include
+        groups = build_file_groups(
+            self.base_path, self._completion_times(), part_filter
+        )
+        instants = self.timeline.instants_as_of(as_of_timestamp)
+        valid_commits = {i.timestamp for i in instants}
+        excluded = self.timeline.replaced_file_group_ids_as_of(as_of_timestamp)
+        return get_file_slices(
+            groups,
+            as_of_timestamp,
+            excluded_file_ids=excluded,
+            valid_commit_timestamps=valid_commits,
+        )
+
+    # ------------------------------------------------------------------
+    # execution
+    # ------------------------------------------------------------------
+    def read(self, options: HudiReadOptions | None = None) -> DataFrame:
+        options = options or HudiReadOptions()
+        options.validate()
+        if options.query_type == "incremental":
+            return self.read_incremental(
+                options.start_timestamp, options.end_timestamp, options
+            )
+        filters = [Filter(*f) for f in options.filters]
+        as_of = options.as_of_timestamp
+        slices = self.get_file_slices(as_of, filters)
+        df = self._execute_slices(slices, as_of, options)
+        df = apply_filters(df, filters)
+        if options.projection:
+            df = df.select(*options.projection)
+        return df
+
+    def read_incremental(
+        self,
+        start_timestamp: str | None,
+        end_timestamp: str | None = None,
+        options: HudiReadOptions | None = None,
+    ) -> DataFrame:
+        """Rows changed in (start, end]: latest in-range state per key
+        (reader-spec.md:299-301). File groups come from the in-range
+        commits' metadata (timeline/mod.rs:333-386) minus replaced groups;
+        a per-row commit-time filter bounds the result
+        (file_group/reader.rs:652-701)."""
+        options = options or HudiReadOptions()
+        end = end_timestamp or self.timeline.latest_commit_timestamp()
+        instants = self.timeline.instants_in_range(start_timestamp, end)
+        touched: set[tuple[str, str]] = set()
+        for i in instants:
+            meta = self.timeline.metadata_for(i)
+            for ws in meta.write_stats:
+                touched.add((ws.partition_path, ws.file_id))
+        filters = [Filter(*f) for f in options.filters]
+        all_slices = self.get_file_slices(end, filters)
+        slices = [
+            s for s in all_slices if (s.partition_path, s.base_file.file_id) in touched
+        ]
+        df = self._execute_slices(slices, end, options, start_exclusive=start_timestamp)
+        if "_hoodie_commit_time" in df.columns:
+            if start_timestamp:
+                df = df.filter(F.col("_hoodie_commit_time") > F.lit(start_timestamp))
+            if end:
+                df = df.filter(F.col("_hoodie_commit_time") <= F.lit(end))
+        df = apply_filters(df, filters)
+        if options.projection:
+            df = df.select(*options.projection)
+        return df
+
+    # -- physical plan builders ---------------------------------------
+    def _execute_slices(
+        self,
+        slices: list[FileSlice],
+        as_of: str | None,
+        options: HudiReadOptions,
+        start_exclusive: str | None = None,
+    ) -> DataFrame:
+        base_paths = [
+            os.path.join(self.base_path, s.base_file_relative_path()) for s in slices
+        ]
+        log_slices = [] if options.use_read_optimized_mode else [
+            s for s in slices if s.has_log_files
+        ]
+
+        if not base_paths:
+            return self.spark.createDataFrame([], self.get_schema())
+
+        base_df = self.spark.read.parquet(*base_paths)
+
+        if not log_slices or self.config.table_type == TableType.COPY_ON_WRITE:
+            return base_df
+
+        # ---- MOR snapshot: decode logs, union, merge -----------------
+        valid_instants = {
+            i.timestamp for i in self.timeline.instants_as_of(as_of)
+        }
+        data_rows: list[dict] = []
+        delete_rows: list[tuple] = []  # (commit_time, key, partition, ordering)
+        log_schema: dict | None = None
+        for s in log_slices:
+            for rel in s.log_file_relative_paths():
+                blocks = logreader.read_log_file(os.path.join(self.base_path, rel))
+                for b in logreader.valid_blocks(
+                    blocks, start_exclusive, as_of, valid_instants
+                ):
+                    if b.records:
+                        data_rows.extend(b.records)
+                        log_schema = log_schema or b.schema_json
+                    for key, part, ordering in b.delete_records:
+                        delete_rows.append((b.instant_time, key, part, ordering))
+
+        ordering_fields = self.config.ordering_fields
+        ordering = ordering_fields[0] if ordering_fields else None
+        strategy = self.config.merge_strategy
+
+        if data_rows:
+            if log_schema is not None:
+                log_struct = avro_record_to_struct(log_schema)
+            else:
+                log_struct = base_df.schema
+            rows = [_conform_row(r, log_struct) for r in data_rows]
+            log_df = self.spark.createDataFrame(rows, log_struct)
+            # align log columns/types to the base schema before union
+            log_df = log_df.select(
+                *[
+                    F.col(f.name).cast(base_df.schema[f.name].dataType)
+                    if f.name in log_df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in base_df.schema.fields
+                ]
+            )
+            data = base_df.unionByName(log_df)
+        else:
+            data = base_df
+
+        if strategy == MergeStrategy.APPEND_ONLY or ordering is None:
+            return data
+
+        deletes_df = None
+        if delete_rows:
+            ord_type = data.schema[ordering].dataType
+            del_schema = T.StructType(
+                [
+                    T.StructField("_hoodie_commit_time", T.StringType(), True),
+                    T.StructField("_hoodie_record_key", T.StringType(), True),
+                    T.StructField("_hoodie_partition_path", T.StringType(), True),
+                    T.StructField(ordering, ord_type, True),
+                ]
+            )
+            conv = [
+                (c, k, p, _conform_value(o, ord_type)) for (c, k, p, o) in delete_rows
+            ]
+            deletes_df = self.spark.createDataFrame(conv, del_schema)
+
+        if deletes_df is None:
+            return latest_by_key(
+                data, ["_hoodie_record_key"], [ordering, "_hoodie_commit_seqno"]
+            )
+        return merge_with_deletes(
+            data,
+            deletes_df,
+            ["_hoodie_record_key"],
+            event_col=ordering,
+            commit_col="_hoodie_commit_time",
+            tiebreak_cols=["_hoodie_commit_seqno"],
+        )
+
+
+def _conform_row(r: dict, struct: T.StructType) -> dict:
+    """Avro/pyarrow-decoded dict -> row matching the Spark struct."""
+    return {f.name: _conform_value(r.get(f.name), f.dataType) for f in struct.fields}
+
+
+def _conform_value(v, dtype: T.DataType):
+    if v is None:
+        return None
+    if isinstance(dtype, T.DecimalType) and not isinstance(v, Decimal):
+        return Decimal(str(v))
+    if isinstance(dtype, (T.LongType, T.IntegerType)) and isinstance(v, float):
+        return int(v)
+    if isinstance(dtype, T.DoubleType) and isinstance(v, int):
+        return float(v)
+    if isinstance(dtype, T.MapType):
+        # pyarrow .to_pylist() yields maps as [(k, v), ...]
+        items = v.items() if isinstance(v, dict) else v
+        return {k: _conform_value(x, dtype.valueType) for k, x in items}
+    if isinstance(dtype, T.ArrayType):
+        return [_conform_value(x, dtype.elementType) for x in v]
+    if isinstance(dtype, T.StructType) and isinstance(v, dict):
+        return _conform_row(v, dtype)
+    return v

@@ -1,0 +1,44 @@
+"""Workload registry: every query the engine claims, with its DuckDB oracle.
+
+Each module registers :class:`QuerySpec` entries into ``REGISTRY``. The
+driver contract (``__spark_entry__.py``) and ``bench.py`` are thin views
+over this registry.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over the same parquet views; None -> rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(spec: QuerySpec) -> QuerySpec:
+    if spec.name in REGISTRY:
+        raise ValueError(f"duplicate query name: {spec.name}")
+    REGISTRY[spec.name] = spec
+    return spec
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every workload module (side effect: populates REGISTRY)."""
+    from hudi_rs_spark.workloads import relational  # noqa: F401
+    from hudi_rs_spark.workloads import windows  # noqa: F401
+    from hudi_rs_spark.workloads import merge_semantics  # noqa: F401
+    from hudi_rs_spark.workloads import dedup  # noqa: F401
+    from hudi_rs_spark.workloads import text  # noqa: F401
+    from hudi_rs_spark.workloads import similarity  # noqa: F401
+
+    return REGISTRY

@@ -1,0 +1,147 @@
+"""Dedup workload over the documents table, oracle-checked.
+
+Each query runs the operators in hudi_rs_spark/operators/dedup.py; the
+DuckDB oracle re-expresses the same deterministic algorithm (md5-based
+hashing keeps both engines bit-identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_rs_spark.operators import dedup as D
+from hudi_rs_spark.workloads import QuerySpec, register
+from hudi_rs_spark.workloads.tables import load
+
+# DuckDB expression for the shared normalized() text form.
+SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+# Distinct 3-gram shingles of the normalized form (1-based substring).
+SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(length({norm}) - 2, 1) + 1),"
+    " i -> substring({norm}, i, 3)))"
+).format(norm="norm")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.exact_dedup(d, "text", "doc_id").orderBy("fingerprint")
+
+
+EXACT_SQL = """
+SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
+FROM documents
+GROUP BY md5(text)
+ORDER BY fingerprint
+"""
+
+
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup on the canonical (case/punct-insensitive) form."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(D.normalized(F.col("text"))).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .orderBy("fingerprint")
+    )
+
+
+NORM_SQL = f"""
+SELECT md5({SQL_NORM}) AS fingerprint, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
+FROM documents
+GROUP BY 1
+ORDER BY fingerprint
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs, blocked on (lang, length bucket):
+    the candidate join is an equi-join and near-dups necessarily land in
+    the same or adjacent length bucket (the bucket width is the contract),
+    keeping pair count ~linear in corpus size."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 50).cast("bigint")
+    )
+    return D.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.6, block_cols=("lang", "len_bucket")
+    ).orderBy("id_a", "id_b")
+
+
+JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / 50) AS BIGINT) AS len_bucket,
+         {SQL_SHINGLES} AS shingles
+  FROM (SELECT doc_id, lang, n_chars, {SQL_NORM} AS norm FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       floor(CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / CAST(length(a.shingles) + length(b.shingles)
+                    - length(list_intersect(a.shingles, b.shingles)) AS DOUBLE) * 1000000.0) / 1000000.0 AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / CAST(length(a.shingles) + length(b.shingles)
+             - length(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands) candidate pairs over word bigrams."""
+    d = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, "text", "doc_id", k=2, num_hashes=16, bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# word-bigram shingles of the normalized form (duckdb mirror of
+# operators/dedup.py word_shingles; string_split matches Spark split(' '))
+SQL_WORD_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(length(string_split(norm, ' ')) - 1, 1) + 1),"
+    " i -> concat_ws(' ', string_split(norm, ' ')[i], string_split(norm, ' ')[i+1])))"
+)
+
+MINHASH_SQL = f"""
+WITH docs AS (SELECT doc_id, {SQL_NORM} AS norm FROM documents),
+sh AS (
+  SELECT doc_id, unnest({SQL_WORD_SHINGLES}) AS s
+  FROM docs
+),
+seeds AS (SELECT unnest(range(0, 16)) AS seed),
+mh AS (
+  SELECT doc_id, seed, min(md5(s || '#' || CAST(seed AS VARCHAR))) AS m
+  FROM sh CROSS JOIN seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(CAST(seed // 4 AS VARCHAR) || '|' || string_agg(m, '|' ORDER BY seed)) AS bucket
+  FROM mh
+  GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b FROM cand ORDER BY id_a, id_b
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs. xxhash64 has no DuckDB twin, so this query
+    takes the rows-only check; pytest pins its semantics instead."""
+    d = load(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, "text", "doc_id", max_hamming=3).orderBy("id_a", "id_b")
+
+
+for _n, _f, _s, _d in [
+    ("dedup_exact", dedup_exact, EXACT_SQL, "exact hash dedup"),
+    ("dedup_normalized", dedup_normalized, NORM_SQL, "canonical-form dedup"),
+    ("dedup_ngram_jaccard", dedup_ngram_jaccard, JACCARD_SQL, "ngram jaccard near-dup"),
+    ("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL, "minhash+LSH banding"),
+    ("dedup_simhash", dedup_simhash, None, "simhash hamming near-dup"),
+]:
+    register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("dedup",), doc=_d))

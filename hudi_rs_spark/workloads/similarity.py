@@ -1,0 +1,140 @@
+"""Similarity-search workload over embeddings, oracle-checked.
+
+The LSH plane constants are generated deterministically (md5-seeded) in
+Python and BAKED into the oracle SQL as literals, so both engines use the
+identical planes — the oracle replicates bucketing exactly rather than
+pretending LSH has perfect recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_rs_spark.operators import similarity as S
+from hudi_rs_spark.workloads import QuerySpec, register
+from hudi_rs_spark.workloads.tables import load
+
+DIM = 64
+TOPK = 5
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+SQL_DOT = (
+    "list_sum(list_transform(range(1, {dim} + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+SQL_NORM_V = (
+    "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"{SQL_DOT.format(dim=DIM, a=a, b=b)} / "
+        f"({SQL_NORM_V.format(v=a)} * {SQL_NORM_V.format(v=b)})"
+    )
+
+
+def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.brute_force_topk(emb, queries, "embedding", "vec_id", k=TOPK).orderBy(
+        "query_id", "rank"
+    )
+
+
+BRUTE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_sql_cosine("qv", "cv")} AS cos
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
+def _sql_plane_literal(seed: str, j: int) -> str:
+    vals = S._plane(seed, DIM, j)
+    return "[" + ", ".join(repr(v) for v in vals) + "]"
+
+
+def _sql_bucket(vec: str, n_planes: int, seed: str = "hudi-rs-spark") -> str:
+    terms = []
+    for j in range(n_planes):
+        plane = _sql_plane_literal(seed, j)
+        dotj = SQL_DOT.format(dim=DIM, a=vec, b=f"CAST({plane} AS DOUBLE[])")
+        terms.append(f"CASE WHEN {dotj} >= 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+N_PLANES_ANN = 4  # coarse buckets so each query finds same-bucket candidates
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.lsh_topk(
+        emb, queries, DIM, "embedding", "vec_id", k=TOPK, n_planes=N_PLANES_ANN
+    ).orderBy("query_id", "rank")
+
+
+LSH_TOPK_SQL = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_sql_bucket("embedding", N_PLANES_ANN)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM sigs WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM sigs),
+scored AS (
+  SELECT query_id, neighbor_id, {_sql_cosine("qv", "cv")} AS cos
+  FROM c JOIN q USING (bucket)
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+N_PLANES_DEDUP = 4
+DUP_THRESHOLD = 0.9
+
+
+def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.embedding_near_dups(
+        emb, "embedding", "vec_id", threshold=DUP_THRESHOLD, dim=DIM, n_planes=N_PLANES_DEDUP
+    ).orderBy("id_a", "id_b")
+
+
+NEAR_DUP_SQL = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_sql_bucket("embedding", N_PLANES_DEDUP)} AS bucket
+  FROM embeddings
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_sql_cosine("a.embedding", "b.embedding")} >= {DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+for _n, _f, _s, _d in [
+    ("sim_brute_topk", sim_brute_topk, BRUTE_SQL, "brute-force cosine top-k"),
+    ("sim_lsh_topk", sim_lsh_topk, LSH_TOPK_SQL, "LSH-bucketed ANN top-k"),
+    ("sim_embedding_near_dups", sim_embedding_near_dups, NEAR_DUP_SQL, "embedding near-dup pairs"),
+]:
+    register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("similarity",), doc=_d))

@@ -1,0 +1,144 @@
+"""Text-analysis workload over documents, oracle-checked.
+
+The oracle SQL re-implements the exact formulas in operators/text.py;
+both engines do identical double arithmetic, so rounded outputs match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_rs_spark.operators import text as T
+from hudi_rs_spark.workloads import QuerySpec, register
+from hudi_rs_spark.workloads.dedup import SQL_NORM
+from hudi_rs_spark.workloads.tables import load
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.approx_bpe_token_count(t).cast("int").alias("approx_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+TOKEN_SQL = """
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) AS n_tokens,
+       CAST(
+         CAST(list_sum(list_transform(
+             regexp_extract_all(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), '[a-z0-9]+'),
+             w -> CAST(ceil(length(w) / 4.0) AS INTEGER))) AS INTEGER)
+         + length(regexp_extract_all(text, '[^\\w\\s]'))
+       AS INTEGER) AS approx_bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    feats = T.quality_features(t)
+    return d.select(
+        "doc_id",
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        T.quality_score(t).alias("quality"),
+    ).orderBy("doc_id")
+
+
+QUALITY_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         floor(CAST(n_alpha AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) * 1000000.0) / 1000000.0 AS alpha_ratio,
+         floor(CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) * 1000000.0) / 1000000.0 AS punct_ratio,
+         floor((CASE WHEN n_tokens > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 1000000.0) / 1000000.0 AS mean_word_len
+  FROM f
+)
+SELECT doc_id, alpha_ratio, punct_ratio, mean_word_len,
+       floor(greatest(least(
+           least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+           + alpha_ratio * 0.5
+           - least(punct_ratio * 5.0, 1.0) * 0.2
+           + 0.3, 1.0), 0.0) * 1000000.0) / 1000000.0 AS quality
+FROM r
+ORDER BY doc_id
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.lang_id(F.col("text")).alias("pred_lang")).orderBy("doc_id")
+
+
+def _votes_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+    return (
+        f"length(list_intersect(list_distinct(regexp_extract_all(lower(text), '[a-z]+')),"
+        f" [{markers}])) AS v_{lang}"
+    )
+
+
+LANG_SQL = f"""
+WITH v AS (
+  SELECT doc_id,
+         {_votes_sql("en")},
+         {_votes_sql("de")},
+         {_votes_sql("fr")},
+         {_votes_sql("es")}
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN v_de > 0 AND v_de = greatest(v_en, v_de, v_fr, v_es) THEN 'de'
+            WHEN v_en > 0 AND v_en = greatest(v_en, v_de, v_fr, v_es) THEN 'en'
+            WHEN v_es > 0 AND v_es = greatest(v_en, v_de, v_fr, v_es) THEN 'es'
+            WHEN v_fr > 0 AND v_fr = greatest(v_en, v_de, v_fr, v_es) THEN 'fr'
+            ELSE 'und' END AS pred_lang
+FROM v
+ORDER BY doc_id
+"""
+
+
+def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents grouped by normalized-content fingerprint; surfaces exact
+    near-duplicate clusters (case/punct-insensitive)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(T.fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )
+
+
+FP_SQL = f"""
+SELECT md5({SQL_NORM}) AS fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+ORDER BY fp
+"""
+
+
+for _n, _f, _s, _d in [
+    ("text_token_stats", text_token_stats, TOKEN_SQL, "token + BPE-ish counting"),
+    ("text_quality", text_quality, QUALITY_SQL, "quality scoring"),
+    ("text_lang_id", text_lang_id, LANG_SQL, "stopword-voting language id"),
+    ("text_fingerprint_groups", text_fingerprint_groups, FP_SQL, "doc fingerprinting"),
+]:
+    register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("text",), doc=_d))
