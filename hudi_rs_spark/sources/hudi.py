@@ -216,56 +216,82 @@ class HudiTable:
             return base_df
 
         # ---- MOR snapshot: decode logs, union, merge -----------------
+        # The merge is scoped per FILE GROUP (reference merges per slice:
+        # record_merger.rs is invoked per read_file_slice). A record key
+        # normally lives in one group, but rollback/re-insert flows can
+        # legitimately produce the same key in two groups and the merged
+        # result must keep both (pinned by
+        # table_read_tests.rs test_nonpartitioned_rollback_mor_snapshot).
+        # (file_group, key) is also a better-distributed shuffle key.
         valid_instants = {
             i.timestamp for i in self.timeline.instants_as_of(as_of)
         }
         data_rows: list[dict] = []
-        delete_rows: list[tuple] = []  # (commit_time, key, partition, ordering)
+        delete_rows: list[tuple] = []  # (file_group, commit_time, key, partition, ordering)
         log_schema: dict | None = None
         for s in log_slices:
+            fg = s.base_file.file_id
             for rel in s.log_file_relative_paths():
                 blocks = logreader.read_log_file(os.path.join(self.base_path, rel))
                 for b in logreader.valid_blocks(
                     blocks, start_exclusive, as_of, valid_instants
                 ):
                     if b.records:
+                        for r in b.records:
+                            r["__fg"] = fg
                         data_rows.extend(b.records)
                         log_schema = log_schema or b.schema_json
                     for key, part, ordering in b.delete_records:
-                        delete_rows.append((b.instant_time, key, part, ordering))
+                        delete_rows.append((fg, b.instant_time, key, part, ordering))
 
         ordering_fields = self.config.ordering_fields
         ordering = ordering_fields[0] if ordering_fields else None
         strategy = self.config.merge_strategy
+
+        # tag base rows with their file group, parsed from the scanned
+        # file name ({file_id}_{write_token}_{ts}.parquet — file ids
+        # contain no underscores)
+        base_tagged = base_df.withColumn(
+            "__fg",
+            F.element_at(
+                F.split(F.element_at(F.split(F.input_file_name(), "/"), -1), "_"), 1
+            ),
+        )
 
         if data_rows:
             if log_schema is not None:
                 log_struct = avro_record_to_struct(log_schema)
             else:
                 log_struct = base_df.schema
+            if "__fg" not in log_struct.fieldNames():
+                log_struct = T.StructType(
+                    list(log_struct.fields) + [T.StructField("__fg", T.StringType(), True)]
+                )
             rows = [_conform_row(r, log_struct) for r in data_rows]
             log_df = self.spark.createDataFrame(rows, log_struct)
-            # align log columns/types to the base schema before union
+            # align log columns/types to the (tagged) base schema
             log_df = log_df.select(
                 *[
-                    F.col(f.name).cast(base_df.schema[f.name].dataType)
+                    F.col(f.name).cast(base_tagged.schema[f.name].dataType)
                     if f.name in log_df.columns
                     else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in base_df.schema.fields
+                    for f in base_tagged.schema.fields
                 ]
             )
-            data = base_df.unionByName(log_df)
+            data = base_tagged.unionByName(log_df)
         else:
-            data = base_df
+            data = base_tagged
 
         if strategy == MergeStrategy.APPEND_ONLY or ordering is None:
-            return data
+            return data.drop("__fg")
 
+        merge_keys = ["__fg", "_hoodie_record_key"]
         deletes_df = None
         if delete_rows:
             ord_type = data.schema[ordering].dataType
             del_schema = T.StructType(
                 [
+                    T.StructField("__fg", T.StringType(), True),
                     T.StructField("_hoodie_commit_time", T.StringType(), True),
                     T.StructField("_hoodie_record_key", T.StringType(), True),
                     T.StructField("_hoodie_partition_path", T.StringType(), True),
@@ -273,22 +299,25 @@ class HudiTable:
                 ]
             )
             conv = [
-                (c, k, p, _conform_value(o, ord_type)) for (c, k, p, o) in delete_rows
+                (fg, c, k, p, _conform_value(o, ord_type))
+                for (fg, c, k, p, o) in delete_rows
             ]
             deletes_df = self.spark.createDataFrame(conv, del_schema)
 
         if deletes_df is None:
-            return latest_by_key(
-                data, ["_hoodie_record_key"], [ordering, "_hoodie_commit_seqno"]
+            out = latest_by_key(
+                data, merge_keys, [ordering, "_hoodie_commit_seqno"]
             )
-        return merge_with_deletes(
-            data,
-            deletes_df,
-            ["_hoodie_record_key"],
-            event_col=ordering,
-            commit_col="_hoodie_commit_time",
-            tiebreak_cols=["_hoodie_commit_seqno"],
-        )
+        else:
+            out = merge_with_deletes(
+                data,
+                deletes_df,
+                merge_keys,
+                event_col=ordering,
+                commit_col="_hoodie_commit_time",
+                tiebreak_cols=["_hoodie_commit_seqno"],
+            )
+        return out.drop("__fg")
 
 
 def _conform_row(r: dict, struct: T.StructType) -> dict:

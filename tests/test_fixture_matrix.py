@@ -1,0 +1,229 @@
+"""Golden-fixture matrix: read every supported reference table variant
+(table version x COW/MOR x keygen x meta-fields x lifecycle) and check
+pinned expectations + cross-variant differentials.
+
+Expected values come from the reference's own test suite:
+- v9 txns lifecycle ids: crates/test/src/v9_verification.rs:33-41
+- trips lifecycles: quickstart fixture names (8i1u = 8 inserts 1 update,
+  8i3d = 8 inserts 3 deletes)
+- sample_table final state: 4 rows ids 1-4 (table_read_tests.rs)
+
+The COW-vs-MOR differential mirrors the reference's strongest signal
+(datafusion query_tests.rs:292: SQL result must equal core merged read).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hudi_rs_spark import HudiTable
+from tests.conftest import extract_fixture
+
+# v9_verification.rs:33-41
+EXPECTED_PARTITIONED_TXN_IDS = [
+    "TXN-001", "TXN-003", "TXN-007", "TXN-008", "TXN-011", "TXN-012",
+    "TXN-013", "TXN-014", "TXN-015", "TXN-016", "TXN-017", "TXN-018",
+]
+EXPECTED_NONPART_TXN_IDS = [
+    "TXN-001", "TXN-003", "TXN-004", "TXN-006", "TXN-007", "TXN-008",
+    "TXN-009", "TXN-010", "TXN-011", "TXN-012", "TXN-013", "TXN-014",
+    "TXN-015", "TXN-016",
+]
+
+V9_TXNS_CASES = [
+    ("sample_table/cow/v9_txns_simple_meta.zip", EXPECTED_PARTITIONED_TXN_IDS),
+    ("sample_table/cow/v9_txns_simple_nometa.zip", EXPECTED_PARTITIONED_TXN_IDS),
+    ("sample_table/cow/v9_txns_complex_meta.zip", EXPECTED_PARTITIONED_TXN_IDS),
+    ("sample_table/cow/v9_txns_complex_nometa.zip", EXPECTED_PARTITIONED_TXN_IDS),
+    ("sample_table/cow/v9_txns_nonpart_meta.zip", EXPECTED_NONPART_TXN_IDS),
+    ("sample_table/cow/v9_txns_nonpart_nometa.zip", EXPECTED_NONPART_TXN_IDS),
+    ("sample_table/mor/avro/v9_txns_simple_meta.zip", EXPECTED_PARTITIONED_TXN_IDS),
+    ("sample_table/mor/avro/v9_txns_simple_nometa.zip", EXPECTED_PARTITIONED_TXN_IDS),
+    ("sample_table/mor/avro/v9_txns_complex_meta.zip", EXPECTED_PARTITIONED_TXN_IDS),
+    ("sample_table/mor/avro/v9_txns_complex_nometa.zip", EXPECTED_PARTITIONED_TXN_IDS),
+    ("sample_table/mor/avro/v9_txns_nonpart_meta.zip", EXPECTED_NONPART_TXN_IDS),
+    ("sample_table/mor/avro/v9_txns_nonpart_nometa.zip", EXPECTED_NONPART_TXN_IDS),
+]
+
+
+@pytest.mark.parametrize("zip_rel,expected", V9_TXNS_CASES, ids=[c[0] for c in V9_TXNS_CASES])
+def test_v9_txns_lifecycle(spark, zip_rel, expected):
+    """Full lifecycle: inserts, updates, deletes, INSERT OVERWRITE,
+    compaction + clustering (replacecommit), trailing inserts."""
+    path = extract_fixture(zip_rel)
+    t = HudiTable(path, spark)
+    ids = sorted(r[0] for r in t.read().select("txn_id").collect())
+    assert ids == expected, f"{zip_rel}: {ids}"
+
+
+TRIPS_CASES = [
+    ("quickstart_trips_table/mor/avro/v6_trips_8i1u.zip", 8, None),
+    ("quickstart_trips_table/mor/avro/v6_trips_8i3d.zip", 5, None),
+    ("quickstart_trips_table/mor/avro/v8_trips_8i3u1d.zip", 6, None),
+]
+
+
+@pytest.mark.parametrize("zip_rel,n_rows,_", TRIPS_CASES, ids=[c[0] for c in TRIPS_CASES])
+def test_trips_lifecycles(spark, zip_rel, n_rows, _):
+    path = extract_fixture(zip_rel)
+    t = HudiTable(path, spark)
+    df = t.read()
+    assert df.count() == n_rows
+    # record keys unique after merge
+    assert df.select("uuid").distinct().count() == n_rows
+
+
+SAMPLE_FAMILIES_COW_VS_MOR = [
+    ("sample_table/cow/v6_nonpartitioned.zip", "sample_table/mor/parquet/v6_nonpartitioned.zip"),
+    (
+        "sample_table/cow/v6_simplekeygen_nonhivestyle.zip",
+        "sample_table/mor/parquet/v6_simplekeygen_nonhivestyle.zip",
+    ),
+    (
+        "sample_table/cow/v6_complexkeygen_hivestyle.zip",
+        "sample_table/mor/parquet/v6_complexkeygen_hivestyle.zip",
+    ),
+    (
+        "sample_table/cow/v6_simplekeygen_hivestyle_no_metafields.zip",
+        "sample_table/mor/parquet/v6_simplekeygen_hivestyle_no_metafields.zip",
+    ),
+    (
+        "sample_table/cow/v6_simplekeygen_nonhivestyle_overwritetable.zip",
+        "sample_table/mor/parquet/v6_simplekeygen_nonhivestyle_overwritetable.zip",
+    ),
+]
+
+
+def _canon(v):
+    """Canonical form for compare: maps iterate in nondeterministic order."""
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if hasattr(v, "asDict"):  # Row
+        return _canon(v.asDict())
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
+@pytest.mark.parametrize(
+    "cow_zip,mor_zip", SAMPLE_FAMILIES_COW_VS_MOR, ids=[c[0].split("/")[-1] for c in SAMPLE_FAMILIES_COW_VS_MOR]
+)
+def test_cow_equals_mor_differential(spark, cow_zip, mor_zip):
+    """The same logical table written COW and MOR must produce identical
+    merged data (differential oracle, query_tests.rs:292 analog)."""
+    cow = HudiTable(extract_fixture(cow_zip), spark).read()
+    mor = HudiTable(extract_fixture(mor_zip), spark).read()
+    # timestampField is excluded: the fixtures' COW update and MOR log
+    # update were written by sessions in different timezones, so the
+    # PHYSICAL utc-adjusted micros differ between the two tables
+    # (base: 2023-04-01T17:01Z vs log block: 12:01Z). The reference's own
+    # sample_data compare checks only (id, name, isActive)
+    # (crates/test/src/lib.rs sample_data_order_by_id).
+    data_cols = [
+        c for c in cow.columns if not c.startswith("_hoodie") and c != "timestampField"
+    ]
+    a = sorted(str(tuple(_canon(x) for x in r)) for r in cow.select(*data_cols).collect())
+    b = sorted(str(tuple(_canon(x) for x in r)) for r in mor.select(*data_cols).collect())
+    assert a == b
+
+
+def _txn_rows(df):
+    return sorted(
+        (r["txn_id"], r["txn_type"], r["txn_ts"])
+        for r in df.select("txn_id", "txn_type", "txn_ts").collect()
+    )
+
+
+def test_v9_rollback_mor_keeps_cross_group_duplicate(spark):
+    """table_read_tests.rs test_nonpartitioned_rollback_mor_snapshot:
+    post-rollback re-write lands in a NEW file group, so TXN-002 appears
+    twice — the merge must stay file-group-scoped and keep both."""
+    t = HudiTable(extract_fixture("sample_table/mor/avro/v9_nonpartitioned_rollback.zip"), spark)
+    assert _txn_rows(t.read()) == [
+        ("TXN-001", "debit", 1700000000001),
+        ("TXN-002", "debit", 1700000000002),
+        ("TXN-002", "debit", 1700200000002),
+        ("TXN-003", "debit", 1700000000003),
+    ]
+
+
+def test_v9_timebasedkeygen_cow_snapshot_pinned(spark):
+    """table_read_tests.rs:1078-1094: keys are partition-scoped; the
+    updated TXN-001 lives in a second time-derived partition."""
+    t = HudiTable(extract_fixture("sample_table/cow/v9_timebasedkeygen_nonhivestyle.zip"), spark)
+    assert _txn_rows(t.read()) == [
+        ("TXN-001", "debit", 1700000000001),
+        ("TXN-001", "reversal", 1700100000001),
+        ("TXN-003", "debit", 1700200000003),
+        ("TXN-004", "transfer", 1700000000004),
+        ("TXN-005", "debit", 1700100000005),
+    ]
+
+
+def test_v9_txns_overwrite_time_travel_pinned(spark):
+    """table_read_tests.rs test_txns_simple_overwrite_cow_time_travel:
+    8 rows before the full-table INSERT OVERWRITE, 3 rows as of the
+    replacecommit."""
+    t = HudiTable(extract_fixture("sample_table/cow/v9_txns_simple_overwrite.zip"), spark)
+    commits = [i for i in t.timeline.instants if not i.is_replacecommit]
+    replaces = [i for i in t.timeline.instants if i.is_replacecommit]
+    assert len(commits) == 2 and len(replaces) == 1
+    before = t.read(_opts(as_of_timestamp=commits[1].timestamp))
+    assert [r[0] for r in _txn_rows(before)] == [
+        "TXN-001", "TXN-002", "TXN-003", "TXN-004",
+        "TXN-005", "TXN-006", "TXN-007", "TXN-008",
+    ]
+    after = t.read(_opts(as_of_timestamp=replaces[0].timestamp))
+    assert [r[0] for r in _txn_rows(after)] == ["TXN-101", "TXN-102", "TXN-103"]
+
+
+def _opts(**kw):
+    from hudi_rs_spark import HudiReadOptions
+
+    return HudiReadOptions(**kw)
+
+
+MISC_READABLE = [
+    "sample_table/cow/v8_nonpartitioned.zip",
+    "sample_table/cow/v8_simplekeygen_nonhivestyle.zip",
+    "sample_table/cow/v8_complexkeygen_hivestyle.zip",
+    "sample_table/cow/v8_simplekeygen_hivestyle_no_metafields.zip",
+    "sample_table/cow/v6_timebasedkeygen_nonhivestyle.zip",
+    "sample_table/cow/v9_timebasedkeygen_nonhivestyle.zip",
+    "sample_table/cow/v9_timebasedkeygen_epochmillis.zip",
+    "sample_table/cow/v9_timebasedkeygen_unixtimestamp.zip",
+    "sample_table/mor/avro/v9_timebasedkeygen_nonhivestyle.zip",
+    "sample_table/cow/v9_txns_simple_overwrite.zip",
+    "sample_table/mor/avro/v9_txns_simple_overwrite.zip",
+    "sample_table/mor/avro/v9_nonpartitioned_rollback.zip",
+    "sample_table/cow/v8_empty.zip",
+    "sample_table/mor/parquet/v6_empty.zip",
+]
+
+
+@pytest.mark.parametrize("zip_rel", MISC_READABLE, ids=[z.replace("/", "_") for z in MISC_READABLE])
+def test_variant_reads_clean(spark, zip_rel):
+    """Every supported variant must read without error, produce unique
+    record keys (when meta fields exist), and agree between snapshot and
+    full-range incremental key sets."""
+    path = extract_fixture(zip_rel)
+    t = HudiTable(path, spark)
+    df = t.read()
+    n = df.count()
+    if "empty" in zip_rel:
+        assert n == 0
+        return
+    assert n > 0
+    if "_hoodie_record_key" in df.columns and t.config.populates_meta_fields:
+        # keys are only unique per FILE GROUP (rollback/keygen flows
+        # duplicate keys across groups even within one partition —
+        # pinned-value tests above); here check the full-range
+        # incremental key multiset equals the snapshot's
+        keys = sorted(r[0] for r in df.select("_hoodie_record_key").collect())
+        inc_keys = sorted(
+            r[0]
+            for r in t.read_incremental(None, None).select("_hoodie_record_key").collect()
+        )
+        assert inc_keys == keys
