@@ -18,6 +18,7 @@ class HudiReadOptions:
     # (field, op, value) string triples; ops: = != < <= > >= IN NOT IN
     filters: list[tuple[str, str, str]] = field(default_factory=list)
     projection: list[str] | None = None
+    limit: int | None = None  # row-accurate fetch (op 21)
     input_partitions: int = 0  # 0 -> let Spark decide
     batch_size: int = 1024  # streaming read batch rows
 

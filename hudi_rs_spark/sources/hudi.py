@@ -150,12 +150,60 @@ class HudiTable:
             )
         filters = [Filter(*f) for f in options.filters]
         as_of = options.as_of_timestamp
+        if as_of is not None:
+            # accept hudi-ts / epoch s-ms-us-ns / RFC3339-with-offset
+            # (timeline/util.rs formats, reader-spec.md:311-319)
+            from hudi_rs_spark.timeline.timestamps import to_hudi_timestamp
+
+            as_of = to_hudi_timestamp(as_of, self.config.timezone)
         slices = self.get_file_slices(as_of, filters)
+        slices = self._stats_prune(slices, filters, options)
         df = self._execute_slices(slices, as_of, options)
         df = apply_filters(df, filters)
         if options.projection:
             df = df.select(*options.projection)
+        if options.limit is not None:
+            df = df.limit(options.limit)
         return df
+
+    def _stats_prune(self, slices, filters, options):
+        """File-level footer min/max skip — ONLY when no log files will be
+        read: log rows can contradict base stats (safety gate,
+        table/mod.rs:485-491)."""
+        if not filters:
+            return slices
+        base_only = options.use_read_optimized_mode or not any(
+            s.has_log_files for s in slices
+        )
+        if not base_only:
+            return slices
+        from hudi_rs_spark.plans.file_pruner import (
+            parquet_column_stats,
+            should_include_file,
+        )
+
+        out = []
+        for s in slices:
+            path = os.path.join(self.base_path, s.base_file_relative_path())
+            try:
+                stats = parquet_column_stats(path)
+            except Exception:
+                out.append(s)  # unreadable stats -> keep
+                continue
+            if should_include_file(stats, filters):
+                out.append(s)
+        return out
+
+    def compute_table_stats(self) -> tuple[int, int]:
+        """(est_rows, est_bytes) for the current snapshot — op 23
+        (statistics/estimator.rs analog, exact from parquet footers)."""
+        from hudi_rs_spark.plans.file_pruner import estimate_table_stats
+
+        paths = [
+            os.path.join(self.base_path, s.base_file_relative_path())
+            for s in self.get_file_slices()
+        ]
+        return estimate_table_stats(paths)
 
     def read_incremental(
         self,

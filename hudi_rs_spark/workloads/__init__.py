@@ -35,6 +35,7 @@ def register(spec: QuerySpec) -> QuerySpec:
 def load_all() -> dict[str, QuerySpec]:
     """Import every workload module (side effect: populates REGISTRY)."""
     from hudi_rs_spark.workloads import relational  # noqa: F401
+    from hudi_rs_spark.workloads import relational2  # noqa: F401
     from hudi_rs_spark.workloads import windows  # noqa: F401
     from hudi_rs_spark.workloads import merge_semantics  # noqa: F401
     from hudi_rs_spark.workloads import dedup  # noqa: F401

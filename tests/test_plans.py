@@ -1,0 +1,100 @@
+"""Plan-shape tests — the reference asserts physical-plan routing
+(crates/datafusion/tests/plan_tests.rs:457-621); here we assert the
+Catalyst plans that make the engine scale:
+
+- predicate pushdown reaches the parquet scan (PushedFilters)
+- column pruning (ReadSchema carries only referenced columns)
+- map-side partial aggregation before the shuffle
+- broadcast joins for dimension tables
+- top-k compiles to TakeOrderedAndProject (no global sort)
+- the MOR merge shuffles exactly once on the merge key
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hudi_rs_spark.workloads import load_all
+from tests.conftest import extract_fixture
+
+SPECS = load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestRelationalPlans:
+    def test_q6_filter_pushdown_and_pruning(self, spark, sf_dir):
+        plan = _plan(SPECS["q6_forecast_revenue"].build(spark, sf_dir))
+        assert "PushedFilters: [" in plan
+        assert "IsNotNull(l_shipdate)" in plan or "l_shipdate" in plan.split("PushedFilters")[1][:300]
+        # column pruning: only 4 referenced lineitem columns in the scan
+        scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+        assert "l_returnflag" not in scan_line
+        assert "partial_sum" in plan  # map-side combine
+
+    def test_q3_topk_and_broadcast(self, spark, sf_dir):
+        plan = _plan(SPECS["q3_shipping_priority"].build(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+        assert "BroadcastHashJoin" in plan  # customer dim broadcast
+        assert "partial_sum" in plan
+
+    def test_q5_six_way_join_broadcasts_dims(self, spark, sf_dir):
+        plan = _plan(SPECS["q5_local_supplier_volume"].build(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 3
+        # no cartesian anywhere
+        assert "CartesianProduct" not in plan
+
+    def test_merge_latest_single_shuffle(self, spark, sf_dir):
+        plan = _plan(SPECS["merge_latest_state"].build(spark, sf_dir))
+        # one hash-partition exchange for the window dedup (plus possibly
+        # a final sort for the orderBy); no join, no extra shuffle
+        exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+        assert len(exchanges) == 1, exchanges
+        assert "row_number" in plan
+
+    def test_dedup_exact_partial_agg(self, spark, sf_dir):
+        plan = _plan(SPECS["dedup_exact"].build(spark, sf_dir))
+        assert "partial_min" in plan or "partial_count" in plan or "partial" in plan
+
+    def test_sim_brute_topk_broadcasts_queries(self, spark, sf_dir):
+        plan = _plan(SPECS["sim_brute_topk"].build(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+class TestHudiReadPlans:
+    def test_cow_filter_pushdown_into_scan(self, spark):
+        from hudi_rs_spark import HudiReadOptions, HudiTable
+
+        path = extract_fixture("sample_table/cow/v6_simplekeygen_nonhivestyle.zip")
+        t = HudiTable(path, spark)
+        df = t.read(HudiReadOptions(filters=[("intField", ">", "20000")]))
+        plan = _plan(df)
+        assert "PushedFilters: [" in plan
+        assert "GreaterThan(intField,20000)" in plan
+
+    def test_cow_projection_prunes_scan(self, spark):
+        from hudi_rs_spark import HudiReadOptions, HudiTable
+
+        path = extract_fixture("sample_table/cow/v6_simplekeygen_nonhivestyle.zip")
+        t = HudiTable(path, spark)
+        df = t.read(HudiReadOptions(projection=["id", "name"]))
+        scan_line = next(
+            l for l in _plan(df).splitlines() if "FileScan parquet" in l
+        )
+        assert "decimalField" not in scan_line  # unreferenced column pruned
+
+    def test_mor_merge_single_shuffle_on_group_key(self, spark, v8_trips_table):
+        from hudi_rs_spark import HudiTable
+
+        t = HudiTable(v8_trips_table, spark)
+        plan = _plan(t.read())
+        exchanges = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        # window dedup: one shuffle on (__fg, record_key); Spark plans the
+        # rank<=1 filter as WindowGroupLimit (partial before the shuffle)
+        assert len(exchanges) == 1, exchanges
+        assert "WindowGroupLimit" in plan
+        assert "hashpartitioning(__fg" in plan

@@ -1,0 +1,102 @@
+"""Tests for timestamp normalization (op 27), file-level stats pruning +
+MOR safety gate (op 18), table stats (op 23), limit (op 21)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hudi_rs_spark import HudiReadOptions, HudiTable
+from hudi_rs_spark.plans.file_pruner import should_include_file
+from hudi_rs_spark.plans.partition_pruner import Filter
+from hudi_rs_spark.timeline.timestamps import to_hudi_timestamp
+from tests.conftest import extract_fixture
+
+
+class TestTimestampFormats:
+    def test_hudi_forms(self):
+        assert to_hudi_timestamp("20240402123035") == "20240402123035000"
+        assert to_hudi_timestamp("20240402123035233") == "20240402123035233"
+
+    def test_epoch_units(self):
+        ms = 1712061035233
+        assert to_hudi_timestamp(ms) == "20240402123035233"
+        assert to_hudi_timestamp(ms * 1000) == "20240402123035233"  # micros
+        assert to_hudi_timestamp(ms * 1_000_000) == "20240402123035233"  # nanos
+        assert to_hudi_timestamp(1712061035) == "20240402123035000"  # seconds
+
+    def test_rfc3339_with_offset(self):
+        assert to_hudi_timestamp("2024-04-02T12:30:35.233+00:00") == "20240402123035233"
+        assert to_hudi_timestamp("2024-04-02T14:30:35.233+02:00") == "20240402123035233"
+        assert to_hudi_timestamp("2024-04-02T12:30:35Z") == "20240402123035000"
+
+    def test_naive_rejected(self):
+        with pytest.raises(ValueError):
+            to_hudi_timestamp("2024-04-02T12:30:35.233")
+
+    def test_time_travel_accepts_rfc3339(self, spark, v6_cow_nonhive):
+        t = HudiTable(v6_cow_nonhive, spark)
+        first = t.timeline.instants[0].timestamp  # yyyyMMddHHmmssSSS
+        from datetime import datetime, timezone
+
+        dt = datetime.strptime(first[:14], "%Y%m%d%H%M%S").replace(
+            tzinfo=timezone.utc, microsecond=int(first[14:]) * 1000
+        )
+        df = t.read(HudiReadOptions(as_of_timestamp=dt.isoformat()))
+        commits = {r[0] for r in df.select("_hoodie_commit_time").distinct().collect()}
+        assert commits == {first}
+
+
+class TestStatsPruning:
+    def test_truth_table(self):
+        stats = {"x": (10, 20)}
+        yes = should_include_file
+        assert not yes(stats, [Filter("x", "=", "5")])
+        assert yes(stats, [Filter("x", "=", "15")])
+        assert not yes(stats, [Filter("x", "<", "10")])
+        assert yes(stats, [Filter("x", "<", "11")])
+        assert not yes(stats, [Filter("x", "<=", "9")])
+        assert not yes(stats, [Filter("x", ">", "20")])
+        assert yes(stats, [Filter("x", ">", "19")])
+        assert not yes(stats, [Filter("x", ">=", "21")])
+        assert not yes(stats, [Filter("x", "IN", "1,2,30")])
+        assert yes(stats, [Filter("x", "IN", "1,15")])
+        # != only prunes a constant file
+        assert not yes({"x": (7, 7)}, [Filter("x", "!=", "7")])
+        assert yes(stats, [Filter("x", "!=", "15")])
+
+    def test_missing_stats_fail_open(self):
+        assert should_include_file({}, [Filter("x", "=", "5")])
+
+    def test_cow_filter_prunes_files(self, spark, v6_cow_nonhive):
+        t = HudiTable(v6_cow_nonhive, spark)
+        opts = HudiReadOptions(filters=[("intField", ">=", "45000")])
+        slices = t.get_file_slices(filters=[Filter("intField", ">=", "45000")])
+        pruned = t._stats_prune(slices, [Filter("intField", ">=", "45000")], opts)
+        assert len(pruned) < len(slices)
+        # correctness preserved
+        df = t.read(opts)
+        assert sorted(r["intField"] for r in df.select("intField").collect()) == [45000]
+
+    def test_mor_snapshot_gate_disables_pruning(self, spark, v8_trips_table):
+        t = HudiTable(v8_trips_table, spark)
+        f = [Filter("fare", "<", "0.5")]
+        slices = t.get_file_slices()
+        pruned = t._stats_prune(slices, f, HudiReadOptions(filters=[("fare", "<", "0.5")]))
+        # a slice has log files -> gate keeps everything
+        assert len(pruned) == len(slices)
+        # read-optimized mode (base only) may prune
+        ro = t._stats_prune(
+            slices, f, HudiReadOptions(use_read_optimized_mode=True)
+        )
+        assert len(ro) <= len(slices)
+
+
+class TestStatsAndLimit:
+    def test_compute_table_stats(self, spark, v6_cow_nonhive):
+        t = HudiTable(v6_cow_nonhive, spark)
+        rows, size = t.compute_table_stats()
+        assert rows == 4 and size > 0
+
+    def test_limit(self, spark, v6_cow_nonhive):
+        t = HudiTable(v6_cow_nonhive, spark)
+        assert t.read(HudiReadOptions(limit=2)).count() == 2

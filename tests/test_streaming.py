@@ -1,0 +1,85 @@
+"""Streaming surface tests: batch iterator (op 4 parity), incremental
+commit-offset feed, and Structured Streaming windowed aggregation."""
+
+from __future__ import annotations
+
+import pytest
+
+from hudi_rs_spark import HudiReadOptions, HudiTable
+from hudi_rs_spark.streaming.batches import iter_batches, read_stream
+from hudi_rs_spark.streaming.incremental_source import (
+    HudiIncrementalFeed,
+    windowed_event_counts,
+    windowed_event_counts_batch,
+)
+
+
+class TestBatchIterator:
+    def test_batch_sizes_row_accurate(self, spark, v8_trips_table):
+        t = HudiTable(v8_trips_table, spark)
+        batches = list(read_stream(t, batch_size=4))
+        sizes = [b.num_rows for b in batches]
+        assert sum(sizes) == 6
+        assert all(s <= 4 for s in sizes)
+        # batches carry the full merged schema
+        assert "_hoodie_record_key" in batches[0].schema.names
+
+    def test_incremental_streaming_rejected(self, spark, v8_trips_table):
+        # parity with table/mod.rs:821-824
+        t = HudiTable(v8_trips_table, spark)
+        with pytest.raises(ValueError):
+            list(read_stream(t, HudiReadOptions(query_type="incremental")))
+
+    def test_iter_batches_matches_collect(self, spark, sf_dir):
+        df = spark.read.parquet(f"{sf_dir}/region.parquet")
+        rows = [r for b in iter_batches(df, 2) for r in b.to_pylist()]
+        assert sorted(r["r_name"] for r in rows) == sorted(
+            r["r_name"] for r in df.collect()
+        )
+
+
+class TestIncrementalFeed:
+    def test_feed_replays_commits_exactly_once(self, spark, v6_cow_nonhive):
+        t = HudiTable(v6_cow_nonhive, spark)
+        feed = HudiIncrementalFeed(t)
+        seen_commits = []
+        while True:
+            batch = feed.next_batch(max_commits=1)
+            if batch is None:
+                break
+            commits = {r[0] for r in batch.select("_hoodie_commit_time").distinct().collect()}
+            seen_commits.append(commits)
+        # each micro-batch carries exactly the rows of one commit window
+        all_commits = [i.timestamp for i in t.timeline.instants]
+        assert [c for s in seen_commits for c in sorted(s)] == all_commits
+        # caught up -> None
+        assert feed.next_batch() is None
+
+    def test_feed_resumes_from_checkpoint(self, spark, v6_cow_nonhive):
+        t = HudiTable(v6_cow_nonhive, spark)
+        commits = [i.timestamp for i in t.timeline.instants]
+        feed = HudiIncrementalFeed(t, last_offset=commits[0])
+        batch = feed.next_batch(max_commits=10)
+        got = {r[0] for r in batch.select("_hoodie_commit_time").distinct().collect()}
+        assert got == set(commits[1:])
+
+
+class TestStructuredStreaming:
+    def test_windowed_counts_match_batch(self, spark, sf_dir, tmp_path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        events = f"{sf_dir}/events.parquet"
+        stream_df = windowed_event_counts(spark, events, window="6 hours", watermark="1 hour")
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM win_counts").collect()
+        want = windowed_event_counts_batch(spark, events, window="6 hours").collect()
+        canon = lambda rows: sorted((str(r["window_start"]), r["event_type"], r["n"]) for r in rows)
+        assert canon(got) == canon(want)
+        assert len(got) > 0
