@@ -41,13 +41,16 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def char_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct character k-grams of the normalized text (JVM-side:
-    sequence + transform + array_distinct)."""
-    norm = normalized(text)
-    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+def char_shingles(norm_col: Column, k: int = 3) -> Column:
+    """Distinct character k-grams of an ALREADY-NORMALIZED column.
+
+    ``norm_col`` must be a plain attribute (a projected column behind a
+    plan boundary), NOT the normalization expression itself: the substr
+    lambda reads it once per element, and an inlined expression would be
+    re-evaluated per element (the higher-order-function trap)."""
+    n = F.greatest(F.length(norm_col) - (k - 1), F.lit(1))
     idx = F.sequence(F.lit(1), n)
-    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
+    return F.array_distinct(F.transform(idx, lambda i: norm_col.substr(i, F.lit(k))))
 
 
 def ngram_jaccard_pairs(
@@ -67,11 +70,18 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sh = spread.select(
+    # normalize -> REPARTITION (plan boundary so CollapseProject cannot
+    # inline the regex pipeline into the per-element substr lambda) ->
+    # shingle from the materialized attribute
+    normed = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
-        char_shingles(F.col(text_col), k).alias("shingles"),
+        normalized(F.col(text_col)).alias("__norm"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sh = normed.select(
+        "id",
+        *block_cols,
+        char_shingles(F.col("__norm"), k).alias("shingles"),
     )
     a = sh.select(
         F.col("id").alias("id_a"),
@@ -100,22 +110,29 @@ def ngram_jaccard_pairs(
 
 
 def word_shingles(text: Column, n: int = 2) -> Column:
-    """Distinct word n-grams (default bigrams) of the normalized text.
+    """Distinct word bigrams of the normalized text.
 
     Word shingles discriminate far better than char k-grams on
     small-vocabulary corpora (char 3-grams of such text are nearly
     identical across documents, which collapses MinHash buckets and makes
-    LSH candidate generation quadratic)."""
+    LSH candidate generation quadratic).
+
+    PERF: built with zip_with over two slices — NEVER index the token
+    array inside a transform() lambda: any outer expression referenced in
+    a higher-order-function lambda is re-evaluated per element (measured
+    25x slower). Single-token docs shingle to the token itself, matching
+    the SQL oracle's concat_ws null-skip behavior.
+    """
+    if n != 2:
+        raise ValueError("word_shingles supports bigrams (n=2)")
     toks = F.split(normalized(text), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.try_element_at(toks, i + j) for j in range(n)]
-            ),
-        )
+    m = F.size(toks)
+    zipped = F.zip_with(
+        F.slice(toks, 1, m - 1),
+        F.slice(toks, 2, m - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
+    return F.array_distinct(F.when(m >= 2, zipped).otherwise(toks))
 
 
 def _seeded_md5(seed: int):
@@ -161,18 +178,24 @@ def minhash_lsh_pairs(
     # arrives as one input split, and minhash cost is per-document, so
     # spread rows across the cluster first (cheap: shuffles raw text once).
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    # Compute the shingle array ONCE as a materialized projection, then
-    # derive the num_hashes minima from that column (avoids inlining the
-    # shingle expression into every hash and keeps codegen small).
+    # Explode shingles to rows so the shingle expression evaluates ONCE
+    # per document (Catalyst's CollapseProject would otherwise re-inline
+    # it into all num_hashes columns — measured 10x slower), then take
+    # per-seed minima as a partial-aggregated groupBy: the shuffle carries
+    # only num_hashes digests per document.
     sh_df = spread.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
     )
-    mh = sh_df.select(
+    exploded = sh_df.select("id", F.explode("sh").alias("s"))
+    hashed = exploded.select(
         "id",
         *[
-            F.array_min(F.transform("sh", _seeded_md5(i))).alias(f"m{i}")
+            F.md5(F.concat(F.col("s"), F.lit(f"#{i}"))).alias(f"h{i}")
             for i in range(num_hashes)
         ],
+    )
+    mh = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
     )
     band_cols = [
         F.md5(
@@ -197,30 +220,39 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash over word tokens, entirely with built-ins.
+def simhash64_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: (id, sim).
 
-    Each token hashes to 64 bits (xxhash64); for each bit position the
-    weighted vote is summed over tokens; the sign vector is the simhash.
-    Implemented as: explode-free aggregate over the token array per row.
+    Each distinct token hashes to 64 bits (xxhash64); per bit position the
+    vote is (+1 set / -1 unset) summed over tokens; the sign vector is the
+    simhash. Tokens are EXPLODED to rows so xxhash64 runs once per token;
+    the 64 bit-votes are partial-aggregated sums (the shuffle carries 64
+    ints per document). Never fold over the token array with
+    F.aggregate — outer expressions inline into the lambda and
+    re-evaluate per element.
     """
-    tokens = F.array_distinct(F.split(normalized(text), " "))
-    # For each bit b: count tokens with bit set minus tokens with bit unset.
-    bit_votes = [
-        F.aggregate(
-            tokens,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        for b in range(64)
-    ]
-    out = F.lit(0).cast("long")
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    toks = spread.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(normalized(F.col(text_col)), " "))).alias("t"),
+    )
+    hashed = toks.select("id", F.xxhash64("t").alias("h"))
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
     one = F.lit(1).cast("long")
-    for b, vote in enumerate(bit_votes):
+    sim = F.lit(0).cast("long")
+    for b in range(64):
         # shiftleft handles bit 63 (sign bit) without Python long overflow
-        out = out + F.when(vote > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
-    return out
+        sim = sim + F.when(F.col(f"v{b}") > 0, F.shiftleft(one, b)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("id", sim.alias("sim"))
 
 
 def simhash_pairs(
@@ -231,8 +263,7 @@ def simhash_pairs(
     must share at least one exact 16-bit chunk (pigeonhole), making the
     candidate join an equi-join on (chunk_idx, chunk_value).
     """
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    h = spread.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim"))
+    h = simhash64_df(df, id_col, text_col)
     chunks = h.select(
         "id",
         "sim",
