@@ -19,6 +19,10 @@ class HudiReadOptions:
     filters: list[tuple[str, str, str]] = field(default_factory=list)
     projection: list[str] | None = None
     limit: int | None = None  # row-accurate fetch (op 21)
+    # MOR log decode locality: "auto" switches to executor-side
+    # (mapInPandas) when log volume warrants it; "driver"/"distributed"
+    # force a path
+    log_decode: str = "auto"
     input_partitions: int = 0  # 0 -> let Spark decide
     batch_size: int = 1024  # streaming read batch rows
 

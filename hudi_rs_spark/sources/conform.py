@@ -1,0 +1,32 @@
+"""Row conformance: avro/pyarrow-decoded python values -> rows matching a
+Spark StructType (shared by the driver and executor decode paths)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import types as T
+
+
+def conform_row(r: dict, struct: T.StructType) -> dict:
+    return {f.name: conform_value(r.get(f.name), f.dataType) for f in struct.fields}
+
+
+def conform_value(v, dtype: T.DataType):
+    if v is None:
+        return None
+    if isinstance(dtype, T.DecimalType) and not isinstance(v, Decimal):
+        return Decimal(str(v))
+    if isinstance(dtype, (T.LongType, T.IntegerType)) and isinstance(v, float):
+        return int(v)
+    if isinstance(dtype, T.DoubleType) and isinstance(v, int):
+        return float(v)
+    if isinstance(dtype, T.MapType):
+        # pyarrow .to_pylist() yields maps as [(k, v), ...]
+        items = v.items() if isinstance(v, dict) else v
+        return {k: conform_value(x, dtype.valueType) for k, x in items}
+    if isinstance(dtype, T.ArrayType):
+        return [conform_value(x, dtype.elementType) for x in v]
+    if isinstance(dtype, T.StructType) and isinstance(v, dict):
+        return conform_row(v, dtype)
+    return v

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hudi_rs_spark.avro.spark_schema import avro_record_to_struct
+from hudi_rs_spark.sources.conform import conform_row as _conform_row, conform_value as _conform_value
 from hudi_rs_spark.config.read_config import HudiReadOptions
 from hudi_rs_spark.config.table_config import HudiTableConfig, MergeStrategy, TableType
 from hudi_rs_spark.fs.file_group import FileSlice
@@ -118,13 +119,40 @@ class HudiTable:
         as_of_timestamp: str | None = None,
         filters: list[Filter] | None = None,
     ) -> list[FileSlice]:
+        filters = filters or []
+        # timestamp-based keygen: a filter on the source timestamp column
+        # becomes a raw partition-path filter (keygen/timestamp_based.rs
+        # transform_filter; op 17 extension)
+        path_filters: list[Filter] = []
+        from hudi_rs_spark.plans.timestamp_keygen import (
+            TimestampKeyGen,
+            path_filter_matches,
+        )
+
+        keygen = TimestampKeyGen.from_config(self.config)
+        if keygen is not None:
+            transformed: list[Filter] = []
+            for f in filters:
+                for out in keygen.transform_filter(f):
+                    (path_filters if out.field == "__path__" else transformed).append(out)
+            filters = transformed
+
         pruner = PartitionPruner(
             self.get_partition_schema(),
-            filters or [],
+            filters,
             self.config.hive_style_partitioning,
             self.config.partition_path_url_encoded,
         )
-        part_filter = None if pruner.is_empty else pruner.should_include
+        if path_filters:
+            base = None if pruner.is_empty else pruner.should_include
+
+            def part_filter(p: str, _base=base, _pf=tuple(path_filters)) -> bool:
+                if _base is not None and not _base(p):
+                    return False
+                return all(path_filter_matches(p, f) for f in _pf)
+
+        else:
+            part_filter = None if pruner.is_empty else pruner.should_include
         groups = build_file_groups(
             self.base_path, self._completion_times(), part_filter
         )
@@ -274,6 +302,40 @@ class HudiTable:
         valid_instants = {
             i.timestamp for i in self.timeline.instants_as_of(as_of)
         }
+        ordering_fields = self.config.ordering_fields
+        ordering = ordering_fields[0] if ordering_fields else None
+        strategy = self.config.merge_strategy
+
+        # tag base rows with their file group, parsed from the scanned
+        # file name ({file_id}_{write_token}_{ts}.parquet — file ids
+        # contain no underscores)
+        base_tagged = base_df.withColumn(
+            "__fg",
+            F.element_at(
+                F.split(F.element_at(F.split(F.input_file_name(), "/"), -1), "_"), 1
+            ),
+        )
+
+        # choose decode locality: driver decode is fine for small deltas;
+        # log-heavy tables decode on executors (mapInPandas over paths)
+        log_tasks = [
+            (s.base_file.file_id, os.path.join(self.base_path, rel))
+            for s in log_slices
+            for rel in s.log_file_relative_paths()
+        ]
+        total_log_bytes = sum(
+            lf.size for s in log_slices for lf in s.log_files
+        )
+        distributed = options.log_decode == "distributed" or (
+            options.log_decode == "auto"
+            and (total_log_bytes > 32 * 1024 * 1024 or len(log_tasks) > 64)
+        )
+        if distributed:
+            return self._merge_distributed(
+                base_tagged, log_tasks, ordering, strategy, valid_instants,
+                start_exclusive, as_of,
+            )
+
         data_rows: list[dict] = []
         delete_rows: list[tuple] = []  # (file_group, commit_time, key, partition, ordering)
         log_schema: dict | None = None
@@ -289,22 +351,8 @@ class HudiTable:
                             r["__fg"] = fg
                         data_rows.extend(b.records)
                         log_schema = log_schema or b.schema_json
-                    for key, part, ordering in b.delete_records:
-                        delete_rows.append((fg, b.instant_time, key, part, ordering))
-
-        ordering_fields = self.config.ordering_fields
-        ordering = ordering_fields[0] if ordering_fields else None
-        strategy = self.config.merge_strategy
-
-        # tag base rows with their file group, parsed from the scanned
-        # file name ({file_id}_{write_token}_{ts}.parquet — file ids
-        # contain no underscores)
-        base_tagged = base_df.withColumn(
-            "__fg",
-            F.element_at(
-                F.split(F.element_at(F.split(F.input_file_name(), "/"), -1), "_"), 1
-            ),
-        )
+                    for key, part, ordering_val in b.delete_records:
+                        delete_rows.append((fg, b.instant_time, key, part, ordering_val))
 
         if data_rows:
             if log_schema is not None:
@@ -367,27 +415,52 @@ class HudiTable:
             )
         return out.drop("__fg")
 
+    def _merge_distributed(
+        self,
+        base_tagged: DataFrame,
+        log_tasks: list[tuple[str, str]],
+        ordering: str | None,
+        strategy: MergeStrategy,
+        valid_instants: set[str],
+        start_exclusive: str | None,
+        end_inclusive: str | None,
+    ) -> DataFrame:
+        """Executor-side log decode (logfile/distributed.py) feeding the
+        same per-file-group merge."""
+        from hudi_rs_spark.logfile.distributed import (
+            DELETE_FLAG,
+            decode_logs_distributed,
+        )
 
-def _conform_row(r: dict, struct: T.StructType) -> dict:
-    """Avro/pyarrow-decoded dict -> row matching the Spark struct."""
-    return {f.name: _conform_value(r.get(f.name), f.dataType) for f in struct.fields}
+        decoded = decode_logs_distributed(
+            self.spark,
+            log_tasks,
+            base_tagged.schema,
+            ordering,
+            valid_instants,
+            start_exclusive,
+            end_inclusive,
+        )
+        log_df = decoded.filter(~F.col(DELETE_FLAG)).drop(DELETE_FLAG)
+        data = base_tagged.unionByName(log_df)
+        if strategy == MergeStrategy.APPEND_ONLY or ordering is None:
+            return data.drop("__fg")
+        deletes_df = decoded.filter(F.col(DELETE_FLAG)).select(
+            "__fg",
+            "_hoodie_commit_time",
+            "_hoodie_record_key",
+            "_hoodie_partition_path",
+            ordering,
+        )
+        out = merge_with_deletes(
+            data,
+            deletes_df,
+            ["__fg", "_hoodie_record_key"],
+            event_col=ordering,
+            commit_col="_hoodie_commit_time",
+            tiebreak_cols=["_hoodie_commit_seqno"],
+        )
+        return out.drop("__fg")
 
 
-def _conform_value(v, dtype: T.DataType):
-    if v is None:
-        return None
-    if isinstance(dtype, T.DecimalType) and not isinstance(v, Decimal):
-        return Decimal(str(v))
-    if isinstance(dtype, (T.LongType, T.IntegerType)) and isinstance(v, float):
-        return int(v)
-    if isinstance(dtype, T.DoubleType) and isinstance(v, int):
-        return float(v)
-    if isinstance(dtype, T.MapType):
-        # pyarrow .to_pylist() yields maps as [(k, v), ...]
-        items = v.items() if isinstance(v, dict) else v
-        return {k: _conform_value(x, dtype.valueType) for k, x in items}
-    if isinstance(dtype, T.ArrayType):
-        return [_conform_value(x, dtype.elementType) for x in v]
-    if isinstance(dtype, T.StructType) and isinstance(v, dict):
-        return _conform_row(v, dtype)
-    return v
+
