@@ -24,9 +24,12 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q8_market_share",
     "q9_product_revenue",
     "q10_returned_items",
+    "q13_order_distribution",
     "q18_large_volume",
+    "json_props_stats",
     # merge/window surface
     "merge_latest_state",
     "merge_delete_aware",
@@ -36,6 +39,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality",
     "sim_brute_topk",
+    "sim_lsh_topk",
 ]
 
 

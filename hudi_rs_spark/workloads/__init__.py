@@ -37,6 +37,7 @@ def load_all() -> dict[str, QuerySpec]:
     from hudi_rs_spark.workloads import relational  # noqa: F401
     from hudi_rs_spark.workloads import relational2  # noqa: F401
     from hudi_rs_spark.workloads import windows  # noqa: F401
+    from hudi_rs_spark.workloads import aggregates  # noqa: F401
     from hudi_rs_spark.workloads import merge_semantics  # noqa: F401
     from hudi_rs_spark.workloads import dedup  # noqa: F401
     from hudi_rs_spark.workloads import text  # noqa: F401
