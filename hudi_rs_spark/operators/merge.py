@@ -97,10 +97,16 @@ def merge_with_deletes(
     del_event = F.col("__del_event")
     del_commit = F.col("__del_commit")
 
-    event_zero = del_event.isNull() | (del_event.cast("double") == 0.0)
+    # Comparisons follow the reference's arrow Row encoding where NULL is
+    # the SMALLEST value (merge/ordering.rs) — SQL's null-propagating >
+    # would silently keep rows a null-vs-value compare should delete
+    # (caught by hypothesis in tests/test_merge_properties.py):
+    #   greater: non-null beats null; equal: null-safe
+    event_zero = del_event.cast("double") == 0.0  # numeric zero only
+    event_gt = (del_event.isNotNull() & row_event.isNull()) | (del_event > row_event)
+    event_eq = del_event.eqNullSafe(row_event)
     delete_wins = F.when(event_zero, del_commit > row_commit).otherwise(
-        (del_event > row_event)
-        | ((del_event == row_event) & (del_commit > row_commit))
+        event_gt | (event_eq & (del_commit > row_commit))
     )
     keep = F.col("__del_commit").isNull() | ~F.coalesce(delete_wins, F.lit(False))
 
