@@ -220,23 +220,43 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def md5_hash64(col: Column) -> Column:
+    """Deterministic 64-bit hash from the first 16 hex chars of md5.
+
+    Exists so simhash is oracle-checkable: md5 is the one hash both Spark
+    and DuckDB implement identically. Assembled as (hi32 << 32) | lo32 —
+    bitwiseOR keeps it overflow-free under ANSI mode (the shifted value's
+    low 32 bits are zero). xxhash64 is the faster production variant (one
+    JVM hash call vs md5 + two conv parses)."""
+    d = F.md5(col)
+    hi = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def simhash64_df(
+    df: DataFrame, id_col: str, text_col: str, token_hash: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash per document: (id, sim).
 
-    Each distinct token hashes to 64 bits (xxhash64); per bit position the
+    Each distinct token hashes to 64 bits; per bit position the
     vote is (+1 set / -1 unset) summed over tokens; the sign vector is the
-    simhash. Tokens are EXPLODED to rows so xxhash64 runs once per token;
-    the 64 bit-votes are partial-aggregated sums (the shuffle carries 64
-    ints per document). Never fold over the token array with
+    simhash. Tokens are EXPLODED to rows so the token hash runs once per
+    token; the 64 bit-votes are partial-aggregated sums (the shuffle
+    carries 64 ints per document). Never fold over the token array with
     F.aggregate — outer expressions inline into the lambda and
     re-evaluate per element.
+
+    token_hash: "xxhash64" (production) or "md5" (oracle-checkable,
+    see md5_hash64).
     """
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     toks = spread.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(normalized(F.col(text_col)), " "))).alias("t"),
     )
-    hashed = toks.select("id", F.xxhash64("t").alias("h"))
+    hash_fn = F.xxhash64 if token_hash == "xxhash64" else md5_hash64
+    hashed = toks.select("id", hash_fn(F.col("t")).alias("h"))
     votes = hashed.groupBy("id").agg(
         *[
             F.sum(
@@ -256,14 +276,22 @@ def simhash64_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 8,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
     chunks: two 64-bit hashes within Hamming distance d<=3 per 4-way split
     must share at least one exact 16-bit chunk (pigeonhole), making the
     candidate join an equi-join on (chunk_idx, chunk_value).
+
+    For max_hamming <= 3 the blocking is LOSSLESS (3 flipped bits touch at
+    most 3 of the 4 chunks), so the result equals the full O(n^2)
+    hamming<=3 pair set — which is what the SQL oracle computes.
     """
-    h = simhash64_df(df, id_col, text_col)
+    h = simhash64_df(df, id_col, text_col, token_hash=token_hash)
     chunks = h.select(
         "id",
         "sim",

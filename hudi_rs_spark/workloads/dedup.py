@@ -131,10 +131,51 @@ SELECT id_a, id_b FROM cand ORDER BY id_a, id_b
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs. xxhash64 has no DuckDB twin, so this query
-    takes the rows-only check; pytest pins its semantics instead."""
+    """SimHash near-dup pairs with the md5-derived 64-bit token hash
+    (oracle-checkable in DuckDB; xxhash64 is the documented production
+    variant — same pipeline, one flag). At max_hamming=3 the 16-bit-chunk
+    pigeonhole blocking is lossless, so the oracle's full O(n^2) hamming
+    join computes the identical pair set."""
     d = load(spark, sf_dir, "documents")
-    return D.simhash_pairs(d, "text", "doc_id", max_hamming=3).orderBy("id_a", "id_b")
+    return D.simhash_pairs(
+        d, "text", "doc_id", max_hamming=3, token_hash="md5"
+    ).orderBy("id_a", "id_b")
+
+
+# Oracle mirror of operators/dedup.py simhash with token_hash="md5":
+# 64-bit token hash = (hi32 << 32) | lo32 from md5 hex; kept as two 32-bit
+# halves so no DuckDB shift ever overflows signed BIGINT. Bit b of the
+# simhash is the sign of the per-bit token vote; hamming distance is
+# popcount over both halves. No blocking needed: at hamming<=3 the Spark
+# side's pigeonhole blocking is exact (see simhash_pairs docstring).
+SIMHASH_SQL = f"""
+WITH docs AS (SELECT doc_id, {SQL_NORM} AS norm FROM documents),
+toks AS (SELECT doc_id, unnest(list_distinct(string_split(norm, ' '))) AS t FROM docs),
+th AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+  FROM toks
+),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN ((CASE WHEN b < 32 THEN lo ELSE hi END) >> (b % 32)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bits
+  GROUP BY doc_id, b
+),
+sims AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN b < 32 AND v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simlo,
+         CAST(sum(CASE WHEN b >= 32 AND v > 0 THEN 1::BIGINT << (b - 32) ELSE 0 END) AS BIGINT) AS simhi
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simlo, b.simlo)) + bit_count(xor(a.simhi, b.simhi)) AS INTEGER) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simlo, b.simlo)) + bit_count(xor(a.simhi, b.simhi)) <= 3
+ORDER BY id_a, id_b
+"""
 
 
 for _n, _f, _s, _d in [
@@ -142,6 +183,6 @@ for _n, _f, _s, _d in [
     ("dedup_normalized", dedup_normalized, NORM_SQL, "canonical-form dedup"),
     ("dedup_ngram_jaccard", dedup_ngram_jaccard, JACCARD_SQL, "ngram jaccard near-dup"),
     ("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL, "minhash+LSH banding"),
-    ("dedup_simhash", dedup_simhash, None, "simhash hamming near-dup"),
+    ("dedup_simhash", dedup_simhash, SIMHASH_SQL, "simhash hamming near-dup"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("dedup",), doc=_d))

@@ -136,7 +136,7 @@ sess AS (
          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged)
-SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, CAST(count(*) AS BIGINT) AS n_events,
        ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS session_value
 FROM sess
 GROUP BY user_id, session_id

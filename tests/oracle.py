@@ -51,12 +51,19 @@ def _norm_cell(v):
 
 
 def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+    """Rows as (typename, value) cells: the driver's value hash is typed,
+    so int 1 vs float 1.0 must FAIL here too (Python == alone would pass —
+    that's exactly how the r1 win_sessionize HUGEINT→float64 slip escaped
+    the local gate)."""
     cols = sorted(df.columns)
     rows = [
-        tuple(_norm_cell(v) for v in row)
+        tuple(
+            (type(c).__name__, c)
+            for c in (_norm_cell(v) for v in row)
+        )
         for row in df[cols].itertuples(index=False, name=None)
     ]
-    rows.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    rows.sort(key=lambda r: tuple((x[1] is None, x[0], str(x[1])) for x in r))
     return rows
 
 
