@@ -37,6 +37,7 @@ def decode_logs_distributed(
     valid_instants: set[str],
     start_exclusive: str | None,
     end_inclusive: str | None,
+    rollback_targets_by_fg: dict[str, frozenset[str]] | None = None,
 ) -> DataFrame:
     full_schema = T.StructType(
         list(out_schema.fields) + [T.StructField(DELETE_FLAG, T.BooleanType(), False)]
@@ -49,6 +50,11 @@ def decode_logs_distributed(
     field_names = [f.name for f in full_schema.fields]
     valid = frozenset(valid_instants)
     ordering = ordering_field
+    # Slice-level rollback voiding: each executor sees ONE log file, but a
+    # rollback command in a later file of the same group must void earlier
+    # files' blocks — the driver pre-scans command headers (cheap, seeks
+    # past content) and ships the per-group target sets into the closure.
+    fg_targets = {k: frozenset(v) for k, v in (rollback_targets_by_fg or {}).items()}
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # imports inside: runs on executors
@@ -60,7 +66,8 @@ def decode_logs_distributed(
             for fg, path in zip(pdf["fg"], pdf["path"]):
                 blocks = logreader.read_log_file(path)
                 for b in logreader.valid_blocks(
-                    blocks, start_exclusive, end_inclusive, valid
+                    blocks, start_exclusive, end_inclusive, valid,
+                    rollback_targets_override=fg_targets.get(fg),
                 ):
                     for r in b.records:
                         r["__fg"] = fg

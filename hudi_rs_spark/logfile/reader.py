@@ -192,24 +192,78 @@ def _decode_delete(content: bytes, block: LogBlock) -> None:
         )
 
 
+def rollback_targets(blocks: list[LogBlock]) -> set[str]:
+    """Target instants voided by rollback command blocks."""
+    return {
+        b.target_instant_time
+        for b in blocks
+        if b.is_rollback_command and b.target_instant_time
+    }
+
+
+def scan_rollback_targets(path: str) -> set[str]:
+    """Header-only scan for rollback command targets: seeks past block
+    content, so the driver can aggregate a file group's rollback targets
+    across ALL its log files cheaply (O(blocks × header bytes) IO) before
+    the data blocks decode on executors."""
+    targets: set[str] = set()
+    with open(path, "rb") as f:
+        while True:
+            magic = f.read(6)
+            if not magic:
+                break
+            if magic != MAGIC:
+                raise ValueError(f"bad log magic in {path}")
+            pos_after_magic = f.tell()
+            (block_len,) = struct.unpack(">Q", f.read(8))
+            (version,) = struct.unpack(">I", f.read(4))
+            if version >= 1:
+                (block_type,) = struct.unpack(">I", f.read(4))
+                (count,) = struct.unpack(">I", f.read(4))
+                header: dict[int, str] = {}
+                for _ in range(count):
+                    (key,) = struct.unpack(">I", f.read(4))
+                    (vlen,) = struct.unpack(">I", f.read(4))
+                    header[key] = f.read(vlen).decode("utf-8")
+                if (
+                    block_type == BLOCK_COMMAND
+                    and header.get(KEY_COMMAND_BLOCK_TYPE, "0") == "0"
+                    and header.get(KEY_TARGET_INSTANT_TIME)
+                ):
+                    targets.add(header[KEY_TARGET_INSTANT_TIME])
+            f.seek(pos_after_magic + 8 + block_len)
+    return targets
+
+
 def valid_blocks(
     blocks: list[LogBlock],
     start_exclusive: str | None = None,
     end_inclusive: str | None = None,
     valid_instants: set[str] | None = None,
+    rollback_targets_override: set[str] | frozenset[str] | None = None,
 ) -> list[LogBlock]:
     """Apply rollback voiding then instant-range gating
     (scanner.rs:99-168; range semantics open-closed like
-    InstantRange::new(..., false, true))."""
-    rollback_targets = {
-        b.target_instant_time for b in blocks if b.is_rollback_command and b.target_instant_time
-    }
+    InstantRange::new(..., false, true)).
+
+    ``rollback_targets_override``: the SLICE-level target set. The
+    reference aggregates rollback targets across all log files of a file
+    group before filtering (scanner.rs CollectedBlocks) — a rollback
+    command appended to a later log file (writer rollover) must void data
+    blocks in an earlier file, which a per-file scan cannot see. Callers
+    with multi-file slices pass the aggregated set; None falls back to
+    this block list's own commands."""
+    targets = (
+        rollback_targets_override
+        if rollback_targets_override is not None
+        else rollback_targets(blocks)
+    )
     out = []
     for b in blocks:
         if b.block_type == BLOCK_COMMAND:
             continue
         t = b.instant_time
-        if t is None or t in rollback_targets:
+        if t is None or t in targets:
             continue
         if start_exclusive is not None and t <= start_exclusive:
             continue

@@ -74,23 +74,50 @@ class HudiTable:
 
     def get_schema(self) -> T.StructType:
         """Data schema (with meta fields when the table populates them)."""
-        slices = self.get_file_slices()
+        return self._resolve_schema(self.get_file_slices())
+
+    def _resolve_schema(self, slices: list[FileSlice]) -> T.StructType:
+        """Reference priority (resolver.rs:41-47): latest commit-metadata
+        schema first, base-file footer second, hoodie.properties create
+        schema last. An evolved table (column added after old base files
+        were written) therefore reads with the LATEST column set and nulls
+        backfilled in old files.
+
+        Column TYPES come from the newest base footer where the column
+        exists on storage (physical truth — avoids avro→spark mapping
+        drift); avro-declared types cover only columns newer than every
+        footer. The result feeds ``spark.read.schema(...)``, so scans do
+        no footer inference/merge job at all — O(1) driver footer reads
+        regardless of file count."""
+        footer_schema: T.StructType | None = None
         if slices:
             import pyarrow.parquet as pq
-
-            path = os.path.join(self.base_path, slices[0].base_file_relative_path())
-            arrow_schema = pq.read_schema(path)
             from pyspark.sql.pandas.types import from_arrow_schema
 
-            return from_arrow_schema(arrow_schema)
+            newest = max(slices, key=lambda s: s.commit_timestamp)
+            path = os.path.join(self.base_path, newest.base_file_relative_path())
+            footer_schema = from_arrow_schema(pq.read_schema(path))
         sj = self.schema_json()
         if sj is None:
+            if footer_schema is not None:
+                return footer_schema
             raise ValueError("cannot resolve table schema")
         struct = avro_record_to_struct(sj)
-        if self.config.populates_meta_fields and "_hoodie_commit_time" not in struct.fieldNames():
-            meta = [T.StructField(m, T.StringType(), True) for m in META_FIELDS]
-            struct = T.StructType(meta + list(struct.fields))
-        return struct
+        fields: list[T.StructField] = []
+        if (
+            self.config.populates_meta_fields
+            and "_hoodie_commit_time" not in struct.fieldNames()
+        ):
+            fields.extend(T.StructField(m, T.StringType(), True) for m in META_FIELDS)
+        footer_fields = (
+            {f.name: f for f in footer_schema.fields} if footer_schema else {}
+        )
+        for f in struct.fields:
+            ff = footer_fields.get(f.name)
+            fields.append(
+                T.StructField(f.name, ff.dataType if ff else f.dataType, True)
+            )
+        return T.StructType(fields)
 
     def get_partition_schema(self) -> list[tuple[str, str]]:
         """[(name, spark-ddl type)] for partition fields, typed from the
@@ -245,6 +272,13 @@ class HudiTable:
         a per-row commit-time filter bounds the result
         (file_group/reader.rs:652-701)."""
         options = options or HudiReadOptions()
+        # bounds accept the same forms as as_of (hudi-ts / epoch / RFC3339)
+        from hudi_rs_spark.timeline.timestamps import to_hudi_timestamp
+
+        if start_timestamp is not None:
+            start_timestamp = to_hudi_timestamp(start_timestamp, self.config.timezone)
+        if end_timestamp is not None:
+            end_timestamp = to_hudi_timestamp(end_timestamp, self.config.timezone)
         end = end_timestamp or self.timeline.latest_commit_timestamp()
         instants = self.timeline.instants_in_range(start_timestamp, end)
         touched: set[tuple[str, str]] = set()
@@ -283,10 +317,13 @@ class HudiTable:
             s for s in slices if s.has_log_files
         ]
 
+        resolved = self._resolve_schema(slices)
         if not base_paths:
-            return self.spark.createDataFrame([], self.get_schema())
+            return self.spark.createDataFrame([], resolved)
 
-        base_df = self.spark.read.parquet(*base_paths)
+        # explicit schema: no footer inference job, and old base files of an
+        # evolved table read with the latest column set (nulls backfilled)
+        base_df = self.spark.read.schema(resolved).parquet(*base_paths)
 
         if not log_slices or self.config.table_type == TableType.COPY_ON_WRITE:
             return base_df
@@ -305,6 +342,15 @@ class HudiTable:
         ordering_fields = self.config.ordering_fields
         ordering = ordering_fields[0] if ordering_fields else None
         strategy = self.config.merge_strategy
+        if strategy == MergeStrategy.OVERWRITE_WITH_LATEST and ordering is None:
+            # config validation error, not a silent append-only degrade
+            # (record_merger.rs: OrderingFields must be set for
+            # OverwriteWithLatest — only reachable with an explicit
+            # hoodie.table.record.merge.strategy and no ordering field)
+            raise ValueError(
+                "merge strategy OVERWRITE_WITH_LATEST requires "
+                "hoodie.table.ordering.fields / hoodie.table.precombine.field"
+            )
 
         # tag base rows with their file group, parsed from the scanned
         # file name ({file_id}_{write_token}_{ts}.parquet — file ids
@@ -315,6 +361,18 @@ class HudiTable:
                 F.split(F.element_at(F.split(F.input_file_name(), "/"), -1), "_"), 1
             ),
         )
+
+        # Incremental reads bound base rows BEFORE the merge, like the
+        # reference (file_group/reader.rs:169-177 applies the commit-time
+        # mask to base batches pre-merge): an out-of-range base row must
+        # not beat an in-range log row on the ordering field and then be
+        # dropped by a post-merge filter — the key would vanish instead of
+        # emitting its in-range version.
+        if start_exclusive is not None and "_hoodie_commit_time" in base_df.columns:
+            bound = F.col("_hoodie_commit_time") > F.lit(start_exclusive)
+            if as_of is not None:
+                bound = bound & (F.col("_hoodie_commit_time") <= F.lit(as_of))
+            base_tagged = base_tagged.filter(bound)
 
         # choose decode locality: driver decode is fine for small deltas;
         # log-heavy tables decode on executors (mapInPandas over paths)
@@ -341,10 +399,20 @@ class HudiTable:
         log_schema: dict | None = None
         for s in log_slices:
             fg = s.base_file.file_id
-            for rel in s.log_file_relative_paths():
-                blocks = logreader.read_log_file(os.path.join(self.base_path, rel))
+            # rollback targets aggregate across ALL of the slice's log
+            # files before filtering (scanner.rs CollectedBlocks): a
+            # rollback command in a later file voids blocks in earlier ones
+            file_blocks = [
+                logreader.read_log_file(os.path.join(self.base_path, rel))
+                for rel in s.log_file_relative_paths()
+            ]
+            slice_targets: set[str] = set()
+            for blocks in file_blocks:
+                slice_targets |= logreader.rollback_targets(blocks)
+            for blocks in file_blocks:
                 for b in logreader.valid_blocks(
-                    blocks, start_exclusive, as_of, valid_instants
+                    blocks, start_exclusive, as_of, valid_instants,
+                    rollback_targets_override=slice_targets,
                 ):
                     if b.records:
                         for r in b.records:
@@ -432,6 +500,14 @@ class HudiTable:
             decode_logs_distributed,
         )
 
+        # slice-level rollback voiding needs cross-file target sets; the
+        # header-only scan seeks past block content so this driver pre-pass
+        # stays cheap even for GB-scale logs
+        fg_targets: dict[str, set[str]] = {}
+        for fg, path in log_tasks:
+            fg_targets.setdefault(fg, set()).update(
+                logreader.scan_rollback_targets(path)
+            )
         decoded = decode_logs_distributed(
             self.spark,
             log_tasks,
@@ -440,6 +516,7 @@ class HudiTable:
             valid_instants,
             start_exclusive,
             end_inclusive,
+            rollback_targets_by_fg={k: frozenset(v) for k, v in fg_targets.items()},
         )
         log_df = decoded.filter(~F.col(DELETE_FLAG)).drop(DELETE_FLAG)
         data = base_tagged.unionByName(log_df)

@@ -1,0 +1,190 @@
+"""Synthesize minimal Hudi tables / log files for tests.
+
+The reference ships golden fixtures for mainstream layouts; these helpers
+cover scenarios the fixtures lack (cross-file rollback, out-of-order
+incremental merges, CDC blocks, schema evolution, archived timelines).
+Formats follow the public Hudi spec as re-expressed in
+hudi_rs_spark/logfile/reader.py (log framing) and timeline/instant.py
+(timeline file names).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from hudi_rs_spark.logfile.reader import (
+    BLOCK_COMMAND,
+    BLOCK_PARQUET_DATA,
+    KEY_COMMAND_BLOCK_TYPE,
+    KEY_INSTANT_TIME,
+    KEY_TARGET_INSTANT_TIME,
+    MAGIC,
+)
+
+META_COLS = (
+    "_hoodie_commit_time",
+    "_hoodie_commit_seqno",
+    "_hoodie_record_key",
+    "_hoodie_partition_path",
+    "_hoodie_file_name",
+)
+
+
+# ---------------------------------------------------------------------------
+# log-block framing (format version 1)
+# ---------------------------------------------------------------------------
+def _meta_map(entries: dict[int, str]) -> bytes:
+    out = struct.pack(">I", len(entries))
+    for k, v in entries.items():
+        vb = v.encode("utf-8")
+        out += struct.pack(">I", k) + struct.pack(">I", len(vb)) + vb
+    return out
+
+
+def frame_block(block_type: int, header: dict[int, str], content: bytes) -> bytes:
+    body = (
+        struct.pack(">I", 1)
+        + struct.pack(">I", block_type)
+        + _meta_map(header)
+        + struct.pack(">Q", len(content))
+        + content
+        + _meta_map({})
+    )
+    total = 6 + 8 + len(body) + 8
+    body += struct.pack(">Q", total)
+    return MAGIC + struct.pack(">Q", len(body)) + body
+
+
+def parquet_bytes(columns: dict) -> bytes:
+    buf = io.BytesIO()
+    pq.write_table(pa.table(columns), buf)
+    return buf.getvalue()
+
+
+def parquet_data_block(
+    instant: str, columns: dict, extra_header: dict[int, str] | None = None
+) -> bytes:
+    header = {KEY_INSTANT_TIME: instant}
+    if extra_header:
+        header.update(extra_header)
+    return frame_block(BLOCK_PARQUET_DATA, header, parquet_bytes(columns))
+
+
+def rollback_block(instant: str, target: str) -> bytes:
+    return frame_block(
+        BLOCK_COMMAND,
+        {
+            KEY_INSTANT_TIME: instant,
+            KEY_TARGET_INSTANT_TIME: target,
+            KEY_COMMAND_BLOCK_TYPE: "0",
+        },
+        b"",
+    )
+
+
+# ---------------------------------------------------------------------------
+# minimal v6 MOR table
+# ---------------------------------------------------------------------------
+class SynthTable:
+    """A non-partitioned v6 MERGE_ON_READ table built file-by-file.
+
+    Usage:
+        t = SynthTable(path, record_key="id", ordering="ts")
+        t.write_base("g1-0", "20240101000000000", rows)
+        t.append_log("g1-0", "20240101000000000",
+                     parquet_data_block("20240102000000000", rows2))
+        t.commit("20240101000000000")          # writes the .deltacommit
+    """
+
+    def __init__(
+        self,
+        base_path: str,
+        record_key: str = "id",
+        ordering: str = "ts",
+        extra_props: dict[str, str] | None = None,
+    ):
+        self.base_path = base_path
+        self.ordering = ordering
+        hoodie = os.path.join(base_path, ".hoodie")
+        os.makedirs(hoodie, exist_ok=True)
+        props = {
+            "hoodie.table.name": "synth",
+            "hoodie.table.type": "MERGE_ON_READ",
+            "hoodie.table.version": "6",
+            "hoodie.timeline.layout.version": "1",
+            "hoodie.table.recordkey.fields": record_key,
+            "hoodie.table.precombine.field": ordering,
+            "hoodie.populate.meta.fields": "true",
+        }
+        props.update(extra_props or {})
+        with open(os.path.join(hoodie, "hoodie.properties"), "w") as f:
+            f.write("\n".join(f"{k}={v}" for k, v in props.items()) + "\n")
+        self._write_stats: dict[str, list[dict]] = {}  # instant -> stats
+
+    def meta_columns(self, instant: str, keys: list[str], file_name: str) -> dict:
+        return {
+            "_hoodie_commit_time": [instant] * len(keys),
+            "_hoodie_commit_seqno": [f"{instant}_0_{i}" for i in range(len(keys))],
+            "_hoodie_record_key": keys,
+            "_hoodie_partition_path": [""] * len(keys),
+            "_hoodie_file_name": [file_name] * len(keys),
+        }
+
+    def write_base(self, file_id: str, instant: str, data: dict, keys: list[str]):
+        """data: non-meta columns (must include the ordering field)."""
+        name = f"{file_id}_0-1-0_{instant}.parquet"
+        cols = self.meta_columns(instant, keys, name)
+        cols.update(data)
+        pq.write_table(pa.table(cols), os.path.join(self.base_path, name))
+        self._write_stats.setdefault(instant, []).append(
+            {"fileId": file_id, "path": name, "partitionPath": ""}
+        )
+        return name
+
+    def log_rows(self, instant: str, data: dict, keys: list[str], file_name: str) -> dict:
+        cols = self.meta_columns(instant, keys, file_name)
+        cols.update(data)
+        return cols
+
+    def append_log(
+        self, file_id: str, base_instant: str, payload: bytes, version: int = 1,
+        stats_instant: str | None = None,
+    ) -> str:
+        name = f".{file_id}_{base_instant}.log.{version}_0-1-0"
+        path = os.path.join(self.base_path, name)
+        mode = "ab" if os.path.exists(path) else "wb"
+        with open(path, mode) as f:
+            f.write(payload)
+        if stats_instant:
+            self._write_stats.setdefault(stats_instant, []).append(
+                {"fileId": file_id, "path": name, "partitionPath": ""}
+            )
+        return name
+
+    def commit(
+        self, instant: str, action: str = "deltacommit", schema: dict | None = None
+    ):
+        meta = {
+            "partitionToWriteStats": {"": self._write_stats.get(instant, [])},
+            "operationType": "UPSERT",
+        }
+        if schema is not None:
+            meta["extraMetadata"] = {"schema": json.dumps(schema)}
+        hoodie = os.path.join(self.base_path, ".hoodie")
+        with open(os.path.join(hoodie, f"{instant}.{action}"), "w") as f:
+            json.dump(meta, f)
+
+
+def avro_schema(fields: list[tuple[str, str]]) -> dict:
+    """Nullable-union avro record schema from (name, primitive-type)."""
+    return {
+        "type": "record",
+        "name": "rec",
+        "fields": [{"name": n, "type": ["null", t], "default": None} for n, t in fields],
+    }
