@@ -141,7 +141,12 @@ def read_log_file(path: str) -> list[LogBlock]:
         r.pos = pos_after_magic + 8 + block_len
 
         block = LogBlock(block_type=block_type, header=header)
-        if block_type == BLOCK_AVRO_DATA:
+        if block_type in (BLOCK_AVRO_DATA, BLOCK_CDC_DATA):
+            # CDC blocks serialize exactly like avro data blocks (the CDC
+            # schema rides in the header); the reference scans them as
+            # record data alongside Avro/Parquet blocks
+            # (scanner.rs:182,223), so a CDC-enabled table reads instead
+            # of failing.
             _decode_avro_data(content, header, block)
         elif block_type == BLOCK_PARQUET_DATA:
             _decode_parquet_data(content, block)

@@ -396,7 +396,6 @@ class HudiTable:
 
         data_rows: list[dict] = []
         delete_rows: list[tuple] = []  # (file_group, commit_time, key, partition, ordering)
-        log_schema: dict | None = None
         for s in log_slices:
             fg = s.base_file.file_id
             # rollback targets aggregate across ALL of the slice's log
@@ -418,30 +417,17 @@ class HudiTable:
                         for r in b.records:
                             r["__fg"] = fg
                         data_rows.extend(b.records)
-                        log_schema = log_schema or b.schema_json
                     for key, part, ordering_val in b.delete_records:
                         delete_rows.append((fg, b.instant_time, key, part, ordering_val))
 
         if data_rows:
-            if log_schema is not None:
-                log_struct = avro_record_to_struct(log_schema)
-            else:
-                log_struct = base_df.schema
-            if "__fg" not in log_struct.fieldNames():
-                log_struct = T.StructType(
-                    list(log_struct.fields) + [T.StructField("__fg", T.StringType(), True)]
-                )
-            rows = [_conform_row(r, log_struct) for r in data_rows]
-            log_df = self.spark.createDataFrame(rows, log_struct)
-            # align log columns/types to the (tagged) base schema
-            log_df = log_df.select(
-                *[
-                    F.col(f.name).cast(base_tagged.schema[f.name].dataType)
-                    if f.name in log_df.columns
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in base_tagged.schema.fields
-                ]
-            )
+            # conform every record straight to the (tagged) base schema by
+            # name — blocks of DIFFERENT schemas (parquet + avro + cdc in
+            # one slice) each contribute the columns they carry, missing
+            # ones null; same behavior as the distributed decode path
+            target = base_tagged.schema
+            rows = [_conform_row(r, target) for r in data_rows]
+            log_df = self.spark.createDataFrame(rows, target)
             data = base_tagged.unionByName(log_df)
         else:
             data = base_tagged

@@ -19,10 +19,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from hudi_rs_spark.logfile.reader import (
+    BLOCK_AVRO_DATA,
+    BLOCK_CDC_DATA,
     BLOCK_COMMAND,
     BLOCK_PARQUET_DATA,
     KEY_COMMAND_BLOCK_TYPE,
     KEY_INSTANT_TIME,
+    KEY_SCHEMA,
     KEY_TARGET_INSTANT_TIME,
     MAGIC,
 )
@@ -74,6 +77,81 @@ def parquet_data_block(
     if extra_header:
         header.update(extra_header)
     return frame_block(BLOCK_PARQUET_DATA, header, parquet_bytes(columns))
+
+
+# ---------------------------------------------------------------------------
+# minimal avro binary encoder (test-side twin of hudi_rs_spark/avro/binary.py;
+# covers the primitives the synthesized blocks need)
+# ---------------------------------------------------------------------------
+def _zigzag(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def encode_datum(value, schema) -> bytes:
+    if isinstance(schema, list):  # union: write branch index then value
+        for i, branch in enumerate(schema):
+            bname = branch if isinstance(branch, str) else branch.get("type")
+            if value is None and bname == "null":
+                return _zigzag(i)
+            if value is not None and bname != "null":
+                return _zigzag(i) + encode_datum(value, branch)
+        raise ValueError(f"no union branch for {value!r}")
+    stype = schema if isinstance(schema, str) else schema["type"]
+    if stype == "null":
+        return b""
+    if stype in ("int", "long"):
+        return _zigzag(int(value))
+    if stype == "string":
+        raw = value.encode("utf-8")
+        return _zigzag(len(raw)) + raw
+    if stype == "boolean":
+        return b"\x01" if value else b"\x00"
+    if stype == "double":
+        return struct.pack("<d", float(value))
+    if stype == "record":
+        out = b""
+        for f in schema["fields"]:
+            out += encode_datum(value.get(f["name"]), f["type"])
+        return out
+    raise ValueError(f"unsupported avro type for encoder: {stype}")
+
+
+def avro_data_block(
+    instant: str, schema: dict, records: list[dict], block_type: int = BLOCK_AVRO_DATA
+) -> bytes:
+    """Avro data block: u32 block-version(3) + u32 count + per-record
+    (u32 len + datum). CDC blocks (type 6) use the same serialization."""
+    content = struct.pack(">I", 3) + struct.pack(">I", len(records))
+    for r in records:
+        datum = encode_datum(r, schema)
+        content += struct.pack(">I", len(datum)) + datum
+    header = {KEY_INSTANT_TIME: instant, KEY_SCHEMA: json.dumps(schema)}
+    return frame_block(block_type, header, content)
+
+
+CDC_SCHEMA = {
+    "type": "record",
+    "name": "HoodieCdcRecord",
+    "fields": [
+        {"name": "op", "type": ["null", "string"], "default": None},
+        {"name": "ts_ms", "type": ["null", "string"], "default": None},
+        {"name": "before", "type": ["null", "string"], "default": None},
+        {"name": "after", "type": ["null", "string"], "default": None},
+    ],
+}
+
+
+def cdc_block(instant: str, changes: list[dict]) -> bytes:
+    return avro_data_block(instant, CDC_SCHEMA, changes, block_type=BLOCK_CDC_DATA)
 
 
 def rollback_block(instant: str, target: str) -> bytes:
