@@ -103,6 +103,15 @@ class HudiTableConfig:
     def timezone(self) -> str:
         return self.props.get("hoodie.table.timeline.timezone", "UTC")
 
+    @property
+    def archived_read_enabled(self) -> bool:
+        # internal.rs:60-84 TimelineArchivedReadEnabled (default false):
+        # half of the double gate for reading archived instants
+        return (
+            self.props.get("hoodie.internal.timeline.archived.enabled", "false").lower()
+            == "true"
+        )
+
     # -- record model -----------------------------------------------------
     @property
     def record_key_fields(self) -> list[str]:

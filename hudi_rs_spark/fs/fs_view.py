@@ -87,11 +87,21 @@ def get_file_slices(
     as_of_timestamp: str | None,
     excluded_file_ids: set[str] | None = None,
     valid_commit_timestamps: set[str] | None = None,
+    archival_boundary: str | None = None,
 ) -> list[FileSlice]:
     """As-of slice per group, minus replaced groups
     (table/fs_view.rs:236-254). ``valid_commit_timestamps`` drops base
     files written by pending/unknown commits (uncommitted data must stay
-    invisible)."""
+    invisible). ``archival_boundary`` (the earliest ACTIVE instant): any
+    commit strictly older is definitionally archived-completed — rolled
+    back writes are cleaned before archival — so its base files stay
+    visible even though the active timeline no longer lists the commit."""
+
+    def _committed(ts: str) -> bool:
+        if valid_commit_timestamps is None or ts in valid_commit_timestamps:
+            return True
+        return archival_boundary is not None and ts < archival_boundary
+
     out: list[FileSlice] = []
     for (partition, file_id), group in sorted(groups.items()):
         if excluded_file_ids and file_id in excluded_file_ids:
@@ -99,13 +109,10 @@ def get_file_slices(
         sl = group.get_file_slice_as_of(as_of_timestamp)
         if sl is None:
             continue
-        if (
-            valid_commit_timestamps is not None
-            and sl.commit_timestamp not in valid_commit_timestamps
-        ):
+        if not _committed(sl.commit_timestamp):
             # base written by a non-completed commit: fall back to the
             # newest older slice that IS committed
-            keys = sorted(k for k in group.slices if k in valid_commit_timestamps)
+            keys = sorted(k for k in group.slices if _committed(k))
             if as_of_timestamp is not None:
                 keys = [k for k in keys if k <= as_of_timestamp]
             if not keys:

@@ -38,6 +38,7 @@ def decode_logs_distributed(
     start_exclusive: str | None,
     end_inclusive: str | None,
     rollback_targets_by_fg: dict[str, frozenset[str]] | None = None,
+    archival_boundary: str | None = None,
 ) -> DataFrame:
     full_schema = T.StructType(
         list(out_schema.fields) + [T.StructField(DELETE_FLAG, T.BooleanType(), False)]
@@ -68,6 +69,7 @@ def decode_logs_distributed(
                 for b in logreader.valid_blocks(
                     blocks, start_exclusive, end_inclusive, valid,
                     rollback_targets_override=fg_targets.get(fg),
+                    archival_boundary=archival_boundary,
                 ):
                     for r in b.records:
                         r["__fg"] = fg

@@ -246,6 +246,7 @@ def valid_blocks(
     end_inclusive: str | None = None,
     valid_instants: set[str] | None = None,
     rollback_targets_override: set[str] | frozenset[str] | None = None,
+    archival_boundary: str | None = None,
 ) -> list[LogBlock]:
     """Apply rollback voiding then instant-range gating
     (scanner.rs:99-168; range semantics open-closed like
@@ -275,6 +276,9 @@ def valid_blocks(
         if end_inclusive is not None and t > end_inclusive:
             continue
         if valid_instants is not None and t not in valid_instants:
-            continue  # block written by a pending/rolled-back commit
+            # pending/rolled-back commit — unless older than the archival
+            # boundary (archived commits are completed by definition)
+            if archival_boundary is None or t >= archival_boundary:
+                continue
         out.append(b)
     return out

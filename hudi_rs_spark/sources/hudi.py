@@ -136,9 +136,11 @@ class HudiTable:
     def _completion_times(self) -> dict[str, str] | None:
         if self.config.timeline_layout_version < 2:
             return None
+        pool = list(self.timeline.instants)
+        if self.config.archived_read_enabled:
+            pool = self.timeline.archived_instants() + pool
         return {
-            i.timestamp: i.completion_timestamp or i.timestamp
-            for i in self.timeline.instants
+            i.timestamp: i.completion_timestamp or i.timestamp for i in pool
         }
 
     def get_file_slices(
@@ -191,6 +193,7 @@ class HudiTable:
             as_of_timestamp,
             excluded_file_ids=excluded,
             valid_commit_timestamps=valid_commits,
+            archival_boundary=self.timeline.earliest_active_timestamp(),
         )
 
     # ------------------------------------------------------------------
@@ -412,6 +415,7 @@ class HudiTable:
                 for b in logreader.valid_blocks(
                     blocks, start_exclusive, as_of, valid_instants,
                     rollback_targets_override=slice_targets,
+                    archival_boundary=self.timeline.earliest_active_timestamp(),
                 ):
                     if b.records:
                         for r in b.records:
@@ -503,6 +507,7 @@ class HudiTable:
             start_exclusive,
             end_inclusive,
             rollback_targets_by_fg={k: frozenset(v) for k, v in fg_targets.items()},
+            archival_boundary=self.timeline.earliest_active_timestamp(),
         )
         log_df = decoded.filter(~F.col(DELETE_FLAG)).drop(DELETE_FLAG)
         data = base_tagged.unionByName(log_df)

@@ -7,10 +7,7 @@ commit metadata) and :302-320 (replaced file groups from replacecommits).
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import dataclass, field
-
-from hudi_rs_spark.avro.ocf import read_ocf_file
 
 
 @dataclass
@@ -51,18 +48,23 @@ def _from_dict(d: dict) -> CommitMetadata:
     return out
 
 
-def parse_commit_file(path: str) -> CommitMetadata:
-    """A commit file is either pretty-printed JSON (layout 1, v6) or an
-    Avro object container file (layout 2, v8+); sniff the magic."""
-    with open(path, "rb") as f:
-        head = f.read(4)
-    if head == b"Obj\x01":
-        _, records = read_ocf_file(path)
+def parse_commit_bytes(data: bytes) -> CommitMetadata:
+    """Commit metadata from raw bytes: pretty-printed JSON (layout 1) or
+    an Avro object container file (layout 2); sniff the magic. Also used
+    for metadata payloads embedded in LSM history records."""
+    if data[:4] == b"Obj\x01":
+        from hudi_rs_spark.avro.ocf import read_ocf
+
+        _, records = read_ocf(data)
         if not records:
             return CommitMetadata()
         return _from_dict(records[0])
-    with open(path, "r", encoding="utf-8") as f:
-        text = f.read()
+    text = data.decode("utf-8")
     if not text.strip():
         return CommitMetadata()
     return _from_dict(json.loads(text))
+
+
+def parse_commit_file(path: str) -> CommitMetadata:
+    with open(path, "rb") as f:
+        return parse_commit_bytes(f.read())

@@ -22,8 +22,13 @@ from hudi_rs_spark.timeline.instant import Action, Instant, State
 class Timeline:
     base_path: str
     timeline_dir: str
-    instants: list[Instant]  # completed, sorted
+    instants: list[Instant]  # completed, sorted — ACTIVE timeline only
     _metadata_cache: dict[str, CommitMetadata] = field(default_factory=dict)
+    config: HudiTableConfig | None = None
+    # archived timeline (loaded lazily behind the double gate)
+    _archived: list[Instant] | None = None
+    _archived_meta: dict[str, CommitMetadata] = field(default_factory=dict)
+    _archived_dir_used: str | None = None
 
     @classmethod
     def load(cls, base_path: str, config: HudiTableConfig) -> "Timeline":
@@ -45,7 +50,99 @@ class Timeline:
                 if instant.is_completed:
                     instants.append(instant)
         instants.sort(key=lambda i: i.sort_key())
-        return cls(base_path, timeline_dir, instants)
+        return cls(base_path, timeline_dir, instants, config=config)
+
+    # -- archived timeline (timeline/mod.rs:98-135 double gate) -----------
+    def earliest_active_timestamp(self) -> str | None:
+        return self.instants[0].timestamp if self.instants else None
+
+    def _archived_enabled(self) -> bool:
+        return self.config is not None and self.config.archived_read_enabled
+
+    def archived_instants(self) -> list[Instant]:
+        """Completed instants from the archived timeline, loaded lazily.
+
+        Layout 1 (v6): instant-named files under the archive folder
+        (loader.rs:236-253 V1Archived). Layout 2 (v8+): the LSM history —
+        ``_version_`` names the current ``manifest_{N}`` (lsm_tree.rs:
+        91-110), whose entries point at compacted Avro OCF files of
+        (instantTime, completionTime, action, metadata) records; the
+        reference leaves this branch TODO (loader.rs:255-259) — we read
+        it so time travel into the archived range works."""
+        if self._archived is not None:
+            return self._archived
+        hoodie_dir = os.path.join(self.base_path, ".hoodie")
+        out: list[Instant] = []
+        cfg = self.config
+        if cfg is None:
+            self._archived = []
+            return self._archived
+        if cfg.timeline_layout_version >= 2:
+            history_dir = os.path.join(
+                hoodie_dir, cfg.timeline_path or "timeline", cfg.timeline_history_path
+            )
+            out = self._load_lsm_history(history_dir)
+        else:
+            archive_dir = os.path.join(hoodie_dir, cfg.archivelog_folder)
+            self._archived_dir_used = archive_dir
+            if os.path.isdir(archive_dir):
+                for name in os.listdir(archive_dir):
+                    if not os.path.isfile(os.path.join(archive_dir, name)):
+                        continue
+                    try:
+                        instant = Instant.from_file_name(name)
+                    except (ValueError, KeyError):
+                        continue
+                    if instant.is_completed:
+                        out.append(instant)
+        active = {i.timestamp for i in self.instants}
+        out = [i for i in out if i.timestamp not in active]
+        out.sort(key=lambda i: i.sort_key())
+        self._archived = out
+        return out
+
+    def _load_lsm_history(self, history_dir: str) -> list[Instant]:
+        import json as _json
+
+        from hudi_rs_spark.avro.ocf import read_ocf_file
+        from hudi_rs_spark.timeline.commit_metadata import parse_commit_bytes
+
+        version_file = os.path.join(history_dir, "_version_")
+        if not os.path.isfile(version_file):
+            return []
+        with open(version_file) as f:
+            version = int(f.read().strip())
+        manifest_path = os.path.join(history_dir, f"manifest_{version}")
+        with open(manifest_path) as f:
+            manifest = _json.load(f)
+        out: list[Instant] = []
+        for entry in manifest.get("entries", []):
+            fpath = os.path.join(history_dir, entry["file_name"])
+            _, records = read_ocf_file(fpath)
+            for r in records:
+                ts, action = r.get("instantTime"), r.get("action")
+                if not ts or not action:
+                    continue
+                try:
+                    instant = Instant(
+                        ts, Action(action), State.COMPLETED, r.get("completionTime")
+                    )
+                except ValueError:
+                    continue  # non-data action in history
+                out.append(instant)
+                meta = r.get("metadata")
+                if meta is not None:
+                    raw = meta if isinstance(meta, bytes) else str(meta).encode()
+                    try:
+                        self._archived_meta[ts] = parse_commit_bytes(raw)
+                    except Exception:
+                        pass
+        return out
+
+    def _with_archived(self, instants: list[Instant]) -> list[Instant]:
+        merged = self.archived_instants() + instants
+        merged.sort(key=lambda i: i.sort_key())
+        return merged
 
     # -- selection (selector.rs behaviors) --------------------------------
     def completed_commits(self) -> list[Instant]:
@@ -57,17 +154,33 @@ class Timeline:
     def instants_as_of(self, as_of_timestamp: str | None) -> list[Instant]:
         """Instants with requested ts <= as_of (string compare is correct
         for fixed-width hudi timestamps; mixed 14/17-char compared by
-        epoch millis)."""
+        epoch millis).
+
+        Double gate (timeline/mod.rs:98-135): archived instants join the
+        view only when the query has a time filter AND
+        hoodie.internal.timeline.archived.enabled is true."""
         if as_of_timestamp is None:
             return list(self.instants)
+        pool = (
+            self._with_archived(self.instants)
+            if self._archived_enabled()
+            else self.instants
+        )
         cutoff = _ts_key(as_of_timestamp)
-        return [i for i in self.instants if _ts_key(i.timestamp) <= cutoff]
+        return [i for i in pool if _ts_key(i.timestamp) <= cutoff]
 
     def instants_in_range(self, start: str | None, end: str | None) -> list[Instant]:
         """Half-open (start, end] window (selector.rs:322-345 binary search
-        semantics)."""
+        semantics); archived instants included behind the same double gate
+        as instants_as_of."""
+        has_filter = start is not None or end is not None
+        pool = (
+            self._with_archived(self.instants)
+            if has_filter and self._archived_enabled()
+            else self.instants
+        )
         out = []
-        for i in self.instants:
+        for i in pool:
             k = _ts_key(i.timestamp)
             if start is not None and k <= _ts_key(start):
                 continue
@@ -79,11 +192,18 @@ class Timeline:
     # -- commit metadata ---------------------------------------------------
     def metadata_for(self, instant: Instant) -> CommitMetadata:
         key = instant.timestamp
+        if key in self._archived_meta:  # layout-2 LSM history payload
+            return self._archived_meta[key]
         if key not in self._metadata_cache:
             fname = _completed_file_name(instant)
-            self._metadata_cache[key] = parse_commit_file(
-                os.path.join(self.timeline_dir, fname)
-            )
+            path = os.path.join(self.timeline_dir, fname)
+            if not os.path.isfile(path) and self._archived_dir_used:
+                # layout-1 archived instants are full commit files parked
+                # in the archive folder
+                alt = os.path.join(self._archived_dir_used, fname)
+                if os.path.isfile(alt):
+                    path = alt
+            self._metadata_cache[key] = parse_commit_file(path)
         return self._metadata_cache[key]
 
     def replaced_file_group_ids_as_of(self, as_of_timestamp: str | None) -> set[str]:

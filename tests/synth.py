@@ -117,6 +117,9 @@ def encode_datum(value, schema) -> bytes:
         return b"\x01" if value else b"\x00"
     if stype == "double":
         return struct.pack("<d", float(value))
+    if stype == "bytes":
+        raw = bytes(value)
+        return _zigzag(len(raw)) + raw
     if stype == "record":
         out = b""
         for f in schema["fields"]:
@@ -136,6 +139,70 @@ def avro_data_block(
         content += struct.pack(">I", len(datum)) + datum
     header = {KEY_INSTANT_TIME: instant, KEY_SCHEMA: json.dumps(schema)}
     return frame_block(block_type, header, content)
+
+
+def ocf_bytes(schema: dict, records: list[dict]) -> bytes:
+    """Minimal avro Object Container File (null codec, one block)."""
+    sync = b"\x07" * 16
+    meta_entries = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": b"null",
+    }
+    out = b"Obj\x01" + _zigzag(len(meta_entries))
+    for k, v in meta_entries.items():
+        kb = k.encode()
+        out += _zigzag(len(kb)) + kb + _zigzag(len(v)) + v
+    out += _zigzag(0) + sync
+    payload = b"".join(encode_datum(r, schema) for r in records)
+    out += _zigzag(len(records)) + _zigzag(len(payload)) + payload + sync
+    return out
+
+
+# LSM timeline history record schema (public Hudi archived-timeline shape:
+# instant identity + the original commit-file bytes as `metadata`)
+LSM_HISTORY_SCHEMA = {
+    "type": "record",
+    "name": "HoodieLSMTimelineInstant",
+    "fields": [
+        {"name": "instantTime", "type": ["null", "string"], "default": None},
+        {"name": "completionTime", "type": ["null", "string"], "default": None},
+        {"name": "action", "type": ["null", "string"], "default": None},
+        {"name": "metadata", "type": ["null", "bytes"], "default": None},
+    ],
+}
+
+
+def write_lsm_history(
+    history_dir: str, instants: list[tuple[str, str, str, bytes]]
+) -> None:
+    """instants: (instantTime, completionTime, action, commit_file_bytes).
+    Writes _version_, manifest_{v}, and one compacted OCF history file
+    (lsm_tree.rs:91-110 layout)."""
+    os.makedirs(history_dir, exist_ok=True)
+    records = [
+        {"instantTime": ts, "completionTime": ct, "action": act, "metadata": meta}
+        for ts, ct, act, meta in instants
+    ]
+    fname = f"{instants[0][0]}_{instants[-1][0]}_0.avro"
+    data = ocf_bytes(LSM_HISTORY_SCHEMA, records)
+    with open(os.path.join(history_dir, fname), "wb") as f:
+        f.write(data)
+    manifest = {
+        "version": 1,
+        "entries": [
+            {
+                "file_name": fname,
+                "min_instant": instants[0][0],
+                "max_instant": instants[-1][0],
+                "level": 0,
+                "file_size": len(data),
+            }
+        ],
+    }
+    with open(os.path.join(history_dir, "manifest_1"), "w") as f:
+        json.dump(manifest, f)
+    with open(os.path.join(history_dir, "_version_"), "w") as f:
+        f.write("1")
 
 
 CDC_SCHEMA = {
@@ -204,6 +271,17 @@ class SynthTable:
         with open(os.path.join(hoodie, "hoodie.properties"), "w") as f:
             f.write("\n".join(f"{k}={v}" for k, v in props.items()) + "\n")
         self._write_stats: dict[str, list[dict]] = {}  # instant -> stats
+        self._props = props
+
+    @property
+    def timeline_dir(self) -> str:
+        hoodie = os.path.join(self.base_path, ".hoodie")
+        if (
+            int(self._props.get("hoodie.timeline.layout.version", "1")) >= 2
+            and self._props.get("hoodie.timeline.path")
+        ):
+            return os.path.join(hoodie, self._props["hoodie.timeline.path"])
+        return hoodie
 
     def meta_columns(self, instant: str, keys: list[str], file_name: str) -> dict:
         return {
@@ -245,18 +323,41 @@ class SynthTable:
             )
         return name
 
-    def commit(
-        self, instant: str, action: str = "deltacommit", schema: dict | None = None
-    ):
+    def commit_metadata_bytes(self, instant: str, schema: dict | None = None) -> bytes:
         meta = {
             "partitionToWriteStats": {"": self._write_stats.get(instant, [])},
             "operationType": "UPSERT",
         }
         if schema is not None:
             meta["extraMetadata"] = {"schema": json.dumps(schema)}
+        return json.dumps(meta).encode()
+
+    def commit(
+        self,
+        instant: str,
+        action: str = "deltacommit",
+        schema: dict | None = None,
+        completion: str | None = None,
+    ):
+        tdir = self.timeline_dir
+        os.makedirs(tdir, exist_ok=True)
+        if int(self._props.get("hoodie.timeline.layout.version", "1")) >= 2:
+            name = f"{instant}_{completion or instant}.{action}"
+        else:
+            name = f"{instant}.{action}"
+        with open(os.path.join(tdir, name), "wb") as f:
+            f.write(self.commit_metadata_bytes(instant, schema))
+
+    def archive_instant(self, instant: str, action: str = "deltacommit"):
+        """Layout 1: park the completed commit file in the archive folder
+        (the shape loader.rs:236-253 V1Archived lists)."""
         hoodie = os.path.join(self.base_path, ".hoodie")
-        with open(os.path.join(hoodie, f"{instant}.{action}"), "w") as f:
-            json.dump(meta, f)
+        archive = os.path.join(
+            hoodie, self._props.get("hoodie.archivelog.folder", "archived")
+        )
+        os.makedirs(archive, exist_ok=True)
+        name = f"{instant}.{action}"
+        os.replace(os.path.join(hoodie, name), os.path.join(archive, name))
 
 
 def avro_schema(fields: list[tuple[str, str]]) -> dict:
