@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from hudi_rs_spark.fs.file_group import BaseFile, FileGroup, FileSlice, LogFile
 
-BASE_EXTENSIONS = ("parquet", "orc", "lance")
+BASE_EXTENSIONS = ("parquet", "orc", "lance", "hfile")
 
 
 def list_data_files(base_path: str):
@@ -33,16 +33,22 @@ def build_file_groups(
     base_path: str,
     completion_times: dict[str, str] | None = None,
     partition_filter: Callable[[str], bool] | None = None,
+    entries=None,
 ) -> dict[tuple[str, str], FileGroup]:
     """Group listed files into FileGroups keyed by (partition, file_id).
 
     ``completion_times`` maps requested commit ts -> completion ts (from
     the timeline) for v8+ log-file association; None for v6 tables.
     ``partition_filter`` prunes whole partitions before any file work.
+    ``entries`` overrides the storage walk with an explicit
+    (partition, file_name, size) iterable — the metadata-table listing
+    fast path feeds file lists from the MDT instead of O(files) listing.
     """
     groups: dict[tuple[str, str], FileGroup] = {}
     logs: list[tuple[str, LogFile]] = []
-    for partition, name, size in list_data_files(base_path):
+    if entries is None:
+        entries = list_data_files(base_path)
+    for partition, name, size in entries:
         if partition_filter is not None and not partition_filter(partition):
             continue
         if name.startswith("."):

@@ -85,6 +85,7 @@ class LogBlock:
     records: list[dict] = field(default_factory=list)  # data rows (avro/parquet)
     delete_records: list[tuple] = field(default_factory=list)  # (key, partition, ordering)
     schema_json: dict | None = None
+    hfile_content: bytes | None = None  # raw HFile bytes (MDT log blocks)
 
     @property
     def instant_time(self) -> str | None:
@@ -152,6 +153,12 @@ def read_log_file(path: str) -> list[LogBlock]:
             _decode_parquet_data(content, block)
         elif block_type == BLOCK_DELETE:
             _decode_delete(content, block)
+        elif block_type == BLOCK_HFILE_DATA:
+            # metadata-table log block: payload is a complete HFile; kept
+            # raw for the MDT reader (mixing HFile and row data blocks in
+            # one slice is invalid — scanner.rs detect_content_type — so
+            # the table read path never consumes these as rows)
+            block.hfile_content = content
         elif block_type in (BLOCK_COMMAND, BLOCK_CORRUPTED):
             pass
         else:

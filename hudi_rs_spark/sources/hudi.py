@@ -52,13 +52,27 @@ META_FIELDS = [
 
 
 class HudiTable:
-    def __init__(self, base_path: str, spark: SparkSession | None = None):
+    def __init__(
+        self,
+        base_path: str,
+        spark: SparkSession | None = None,
+        listing: str = "auto",
+    ):
+        """``listing``: "auto" uses the metadata-table files partition
+        when present (O(partitions) planning instead of O(files) storage
+        walk — the difference between a usable and an unusable planner on
+        a 100 TB table), silently falling back to direct listing on any
+        MDT read problem; "direct" always walks storage; "mdt" forces the
+        metadata path (errors surface)."""
         self.base_path = base_path.rstrip("/")
         self.spark = spark or SparkSession.getActiveSession()
         if self.spark is None:
             raise RuntimeError("no active SparkSession")
         self.config = HudiTableConfig.from_base_path(self.base_path)
         self.timeline = Timeline.load(self.base_path, self.config)
+        if listing not in ("auto", "direct", "mdt"):
+            raise ValueError(f"bad listing mode: {listing}")
+        self.listing = listing
 
     # ------------------------------------------------------------------
     # schema resolution (resolver.rs:41-114 priority order)
@@ -183,7 +197,10 @@ class HudiTable:
         else:
             part_filter = None if pruner.is_empty else pruner.should_include
         groups = build_file_groups(
-            self.base_path, self._completion_times(), part_filter
+            self.base_path,
+            self._completion_times(),
+            part_filter,
+            entries=self._mdt_entries(part_filter),
         )
         instants = self.timeline.instants_as_of(as_of_timestamp)
         valid_commits = {i.timestamp for i in instants}
@@ -195,6 +212,30 @@ class HudiTable:
             valid_commit_timestamps=valid_commits,
             archival_boundary=self.timeline.earliest_active_timestamp(),
         )
+
+    def _mdt_entries(self, part_filter):
+        """(partition, name, size) from the metadata table's files
+        partition, or None to walk storage (metadata/table/mod.rs:94-108
+        enablement; partition pruning happens on MDT record keys BEFORE
+        any data-table path is listed)."""
+        if self.listing == "direct":
+            return None
+        from hudi_rs_spark.metadata import files_partition as mdt
+
+        enabled = (
+            self.config.props.get("hoodie.metadata.enable", "true").lower() != "false"
+            and mdt.has_files_partition(self.config)
+        )
+        if self.listing == "auto" and not enabled:
+            return None
+        try:
+            return mdt.list_partition_files_via_mdt(
+                self.base_path, self.config, part_filter
+            )
+        except Exception:
+            if self.listing == "mdt":
+                raise
+            return None  # auto: fall back to direct listing
 
     # ------------------------------------------------------------------
     # execution

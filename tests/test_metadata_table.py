@@ -1,0 +1,154 @@
+"""Metadata-table files-partition listing (ops 8/20 fast path): HFile
+reader, record decode + merge, and MDT-vs-direct listing equality on the
+reference golden fixture (pinned values from metadata/table/mod.rs tests)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hudi_rs_spark.hfile import HFile
+from hudi_rs_spark.metadata import read_files_partition
+from hudi_rs_spark.metadata.files_partition import (
+    ALL_PARTITIONS_KEY,
+    FilesPartitionRecord,
+    _merge_into,
+    list_partition_files_via_mdt,
+)
+
+CHENNAI_EXPECTED = {
+    "6e1d5cc4-c487-487d-abbe-fe9b30b1c0cc-0_2-986-2794_20251220210108078.parquet",
+    "6e1d5cc4-c487-487d-abbe-fe9b30b1c0cc-0_0-1112-3190_20251220210129235.parquet",
+    ".6e1d5cc4-c487-487d-abbe-fe9b30b1c0cc-0_20251220210127080.log.1_0-1072-3078",
+    ".6e1d5cc4-c487-487d-abbe-fe9b30b1c0cc-0_20251220210128625.log.1_0-1097-3150",
+}
+
+
+class TestHFileReader:
+    def test_reads_files_partition_hfile(self, v8_trips_table):
+        p = os.path.join(
+            v8_trips_table,
+            ".hoodie/metadata/files/files-0000-0_23-1133-3302_20251220210130942.hfile",
+        )
+        hf = HFile.from_path(p)
+        assert hf.entry_count == 4
+        keys = [k.decode() for k, _ in hf.records()]
+        assert keys == sorted(keys)  # HFile cells are key-ordered
+        assert set(keys) == {
+            ALL_PARTITIONS_KEY,
+            "city=chennai",
+            "city=san_francisco",
+            "city=sao_paulo",
+        }
+        assert hf.avro_schema()["name"] == "HoodieMetadataRecord"
+
+
+class TestFilesPartitionRead:
+    """Pinned to the reference's own golden test
+    (metadata/table/mod.rs hudi_table_read_metadata_table_files_partition)."""
+
+    def test_golden_records(self, v8_trips_table):
+        recs = read_files_partition(v8_trips_table)
+        assert len(recs) == 4
+        parts = set(recs[ALL_PARTITIONS_KEY].partition_names())
+        assert parts == {"city=chennai", "city=san_francisco", "city=sao_paulo"}
+        chennai = recs["city=chennai"]
+        assert {n for n, _ in chennai.active_files()} == CHENNAI_EXPECTED
+        assert sum(s for _, s in chennai.active_files()) > 0
+
+    def test_key_filtered_read(self, v8_trips_table):
+        recs = read_files_partition(v8_trips_table, {"city=chennai"})
+        assert set(recs) == {"city=chennai"}
+        assert {n for n, _ in recs["city=chennai"].active_files()} == CHENNAI_EXPECTED
+
+
+class TestMergeSemantics:
+    """merger.rs:178-212 truth table."""
+
+    def test_deletion_cancels_live_entry(self):
+        a = FilesPartitionRecord("p", {"f1": (10, False), "f2": (5, False)})
+        _merge_into(a, FilesPartitionRecord("p", {"f1": (0, True)}))
+        assert a.files == {"f2": (5, False)}
+
+    def test_tombstone_keeps_newer_tombstone(self):
+        a = FilesPartitionRecord("p", {"f1": (0, True)})
+        _merge_into(a, FilesPartitionRecord("p", {"f1": (1, True)}))
+        assert a.files == {"f1": (1, True)}
+
+    def test_live_keeps_max_size(self):
+        a = FilesPartitionRecord("p", {"f1": (10, False)})
+        _merge_into(a, FilesPartitionRecord("p", {"f1": (7, False)}))
+        assert a.files == {"f1": (10, False)}
+        _merge_into(a, FilesPartitionRecord("p", {"f1": (12, False)}))
+        assert a.files == {"f1": (12, False)}
+
+    def test_new_entries_added(self):
+        a = FilesPartitionRecord("p", {})
+        _merge_into(a, FilesPartitionRecord("p", {"f1": (3, False), "f2": (0, True)}))
+        assert a.files == {"f1": (3, False), "f2": (0, True)}
+
+
+def _slice_key(sl):
+    return (
+        sl.partition_path,
+        sl.base_file.file_name,
+        tuple(sorted(lf.file_name for lf in sl.log_files)),
+    )
+
+
+class TestListingEquality:
+    def test_mdt_matches_direct_listing(self, spark, v8_trips_table):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        direct = HudiTable(v8_trips_table, spark, listing="direct").get_file_slices()
+        via_mdt = HudiTable(v8_trips_table, spark, listing="mdt").get_file_slices()
+        assert sorted(map(_slice_key, direct)) == sorted(map(_slice_key, via_mdt))
+
+    def test_mdt_listing_never_walks_storage(self, spark, v8_trips_table, monkeypatch):
+        """The point of the fast path: planning touches NO data-table
+        partition dirs (O(partitions) MDT records instead of O(files)
+        listing)."""
+        import hudi_rs_spark.fs.fs_view as fs_view
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = HudiTable(v8_trips_table, spark, listing="mdt")
+        real = fs_view.list_data_files
+
+        def guard(base_path):
+            # listing the MDT itself (one tiny fixed dir) is fine; walking
+            # the DATA table's partition tree is what the fast path avoids
+            if not base_path.endswith("/.hoodie/metadata"):
+                raise AssertionError(f"data-table storage walk attempted: {base_path}")
+            return real(base_path)
+
+        monkeypatch.setattr(fs_view, "list_data_files", guard)
+        slices = t.get_file_slices()
+        assert len(slices) == 3
+
+    def test_snapshot_read_equal_via_both(self, spark, v8_trips_table):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        a = (
+            HudiTable(v8_trips_table, spark, listing="direct")
+            .read()
+            .orderBy("_hoodie_record_key")
+            .collect()
+        )
+        b = (
+            HudiTable(v8_trips_table, spark, listing="mdt")
+            .read()
+            .orderBy("_hoodie_record_key")
+            .collect()
+        )
+        assert a == b
+
+    def test_partition_pruned_mdt_listing(self, spark, v8_trips_table):
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+
+        cfg = HudiTableConfig.from_base_path(v8_trips_table)
+        entries = list_partition_files_via_mdt(
+            v8_trips_table, cfg, lambda p: p == "city=chennai"
+        )
+        assert entries and all(p == "city=chennai" for p, _, _ in entries)
+        assert {n for _, n, _ in entries} == CHENNAI_EXPECTED
