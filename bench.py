@@ -22,13 +22,27 @@ HEADLINE = [
     # relational core (TPC-H shapes)
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
     "q8_market_share",
     "q9_product_revenue",
     "q10_returned_items",
+    "q12_priority_lines",
     "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_demand",
+    "q17_small_quantity",
     "q18_large_volume",
+    "q19_disjunctive",
+    "q20_heavy_suppliers",
+    "q21_late_suppliers",
+    "q22_no_order_customers",
+    # grouping sets / json
+    "rollup_revenue",
+    "cube_revenue",
     "json_props_stats",
     # merge/window surface
     "merge_latest_state",

@@ -104,21 +104,31 @@ SQL_WORD_SHINGLES = (
     " i -> concat_ws(' ', string_split(norm, ' ')[i], string_split(norm, ' ')[i+1])))"
 )
 
+# One md5 per shingle; 16 permutations derived arithmetically from the
+# digest halves (mirrors operators/dedup.py minhash_lsh_pairs exactly —
+# all operands < 2^38 so BIGINT math is identical in both engines).
 MINHASH_SQL = f"""
 WITH docs AS (SELECT doc_id, {SQL_NORM} AS norm FROM documents),
 sh AS (
   SELECT doc_id, unnest({SQL_WORD_SHINGLES}) AS s
   FROM docs
 ),
+halves AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(s), 9, 8))::BIGINT AS lo
+  FROM sh
+),
 seeds AS (SELECT unnest(range(0, 16)) AS seed),
 mh AS (
-  SELECT doc_id, seed, min(md5(s || '#' || CAST(seed AS VARCHAR))) AS m
-  FROM sh CROSS JOIN seeds
+  SELECT doc_id, seed,
+         min((hi * (2 * seed + 1) + lo * (seed + 7)) % 4294967291) AS m
+  FROM halves CROSS JOIN seeds
   GROUP BY doc_id, seed
 ),
 bands AS (
   SELECT doc_id, seed // 4 AS band,
-         md5(CAST(seed // 4 AS VARCHAR) || '|' || string_agg(m, '|' ORDER BY seed)) AS bucket
+         md5(CAST(seed // 4 AS VARCHAR) || '|' || string_agg(CAST(m AS VARCHAR), '|' ORDER BY seed)) AS bucket
   FROM mh
   GROUP BY doc_id, seed // 4
 ),
