@@ -54,6 +54,7 @@ HEADLINE = [
     "text_quality",
     "sim_brute_topk",
     "sim_lsh_topk",
+    "sim_ivf_topk",
 ]
 
 

