@@ -349,16 +349,36 @@ class HudiTable:
                 out.append(s)
         return out
 
-    def compute_table_stats(self) -> tuple[int, int]:
-        """(est_rows, est_bytes) for the current snapshot — op 23
-        (statistics/estimator.rs analog, exact from parquet footers)."""
-        from hudi_rs_spark.plans.file_pruner import estimate_table_stats
+    def compute_table_stats(self, exact: bool | None = None) -> tuple[int, int]:
+        """(est_rows, est_bytes) for the current snapshot — op 23.
 
+        Exact mode reads every footer (O(files) — fine for small tables,
+        and strictly better when affordable). The sampled mode is the
+        reference's estimator (statistics/estimator.rs:30-88): listed
+        on-disk sizes x avg row size sampled from ONE footer — O(1)
+        driver reads, which is what survives 10^5 files. Default: exact
+        up to 64 files, sampled beyond."""
+        slices = self.get_file_slices()
+        if exact is None:
+            exact = len(slices) <= 64
         paths = [
-            os.path.join(self.base_path, s.base_file_relative_path())
-            for s in self.get_file_slices()
+            os.path.join(self.base_path, s.base_file_relative_path()) for s in slices
         ]
-        return estimate_table_stats(paths)
+        if exact or not slices:
+            from hudi_rs_spark.plans.file_pruner import estimate_table_stats
+
+            return estimate_table_stats(paths)
+        import pyarrow.parquet as pq
+
+        total_bytes = sum(s.base_file.size for s in slices)
+        sample = max(slices, key=lambda s: s.base_file.size)
+        sample_path = os.path.join(self.base_path, sample.base_file_relative_path())
+        sample_rows = pq.ParquetFile(sample_path).metadata.num_rows
+        sample_bytes = sample.base_file.size or os.path.getsize(sample_path)
+        if sample_rows <= 0 or sample_bytes <= 0:
+            return 0, total_bytes
+        est_rows = round(total_bytes * (sample_rows / sample_bytes))
+        return est_rows, total_bytes
 
     def point_lookup(
         self, keys: list[str], options: HudiReadOptions | None = None
@@ -385,6 +405,35 @@ class HudiTable:
         ]
         df = self._execute_slices(slices, None, options)
         return df.filter(F.col("_hoodie_record_key").isin(list(keys)))
+
+    def lookup_by_secondary_key(
+        self,
+        index_name: str,
+        values: list[str],
+        options: HudiReadOptions | None = None,
+    ) -> DataFrame:
+        """Rows whose indexed column equals one of ``values``, via the
+        secondary index -> record keys -> record-index point lookup.
+        ``index_name`` may be the short index name or the full
+        ``secondary_index_...`` partition name."""
+        from hudi_rs_spark.metadata.secondary_index import (
+            SECONDARY_INDEX_PREFIX,
+            list_secondary_indexes,
+            read_secondary_index,
+        )
+
+        partition = (
+            index_name
+            if index_name.startswith(SECONDARY_INDEX_PREFIX)
+            else SECONDARY_INDEX_PREFIX + index_name
+        )
+        if partition not in list_secondary_indexes(self.config):
+            raise ValueError(f"no secondary index partition {partition!r}")
+        idx = read_secondary_index(self.base_path, partition, set(values))
+        keys = sorted({k for ks in idx.values() for k in ks})
+        if not keys:
+            return self.spark.createDataFrame([], self.get_schema())
+        return self.point_lookup(keys, options)
 
     def read_incremental(
         self,

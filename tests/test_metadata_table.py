@@ -267,6 +267,44 @@ class TestListingEquality:
             (s.partition_path, s.base_file.file_id) for s in seen["slices"]
         ] == [(part, fid)]
 
+    def test_secondary_index_lookup_matches_scan(self, spark, v8_trips_table):
+        from hudi_rs_spark.metadata.secondary_index import (
+            list_secondary_indexes,
+            read_secondary_index,
+        )
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        cfg = HudiTableConfig.from_base_path(v8_trips_table)
+        assert list_secondary_indexes(cfg) == ["secondary_index_rider_idx"]
+
+        t = HudiTable(v8_trips_table, spark)
+        full = t.read().select("rider", "_hoodie_record_key").collect()
+        by_rider: dict[str, set[str]] = {}
+        for r in full:
+            by_rider.setdefault(r["rider"], set()).add(r["_hoodie_record_key"])
+        rider = sorted(by_rider)[0]
+
+        idx = read_secondary_index(
+            v8_trips_table, "secondary_index_rider_idx", {rider}
+        )
+        assert idx.get(rider) == by_rider[rider]
+
+        got = t.lookup_by_secondary_key("rider_idx", [rider]).collect()
+        assert {r["_hoodie_record_key"] for r in got} == by_rider[rider]
+        assert all(r["rider"] == rider for r in got)
+
+    def test_sampled_table_stats_close_to_exact(self, spark, v8_trips_table):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = HudiTable(v8_trips_table, spark)
+        exact_rows, exact_bytes = t.compute_table_stats(exact=True)
+        est_rows, est_bytes = t.compute_table_stats(exact=False)
+        assert est_bytes == exact_bytes  # sizes come from the listing
+        assert exact_rows > 0
+        # one-footer sampling: order-of-magnitude agreement is the contract
+        assert 0.3 <= est_rows / exact_rows <= 3.0
+
     def test_partition_pruned_mdt_listing(self, spark, v8_trips_table):
         from hudi_rs_spark.config.table_config import HudiTableConfig
 
