@@ -62,6 +62,21 @@ class TestRelationalPlans:
         plan = _plan(SPECS["sim_brute_topk"].build(spark, sf_dir))
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
+    def test_ivf_broadcasts_centroids_and_probes(self, spark, sf_dir):
+        plan = _plan(SPECS["sim_ivf_topk"].build(spark, sf_dir))
+        # centroid assignment: corpus x broadcast(cents); probe join:
+        # cells equi-join broadcast(q) — never a partitioned cartesian
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    def test_fuzzy_levenshtein_is_equi_join(self, spark, sf_dir):
+        plan = _plan(SPECS["dedup_fuzzy_levenshtein"].build(spark, sf_dir))
+        assert "CartesianProduct" not in plan  # blocked on (lang, bucket)
+
+    def test_percentiles_partial_aggregate(self, spark, sf_dir):
+        plan = _plan(SPECS["q_price_percentiles"].build(spark, sf_dir))
+        assert "partial_percentile" in plan or "ObjectHashAggregate" in plan
+
 
 class TestHudiReadPlans:
     def test_cow_filter_pushdown_into_scan(self, spark):

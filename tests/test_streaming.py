@@ -74,6 +74,73 @@ class TestBatchIterator:
         assert best >= 2.0, f"arrow/rows speedup only {best:.2f}x"
 
 
+class TestStatefulSessionize:
+    def test_stream_matches_batch_closed_sessions(self, spark, tmp_path):
+        """applyInPandasWithState sessionizer over a multi-batch file
+        stream == batch-computed closed sessions on the same data."""
+        import os
+        import time
+
+        from hudi_rs_spark.streaming.stateful import (
+            sessionize_batch_closed,
+            sessionize_stateful,
+        )
+
+        src = os.path.join(tmp_path, "events_src")
+        os.makedirs(src)
+        # two users; whole-second timestamps; sessions split by >30min gaps
+        base = 1_700_000_000
+        rows = [
+            # user 1: session A (2 events), gap, session B (1), gap, open C
+            (1, base, 1.0), (1, base + 60, 2.0),
+            (1, base + 4000, 3.0),
+            (1, base + 9000, 4.0),
+            # user 2: session A (1 event), gap, open B (2 events)
+            (2, base + 10, 5.0),
+            (2, base + 5000, 6.0), (2, base + 5060, 7.0),
+        ]
+        # split into 3 chronological batch files
+        chunks = [rows[:3], rows[3:5], rows[5:]]
+        for i, chunk in enumerate(chunks):
+            df = spark.createDataFrame(
+                [(u, t, v) for u, t, v in chunk], "user_id long, ts_s long, value double"
+            ).selectExpr("user_id", "timestamp_seconds(ts_s) as ts", "value")
+            df.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        # order file-source pickup by mtime
+        for i in range(3):
+            for root, _, files in os.walk(os.path.join(src, f"b{i}")):
+                for f in files:
+                    os.utime(os.path.join(root, f), (base + i, base + i))
+
+        static = spark.read.parquet(f"{src}/b0", f"{src}/b1", f"{src}/b2")
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+        )
+        q = (
+            sessionize_stateful(stream, gap_seconds=1800)
+            .writeStream.format("memory")
+            .queryName("sessions_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            tuple(r)
+            for r in spark.table("sessions_out")
+            .select("user_id", "session_start_us", "session_end_us", "n_events", "total_value")
+            .collect()
+        }
+        expected = {
+            tuple(r)
+            for r in sessionize_batch_closed(static, gap_seconds=1800).collect()
+        }
+        assert got == expected
+        assert len(got) == 3  # u1: A,B closed; u2: A closed; open ones held
+
+
 class TestIncrementalFeed:
     def test_feed_replays_commits_exactly_once(self, spark, v6_cow_nonhive):
         t = HudiTable(v6_cow_nonhive, spark)
