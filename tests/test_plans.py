@@ -78,6 +78,41 @@ class TestRelationalPlans:
         assert "partial_percentile" in plan or "ObjectHashAggregate" in plan
 
 
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, sf_dir, tmp_path):
+        """Co-located bucketed tables join shuffle-free; the same join on
+        plain tables shuffles both sides."""
+        from hudi_rs_spark.operators.bucketing import bucketed_join, write_bucketed
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        )
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            write_bucketed(
+                orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+                "b_orders", ["l_orderkey"], num_buckets=8,
+            )
+            write_bucketed(lineitem, "b_lineitem", ["l_orderkey"], num_buckets=8)
+            joined = bucketed_join(spark, "b_orders", "b_lineitem", ["l_orderkey"])
+            plan = _plan(joined)
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert "SortMergeJoin" in plan
+
+            shuffled = orders.withColumnRenamed("o_orderkey", "l_orderkey").join(
+                lineitem, "l_orderkey"
+            )
+            assert "Exchange hashpartitioning" in _plan(shuffled)
+            # same results either way
+            assert joined.count() == shuffled.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 class TestHudiReadPlans:
     def test_cow_filter_pushdown_into_scan(self, spark):
         from hudi_rs_spark import HudiReadOptions, HudiTable
