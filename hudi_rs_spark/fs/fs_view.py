@@ -94,19 +94,29 @@ def get_file_slices(
     excluded_file_ids: set[str] | None = None,
     valid_commit_timestamps: set[str] | None = None,
     archival_boundary: str | None = None,
+    pending_timestamps: set[str] | None = None,
+    archived_timestamps: set[str] | None = None,
 ) -> list[FileSlice]:
     """As-of slice per group, minus replaced groups
     (table/fs_view.rs:236-254). ``valid_commit_timestamps`` drops base
     files written by pending/unknown commits (uncommitted data must stay
-    invisible). ``archival_boundary`` (the earliest ACTIVE instant): any
-    commit strictly older is definitionally archived-completed — rolled
-    back writes are cleaned before archival — so its base files stay
-    visible even though the active timeline no longer lists the commit."""
+    invisible). ``archival_boundary`` (the earliest ACTIVE instant): a
+    commit strictly older is treated archived-completed ONLY if no
+    requested/inflight marker survives for it (``pending_timestamps``) —
+    archival can archive completed instants that precede a crashed
+    write, leaving the crashed write's ts below the boundary until lazy
+    rollback runs; its uncommitted files must stay invisible.
+    ``archived_timestamps``: positive membership in the loaded archived
+    timeline (when the read gate is on) short-circuits as committed."""
 
     def _committed(ts: str) -> bool:
         if valid_commit_timestamps is None or ts in valid_commit_timestamps:
             return True
-        return archival_boundary is not None and ts < archival_boundary
+        if archived_timestamps is not None and ts in archived_timestamps:
+            return True
+        if archival_boundary is None or ts >= archival_boundary:
+            return False
+        return pending_timestamps is None or ts not in pending_timestamps
 
     out: list[FileSlice] = []
     for (partition, file_id), group in sorted(groups.items()):

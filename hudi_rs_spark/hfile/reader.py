@@ -130,6 +130,24 @@ class HFile:
         self.last_data_block_offset = _first_int(pb, 10)
         self.codec = _first_int(pb, 12, CODEC_NONE)
         self.file_info = self._read_file_info()
+        self._check_mvcc_support()
+
+    def _check_mvcc_support(self) -> None:
+        """Reject HFiles written with MVCC timestamps (reference
+        reader.rs:186-221): cells then carry a varint memstore ts, which
+        the fixed 1-byte-mvcc cell walk in records() would misparse
+        silently. KEY_VALUE_VERSION==1 + MAX_MEMSTORE_TS_KEY>0 == MVCC."""
+        ver = self.file_info.get("KEY_VALUE_VERSION")
+        if not ver or len(ver) < 4:
+            return
+        if struct.unpack(">i", ver[:4])[0] != 1:
+            return
+        ts = self.file_info.get("MAX_MEMSTORE_TS_KEY")
+        if ts and len(ts) >= 8 and struct.unpack(">q", ts[:8])[0] > 0:
+            raise ValueError(
+                "HFile written with MVCC timestamps "
+                "(KEY_VALUE_VERSION=1, MAX_MEMSTORE_TS_KEY>0) is unsupported"
+            )
 
     @classmethod
     def from_path(cls, path: str) -> "HFile":

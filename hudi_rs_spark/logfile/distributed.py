@@ -39,6 +39,7 @@ def decode_logs_distributed(
     end_inclusive: str | None,
     rollback_targets_by_fg: dict[str, frozenset[str]] | None = None,
     archival_boundary: str | None = None,
+    pending_instants: frozenset[str] | None = None,
 ) -> DataFrame:
     full_schema = T.StructType(
         list(out_schema.fields) + [T.StructField(DELETE_FLAG, T.BooleanType(), False)]
@@ -70,6 +71,7 @@ def decode_logs_distributed(
                     blocks, start_exclusive, end_inclusive, valid,
                     rollback_targets_override=fg_targets.get(fg),
                     archival_boundary=archival_boundary,
+                    pending_instants=pending_instants,
                 ):
                     for r in b.records:
                         r["__fg"] = fg

@@ -254,6 +254,7 @@ def valid_blocks(
     valid_instants: set[str] | None = None,
     rollback_targets_override: set[str] | frozenset[str] | None = None,
     archival_boundary: str | None = None,
+    pending_instants: set[str] | frozenset[str] | None = None,
 ) -> list[LogBlock]:
     """Apply rollback voiding then instant-range gating
     (scanner.rs:99-168; range semantics open-closed like
@@ -284,8 +285,15 @@ def valid_blocks(
             continue
         if valid_instants is not None and t not in valid_instants:
             # pending/rolled-back commit — unless older than the archival
-            # boundary (archived commits are completed by definition)
-            if archival_boundary is None or t >= archival_boundary:
+            # boundary AND free of a live requested/inflight marker (a
+            # crashed write can predate the boundary; its blocks must
+            # stay invisible until lazy rollback cleans it)
+            archived_ok = (
+                archival_boundary is not None
+                and t < archival_boundary
+                and (pending_instants is None or t not in pending_instants)
+            )
+            if not archived_ok:
                 continue
         out.append(b)
     return out

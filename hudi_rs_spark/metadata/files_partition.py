@@ -112,6 +112,7 @@ def iter_partition_hfiles(data_table_base_path: str, partition: str):
     slices = get_file_slices(
         groups, None, valid_commit_timestamps=valid,
         archival_boundary=timeline.earliest_active_timestamp(),
+        pending_timestamps=timeline.pending_timestamps,
     )
     if not slices:
         return
@@ -122,6 +123,7 @@ def iter_partition_hfiles(data_table_base_path: str, partition: str):
             for b in logreader.valid_blocks(
                 blocks, valid_instants=valid,
                 archival_boundary=timeline.earliest_active_timestamp(),
+                pending_instants=timeline.pending_timestamps,
             ):
                 if b.hfile_content is not None:
                     yield False, HFile(b.hfile_content)

@@ -1,4 +1,4 @@
-"""Metadata-table secondary indexes: value -> record keys, composing with
+r"""Metadata-table secondary indexes: value -> record keys, composing with
 the record index for point lookups on NON-key columns.
 
 Partition name pattern ``secondary_index_{name}``; cell key is
@@ -10,8 +10,10 @@ HFile-slice reads (secondary index -> record keys, record index -> file
 groups) plus a scan of exactly those file slices — no full-table scan,
 no shuffle.
 
-Limitation: the separator split assumes record keys contain no '$'
-(true for Hudi's uuid/composed keys); escaped separators are not handled.
+Key encoding (Hudi SecondaryIndexKeyUtils semantics): both halves escape
+'\' as '\\' and '$' as '\$' before joining with a bare '$', so exactly
+one UNESCAPED separator exists per cell key; we split there and unescape
+both halves, so values/record keys containing '$' round-trip correctly.
 """
 
 from __future__ import annotations
@@ -20,6 +22,41 @@ from hudi_rs_spark.avro.binary import Reader, collect_names, decode
 from hudi_rs_spark.metadata.files_partition import iter_partition_hfiles
 
 SECONDARY_INDEX_PREFIX = "secondary_index_"
+
+
+def _unescape(s: str) -> str:
+    """Drop one level of backslash escaping ('\\$'->'$', '\\\\'->'\\')."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        if s[i] == "\\" and i + 1 < n:
+            out.append(s[i + 1])
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+def split_secondary_index_key(raw: str) -> tuple[str, str] | None:
+    """Split '{escaped_value}${escaped_record_key}' at the single
+    unescaped '$', honoring '\\' escapes; returns the UNESCAPED
+    (column_value, record_key), or None for a malformed key with no
+    unescaped separator."""
+    sep = -1
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c == "\\":
+            i += 2  # escaped char: skip whatever follows
+            continue
+        if c == "$":
+            sep = i
+            break
+        i += 1
+    if sep < 0:
+        return None
+    return _unescape(raw[:sep]), _unescape(raw[sep + 1 :])
 
 
 def list_secondary_indexes(config) -> list[str]:
@@ -46,9 +83,10 @@ def read_secondary_index(
             names = collect_names(schema) if schema else None
         for k, v in hf.records():
             raw = k.decode("utf-8", errors="replace")
-            val, sep, rec_key = raw.rpartition("$")
-            if not sep:
+            parts = split_secondary_index_key(raw)
+            if parts is None:
                 continue
+            val, rec_key = parts
             if values is not None and val not in values:
                 continue
             deleted = False

@@ -212,6 +212,8 @@ class HudiTable:
             excluded_file_ids=excluded,
             valid_commit_timestamps=valid_commits,
             archival_boundary=self.timeline.earliest_active_timestamp(),
+            pending_timestamps=self.timeline.pending_timestamps,
+            archived_timestamps=self.timeline.archived_completed_timestamps(),
         )
 
     def _with_partition_stats_filter(self, part_filter, filters):
@@ -404,7 +406,18 @@ class HudiTable:
             if (s.partition_path, s.base_file.file_id) in targets
         ]
         df = self._execute_slices(slices, None, options)
-        return df.filter(F.col("_hoodie_record_key").isin(list(keys)))
+        if "_hoodie_record_key" in df.columns:
+            return df.filter(F.col("_hoodie_record_key").isin(list(keys)))
+        # hoodie.populate.meta.fields=false: no materialized key column —
+        # rebuild the predicate from the configured record-key field
+        key_fields = self.config.record_key_fields
+        if len(key_fields) == 1 and key_fields[0] in df.columns:
+            return df.filter(F.col(key_fields[0]).isin(list(keys)))
+        raise ValueError(
+            "point_lookup on a table without populated meta fields needs a "
+            "single hoodie.table.recordkey.fields column present in the "
+            f"schema; got {key_fields!r}"
+        )
 
     def lookup_by_secondary_key(
         self,
@@ -588,6 +601,7 @@ class HudiTable:
                     blocks, start_exclusive, as_of, valid_instants,
                     rollback_targets_override=slice_targets,
                     archival_boundary=self.timeline.earliest_active_timestamp(),
+                    pending_instants=self.timeline.pending_timestamps,
                 ):
                     if b.records:
                         for r in b.records:
@@ -680,6 +694,7 @@ class HudiTable:
             end_inclusive,
             rollback_targets_by_fg={k: frozenset(v) for k, v in fg_targets.items()},
             archival_boundary=self.timeline.earliest_active_timestamp(),
+            pending_instants=frozenset(self.timeline.pending_timestamps),
         )
         log_df = decoded.filter(~F.col(DELETE_FLAG)).drop(DELETE_FLAG)
         data = base_tagged.unionByName(log_df)

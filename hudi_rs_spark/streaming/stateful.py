@@ -61,9 +61,13 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
         else:
             sess_start, last_ts, n, total = None, None, 0, 0.0
         closed: list[tuple] = []
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
+        # one user's micro-batch rows may span multiple Arrow chunks;
+        # concatenate and sort ONCE so out-of-order events across chunk
+        # boundaries can't spuriously close or mis-bound a session
+        # (per-group volume per micro-batch is bounded)
+        frames = [pdf for pdf in pdfs if not pdf.empty]
+        if frames:
+            pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
             pdf = pdf.sort_values("ts")
             ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
             vals = pdf["value"].tolist()

@@ -25,6 +25,11 @@ class Timeline:
     instants: list[Instant]  # completed, sorted — ACTIVE timeline only
     _metadata_cache: dict[str, CommitMetadata] = field(default_factory=dict)
     config: HudiTableConfig | None = None
+    # requested/inflight marker timestamps still present in the active dir;
+    # an instant with a live pending marker is NEVER archived-completed,
+    # however old its timestamp (a crashed write can predate the archival
+    # boundary until lazy rollback cleans it)
+    pending_timestamps: set[str] = field(default_factory=set)
     # archived timeline (loaded lazily behind the double gate)
     _archived: list[Instant] | None = None
     _archived_meta: dict[str, CommitMetadata] = field(default_factory=dict)
@@ -38,6 +43,7 @@ class Timeline:
         else:
             timeline_dir = hoodie_dir
         instants: list[Instant] = []
+        pending: set[str] = set()
         if os.path.isdir(timeline_dir):
             for name in os.listdir(timeline_dir):
                 full = os.path.join(timeline_dir, name)
@@ -49,8 +55,15 @@ class Timeline:
                     continue  # non-data actions (indexing, clean, ...) or aux files
                 if instant.is_completed:
                     instants.append(instant)
+                else:
+                    pending.add(instant.timestamp)
+        # a completed instant may coexist with stale markers; completion wins
+        pending -= {i.timestamp for i in instants}
         instants.sort(key=lambda i: i.sort_key())
-        return cls(base_path, timeline_dir, instants, config=config)
+        return cls(
+            base_path, timeline_dir, instants, config=config,
+            pending_timestamps=pending,
+        )
 
     # -- archived timeline (timeline/mod.rs:98-135 double gate) -----------
     def earliest_active_timestamp(self) -> str | None:
@@ -138,6 +151,14 @@ class Timeline:
                     except Exception:
                         pass
         return out
+
+    def archived_completed_timestamps(self) -> set[str] | None:
+        """Timestamps positively known archived-completed, or None when
+        the archived-read gate is off (membership unknowable without
+        loading the archive)."""
+        if not self._archived_enabled():
+            return None
+        return {i.timestamp for i in self.archived_instants()}
 
     def _with_archived(self, instants: list[Instant]) -> list[Instant]:
         merged = self.archived_instants() + instants
