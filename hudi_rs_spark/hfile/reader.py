@@ -1,10 +1,11 @@
-"""HBase HFile v3 reader, scoped to the Hudi metadata-table read path:
-full scan of data-block cells (+ key filtering at the caller) and
-file-info access for the embedded avro schema.
+"""HBase HFile v3 reader for the Hudi metadata-table read path: full
+scan of data-block cells, INDEXED point lookup and prefix scan over the
+load-on-open block index, and file-info access for the embedded avro
+schema.
 
 Re-expresses the format handled by
 /root/reference/crates/core/src/hfile/{trailer.rs:66-133, block.rs:62-145,
-key.rs:198-280, reader.rs:74-520, proto.rs:28-89}:
+key.rs:198-280, reader.rs:74-1010, proto.rs:28-89}:
 
   - fixed 4096-byte trailer at EOF: magic "TRABLK\"$", length-delimited
     protobuf TrailerProto, last 4 bytes = [minor, major(3 bytes)]
@@ -14,10 +15,19 @@ key.rs:198-280, reader.rs:74-520, proto.rs:28-89}:
     on-disk size
   - data-block cells: key_len(i32) value_len(i32) key value mvcc(1B);
     key content = 2-byte length prefix + bytes
+  - load-on-open section (reader.rs:225-416): root index block
+    ("IDXROOT2", entry = offset(8) size(4) vlong-len serialized-key),
+    descending through "IDXINTE2"/"IDXLEAF2" blocks (entry-count +
+    secondary-offset table + entries) when num_data_index_levels > 1
   - file info block: "FILEINF2" + "PBUF" + length-delimited InfoProto of
     (key, value) byte pairs; "schema" holds the avro record schema
 
-The driver reads the MDT files partition with this (it is O(partitions)
+lookup_records / records_by_prefix (reader.rs:937/:972 parity) decode
+ONLY the blocks the index selects — O(log blocks) work for a handful of
+keys instead of a full decompress-everything scan; ``n_blocks_decoded``
+counts block decodes so tests can pin that property.
+
+The driver reads MDT partitions with this (they are O(table partitions)
 small); nothing here touches executors.
 """
 
@@ -25,7 +35,9 @@ from __future__ import annotations
 
 import json
 import struct
-import zlib
+from bisect import bisect_right
+
+from hudi_rs_spark.hfile import compression as hfc
 
 TRAILER_SIZE = 4096
 BLOCK_HEADER_SIZE = 33
@@ -34,9 +46,25 @@ DATA_MAGICS = (b"DATABLK*", b"DATABLKE")
 TRAILER_MAGIC = b'TRABLK"$'
 FILEINFO_MAGIC = b"FILEINF2"
 PBUF_MAGIC = b"PBUF"
+ROOT_INDEX_MAGIC = b"IDXROOT2"
+NONROOT_INDEX_MAGICS = (b"IDXLEAF2", b"IDXINTE2")
 
 # HBase compression ids (compression.rs:26-60)
 CODEC_LZO, CODEC_GZ, CODEC_NONE, CODEC_SNAPPY, CODEC_LZ4 = 0, 1, 2, 3, 4
+
+
+def read_hadoop_vlong(buf: bytes, pos: int) -> tuple[int, int]:
+    """Hadoop WritableUtils VLong (block.rs:274-311): first byte >= -112
+    is the value itself; otherwise it encodes payload size and sign."""
+    first = struct.unpack_from(">b", buf, pos)[0]
+    if first >= -112:
+        return first, pos + 1
+    negative = first < -120
+    nbytes = ((-119 - first) if negative else (-111 - first)) - 1
+    value = int.from_bytes(buf[pos + 1 : pos + 1 + nbytes], "big")
+    if negative:
+        value = ~value
+    return value, pos + 1 + nbytes
 
 
 def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
@@ -125,10 +153,15 @@ class HFile:
         pb = parse_protobuf(t[pos : pos + n])
         self.file_info_offset = _first_int(pb, 1)
         self.load_on_open_offset = _first_int(pb, 2)
+        self.data_index_count = _first_int(pb, 5)
         self.entry_count = _first_int(pb, 7)
+        self.num_data_index_levels = _first_int(pb, 8, 1)
         self.first_data_block_offset = _first_int(pb, 9)
         self.last_data_block_offset = _first_int(pb, 10)
         self.codec = _first_int(pb, 12, CODEC_NONE)
+        self.n_blocks_decoded = 0  # decompress counter (tests pin lookups)
+        self._data_index: list[tuple[bytes, int, int]] | None = None
+        self._block_cells_cache: dict[int, list[tuple[bytes, bytes]]] = {}
         self.file_info = self._read_file_info()
         self._check_mvcc_support()
 
@@ -157,16 +190,13 @@ class HFile:
     # -- blocks -----------------------------------------------------------
     def _block_payload(self, off: int) -> tuple[BlockHeader, bytes]:
         h = BlockHeader(self.data, off)
+        self.n_blocks_decoded += 1
         start = off + BLOCK_HEADER_SIZE
         if self.codec == CODEC_NONE:
             payload = self.data[start : start + h.uncompressed_size]
         else:
             end = start + h.on_disk_size - h.checksum_bytes()
-            raw = self.data[start:end]
-            if self.codec == CODEC_GZ:
-                payload = zlib.decompress(raw, 16 + zlib.MAX_WBITS)
-            else:
-                raise ValueError(f"unsupported HFile compression id {self.codec}")
+            payload = hfc.decompress(self.codec, self.data[start:end], h.uncompressed_size)
             if len(payload) != h.uncompressed_size:
                 raise ValueError("HFile block decompressed to unexpected size")
         return h, payload
@@ -193,24 +223,146 @@ class HFile:
         return json.loads(raw.decode("utf-8")) if raw else None
 
     # -- cells ------------------------------------------------------------
+    @staticmethod
+    def _parse_cells(payload: bytes) -> list[tuple[bytes, bytes]]:
+        """Cells of one DATA block: key_len(i32) value_len(i32) key value
+        mvcc(1B); key content = 2-byte length prefix + bytes."""
+        cells: list[tuple[bytes, bytes]] = []
+        pos = 0
+        while pos + 8 <= len(payload):
+            key_len, val_len = struct.unpack_from(">ii", payload, pos)
+            key_start = pos + 8
+            content_len = struct.unpack_from(">h", payload, key_start)[0]
+            key = payload[key_start + 2 : key_start + 2 + content_len]
+            val_start = key_start + key_len
+            cells.append((key, payload[val_start : val_start + val_len]))
+            pos = val_start + val_len + 1  # +1 mvcc byte (always 0)
+        return cells
+
     def records(self):
         """Yield (key_bytes, value_bytes) for every cell, in key order
         (HFile data blocks are sorted). Sequential block walk — the MDT
         files partition is O(table partitions) records, so a full collect
-        is the intended access pattern (reader.rs read path)."""
+        is the intended access pattern (reader.rs collect_records)."""
         off = self.first_data_block_offset
         end = self.load_on_open_offset or len(self.data) - TRAILER_SIZE
         while off < end:
             h, payload = self._block_payload(off)
             if h.magic in DATA_MAGICS:
-                pos = 0
-                while pos + 8 <= len(payload):
-                    key_len, val_len = struct.unpack_from(">ii", payload, pos)
-                    key_start = pos + 8
-                    content_len = struct.unpack_from(">h", payload, key_start)[0]
-                    key = payload[key_start + 2 : key_start + 2 + content_len]
-                    val_start = key_start + key_len
-                    value = payload[val_start : val_start + val_len]
-                    yield key, value
-                    pos = val_start + val_len + 1  # +1 mvcc byte (always 0)
+                yield from self._parse_cells(payload)
             off = h.next_offset(off)
+
+    # -- block index (load-on-open section) --------------------------------
+    @staticmethod
+    def _key_content(serialized: bytes) -> bytes:
+        """Index entries store the full serialized cell key; its content
+        is behind a 2-byte length prefix (key.rs Key::new/content)."""
+        (n,) = struct.unpack_from(">h", serialized, 0)
+        return serialized[2 : 2 + n]
+
+    def _parse_root_index(self, payload: bytes, count: int):
+        """Root entry = offset(8BE) size(4BE) vlong(serialized-key-len)
+        serialized-key (reader.rs:304-356)."""
+        out, pos = [], 0
+        for _ in range(count):
+            off, size = struct.unpack_from(">qi", payload, pos)
+            pos += 12
+            klen, pos = read_hadoop_vlong(payload, pos)
+            out.append((self._key_content(payload[pos : pos + klen]), off, size))
+            pos += klen
+        return out
+
+    def _parse_nonroot_index(self, payload: bytes):
+        """Leaf/intermediate entry table (reader.rs:358-417):
+        entry-count(4BE), (count+1) relative offsets, then per entry
+        offset(8BE) size(4BE) serialized-key (to the next rel offset)."""
+        (count,) = struct.unpack_from(">i", payload, 0)
+        rel = list(struct.unpack_from(f">{count + 1}i", payload, 4))
+        base = 4 + 4 * (count + 1)
+        out = []
+        for i in range(count):
+            pos = base + rel[i]
+            off, size = struct.unpack_from(">qi", payload, pos)
+            key = payload[pos + 12 : base + rel[i + 1]]
+            out.append((self._key_content(key), off, size))
+        return out
+
+    def _data_block_index(self) -> list[tuple[bytes, int, int]]:
+        """(first_key_content, block_offset, on_disk_size) per data
+        block, sorted by key — root index descended through intermediate
+        levels (reader.rs:262-301 BFS)."""
+        if self._data_index is not None:
+            return self._data_index
+        entries: list[tuple[bytes, int, int]] = []
+        if self.load_on_open_offset and self.data_index_count:
+            h, payload = self._block_payload(self.load_on_open_offset)
+            if h.magic != ROOT_INDEX_MAGIC:
+                raise ValueError(f"expected IDXROOT2 block, got {h.magic!r}")
+            entries = self._parse_root_index(payload, self.data_index_count)
+            for _ in range(self.num_data_index_levels - 1):
+                nxt = []
+                for _, off, _size in entries:
+                    ih, ip = self._block_payload(off)
+                    if ih.magic not in NONROOT_INDEX_MAGICS:
+                        raise ValueError(f"expected index block, got {ih.magic!r}")
+                    nxt.extend(self._parse_nonroot_index(ip))
+                entries = nxt
+        self._data_index = entries
+        return entries
+
+    def _block_cells(self, off: int) -> list[tuple[bytes, bytes]]:
+        cached = self._block_cells_cache.get(off)
+        if cached is not None:
+            return cached
+        h, payload = self._block_payload(off)
+        if h.magic not in DATA_MAGICS:
+            raise ValueError(f"index pointed at non-data block {h.magic!r}")
+        cells = self._parse_cells(payload)
+        self._block_cells_cache[off] = cells
+        return cells
+
+    # -- indexed access (reader.rs:937 lookup_records, :972 prefix) --------
+    def lookup_records(self, keys) -> dict[bytes, bytes]:
+        """{key_bytes: value_bytes} for the requested keys (str or bytes,
+        any order), decoding ONLY the index-selected blocks — O(log
+        blocks) per key instead of a full-file scan. Falls back to the
+        sequential walk when the file predates block indexes."""
+        wanted = [k.encode("utf-8") if isinstance(k, str) else k for k in keys]
+        if not wanted:
+            return {}
+        index = self._data_block_index()
+        if not index:
+            want = set(wanted)
+            return {k: v for k, v in self.records() if k in want}
+        firsts = [e[0] for e in index]
+        by_block: dict[int, set[bytes]] = {}
+        for kb in wanted:
+            i = bisect_right(firsts, kb) - 1
+            if i < 0:
+                continue  # before the first block's first key: absent
+            by_block.setdefault(index[i][1], set()).add(kb)
+        out: dict[bytes, bytes] = {}
+        for off, want in by_block.items():
+            for key, val in self._block_cells(off):
+                if key in want:
+                    out[key] = val
+        return out
+
+    def records_by_prefix(self, prefix) -> list[tuple[bytes, bytes]]:
+        """All (key, value) cells whose key starts with ``prefix``, in
+        key order; decodes only the contiguous block range the sorted
+        index maps the prefix to."""
+        pb = prefix.encode("utf-8") if isinstance(prefix, str) else prefix
+        index = self._data_block_index()
+        if not index:
+            return [(k, v) for k, v in self.records() if k.startswith(pb)]
+        firsts = [e[0] for e in index]
+        start = max(bisect_right(firsts, pb) - 1, 0)
+        out: list[tuple[bytes, bytes]] = []
+        for j in range(start, len(index)):
+            for key, val in self._block_cells(index[j][1]):
+                if key.startswith(pb):
+                    out.append((key, val))
+                elif key[: len(pb)] > pb:
+                    return out  # sorted: past the prefix range
+        return out

@@ -42,10 +42,14 @@ def read_record_index(
     data_table_base_path: str,
     keys: set[str] | None = None,
 ) -> dict[str, tuple[str, str]]:
-    """{record_key: (partition_path, file_id)}; ``keys`` filters during
-    the scan so only matching cells decode."""
+    """{record_key: (partition_path, file_id)}. With ``keys`` given, each
+    index HFile answers through its block index (hfile/reader.py
+    lookup_records — reference reader.rs:937 parity): only the blocks
+    holding requested keys decompress, O(log blocks) per key, instead of
+    a full index scan — the point of a point lookup on a 10^9-key index."""
     out: dict[str, tuple[str, str]] = {}
     schema = names = None
+    sorted_keys = sorted(keys) if keys is not None else None
     for is_base, hf in iter_partition_hfiles(
         data_table_base_path, RECORD_INDEX_PARTITION
     ):
@@ -54,7 +58,11 @@ def read_record_index(
             if schema is None:
                 raise ValueError("MDT record_index HFile carries no avro schema")
             names = collect_names(schema)
-        for k, v in hf.records():
+        if sorted_keys is not None:
+            pairs = sorted(hf.lookup_records(sorted_keys).items())
+        else:
+            pairs = hf.records()
+        for k, v in pairs:
             key = k.decode("utf-8", errors="replace")
             if keys is not None and key not in keys:
                 continue

@@ -69,19 +69,37 @@ def list_secondary_indexes(config) -> list[str]:
     ]
 
 
+def _escape(s: str) -> str:
+    """Apply one level of backslash escaping ('$'->'\\$', '\\'->'\\\\'),
+    the writer-side twin of _unescape."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
 def read_secondary_index(
     data_table_base_path: str,
     index_partition: str,
     values: set[str] | None = None,
 ) -> dict[str, set[str]]:
-    """{column_value: {record_key, ...}} for live index entries."""
+    """{column_value: {record_key, ...}} for live index entries.
+
+    With ``values`` given, each index HFile is probed by PREFIX
+    ('{escaped_value}$' — hfile/reader.py records_by_prefix; reference
+    reader.rs:972 collect_records_by_prefix parity): the sorted index
+    maps each value to a contiguous block range, so only those blocks
+    decompress instead of the whole index."""
     state: dict[tuple[str, str], bool] = {}  # (value, record_key) -> deleted
     schema = names = None
     for is_base, hf in iter_partition_hfiles(data_table_base_path, index_partition):
         if schema is None:
             schema = hf.avro_schema()
             names = collect_names(schema) if schema else None
-        for k, v in hf.records():
+        if values is not None:
+            pairs = []
+            for val in sorted(values):
+                pairs.extend(hf.records_by_prefix(_escape(val) + "$"))
+        else:
+            pairs = hf.records()
+        for k, v in pairs:
             raw = k.decode("utf-8", errors="replace")
             parts = split_secondary_index_key(raw)
             if parts is None:

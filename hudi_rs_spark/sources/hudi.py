@@ -269,10 +269,20 @@ class HudiTable:
             return mdt.list_partition_files_via_mdt(
                 self.base_path, self.config, part_filter
             )
-        except Exception:
+        except Exception as exc:
             if self.listing == "mdt":
                 raise
-            return None  # auto: fall back to direct listing
+            # auto: fall back to direct listing, but say why — a silent
+            # fallback hides systematic MDT problems (e.g. an unsupported
+            # codec) as a permanent slow path
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "MDT files-partition listing failed (%s: %s); falling back "
+                "to direct storage listing for %s",
+                type(exc).__name__, exc, self.base_path,
+            )
+            return None
 
     # ------------------------------------------------------------------
     # execution
