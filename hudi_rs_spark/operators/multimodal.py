@@ -8,12 +8,13 @@ batch, never per row. Partitioning is inherited from the scan — media
 work is embarrassingly parallel, so there is NO shuffle in any operator
 here.
 
-The actual codec step is environment-dependent (this container has no
-image/audio libraries), so decoding is pluggable: ``set_decoder`` installs
-a real decoder (e.g. PIL) when available; the default is a clearly-marked
-DETERMINISTIC STUB that derives pseudo pixel statistics from the bytes —
-the Spark-side plumbing (schemas, batching, UDF signatures) is real and
-tested either way.
+Decoding is pluggable (``set_decoder`` installs e.g. a PIL-backed
+decoder where that exists). The DEFAULT decoder is real for the
+dependency-free baseline formats in operators/codecs.py — PPM/BMP pixels
+(true dimensions + channel means), PCM16 WAV (true duration), and the
+PPMV frame container — and falls back to a clearly-marked DETERMINISTIC
+STUB for containers this environment cannot parse (jpeg/mp4/...), so
+the Spark-side plumbing is exercised either way.
 """
 
 from __future__ import annotations
@@ -26,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hudi_rs_spark.operators import codecs
+
 MEDIA_META_SCHEMA = T.StructType(
     [
         T.StructField("mime", T.StringType(), True),
@@ -36,11 +39,16 @@ MEDIA_META_SCHEMA = T.StructType(
 )
 
 
+_NULL_DECODE = {
+    "width": None, "height": None, "mean_r": None, "mean_g": None, "mean_b": None
+}
+
+
 def _stub_decode(data: bytes) -> dict:
-    """Deterministic fake decode: pseudo dimensions + channel means from
-    the content hash. Replace via set_decoder() where PIL/ffmpeg exist."""
+    """Deterministic fake decode for formats codecs.py cannot parse:
+    pseudo dimensions + channel means from the content hash."""
     if data is None:
-        return {"width": None, "height": None, "mean_r": None, "mean_g": None, "mean_b": None}
+        return dict(_NULL_DECODE)
     h = hashlib.md5(data).digest()
     return {
         "width": 64 + h[0] % 192,
@@ -51,20 +59,40 @@ def _stub_decode(data: bytes) -> dict:
     }
 
 
-_DECODER: Callable[[bytes], dict] = _stub_decode
+def default_decode(data: bytes) -> dict:
+    """REAL pixel decode for the baseline formats (PPM/BMP: true
+    dimensions + per-channel means; PPMV: first frame; WAV: no pixels),
+    stub for anything else."""
+    kind = codecs.sniff(data)
+    if kind is None:
+        return _stub_decode(data)
+    if kind == "wav":
+        return dict(_NULL_DECODE)
+    if kind == "ppmv":
+        _, frames = codecs.decode_ppmv(data)
+        if not frames:
+            return dict(_NULL_DECODE)
+        arr = frames[0]
+    elif kind == "ppm":
+        arr = codecs.decode_ppm(data)
+    else:
+        arr = codecs.decode_bmp(data)
+    means = arr.reshape(-1, 3).mean(axis=0) / 255.0
+    return {
+        "width": int(arr.shape[1]),
+        "height": int(arr.shape[0]),
+        "mean_r": float(means[0]),
+        "mean_g": float(means[1]),
+        "mean_b": float(means[2]),
+    }
+
+
+_DECODER: Callable[[bytes], dict] = default_decode
 
 
 def set_decoder(fn: Callable[[bytes], dict]) -> None:
     global _DECODER
     _DECODER = fn
-
-
-try:  # pragma: no cover - PIL is absent in this container
-    from PIL import Image  # noqa: F401
-
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
 
 
 IMAGE_FEATURES_SCHEMA = T.StructType(
@@ -105,28 +133,89 @@ def image_features(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
     return df.select(id_col, data_col).mapInPandas(compute, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_features(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
+    """Per-clip audio features via mapInPandas: REAL PCM16 WAV decode
+    (rate, channels, duration, RMS amplitude); non-WAV rows get nulls."""
+    id_name, data_name = id_col, data_col
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for item_id, data in zip(pdf[id_name], pdf[data_name]):
+                data = bytes(data) if data is not None else None
+                feat = {
+                    "item_id": int(item_id),
+                    "n_bytes": len(data) if data is not None else 0,
+                    "sample_rate": None,
+                    "n_channels": None,
+                    "duration_ms": None,
+                    "rms": None,
+                }
+                if codecs.sniff(data) == "wav":
+                    rate, ch, samples = codecs.decode_wav(data)
+                    feat.update(
+                        sample_rate=int(rate),
+                        n_channels=int(ch),
+                        duration_ms=int(len(samples) * 1000 // rate),
+                        rms=float(
+                            np.sqrt(np.mean(samples.astype("float64") ** 2))
+                        ),
+                    )
+                rows.append(feat)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return df.select(id_col, data_col).mapInPandas(compute, AUDIO_FEATURES_SCHEMA)
+
+
 def resize_images(df: DataFrame, id_col: str, data_col: str, target: int = 224) -> DataFrame:
-    """Resize plumbing: binary-in/binary-out mapInPandas. Without a codec
-    the stub passes bytes through and records the intended target size."""
+    """Binary-in/binary-out resize via mapInPandas: REAL nearest-neighbor
+    resampling for the baseline formats (PPM/BMP in, P6 PPM out at
+    target x target); unparseable containers pass through unchanged with
+    ``resized`` = false."""
     schema = T.StructType(
         [
             T.StructField("item_id", T.LongType(), True),
             T.StructField("data", T.BinaryType(), True),
             T.StructField("target_size", T.IntegerType(), True),
+            T.StructField("resized", T.BooleanType(), True),
         ]
     )
     id_name, data_name = id_col, data_col
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAVE_PIL:  # pragma: no cover
-                raise NotImplementedError("real resize path requires PIL wiring")
+            rows = []
+            for item_id, data in zip(pdf[id_name], pdf[data_name]):
+                data = bytes(data) if data is not None else None
+                kind = codecs.sniff(data)
+                if kind in ("ppm", "bmp"):
+                    arr = (
+                        codecs.decode_ppm(data)
+                        if kind == "ppm"
+                        else codecs.decode_bmp(data)
+                    )
+                    out = codecs.encode_ppm(codecs.resize_nearest(arr, target, target))
+                    rows.append((int(item_id), out, target, True))
+                else:
+                    rows.append((int(item_id), data, target, False))
             yield pd.DataFrame(
-                {
-                    "item_id": pdf[id_name].astype("int64"),
-                    "data": pdf[data_name],
-                    "target_size": target,
-                }
+                rows, columns=["item_id", "data", "target_size", "resized"]
             )
 
     return df.select(id_col, data_col).mapInPandas(compute, schema)
@@ -135,9 +224,11 @@ def resize_images(df: DataFrame, id_col: str, data_col: str, target: int = 224) 
 def frame_sample(
     df: DataFrame, id_col: str, data_col: str, every_ms: int = 1000
 ) -> DataFrame:
-    """Video frame sampling plumbing: one row in -> N frame rows out
-    (mapInPandas naturally expresses 1->N). Stub emits deterministic
-    frame offsets from the content hash in place of real demuxing."""
+    """Video frame sampling: one row in -> N frame rows out (mapInPandas
+    naturally expresses 1->N). PPMV containers demux for REAL — one
+    output row per ``every_ms`` of video, frame_hash = md5 of the actual
+    sampled frame's pixels; other containers fall back to deterministic
+    stub offsets derived from the content hash."""
     schema = T.StructType(
         [
             T.StructField("item_id", T.LongType(), True),
@@ -153,6 +244,24 @@ def frame_sample(
             rows = []
             for item_id, data in zip(pdf[id_name], pdf[data_name]):
                 data = bytes(data) if data is not None else b""
+                if codecs.sniff(data) == "ppmv":
+                    frame_ms, frames = codecs.decode_ppmv(data)
+                    duration = frame_ms * len(frames)
+                    i = 0
+                    for off in range(0, max(duration, 1), every_ms):
+                        j = min(off // frame_ms, len(frames) - 1)
+                        rows.append(
+                            {
+                                "item_id": int(item_id),
+                                "frame_idx": i,
+                                "offset_ms": i * every_ms,
+                                "frame_hash": hashlib.md5(
+                                    frames[j].tobytes()
+                                ).hexdigest(),
+                            }
+                        )
+                        i += 1
+                    continue
                 n_frames = 1 + hashlib.md5(data).digest()[0] % 4
                 for i in range(n_frames):
                     rows.append(

@@ -37,6 +37,37 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_percentiles_approx(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10000
+) -> DataFrame:
+    """The SCALE path for q_price_percentiles: ``approx_percentile``
+    (Greenwald-Khanna sketch) replaces the exact aggregate. The exact
+    form shuffles every raw value to its group's reducer — unbounded
+    per-group state at 100 TB; the sketch keeps O(accuracy) state per
+    group, combines map-side, and bounds rank error by 1/accuracy.
+    Not registered in the driver gate (a sketch has no bit-exact SQL
+    oracle); tests/test_skew_approx.py pins it to the exact result
+    within tolerance, same pattern as approx_count_distinct."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                f"approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), {accuracy})"
+            ).alias("pcts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 PERCENTILES_SQL = """
 SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.5) AS p50,

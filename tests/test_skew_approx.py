@@ -50,3 +50,26 @@ class TestApproxDistinct:
             F.approx_count_distinct("l_orderkey", rsd=0.02)
         ).collect()[0][0]
         assert abs(approx - exact) / exact < 0.1
+
+
+class TestApproxPercentiles:
+    def test_approx_percentiles_within_tolerance(self, spark, sf_dir):
+        """Scale-path sketch vs the exact aggregate: every percentile
+        within 1% relative error (accuracy=10000 bounds rank error at
+        1e-4, far tighter than this assertion needs)."""
+        from hudi_rs_spark.workloads.quantiles import (
+            q_price_percentiles,
+            q_price_percentiles_approx,
+        )
+
+        exact = {r["l_returnflag"]: r for r in q_price_percentiles(spark, sf_dir).collect()}
+        approx = {
+            r["l_returnflag"]: r
+            for r in q_price_percentiles_approx(spark, sf_dir).collect()
+        }
+        assert set(exact) == set(approx)
+        for flag, e in exact.items():
+            a = approx[flag]
+            assert a["n"] == e["n"]
+            for p in ("p50", "p90", "p99"):
+                assert abs(a[p] - e[p]) / e[p] < 0.01, (flag, p, a[p], e[p])
