@@ -51,10 +51,14 @@ HEADLINE = [
     # data-pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_fuzzy_levenshtein",
     "text_quality",
     "sim_brute_topk",
     "sim_lsh_topk",
     "sim_ivf_topk",
+    "sim_embedding_near_dups",
+    # quantiles
+    "q_price_percentiles",
 ]
 
 
@@ -67,16 +71,33 @@ def main() -> None:
     spark = get_spark("hudi-rs-spark-bench")
     specs = load_all()
 
-    # warmup: touch the fact table once so JVM/codegen/FS caches are warm
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warmup: touch every table once so JVM/codegen/FS page caches are
+    # warm — cold-read I/O otherwise lands entirely on whichever query
+    # first touches a table (measured: first q3 after boot pays ~5x)
+    from hudi_rs_spark.workloads.tables import load
+
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        load(spark, sf_dir, t).count()
+
+    # best-of-N per query: single runs at fixed-overhead scale are noisy
+    # (r2 flagged 15% run-to-run swings on sub-3s queries); min over N
+    # isolates the plan cost from scheduler/GC jitter
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
-        t0 = time.perf_counter()
-        n = spec.build(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        best, rows = None, 0
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            rows = spec.build(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -87,6 +108,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs_per_query": n_runs,
             }
         )
     )
