@@ -1,0 +1,93 @@
+"""Distributed connected components for duplicate-cluster resolution.
+
+Pairwise near-dup detectors (MinHash LSH, SimHash, Jaccard — see
+``operators/dedup.py``) emit candidate *edges*; an actual dedup pipeline
+must contract those edges into clusters and pick one canonical survivor
+per cluster.  This module does that contraction with pure DataFrame ops.
+
+Algorithm: iterative min-label propagation to fixpoint.  Each round every
+node takes the minimum label over itself and its neighbors; at fixpoint
+every node carries the minimum id of its connected component, which is
+the canonical (survivor) id.  The result is deterministic regardless of
+execution or iteration order.
+
+Scale notes (the 100 TB story):
+- One shuffle per round, keyed by node id — uniform (ids), no skew.
+- Rounds needed = graph diameter.  LSH duplicate clusters are
+  quasi-cliques (every member shares a band bucket with most others),
+  so diameter is 2-3 in practice; `max_rounds` guards the adversarial
+  chain case.  For graphs with genuinely large diameter the published
+  alternative is alternating large-star/small-star contraction
+  (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+  which converges in O(log^2 n) rounds; not needed for dedup shapes.
+- Iterative Spark pitfall: each round extends the lineage chain, and
+  the planner re-executes it from the source every action.  We truncate
+  with eager ``localCheckpoint`` per round, so round k+1 reads round
+  k's materialized labels, not a k-deep plan.
+
+Reference scope note: apache/hudi-rs has no graph operator; this is part
+of the training-data-pipeline surface this repo adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Resolve undirected ``edges`` into components.
+
+    Returns (node, component) where ``component`` is the minimum node id
+    reachable from ``node`` — only for nodes that appear in some edge
+    (isolated nodes are their own trivial component; callers join them
+    back, see ``workloads/dedup.py::dedup_cluster_canonical``).
+
+    Runs at most ``max_rounds`` label-propagation rounds, stopping as
+    soon as a round changes no label (for LSH dup clusters: 2-3 rounds).
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # Neighbor lists shrink every round only in star-contraction variants;
+    # here the edge set is static and small relative to the corpus (near
+    # -dup pairs), so we persist it once and reuse it each round.
+    sym = sym.distinct().persist()
+
+    # Round 0 fused: label(u) = min(u, min neighbor).
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("nmin"))
+        .select("u", F.least(F.col("u"), F.col("nmin")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_rounds):
+        # min label among neighbors: edge (u,v) contributes label(v) to u.
+        neigh = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neigh, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("changed")).count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+
+    sym.unpersist()
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))

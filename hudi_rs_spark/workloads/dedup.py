@@ -107,7 +107,9 @@ SQL_WORD_SHINGLES = (
 # One md5 per shingle; 16 permutations derived arithmetically from the
 # digest halves (mirrors operators/dedup.py minhash_lsh_pairs exactly —
 # all operands < 2^38 so BIGINT math is identical in both engines).
-MINHASH_SQL = f"""
+# The WITH body is shared: MINHASH_SQL selects the pairs, CLUSTER_SQL
+# extends it with a recursive transitive closure.
+MINHASH_CTE = f"""
 WITH docs AS (SELECT doc_id, {SQL_NORM} AS norm FROM documents),
 sh AS (
   SELECT doc_id, unnest({SQL_WORD_SHINGLES}) AS s
@@ -135,8 +137,63 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+
+MINHASH_SQL = MINHASH_CTE + "\nSELECT id_a, id_b FROM cand ORDER BY id_a, id_b\n"
+
+
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs contracted into duplicate clusters; every doc is
+    assigned its canonical (min-id) survivor plus the cluster size.
+
+    The contraction is distributed min-label propagation
+    (operators/graph.py::connected_components); the oracle is the exact
+    same closure via DuckDB's recursive CTE — both sides compute the
+    min reachable id, which is iteration-order independent."""
+    from hudi_rs_spark.operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id")
+    comp = connected_components(pairs)
+    labeled = d.select("doc_id").join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    canon = labeled.select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("canon_id")
+    )
+    sizes = canon.groupBy("canon_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        canon.join(sizes, "canon_id")
+        .select("doc_id", "canon_id", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+# DuckDB recursive CTE: walk = reachability over the symmetrized edge
+# set; min reachable id (incl. self) == the propagation fixpoint.
+# (RECURSIVE applies to the whole WITH list and is a no-op for the
+# non-recursive members, so MINHASH_SQL itself stays plain.)
+CLUSTER_SQL = MINHASH_CTE.replace("WITH docs", "WITH RECURSIVE docs", 1) + """,
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION
+  SELECT id_b, id_a FROM cand
+),
+walk(u, r) AS (
+  SELECT u, v AS r FROM edges
+  UNION
+  SELECT w.u, e.v AS r FROM walk w JOIN edges e ON e.u = w.r
+),
+roots AS (
+  SELECT u, least(u, min(r)) AS component FROM walk GROUP BY u
+),
+canon AS (
+  SELECT d.doc_id, coalesce(roots.component, d.doc_id) AS canon_id
+  FROM documents d LEFT JOIN roots ON roots.u = d.doc_id
 )
-SELECT id_a, id_b FROM cand ORDER BY id_a, id_b
+SELECT doc_id, canon_id, CAST(count(*) OVER (PARTITION BY canon_id) AS BIGINT) AS cluster_size
+FROM canon
+ORDER BY doc_id
 """
 
 
@@ -193,6 +250,12 @@ for _n, _f, _s, _d in [
     ("dedup_normalized", dedup_normalized, NORM_SQL, "canonical-form dedup"),
     ("dedup_ngram_jaccard", dedup_ngram_jaccard, JACCARD_SQL, "ngram jaccard near-dup"),
     ("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL, "minhash+LSH banding"),
+    (
+        "dedup_cluster_canonical",
+        dedup_cluster_canonical,
+        CLUSTER_SQL,
+        "near-dup clusters via connected components",
+    ),
     ("dedup_simhash", dedup_simhash, SIMHASH_SQL, "simhash hamming near-dup"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("dedup",), doc=_d))

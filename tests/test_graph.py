@@ -1,0 +1,53 @@
+"""Connected-components contraction (operators/graph.py).
+
+Covers shapes the registry query can't force: long chains (multi-round
+propagation), isolated components, early fixpoint termination, and
+determinism across repartitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hudi_rs_spark.operators.graph import connected_components
+
+
+def _components(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = connected_components(df, **kw)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+class TestConnectedComponents:
+    def test_two_triangles(self, spark):
+        got = _components(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)])
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+    def test_chain_needs_multiple_rounds(self, spark):
+        # 0-1-2-...-9: diameter 9; min label must walk the whole chain.
+        got = _components(spark, [(i, i + 1) for i in range(9)])
+        assert got == {i: 0 for i in range(10)}
+
+    def test_chain_truncated_by_max_rounds(self, spark):
+        # with max_rounds=1 (after the fused round 0) a distant tail
+        # cannot yet have converged to 0 — documents the bound's meaning.
+        got = _components(spark, [(i, i + 1) for i in range(9)], max_rounds=1)
+        assert got[9] != 0
+        full = _components(spark, [(i, i + 1) for i in range(9)], max_rounds=20)
+        assert full[9] == 0
+
+    def test_reversed_and_duplicate_edges(self, spark):
+        got = _components(spark, [(5, 2), (2, 5), (2, 1), (5, 9), (5, 9)])
+        assert got == {1: 1, 2: 1, 5: 1, 9: 1}
+
+    def test_partitioning_invariance(self, spark):
+        edges = [(i, i + 1) for i in range(0, 40, 2)] + [(0, 40), (7, 9)]
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        a = connected_components(df).collect()
+        b = connected_components(df.repartition(7, "id_b")).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_star_single_round(self, spark):
+        # hub-and-spoke: every node adjacent to the min — one round.
+        got = _components(spark, [(0, i) for i in range(1, 30)])
+        assert set(got.values()) == {0}
