@@ -1,0 +1,102 @@
+"""Deterministic sampling and data-mixing operators.
+
+Training-data pipelines need *reproducible* sampling: the same corpus
+and config must select the same rows on every run, on any cluster
+layout, with no RNG state. All operators here derive a uniform 32-bit
+value from md5(id || salt) and keep a row iff that value falls under
+``floor(fraction * 2^32)`` — a pure map-side filter:
+
+- no shuffle at all (the filter happens before any exchange);
+- embarrassingly scalable — each task samples its own split;
+- oracle-checkable — md5 is bit-identical in Spark and DuckDB.
+
+``proportional_mix`` computes per-stratum rates *in-plan* from the
+stratum counts (one small aggregate, broadcast back), so there is no
+driver-side collect and the operator composes into a single Spark job
+at any scale.
+
+Reference scope note: apache/hudi-rs has no sampling operators; this is
+part of the training-data-pipeline surface this repo adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_U32 = 4294967296.0  # 2^32, exactly representable as a double
+
+
+def hash_u32(col: Column, salt: str) -> Column:
+    """Uniform value in [0, 2^32) from the first 8 hex chars of
+    md5(col || '|' || salt). Deterministic and engine-portable."""
+    d = F.md5(F.concat_ws("|", col.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float, salt: str = "s") -> DataFrame:
+    """Deterministic Bernoulli sample: keep iff u32(id) < fraction * 2^32."""
+    thresh = F.floor(F.lit(float(fraction)) * F.lit(_U32))
+    return df.filter(hash_u32(F.col(id_col), salt) < thresh)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling with explicit fractions.
+
+    The fraction lookup is a CASE expression (pure projection — no join,
+    no shuffle); strata missing from ``fractions`` use ``default``.
+    """
+    frac: Column = F.lit(float(default))
+    for k, v in sorted(fractions.items()):
+        frac = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(frac)
+    thresh = F.floor(frac * F.lit(_U32))
+    return df.filter(hash_u32(F.col(id_col), salt) < thresh)
+
+
+def proportional_mix(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    targets: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Sample the largest mix achieving target stratum proportions.
+
+    Given target shares ``p_s`` (summing to 1), the maximum total sample
+    honoring every share without oversampling any stratum is
+    ``N = min_s(count_s / p_s)``; each stratum is then thinned at
+    ``rate_s = N * p_s / count_s`` (the binding stratum keeps all rows).
+
+    Everything stays in-plan: counts are one partial-aggregated groupBy
+    over the strata, N is a single-row aggregate cross-joined (broadcast)
+    back, and the final rate lookup joins a ~|strata|-row frame — Spark
+    broadcasts it. The data-side work is one scan plus a map-side filter;
+    rows of non-targeted strata are dropped.
+
+    All rate arithmetic is plain IEEE double ops in a fixed order
+    (no rounding), so an oracle engine computes bit-identical rates.
+    """
+    tgt = df.sparkSession.createDataFrame(
+        sorted(targets.items()), f"{stratum_col} string, p double"
+    )
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("cnt"))
+    ratios = counts.join(F.broadcast(tgt), stratum_col).select(
+        stratum_col, "cnt", "p", (F.col("cnt") / F.col("p")).alias("ratio")
+    )
+    feasible = ratios.agg(F.min("ratio").alias("n_total"))
+    rates = ratios.crossJoin(F.broadcast(feasible)).select(
+        stratum_col,
+        F.floor(F.col("n_total") * F.col("p") / F.col("cnt") * F.lit(_U32)).alias(
+            "u32_thresh"
+        ),
+    )
+    return df.join(F.broadcast(rates), stratum_col).filter(
+        hash_u32(F.col(id_col), salt) < F.col("u32_thresh")
+    )

@@ -1,0 +1,92 @@
+"""Sampling / data-mixing workload over the documents table.
+
+Runs the operators in hudi_rs_spark/operators/sampling.py; the DuckDB
+oracle re-expresses the same md5-threshold selection with identical
+IEEE arithmetic, so both engines pick the exact same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hudi_rs_spark.operators import sampling as S
+from hudi_rs_spark.workloads import QuerySpec, register
+from hudi_rs_spark.workloads.tables import load
+
+# Per-source fractions exercised by the stratified query: a few explicit
+# strata plus a default for the rest.
+STRAT_FRACTIONS = {"src0": 0.75, "src1": 0.5, "src2": 0.25}
+STRAT_DEFAULT = 0.1
+
+# Target mix shares by language (must sum to 1); en is downweighted
+# relative to its corpus share so every rate is a genuine thinning.
+MIX_TARGETS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        S.stratified_sample(
+            d, "doc_id", "source", STRAT_FRACTIONS, default=STRAT_DEFAULT
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _u32_sql(salt: str) -> str:
+    return f"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || '{salt}'), 1, 8))::BIGINT"
+
+
+_CASE = "CASE " + " ".join(
+    f"WHEN source = '{k}' THEN {v!r}" for k, v in sorted(STRAT_FRACTIONS.items())
+) + f" ELSE {STRAT_DEFAULT!r} END"
+
+STRATIFIED_SQL = f"""
+SELECT doc_id, source
+FROM documents
+WHERE {_u32_sql("strat")} < CAST(floor(({_CASE}) * 4294967296.0) AS BIGINT)
+ORDER BY doc_id
+"""
+
+
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        S.proportional_mix(d, "doc_id", "lang", MIX_TARGETS)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_TGT_VALUES = ", ".join(f"('{k}', {v!r})" for k, v in sorted(MIX_TARGETS.items()))
+
+# Rate arithmetic mirrors operators/sampling.py::proportional_mix in the
+# same operation order (n_total * p / cnt * 2^32) so doubles agree bitwise.
+MIX_SQL = f"""
+WITH tgt(lang, p) AS (VALUES {_TGT_VALUES}),
+counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang
+),
+ratios AS (
+  SELECT c.lang, c.cnt, t.p, c.cnt / t.p AS ratio
+  FROM counts c JOIN tgt t ON c.lang = t.lang
+),
+feasible AS (SELECT min(ratio) AS n_total FROM ratios),
+rates AS (
+  SELECT r.lang,
+         CAST(floor(f.n_total * r.p / r.cnt * 4294967296.0) AS BIGINT) AS u32_thresh
+  FROM ratios r CROSS JOIN feasible f
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates ON d.lang = rates.lang
+WHERE {_u32_sql("mix").replace("doc_id", "d.doc_id")} < rates.u32_thresh
+ORDER BY d.doc_id
+"""
+
+
+for _n, _f, _s, _d in [
+    ("sample_stratified", sample_stratified, STRATIFIED_SQL, "per-stratum hash sample"),
+    ("sample_weighted_mix", sample_weighted_mix, MIX_SQL, "proportional source mixing"),
+]:
+    register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("sampling",), doc=_d))

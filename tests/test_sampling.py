@@ -1,0 +1,84 @@
+"""Sampling operators (operators/sampling.py): determinism, rate
+accuracy, mix feasibility, and the no-shuffle plan contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hudi_rs_spark.operators import sampling as S
+
+SF = "/root/testdata/sf0.01"
+
+
+def _docs(spark):
+    from hudi_rs_spark.workloads.tables import load
+
+    return load(spark, SF, "documents")
+
+
+class TestHashSample:
+    def test_rate_within_tolerance(self, spark):
+        d = _docs(spark)
+        n = d.count()
+        got = S.hash_sample(d, "doc_id", 0.4).count()
+        assert abs(got / n - 0.4) < 0.1
+
+    def test_deterministic_and_nested(self, spark):
+        d = _docs(spark)
+        a = sorted(r["doc_id"] for r in S.hash_sample(d, "doc_id", 0.3).select("doc_id").collect())
+        b = sorted(r["doc_id"] for r in S.hash_sample(d, "doc_id", 0.3).select("doc_id").collect())
+        assert a == b
+        # smaller fraction with the same salt is a subset (thresholds nest)
+        c = set(r["doc_id"] for r in S.hash_sample(d, "doc_id", 0.1).select("doc_id").collect())
+        assert c <= set(a)
+
+    def test_no_shuffle_plan(self, spark):
+        d = _docs(spark)
+        plan = S.hash_sample(d, "doc_id", 0.5)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_salt_decorrelates(self, spark):
+        d = _docs(spark)
+        a = set(r["doc_id"] for r in S.hash_sample(d, "doc_id", 0.5, salt="a").select("doc_id").collect())
+        b = set(r["doc_id"] for r in S.hash_sample(d, "doc_id", 0.5, salt="b").select("doc_id").collect())
+        assert a != b
+
+
+class TestStratified:
+    def test_fractions_respected(self, spark):
+        d = _docs(spark)
+        out = (
+            S.stratified_sample(d, "doc_id", "source", {"src0": 1.0, "src1": 0.0}, default=0.2)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        got = {r["source"]: r["n"] for r in out.collect()}
+        assert got["src0"] == 25  # fraction 1.0 keeps every row
+        assert "src1" not in got  # fraction 0.0 keeps none
+        # default strata thinned to ~20%
+        rest = [v for k, v in got.items() if k not in ("src0", "src1")]
+        assert all(v < 15 for v in rest) and sum(rest) > 0
+
+
+class TestProportionalMix:
+    def test_shares_and_feasibility(self, spark):
+        d = _docs(spark)
+        targets = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+        out = S.proportional_mix(d, "doc_id", "lang", targets)
+        counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        orig = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # never oversamples a stratum
+        assert all(counts[k] <= orig[k] for k in counts)
+        # binding stratum (min count/p) is kept whole
+        binding = min(orig, key=lambda k: orig[k] / targets[k])
+        assert counts[binding] == orig[binding]
+        # achieved shares approximate targets (hash granularity tolerance)
+        total = sum(counts.values())
+        for k, p in targets.items():
+            assert abs(counts[k] / total - p) < 0.08
+
+    def test_untargeted_strata_dropped(self, spark):
+        d = _docs(spark)
+        out = S.proportional_mix(d, "doc_id", "lang", {"en": 0.6, "de": 0.4})
+        langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+        assert langs <= {"en", "de"}
