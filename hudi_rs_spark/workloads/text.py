@@ -135,10 +135,91 @@ ORDER BY fp
 """
 
 
+def _with_synthetic_pii(d: DataFrame) -> DataFrame:
+    """Deterministically inject PII-shaped spans keyed on doc_id.
+
+    The synthetic corpus contains no digits or '@' at all, so detection
+    over raw text is degenerate; the same augmentation expression runs
+    in both engines (PII_AUG_SQL) and the detector is exercised on text
+    where ~1/7 of docs carry an email, ~1/11 a phone, ~1/13 an IP."""
+    i = F.col("doc_id")
+    email = F.when(
+        i % 7 == 0,
+        F.concat(F.lit(" contact user"), i.cast("string"), F.lit("@example.com now")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        i % 11 == 0,
+        F.concat(
+            F.lit(" call +1 "),
+            F.lpad(((i * 7) % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((i * 13) % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        i % 13 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (i % 256).cast("string"),
+            F.lit("."),
+            ((i * 3) % 256).cast("string"),
+            F.lit("."),
+            ((i * 5) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return d.withColumn("text", F.concat(F.col("text"), email, phone, ip))
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection counts + typed redaction per document
+    (operators/pii.py) over the deterministically augmented text."""
+    from hudi_rs_spark.operators.pii import pii_scrub
+
+    d = _with_synthetic_pii(load(spark, sf_dir, "documents"))
+    return pii_scrub(d, "text", "doc_id").orderBy("doc_id")
+
+
+PII_AUG_SQL = """
+text
+|| CASE WHEN doc_id % 7 = 0
+        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        ELSE '' END
+|| CASE WHEN doc_id % 11 = 0
+        THEN ' call +1 ' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+             || '-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+        ELSE '' END
+|| CASE WHEN doc_id % 13 = 0
+        THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+             || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+             || '.' || CAST((doc_id * 5) % 256 AS VARCHAR)
+        ELSE '' END
+"""
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_PHONE_RE = "\\+[0-9]{1,3} [0-9]{3}-[0-9]{4}"
+
+PII_SQL = f"""
+WITH aug AS (SELECT doc_id, {PII_AUG_SQL} AS text FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_IPV4_RE}')) AS INTEGER) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INTEGER) AS n_phone,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_IPV4_RE}', '<IPV4>', 'g'),
+         '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM aug
+ORDER BY doc_id
+"""
+
+
 for _n, _f, _s, _d in [
     ("text_token_stats", text_token_stats, TOKEN_SQL, "token + BPE-ish counting"),
     ("text_quality", text_quality, QUALITY_SQL, "quality scoring"),
     ("text_lang_id", text_lang_id, LANG_SQL, "stopword-voting language id"),
     ("text_fingerprint_groups", text_fingerprint_groups, FP_SQL, "doc fingerprinting"),
+    ("text_pii_scrub", text_pii_scrub, PII_SQL, "PII detection + redaction"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("text",), doc=_d))
