@@ -113,3 +113,62 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         lang_id(t).alias("pred_lang"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Word-level repetition signals (Gopher/C4-style quality filters):
+
+    - ``distinct_ratio``  — distinct words / total words
+    - ``top_word_ratio``  — occurrences of the most frequent word / total
+    - ``dup_bigram_ratio`` — 1 - distinct bigrams / total bigrams
+
+    Highly repetitive machine-generated or boilerplate text scores low
+    on the first and high on the last two.
+
+    Plan shape: posexplode words once, then partial-aggregated groupBys
+    and one window pass — every shuffle is keyed by the doc id, uniform.
+    No higher-order-function lambdas (adjacent-word pairing via lead()
+    avoids re-evaluating the split per element — the HOF inlining trap).
+    Ratios are explicit DOUBLE casts dividing in a fixed order so the
+    SQL oracle computes bit-identical IEEE results.
+    """
+    from pyspark.sql.window import Window
+
+    wp = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    per_word = wp.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_word.groupBy("id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    bi = (
+        wp.withColumn("nxt", F.lead("w").over(win))
+        .filter(F.col("nxt").isNotNull())
+        .select("id", F.concat_ws(" ", "w", "nxt").alias("bg"))
+        .groupBy("id")
+        .agg(F.count_distinct(F.col("bg")).cast("bigint").alias("n_distinct_bigrams"))
+    )
+    joined = per_doc.join(bi, "id", "left")
+    n_bigrams = F.col("n_words") - F.lit(1)
+    return joined.select(
+        F.col("id"),
+        F.col("n_words"),
+        F.col("n_distinct"),
+        (F.col("n_distinct").cast("double") / F.col("n_words").cast("double")).alias(
+            "distinct_ratio"
+        ),
+        (F.col("top_c").cast("double") / F.col("n_words").cast("double")).alias(
+            "top_word_ratio"
+        ),
+        F.when(n_bigrams <= 0, F.lit(0.0))
+        .otherwise(
+            F.lit(1.0)
+            - F.coalesce(F.col("n_distinct_bigrams"), F.lit(0)).cast("double")
+            / n_bigrams.cast("double")
+        )
+        .alias("dup_bigram_ratio"),
+    )

@@ -215,11 +215,60 @@ ORDER BY doc_id
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level repetition / boilerplate signals per document
+    (operators/text.py::repetition_stats)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        T.repetition_stats(d, "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# Mirrors repetition_stats: positions via unnest(range), bigrams via
+# lead() over (doc, pos); ratio arithmetic in the identical IEEE order.
+REPETITION_SQL = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+wp AS (
+  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS w
+  FROM docs
+),
+per_word AS (
+  SELECT doc_id, w, count(*) AS c FROM wp GROUP BY doc_id, w
+),
+per_doc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         max(c) AS top_c
+  FROM per_word GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, CAST(count(DISTINCT bg) AS BIGINT) AS n_distinct_bigrams
+  FROM (
+    SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+    FROM wp
+  )
+  WHERE bg IS NOT NULL
+  GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_words, p.n_distinct,
+       CAST(p.n_distinct AS DOUBLE) / CAST(p.n_words AS DOUBLE) AS distinct_ratio,
+       CAST(p.top_c AS DOUBLE) / CAST(p.n_words AS DOUBLE) AS top_word_ratio,
+       CASE WHEN p.n_words - 1 <= 0 THEN 0.0
+            ELSE 1.0 - CAST(coalesce(b.n_distinct_bigrams, 0) AS DOUBLE)
+                       / CAST(p.n_words - 1 AS DOUBLE) END AS dup_bigram_ratio
+FROM per_doc p LEFT JOIN bi b ON p.doc_id = b.doc_id
+ORDER BY p.doc_id
+"""
+
+
 for _n, _f, _s, _d in [
     ("text_token_stats", text_token_stats, TOKEN_SQL, "token + BPE-ish counting"),
     ("text_quality", text_quality, QUALITY_SQL, "quality scoring"),
     ("text_lang_id", text_lang_id, LANG_SQL, "stopword-voting language id"),
     ("text_fingerprint_groups", text_fingerprint_groups, FP_SQL, "doc fingerprinting"),
     ("text_pii_scrub", text_pii_scrub, PII_SQL, "PII detection + redaction"),
+    ("text_repetition", text_repetition, REPETITION_SQL, "repetition/boilerplate signals"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("text",), doc=_d))
