@@ -82,3 +82,26 @@ class TestProportionalMix:
         out = S.proportional_mix(d, "doc_id", "lang", {"en": 0.6, "de": 0.4})
         langs = {r["lang"] for r in out.select("lang").distinct().collect()}
         assert langs <= {"en", "de"}
+
+
+class TestPackSequences:
+    def test_offsets_and_overrun_bound(self, spark):
+        from hudi_rs_spark.operators.packing import pack_sequences
+
+        rows = [(i, "s", t) for i, t in enumerate([300, 300, 300, 300, 50, 600])]
+        df = spark.createDataFrame(rows, ["id", "src", "toks"])
+        out = {r["id"]: r.asDict() for r in pack_sequences(df, "id", "toks", 500, "src").collect()}
+        # running offsets in id order
+        assert [out[i]["start_offset"] for i in range(6)] == [0, 300, 600, 900, 1200, 1250]
+        # shard = start div capacity
+        assert [out[i]["shard"] for i in range(6)] == [0, 0, 1, 1, 2, 2]
+
+    def test_streams_independent(self, spark):
+        from hudi_rs_spark.operators.packing import pack_sequences
+
+        rows = [(1, "a", 400), (2, "b", 400), (3, "a", 400), (4, "b", 400)]
+        df = spark.createDataFrame(rows, ["id", "src", "toks"])
+        out = {r["id"]: r.asDict() for r in pack_sequences(df, "id", "toks", 500, "src").collect()}
+        # each stream starts at offset 0
+        assert out[1]["start_offset"] == 0 and out[2]["start_offset"] == 0
+        assert out[3]["shard"] == 0 and out[3]["start_offset"] == 400
