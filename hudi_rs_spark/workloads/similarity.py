@@ -193,10 +193,81 @@ ORDER BY id_a, id_b
 """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer k-means over the embeddings table
+    (operators/clustering.py) — SemDeDup-style semantic grouping."""
+    from hudi_rs_spark.operators.clustering import kmeans_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = kmeans_assign(emb, "vec_id", "embedding", k=KMEANS_K, iterations=KMEANS_ITERS)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("cid").alias("cluster"),
+        "dist2",
+    ).orderBy("vec_id")
+
+
+def _km_assign_cte(name: str, cent: str) -> str:
+    """One assignment round: nearest centroid in exact BIGINT distance,
+    ties to the lowest cluster id (mirrors min(struct(dist2, cid)))."""
+    return f"""{name} AS (
+  SELECT id, cid, dist2 FROM (
+    SELECT q.id, c.cid,
+           CAST(list_sum(list_transform(range(1, 65),
+                i -> (q.q[i] - c.cq[i]) * (q.q[i] - c.cq[i]))) AS BIGINT) AS dist2,
+           row_number() OVER (PARTITION BY q.id
+                              ORDER BY list_sum(list_transform(range(1, 65),
+                                i -> (q.q[i] - c.cq[i]) * (q.q[i] - c.cq[i]))), c.cid) AS rn
+    FROM q CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+
+def _km_update_cte(assign: str, cells: str, cent: str) -> str:
+    """Centroid update: exact integer mean per (cluster, dim) via the
+    positive-remainder floor-division identity."""
+    return f"""{cells} AS (
+  SELECT cid, pos, sum(v) AS s, count(*) AS n FROM (
+    SELECT {assign}.cid, unnest(range(1, 65)) AS pos, unnest(q.q) AS v
+    FROM {assign} JOIN q ON {assign}.id = q.id
+  ) GROUP BY cid, pos
+),
+{cent} AS (
+  SELECT cid, list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY pos) AS cq
+  FROM {cells} GROUP BY cid
+)"""
+
+
+KMEANS_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+seeded AS (SELECT id, q, md5(CAST(id AS VARCHAR)) AS seed FROM q),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY seed, id) AS INTEGER) AS cid, q AS cq
+  FROM (SELECT * FROM seeded ORDER BY seed, id LIMIT {KMEANS_K})
+),
+{_km_assign_cte("a1", "init")},
+{_km_update_cte("a1", "cells1", "c1")},
+{_km_assign_cte("a2", "c1")},
+{_km_update_cte("a2", "cells2", "c2")},
+{_km_assign_cte("a3", "c2")}
+SELECT id AS vec_id, cid AS cluster, dist2 FROM a3 ORDER BY vec_id
+"""
+
+
 for _n, _f, _s, _d in [
     ("sim_brute_topk", sim_brute_topk, BRUTE_SQL, "brute-force cosine top-k"),
     ("sim_lsh_topk", sim_lsh_topk, LSH_TOPK_SQL, "LSH-bucketed ANN top-k"),
     ("sim_ivf_topk", sim_ivf_topk, IVF_TOPK_SQL, "IVF inverted-list ANN top-k"),
     ("sim_embedding_near_dups", sim_embedding_near_dups, NEAR_DUP_SQL, "embedding near-dup pairs"),
+    ("sim_kmeans_clusters", sim_kmeans_clusters, KMEANS_SQL, "deterministic integer k-means"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("similarity",), doc=_d))
