@@ -59,6 +59,15 @@ HEADLINE = [
     "sim_embedding_near_dups",
     # quantiles
     "q_price_percentiles",
+    # round-3 pipeline operators
+    "dedup_cluster_canonical",
+    "sample_stratified",
+    "sample_weighted_mix",
+    "pack_token_shards",
+    "text_pii_scrub",
+    "text_repetition",
+    "sim_kmeans_clusters",
+    "pipeline_curate",
 ]
 
 

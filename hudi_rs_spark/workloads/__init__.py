@@ -45,5 +45,6 @@ def load_all() -> dict[str, QuerySpec]:
     from hudi_rs_spark.workloads import quantiles  # noqa: F401
     from hudi_rs_spark.workloads import sampling  # noqa: F401
     from hudi_rs_spark.workloads import packing  # noqa: F401
+    from hudi_rs_spark.workloads import pipeline  # noqa: F401
 
     return REGISTRY

@@ -108,7 +108,16 @@ SQL_WORD_SHINGLES = (
 # digest halves (mirrors operators/dedup.py minhash_lsh_pairs exactly —
 # all operands < 2^38 so BIGINT math is identical in both engines).
 # The WITH body is shared: MINHASH_SQL selects the pairs, CLUSTER_SQL
-# extends it with a recursive transitive closure.
+# extends it with a recursive transitive closure, and
+# workloads/pipeline.py rebinds the source relation via minhash_cte().
+
+
+def minhash_cte(source: str = "documents") -> str:
+    """The minhash-LSH candidate-pair CTE chain over any relation with
+    (doc_id, text) — `cand` is the resulting pair set."""
+    return MINHASH_CTE.replace("FROM documents", f"FROM {source}")
+
+
 MINHASH_CTE = f"""
 WITH docs AS (SELECT doc_id, {SQL_NORM} AS norm FROM documents),
 sh AS (
