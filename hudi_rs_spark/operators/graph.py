@@ -51,12 +51,16 @@ def connected_components(
     Runs at most ``max_rounds`` label-propagation rounds, stopping as
     soon as a round changes no label (for LSH dup clusters: 2-3 rounds).
     """
-    sym = edges.select(
+    # Materialize the incoming edge plan FIRST: both branches of the
+    # symmetrize union would otherwise re-execute it (for LSH pairs that
+    # means running the whole minhash pipeline twice — measured ~2x the
+    # operator cost), and every propagation round would again.
+    edges = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    # Neighbor lists shrink every round only in star-contraction variants;
-    # here the edge set is static and small relative to the corpus (near
-    # -dup pairs), so we persist it once and reuse it each round.
+    ).localCheckpoint(eager=True)
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # The edge set is static and small relative to the corpus (near-dup
+    # pairs), so persist the symmetric form once and reuse it each round.
     sym = sym.distinct().persist()
 
     # Round 0 fused: label(u) = min(u, min neighbor).
