@@ -148,3 +148,34 @@ class TestHudiReadPlans:
         assert len(exchanges) == 1, exchanges
         assert "WindowGroupLimit" in plan
         assert "hashpartitioning(__fg" in plan
+
+
+class TestRound3OperatorPlans:
+    def test_mix_rates_broadcast_back(self, spark, sf_dir):
+        plan = _plan(SPECS["sample_weighted_mix"].build(spark, sf_dir))
+        # the ~|strata|-row rates frame joins the corpus via broadcast,
+        # never a shuffled join of the big side against 5 rows
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_stratified_sample_no_join_no_shuffle_before_sort(self, spark, sf_dir):
+        plan = _plan(SPECS["sample_stratified"].build(spark, sf_dir))
+        # CASE projection + filter; the only exchange is the final orderBy
+        assert "Join" not in plan
+        assert plan.count("Exchange rangepartitioning") == 1
+
+    def test_kmeans_assignment_broadcasts_centroids(self, spark, sf_dir):
+        plan = _plan(SPECS["sim_kmeans_clusters"].build(spark, sf_dir))
+        # corpus never shuffles for assignment: centroids broadcast to it
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_pack_single_window_exchange(self, spark, sf_dir):
+        plan = _plan(SPECS["pack_token_shards"].build(spark, sf_dir))
+        # one hash exchange for the per-stream window, one range for sort
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Window" in plan
+
+    def test_pii_scrub_pure_projection(self, spark, sf_dir):
+        plan = _plan(SPECS["text_pii_scrub"].build(spark, sf_dir))
+        assert "Join" not in plan and "Exchange hashpartitioning" not in plan
