@@ -68,6 +68,7 @@ HEADLINE = [
     "text_repetition",
     "sim_kmeans_clusters",
     "pipeline_curate",
+    "mm_image_features",
 ]
 
 

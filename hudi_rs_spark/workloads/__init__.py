@@ -46,5 +46,6 @@ def load_all() -> dict[str, QuerySpec]:
     from hudi_rs_spark.workloads import sampling  # noqa: F401
     from hudi_rs_spark.workloads import packing  # noqa: F401
     from hudi_rs_spark.workloads import pipeline  # noqa: F401
+    from hudi_rs_spark.workloads import multimodal  # noqa: F401
 
     return REGISTRY
