@@ -186,3 +186,68 @@ class TestStructuredStreaming:
         canon = lambda rows: sorted((str(r["window_start"]), r["event_type"], r["n"]) for r in rows)
         assert canon(got) == canon(want)
         assert len(got) > 0
+
+
+class TestWatermarkLateData:
+    def test_append_mode_drops_late_rows(self, spark, tmp_path):
+        """Watermark semantics end-to-end: in append mode a window only
+        emits once the watermark passes its end, and rows arriving after
+        that are dropped — verified by replaying two micro-batches
+        through one checkpoint (file sink), where the second batch holds
+        an event older than the advanced watermark."""
+        from datetime import datetime
+
+        from pyspark.sql import functions as F
+
+        src_dir, out, ckpt = tmp_path / "src", tmp_path / "out", str(tmp_path / "ckpt")
+        src_dir.mkdir()
+
+        def write_batch(rows):
+            spark.createDataFrame(
+                rows, "user_id long, ts timestamp, event_type string"
+            ).coalesce(1).write.mode("append").parquet(str(src_dir))
+
+        def run_stream():
+            stream = (
+                spark.readStream.schema("user_id long, ts timestamp, event_type string")
+                .parquet(str(src_dir))
+                .withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("win.start").alias("window_start"), "event_type", "n")
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return {
+                (str(r["window_start"]), r["event_type"]): r["n"]
+                for r in spark.read.parquet(str(out)).collect()
+            }
+
+        # batch 1: windows [00:00,01:00) and [02:00,03:00); max ts 02:30
+        # -> watermark 02:20 passes the first window's end: it finalizes.
+        write_batch([
+            (1, datetime(2024, 1, 1, 0, 10), "click"),
+            (2, datetime(2024, 1, 1, 0, 40), "click"),
+            (3, datetime(2024, 1, 1, 2, 30), "view"),
+        ])
+        first = run_stream()
+        assert first == {("2024-01-01 00:00:00", "click"): 2}
+
+        # batch 2: a late click for the finalized 00:00 window (dropped
+        # by the watermark) plus a fresh event closing the 02:00 window.
+        write_batch([
+            (4, datetime(2024, 1, 1, 0, 50), "click"),
+            (5, datetime(2024, 1, 1, 5, 0), "view"),
+        ])
+        second = run_stream()
+        assert second == {
+            ("2024-01-01 00:00:00", "click"): 2,   # unchanged by the late row
+            ("2024-01-01 02:00:00", "view"): 1,    # exactly the on-time event
+        }
