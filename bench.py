@@ -69,6 +69,7 @@ HEADLINE = [
     "sim_kmeans_clusters",
     "pipeline_curate",
     "mm_image_features",
+    "mm_audio_features",
 ]
 
 

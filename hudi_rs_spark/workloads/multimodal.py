@@ -89,3 +89,71 @@ register(
         doc="real PPM decode vs closed-form oracle",
     )
 )
+
+
+AUDIO_GEN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("clip", T.BinaryType(), False),
+    ]
+)
+
+
+def synth_clips(df: DataFrame) -> DataFrame:
+    """Deterministic constant-amplitude PCM16 WAV per doc_id:
+    rate 8/12/16 kHz, 1-2 channels, 100+id%50 frames, amp 91id%2000-1000."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                rate = 8000 + (i % 3) * 4000
+                ch = 1 + i % 2
+                nf = 100 + i % 50
+                amp = (i * 91) % 2000 - 1000
+                samples = np.full((nf, ch), amp, dtype="<i2")
+                rows.append({"doc_id": i, "clip": codecs.encode_wav(rate, samples)})
+            yield pd.DataFrame(rows, columns=["doc_id", "clip"])
+
+    return df.select("doc_id").mapInPandas(gen, AUDIO_GEN_SCHEMA)
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hudi_rs_spark.operators.multimodal import audio_features
+
+    d = load(spark, sf_dir, "documents")
+    return audio_features(synth_clips(d), "doc_id", "clip").orderBy("item_id")
+
+
+# Closed forms: n_bytes = 44-byte canonical header + 2*frames*channels;
+# RMS of a constant-amplitude signal is |amp| exactly (a^2 < 2^53 and
+# IEEE sqrt of a perfect square is exact); duration = frames*1000//rate.
+AUDIO_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         8000 + (doc_id % 3) * 4000 AS rate,
+         1 + doc_id % 2 AS ch,
+         100 + doc_id % 50 AS nf,
+         (doc_id * 91) % 2000 - 1000 AS a
+  FROM documents
+)
+SELECT doc_id AS item_id,
+       CAST(44 + nf * ch * 2 AS BIGINT) AS n_bytes,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(ch AS INTEGER) AS n_channels,
+       CAST(nf * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(abs(a) AS DOUBLE) AS rms
+FROM p
+ORDER BY item_id
+"""
+
+register(
+    QuerySpec(
+        name="mm_audio_features",
+        build=mm_audio_features,
+        oracle=AUDIO_SQL,
+        tags=("multimodal",),
+        doc="real WAV decode vs closed-form oracle",
+    )
+)
