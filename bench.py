@@ -70,6 +70,7 @@ HEADLINE = [
     "pipeline_curate",
     "mm_image_features",
     "mm_audio_features",
+    "text_tfidf_topterms",
 ]
 
 

@@ -263,6 +263,81 @@ ORDER BY p.doc_id
 """
 
 
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 distinctive terms per language by tf * (N/df).
+
+    The idf stays a rational N/df instead of ln(N/df): log is a libm
+    call whose last ulp can differ between engines, while one division
+    in a fixed order is bit-identical. Ranking (and hence the output)
+    is unchanged — x -> ln(x) is monotone.
+
+    Plan: explode words once; (lang, term) tf and term df are two
+    partial-aggregated groupBys; df joins tf on term (uniform key);
+    top-k per lang via rank window. All shuffles keyed by term/lang.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "lang", "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = words.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = words.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = d.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n").cast("double") / F.col("df").cast("double"))
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "rank", "term", "tf", "df", "tfidf")
+        .orderBy("lang", "rank")
+    )
+
+
+TFIDF_SQL = """
+WITH words AS (
+  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY lang, term
+),
+docfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM words) GROUP BY term
+),
+n_docs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT lang, term, tf, df,
+         CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n_docs
+)
+SELECT lang, CAST(rank AS INTEGER) AS rank, term, tf, df, tfidf
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+ORDER BY lang, rank
+"""
+
+
 for _n, _f, _s, _d in [
     ("text_token_stats", text_token_stats, TOKEN_SQL, "token + BPE-ish counting"),
     ("text_quality", text_quality, QUALITY_SQL, "quality scoring"),
@@ -270,5 +345,6 @@ for _n, _f, _s, _d in [
     ("text_fingerprint_groups", text_fingerprint_groups, FP_SQL, "doc fingerprinting"),
     ("text_pii_scrub", text_pii_scrub, PII_SQL, "PII detection + redaction"),
     ("text_repetition", text_repetition, REPETITION_SQL, "repetition/boilerplate signals"),
+    ("text_tfidf_topterms", text_tfidf_topterms, TFIDF_SQL, "per-language TF-IDF top terms"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("text",), doc=_d))
