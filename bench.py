@@ -71,6 +71,7 @@ HEADLINE = [
     "mm_image_features",
     "mm_audio_features",
     "text_tfidf_topterms",
+    "text_length_outliers",
 ]
 
 

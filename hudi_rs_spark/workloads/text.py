@@ -338,6 +338,66 @@ ORDER BY lang, rank
 """
 
 
+def text_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents whose length is >2 sample standard deviations from
+    their language's mean — the classic distribution-based quality cut.
+
+    Moments come from exact BIGINT sums (n, Σx, Σx²) so they are
+    order-independent on any partitioning; mean/variance then derive in
+    one fixed sequence of double ops the oracle mirrors exactly:
+    var = (Σx² - Σx·mean)/(n-1), z = (x - mean)/sqrt(var).
+    """
+    d = load(spark, sf_dir, "documents")
+    mom = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    stats = mom.select(
+        "lang",
+        (F.col("s1").cast("double") / F.col("n").cast("double")).alias("mean"),
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double")
+                * (F.col("s1").cast("double") / F.col("n").cast("double"))
+            )
+            / (F.col("n") - 1).cast("double")
+        ).alias("sd"),
+    )
+    z = (F.col("n_chars").cast("double") - F.col("mean")) / F.col("sd")
+    return (
+        d.join(F.broadcast(stats), "lang")
+        .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"), z.alias("z"))
+        .filter((F.col("z") > 2.0) | (F.col("z") < -2.0))
+        .orderBy("doc_id")
+    )
+
+
+OUTLIER_SQL = """
+WITH mom AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY lang
+),
+stats AS (
+  SELECT lang,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         sqrt((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+              / CAST(n - 1 AS DOUBLE)) AS sd
+  FROM mom
+)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+       (CAST(d.n_chars AS DOUBLE) - s.mean) / s.sd AS z
+FROM documents d JOIN stats s ON d.lang = s.lang
+WHERE (CAST(d.n_chars AS DOUBLE) - s.mean) / s.sd > 2.0
+   OR (CAST(d.n_chars AS DOUBLE) - s.mean) / s.sd < -2.0
+ORDER BY d.doc_id
+"""
+
+
 for _n, _f, _s, _d in [
     ("text_token_stats", text_token_stats, TOKEN_SQL, "token + BPE-ish counting"),
     ("text_quality", text_quality, QUALITY_SQL, "quality scoring"),
@@ -346,5 +406,6 @@ for _n, _f, _s, _d in [
     ("text_pii_scrub", text_pii_scrub, PII_SQL, "PII detection + redaction"),
     ("text_repetition", text_repetition, REPETITION_SQL, "repetition/boilerplate signals"),
     ("text_tfidf_topterms", text_tfidf_topterms, TFIDF_SQL, "per-language TF-IDF top terms"),
+    ("text_length_outliers", text_length_outliers, OUTLIER_SQL, "z-score length outliers"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("text",), doc=_d))
