@@ -72,6 +72,8 @@ HEADLINE = [
     "mm_audio_features",
     "text_tfidf_topterms",
     "text_length_outliers",
+    "mm_resize_features",
+    "mm_frame_sample",
 ]
 
 

@@ -157,3 +157,118 @@ register(
         doc="real WAV decode vs closed-form oracle",
     )
 )
+
+
+def mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the REAL resize path: synth constant PPM ->
+    nearest-neighbor resize to 16x16 -> re-decode features. Nearest
+    resampling of a constant image is the same constant, so every
+    output feature has a closed form (and n_bytes collapses to the
+    fixed 16x16 PPM size)."""
+    from hudi_rs_spark.operators.multimodal import image_features, resize_images
+
+    d = load(spark, sf_dir, "documents")
+    resized = resize_images(synth_images(d), "doc_id", "img", target=16)
+    return image_features(resized, "item_id", "data").drop("content_hash").orderBy(
+        "item_id"
+    )
+
+
+# 16x16 P6 PPM: "P6\n16 16\n255\n" (13 bytes) + 3*256 pixels = 781.
+RESIZE_SQL = """
+SELECT doc_id AS item_id,
+       CAST(781 AS BIGINT) AS n_bytes,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST((doc_id * 37) % 256 AS DOUBLE) / 255.0 AS mean_r,
+       CAST((doc_id * 59) % 256 AS DOUBLE) / 255.0 AS mean_g,
+       CAST((doc_id * 83) % 256 AS DOUBLE) / 255.0 AS mean_b
+FROM documents
+ORDER BY item_id
+"""
+
+register(
+    QuerySpec(
+        name="mm_resize_features",
+        build=mm_resize_features,
+        oracle=RESIZE_SQL,
+        tags=("multimodal",),
+        doc="real nearest-neighbor resize round-trip vs closed-form oracle",
+    )
+)
+
+
+VIDEO_GEN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("vid", T.BinaryType(), False),
+    ]
+)
+
+FRAME_MS = 500
+
+
+def synth_videos(df: DataFrame) -> DataFrame:
+    """Deterministic PPMV container per doc_id: 2+id%4 constant-color
+    2x2 frames at 500ms each (frame f colored (37id+f)%256, ...)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nf = 2 + i % 4
+                frames = [
+                    np.full(
+                        (2, 2, 3),
+                        [(i * 37 + f) % 256, (i * 59 + f) % 256, (i * 83 + f) % 256],
+                        dtype=np.uint8,
+                    )
+                    for f in range(nf)
+                ]
+                rows.append({"doc_id": i, "vid": codecs.encode_ppmv(frames, FRAME_MS)})
+            yield pd.DataFrame(rows, columns=["doc_id", "vid"])
+
+    return df.select("doc_id").mapInPandas(gen, VIDEO_GEN_SCHEMA)
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PPMV demux through frame_sample (1 video row -> N frame
+    rows): sampled-frame count and offsets depend on the decoded frame
+    interval and count, both closed-form. frame_hash is md5 over raw
+    pixel bytes — not SQL-expressible — so the query projects it away."""
+    from hudi_rs_spark.operators.multimodal import frame_sample
+
+    d = load(spark, sf_dir, "documents")
+    out = frame_sample(synth_videos(d), "doc_id", "vid", every_ms=1000)
+    return out.select("item_id", "frame_idx", "offset_ms").orderBy(
+        "item_id", "frame_idx"
+    )
+
+
+# duration = 500ms * (2 + id%4); samples at 0,1000,2000,... ->
+# ceil(duration/1000) rows = 1 + (id%4) // 2 + (id%4) % 2 ... simply
+# (duration + 999) // 1000 computed directly below.
+FRAME_SQL = """
+WITH p AS (
+  SELECT doc_id, (2 + doc_id % 4) * 500 AS duration FROM documents
+),
+idx AS (
+  SELECT doc_id, unnest(range(0, (duration + 999) // 1000)) AS k FROM p
+)
+SELECT doc_id AS item_id,
+       CAST(k AS INTEGER) AS frame_idx,
+       CAST(k * 1000 AS BIGINT) AS offset_ms
+FROM idx
+ORDER BY item_id, frame_idx
+"""
+
+register(
+    QuerySpec(
+        name="mm_frame_sample",
+        build=mm_frame_sample,
+        oracle=FRAME_SQL,
+        tags=("multimodal",),
+        doc="real PPMV frame demux vs closed-form oracle",
+    )
+)
