@@ -107,7 +107,10 @@ def get_file_slices(
     write, leaving the crashed write's ts below the boundary until lazy
     rollback runs; its uncommitted files must stay invisible.
     ``archived_timestamps``: positive membership in the loaded archived
-    timeline (when the read gate is on) short-circuits as committed."""
+    timeline (when the read gate is on) short-circuits as committed; a
+    NON-EMPTY load also makes non-membership below the boundary
+    authoritative (not committed), while an empty/failed load keeps the
+    fail-open heuristic."""
 
     def _committed(ts: str) -> bool:
         if valid_commit_timestamps is None or ts in valid_commit_timestamps:
@@ -116,7 +119,18 @@ def get_file_slices(
             return True
         if archival_boundary is None or ts >= archival_boundary:
             return False
-        return pending_timestamps is None or ts not in pending_timestamps
+        if pending_timestamps is not None and ts in pending_timestamps:
+            return False
+        # Below the boundary with no live pending marker.  If the archive
+        # was positively loaded (read gate on AND >=1 instant found), the
+        # membership test above is authoritative: a ts absent from the
+        # archive was never archived-completed -> not committed.  An EMPTY
+        # load keeps the fail-open heuristic — we cannot distinguish "no
+        # archived commits" from "archive parked in an unreadable layout",
+        # and dropping visible data on a load failure is the worse error.
+        if archived_timestamps:
+            return False
+        return True
 
     out: list[FileSlice] = []
     for (partition, file_id), group in sorted(groups.items()):

@@ -39,17 +39,31 @@ def decompress(codec: int, raw: bytes, uncompressed_size: int) -> bytes:
 
 
 def _hadoop_framed(raw: bytes, uncompressed_size: int, block_fn) -> bytes:
+    # Lengths come from the file and are signed: validate every one, or a
+    # corrupt/adversarial block (negative piece length) would walk `pos`
+    # backwards and spin the driver forever instead of raising.
     out = bytearray()
     pos, n = 0, len(raw)
     while pos < n and len(out) < uncompressed_size:
+        if pos + 4 > n:
+            raise ValueError("hadoop framing: truncated chunk header")
         (chunk_len,) = struct.unpack_from(">i", raw, pos)
         pos += 4
+        if chunk_len < 0:
+            raise ValueError(f"hadoop framing: negative chunk length {chunk_len}")
         produced = 0
         while produced < chunk_len:
+            if pos + 4 > n:
+                raise ValueError("hadoop framing: truncated piece header")
             (clen,) = struct.unpack_from(">i", raw, pos)
             pos += 4
+            if clen <= 0 or clen > n - pos:
+                raise ValueError(
+                    f"hadoop framing: invalid compressed-piece length {clen} "
+                    f"(remaining {n - pos})"
+                )
             piece = block_fn(raw[pos : pos + clen])
-            pos += clen
+            pos += clen  # clen > 0: forward progress guaranteed
             out += piece
             produced += len(piece)
     return bytes(out)

@@ -5,21 +5,24 @@ Pairwise near-dup detectors (MinHash LSH, SimHash, Jaccard — see
 must contract those edges into clusters and pick one canonical survivor
 per cluster.  This module does that contraction with pure DataFrame ops.
 
-Algorithm: iterative min-label propagation to fixpoint.  Each round every
-node takes the minimum label over itself and its neighbors; at fixpoint
-every node carries the minimum id of its connected component, which is
-the canonical (survivor) id.  The result is deterministic regardless of
-execution or iteration order.
+Algorithm: iterative min-label propagation with pointer doubling.  Each
+round every node takes the minimum label over itself and its neighbors,
+then shortcuts through its own label (label(u) <- label(label(u)), the
+path-compression step of Kiveris et al., "Connected Components in
+MapReduce and Beyond").  At fixpoint every node carries the minimum id
+of its connected component, which is the canonical (survivor) id.  The
+result is deterministic regardless of execution or iteration order.
 
 Scale notes (the 100 TB story):
-- One shuffle per round, keyed by node id — uniform (ids), no skew.
-- Rounds needed = graph diameter.  LSH duplicate clusters are
-  quasi-cliques (every member shares a band bucket with most others),
-  so diameter is 2-3 in practice; `max_rounds` guards the adversarial
-  chain case.  For graphs with genuinely large diameter the published
-  alternative is alternating large-star/small-star contraction
-  (Kiveris et al., "Connected Components in MapReduce and Beyond"),
-  which converges in O(log^2 n) rounds; not needed for dedup shapes.
+- Two shuffles per round, keyed by node id — uniform (ids), no skew.
+- Rounds needed = O(log diameter) thanks to the doubling step: labels
+  hop two pointer levels per round, so even a chain of 10^6 edges
+  converges well inside the default ``max_rounds=20`` (2^20 reach).
+  LSH duplicate clusters are quasi-cliques (diameter 2-3), finishing
+  in 2 rounds.  If the budget is STILL exhausted with labels moving,
+  we raise instead of silently returning non-fixpoint labels — a
+  wrong canonical map would diverge from the exact recursive-CTE
+  oracle and corrupt downstream dedup.
 - Iterative Spark pitfall: each round extends the lineage chain, and
   the planner re-executes it from the source every action.  We truncate
   with eager ``localCheckpoint`` per round, so round k+1 reads round
@@ -78,20 +81,42 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
+        prop = labels.withColumnRenamed("label", "prev").join(neigh, "u", "left")
+        prop = prop.select(
+            "u",
+            "prev",
+            F.least(F.col("prev"), F.coalesce(F.col("nlabel"), F.col("prev"))).alias(
+                "mid"
+            ),
+        )
+        # Pointer doubling: shortcut through the label's own label.  A
+        # label is always a node id in the same component, and every
+        # such node has a row in `prop`, so the lookup is a self-join.
+        ptr = prop.select(F.col("u").alias("pk"), F.col("mid").alias("pv"))
         updated = (
-            labels.join(neigh, "u", "left")
+            prop.join(ptr, prop["mid"] == ptr["pk"], "left")
             .select(
                 "u",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-                (F.col("nlabel") < F.col("label")).alias("changed"),
+                F.least(F.col("mid"), F.coalesce(F.col("pv"), F.col("mid"))).alias(
+                    "label"
+                ),
+                "prev",
+            )
+            .select(
+                "u", "label", (F.col("label") < F.col("prev")).alias("changed")
             )
         ).localCheckpoint(eager=True)
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.drop("changed")
         if n_changed == 0:
             break
+    else:
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(graph diameter > 2^max_rounds is implausible — investigate "
+            "the edge set); refusing to return non-fixpoint labels"
+        )
 
     sym.unpersist()
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))

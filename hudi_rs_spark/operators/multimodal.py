@@ -246,22 +246,27 @@ def frame_sample(
                 data = bytes(data) if data is not None else b""
                 if codecs.sniff(data) == "ppmv":
                     frame_ms, frames = codecs.decode_ppmv(data)
-                    duration = frame_ms * len(frames)
-                    i = 0
-                    for off in range(0, max(duration, 1), every_ms):
-                        j = min(off // frame_ms, len(frames) - 1)
-                        rows.append(
-                            {
-                                "item_id": int(item_id),
-                                "frame_idx": i,
-                                "offset_ms": i * every_ms,
-                                "frame_hash": hashlib.md5(
-                                    frames[j].tobytes()
-                                ).hexdigest(),
-                            }
-                        )
-                        i += 1
-                    continue
+                    # Degenerate containers (zero frames -> frames[-1]
+                    # IndexError, frame_ms<=0 -> ZeroDivisionError) must
+                    # not fail the executor task: fall through to the
+                    # stub path like any other undecodable payload.
+                    if frames and frame_ms > 0:
+                        duration = frame_ms * len(frames)
+                        i = 0
+                        for off in range(0, max(duration, 1), every_ms):
+                            j = min(off // frame_ms, len(frames) - 1)
+                            rows.append(
+                                {
+                                    "item_id": int(item_id),
+                                    "frame_idx": i,
+                                    "offset_ms": i * every_ms,
+                                    "frame_hash": hashlib.md5(
+                                        frames[j].tobytes()
+                                    ).hexdigest(),
+                                }
+                            )
+                            i += 1
+                        continue
                 n_frames = 1 + hashlib.md5(data).digest()[0] % 4
                 for i in range(n_frames):
                     rows.append(

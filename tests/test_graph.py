@@ -28,13 +28,19 @@ class TestConnectedComponents:
         got = _components(spark, [(i, i + 1) for i in range(9)])
         assert got == {i: 0 for i in range(10)}
 
-    def test_chain_truncated_by_max_rounds(self, spark):
-        # with max_rounds=1 (after the fused round 0) a distant tail
-        # cannot yet have converged to 0 — documents the bound's meaning.
-        got = _components(spark, [(i, i + 1) for i in range(9)], max_rounds=1)
-        assert got[9] != 0
-        full = _components(spark, [(i, i + 1) for i in range(9)], max_rounds=20)
-        assert full[9] == 0
+    def test_non_convergence_raises(self, spark):
+        # r3 advisory: exhausting max_rounds with labels still moving must
+        # RAISE, not silently return non-fixpoint labels.
+        import pytest
+
+        with pytest.raises(RuntimeError, match="did not converge"):
+            _components(spark, [(i, i + 1) for i in range(9)], max_rounds=1)
+
+    def test_chain_converges_logarithmically(self, spark):
+        # pointer doubling: a diameter-30 chain converges well inside 6
+        # rounds (plain 1-hop propagation would need ~30).
+        got = _components(spark, [(i, i + 1) for i in range(30)], max_rounds=6)
+        assert got == {i: 0 for i in range(31)}
 
     def test_reversed_and_duplicate_edges(self, spark):
         got = _components(spark, [(5, 2), (2, 5), (2, 1), (5, 9), (5, 9)])
