@@ -96,6 +96,7 @@ def get_file_slices(
     archival_boundary: str | None = None,
     pending_timestamps: set[str] | None = None,
     archived_timestamps: set[str] | None = None,
+    archived_load_complete: bool = False,
 ) -> list[FileSlice]:
     """As-of slice per group, minus replaced groups
     (table/fs_view.rs:236-254). ``valid_commit_timestamps`` drops base
@@ -107,10 +108,16 @@ def get_file_slices(
     write, leaving the crashed write's ts below the boundary until lazy
     rollback runs; its uncommitted files must stay invisible.
     ``archived_timestamps``: positive membership in the loaded archived
-    timeline (when the read gate is on) short-circuits as committed; a
-    NON-EMPTY load also makes non-membership below the boundary
-    authoritative (not committed), while an empty/failed load keeps the
-    fail-open heuristic."""
+    timeline (when the read gate is on) short-circuits as committed.
+    Non-membership below the boundary is authoritative (not committed)
+    ONLY when the load was COMPLETE (``archived_load_complete`` — no
+    unparseable files skipped) AND ts >= min(archived) — an externally
+    trimmed archive loses its OLDEST instants first, so below the loaded
+    minimum absence proves nothing. Every other case keeps the fail-open
+    heuristic: dropping visible data on an incomplete load is the worse
+    error (silent data loss on read)."""
+
+    archived_min = min(archived_timestamps) if archived_timestamps else None
 
     def _committed(ts: str) -> bool:
         if valid_commit_timestamps is None or ts in valid_commit_timestamps:
@@ -121,14 +128,10 @@ def get_file_slices(
             return False
         if pending_timestamps is not None and ts in pending_timestamps:
             return False
-        # Below the boundary with no live pending marker.  If the archive
-        # was positively loaded (read gate on AND >=1 instant found), the
-        # membership test above is authoritative: a ts absent from the
-        # archive was never archived-completed -> not committed.  An EMPTY
-        # load keeps the fail-open heuristic — we cannot distinguish "no
-        # archived commits" from "archive parked in an unreadable layout",
-        # and dropping visible data on a load failure is the worse error.
-        if archived_timestamps:
+        # Below the boundary with no live pending marker: absence from the
+        # archive condemns the slice only when the archive is a complete,
+        # untrimmed record covering this ts.
+        if archived_min is not None and archived_load_complete and ts >= archived_min:
             return False
         return True
 

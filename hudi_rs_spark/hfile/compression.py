@@ -66,6 +66,14 @@ def _hadoop_framed(raw: bytes, uncompressed_size: int, block_fn) -> bytes:
             pos += clen  # clen > 0: forward progress guaranteed
             out += piece
             produced += len(piece)
+    # A stream that ends (pos >= n) before yielding every expected byte —
+    # e.g. truncated exactly at a chunk boundary — must fail HERE, not
+    # resurface later as a confusing HFile parse error downstream.
+    if len(out) != uncompressed_size:
+        raise ValueError(
+            f"hadoop framing: short output {len(out)} of "
+            f"{uncompressed_size} expected bytes"
+        )
     return bytes(out)
 
 

@@ -20,6 +20,7 @@ the Spark-side plumbing is exercised either way.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -68,15 +69,21 @@ def default_decode(data: bytes) -> dict:
         return _stub_decode(data)
     if kind == "wav":
         return dict(_NULL_DECODE)
-    if kind == "ppmv":
-        _, frames = codecs.decode_ppmv(data)
-        if not frames:
-            return dict(_NULL_DECODE)
-        arr = frames[0]
-    elif kind == "ppm":
-        arr = codecs.decode_ppm(data)
-    else:
-        arr = codecs.decode_bmp(data)
+    # A payload that passes the magic sniff can still be truncated
+    # mid-header or carry garbage dimensions; decode failures must not
+    # fail the executor task — fall back to the stub like unknown formats.
+    try:
+        if kind == "ppmv":
+            _, frames = codecs.decode_ppmv(data)
+            if not frames:
+                return dict(_NULL_DECODE)
+            arr = frames[0]
+        elif kind == "ppm":
+            arr = codecs.decode_ppm(data)
+        else:
+            arr = codecs.decode_bmp(data)
+    except (struct.error, ValueError):
+        return _stub_decode(data)
     means = arr.reshape(-1, 3).mean(axis=0) / 255.0
     return {
         "width": int(arr.shape[1]),
@@ -165,8 +172,16 @@ def audio_features(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
                     "duration_ms": None,
                     "rms": None,
                 }
-                if codecs.sniff(data) == "wav":
-                    rate, ch, samples = codecs.decode_wav(data)
+                try:
+                    decoded = (
+                        codecs.decode_wav(data)
+                        if codecs.sniff(data) == "wav"
+                        else None
+                    )
+                except (struct.error, ValueError):
+                    decoded = None  # truncated/garbage container: keep nulls
+                if decoded is not None:
+                    rate, ch, samples = decoded
                     feat.update(
                         sample_rate=int(rate),
                         n_channels=int(ch),
@@ -205,11 +220,17 @@ def resize_images(df: DataFrame, id_col: str, data_col: str, target: int = 224) 
                 data = bytes(data) if data is not None else None
                 kind = codecs.sniff(data)
                 if kind in ("ppm", "bmp"):
-                    arr = (
-                        codecs.decode_ppm(data)
-                        if kind == "ppm"
-                        else codecs.decode_bmp(data)
-                    )
+                    try:
+                        arr = (
+                            codecs.decode_ppm(data)
+                            if kind == "ppm"
+                            else codecs.decode_bmp(data)
+                        )
+                    except (struct.error, ValueError):
+                        # Sniff-passing but truncated/garbage: pass through
+                        # unchanged instead of failing the task.
+                        rows.append((int(item_id), data, target, False))
+                        continue
                     out = codecs.encode_ppm(codecs.resize_nearest(arr, target, target))
                     rows.append((int(item_id), out, target, True))
                 else:
@@ -245,11 +266,16 @@ def frame_sample(
             for item_id, data in zip(pdf[id_name], pdf[data_name]):
                 data = bytes(data) if data is not None else b""
                 if codecs.sniff(data) == "ppmv":
-                    frame_ms, frames = codecs.decode_ppmv(data)
-                    # Degenerate containers (zero frames -> frames[-1]
-                    # IndexError, frame_ms<=0 -> ZeroDivisionError) must
-                    # not fail the executor task: fall through to the
-                    # stub path like any other undecodable payload.
+                    # Bad containers must not fail the executor task: a
+                    # payload that passes the magic sniff can still be
+                    # truncated mid-header (struct.error) or carry garbage
+                    # dimensions (ValueError); degenerate-but-parseable
+                    # ones (zero frames, frame_ms<=0) are filtered below.
+                    # All fall through to the stub path.
+                    try:
+                        frame_ms, frames = codecs.decode_ppmv(data)
+                    except (struct.error, ValueError):
+                        frame_ms, frames = 0, []
                     if frames and frame_ms > 0:
                         duration = frame_ms * len(frames)
                         i = 0

@@ -214,6 +214,7 @@ class HudiTable:
             archival_boundary=self.timeline.earliest_active_timestamp(),
             pending_timestamps=self.timeline.pending_timestamps,
             archived_timestamps=self.timeline.archived_completed_timestamps(),
+            archived_load_complete=self.timeline.archived_load_complete(),
         )
 
     def _with_partition_stats_filter(self, part_filter, filters):

@@ -88,7 +88,9 @@ def windowed_event_counts_batch(
 
 
 def _normalize_ts(df: DataFrame) -> DataFrame:
-    # events.ts arrives as long nanos under the nanosAsLong reader conf
-    if dict(df.dtypes).get("ts") == "bigint":
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    # events.ts encoding varies by generator version (long nanos under the
+    # nanosAsLong conf, or native timestamp[us] read as NTZ) — share the
+    # dtype-adaptive coercion with the batch loaders.
+    from hudi_rs_spark.workloads.tables import normalize_event_ts
+
+    return normalize_event_ts(df)

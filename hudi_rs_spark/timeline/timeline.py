@@ -34,6 +34,12 @@ class Timeline:
     _archived: list[Instant] | None = None
     _archived_meta: dict[str, CommitMetadata] = field(default_factory=dict)
     _archived_dir_used: str | None = None
+    # True when the archived-timeline load skipped anything it could not
+    # parse (real v6 archives can be compacted `.commits_.archive.N` Avro
+    # files rather than instant-named files; LSM entries can be corrupt).
+    # A partial load must NOT be treated as authoritative history — absence
+    # from it cannot prove an old commit never completed.
+    _archived_skipped: bool = False
 
     @classmethod
     def load(cls, base_path: str, config: HudiTableConfig) -> "Timeline":
@@ -105,6 +111,10 @@ class Timeline:
                     try:
                         instant = Instant.from_file_name(name)
                     except (ValueError, KeyError):
+                        # Not an instant-named file — e.g. a compacted
+                        # `.commits_.archive.N` Avro segment we don't decode.
+                        # Its instants are real history we failed to load.
+                        self._archived_skipped = True
                         continue
                     if instant.is_completed:
                         out.append(instant)
@@ -131,7 +141,14 @@ class Timeline:
         out: list[Instant] = []
         for entry in manifest.get("entries", []):
             fpath = os.path.join(history_dir, entry["file_name"])
-            _, records = read_ocf_file(fpath)
+            try:
+                _, records = read_ocf_file(fpath)
+            except Exception:
+                # A manifest-listed segment we cannot decode holds real
+                # history — mark the load partial so it is never treated
+                # as authoritative for absence.
+                self._archived_skipped = True
+                continue
             for r in records:
                 ts, action = r.get("instantTime"), r.get("action")
                 if not ts or not action:
@@ -159,6 +176,15 @@ class Timeline:
         if not self._archived_enabled():
             return None
         return {i.timestamp for i in self.archived_instants()}
+
+    def archived_load_complete(self) -> bool:
+        """True only when the archived timeline was loaded without skipping
+        any file/segment it could not parse. Absence from a PARTIAL load
+        proves nothing — fs_view must keep the fail-open heuristic then."""
+        if not self._archived_enabled():
+            return False
+        self.archived_instants()  # ensure loaded
+        return not self._archived_skipped
 
     def _with_archived(self, instants: list[Instant]) -> list[Instant]:
         merged = self.archived_instants() + instants

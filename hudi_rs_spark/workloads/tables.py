@@ -30,16 +30,31 @@ TABLES = (
 BROADCAST_DIMS = {"region", "nation", "supplier", "part"}
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Coerce events.ts to TimestampType regardless of how the parquet file
+    stores it. The driver's generator has shipped both timestamp[ns] (which
+    Spark reads as long under the nanosAsLong conf) and timestamp[us] (which
+    Spark 4 reads natively as TIMESTAMP_NTZ), so this adapts by dtype instead
+    of assuming one encoding. The session timezone is pinned to UTC
+    (session.py), so the NTZ->TZ cast preserves the stored micros exactly and
+    matches what DuckDB's reader yields for the oracle comparison.
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":  # legacy nanos-as-long encoding
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet timestamp[ns]; Spark's reader rejects nanos.
-        # Read as long nanos and truncate to micros (exactly what DuckDB's
-        # reader does), keeping the scan vectorized.
+        # Harmless when the file is timestamp[us]; required so that a
+        # timestamp[ns] file reads as long instead of erroring.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
