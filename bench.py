@@ -74,6 +74,10 @@ HEADLINE = [
     "text_length_outliers",
     "mm_resize_features",
     "mm_frame_sample",
+    # round-5 temporal joins + decontamination
+    "ops_asof_join",
+    "ops_range_join",
+    "text_decontaminate",
 ]
 
 

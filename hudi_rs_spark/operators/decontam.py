@@ -1,0 +1,88 @@
+"""Benchmark decontamination: flag training documents that share any
+character n-gram with a held-out evaluation set.
+
+The standard guard in LLM training-data pipelines (GPT-3 used 13-gram
+overlap; The Pile and most open corpora follow): an eval document's
+n-grams form a blocklist, and any training document containing one is
+contaminated and must be dropped or audited.
+
+Spark-first shape:
+- n-gram extraction = explode over character positions, all JVM-side
+  (``sequence`` + ``explode`` + ``substring``) — no Python, no
+  higher-order-function lambda (which would re-evaluate the normalized
+  text per element).
+- the eval side is distinct-reduced first; an eval set is orders of
+  magnitude smaller than the corpus, so its gram set broadcasts and the
+  contamination check is a broadcast semi-ish join — the training
+  corpus is never shuffled at all, only scanned and aggregated on
+  doc_id (map-side combine applies).
+- at true scale, hash the gram to a 64-bit key before the join
+  (16 bytes -> 8 per candidate) and/or bloom-filter the eval grams into
+  executors; raw grams are kept here for bit-exact oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hudi_rs_spark.operators.dedup import normalized
+
+
+def char_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, gram) rows: every normalized character n-gram per document.
+    Documents shorter than ``n`` normalized chars produce no rows.
+
+    The normalization (two regexes) MUST evaluate once per document, but
+    the position-explode + substring both reference the normalized
+    column, and Catalyst's CollapseProject/ColumnPruning would re-inline
+    the regex chain into the per-gram projection — measured ~10x slower
+    (same trap the minhash shingle pipeline documents, dedup.py). The
+    repartition Exchange below is the optimizer barrier that pins the
+    normalized text to one evaluation per doc, and doubles as the
+    parallelism spread for single-split inputs; it shuffles (id, norm)
+    once — corpus-linear, same cost class as reading the text.
+    """
+    norm_df = df.select(
+        F.col(id_col), normalized(F.col(text_col)).alias("_norm")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    positions = F.when(
+        F.length("_norm") >= n,
+        F.sequence(F.lit(1), F.length("_norm") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return norm_df.select(
+        id_col, "_norm", F.explode(positions).alias("_pos")
+    ).select(id_col, F.expr(f"substring(_norm, _pos, {int(n)})").alias("gram"))
+
+
+def decontaminate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_pred: Column,
+    n: int = 13,
+) -> DataFrame:
+    """Contamination report: for each NON-eval document sharing >= 1
+    character ``n``-gram with any eval document (``eval_pred`` selects
+    the eval rows), the count of distinct shared grams.
+
+    Returns (id, n_shared) for contaminated docs only.
+    """
+    # split FIRST so each side explodes only its own documents: the eval
+    # side is tiny (its distinct gram set broadcasts), and the train side
+    # is exploded exactly once.
+    eval_grams = (
+        char_ngrams(df.filter(eval_pred), text_col, id_col, n)
+        .select("gram")
+        .distinct()
+    )
+    train_grams = char_ngrams(df.filter(~eval_pred), text_col, id_col, n)
+    # join BEFORE dedup: only grams that hit the (small, broadcast) eval
+    # blocklist survive to the aggregation; count_distinct dedups repeats
+    # of a gram within one doc. The bulk gram stream is filtered map-side
+    # against the broadcast — gram rows never hash-shuffle.
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_shared"))
+    )

@@ -47,5 +47,7 @@ def load_all() -> dict[str, QuerySpec]:
     from hudi_rs_spark.workloads import packing  # noqa: F401
     from hudi_rs_spark.workloads import pipeline  # noqa: F401
     from hudi_rs_spark.workloads import multimodal  # noqa: F401
+    from hudi_rs_spark.workloads import temporal  # noqa: F401
+    from hudi_rs_spark.workloads import decontam  # noqa: F401
 
     return REGISTRY

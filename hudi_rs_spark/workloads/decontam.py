@@ -1,0 +1,70 @@
+"""Decontamination workload query, oracle-checked.
+
+The eval set is carved deterministically from the documents table
+(doc_id % 97 == 0 — no external data needed), so both engines see the
+identical split. The oracle states the same semantics with a lateral
+generate_series n-gram expansion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_rs_spark.workloads import QuerySpec, register
+from hudi_rs_spark.workloads.tables import load
+
+_N = 13
+_MOD = 97
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs contaminated by the (doc_id % 97 == 0) eval split:
+    distinct shared 13-gram count per contaminated doc."""
+    from hudi_rs_spark.operators.decontam import decontaminate
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = decontaminate(
+        d, "text", "doc_id", eval_pred=(F.col("doc_id") % _MOD == 0), n=_N
+    )
+    return rep.select("doc_id", "n_shared").orderBy("doc_id")
+
+
+DECONTAM_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+  FROM documents
+),
+g AS (
+  SELECT doc_id, substring(norm, CAST(i AS INTEGER), {_N}) AS gram
+  FROM (
+    SELECT doc_id, norm,
+           unnest(generate_series(1, length(norm) - {_N - 1})) AS i
+    FROM d
+    WHERE length(norm) >= {_N}
+  )
+),
+eval_grams AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % {_MOD} = 0
+),
+train_grams AS (
+  SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % {_MOD} <> 0
+)
+SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM train_grams tg
+JOIN eval_grams eg USING (gram)
+GROUP BY tg.doc_id
+ORDER BY doc_id
+"""
+
+
+register(
+    QuerySpec(
+        name="text_decontaminate",
+        build=text_decontaminate,
+        oracle=DECONTAM_SQL,
+        tags=("text", "decontam"),
+        doc="eval-set 13-gram overlap contamination report",
+    )
+)

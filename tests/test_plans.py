@@ -179,3 +179,32 @@ class TestRound3OperatorPlans:
     def test_pii_scrub_pure_projection(self, spark, sf_dir):
         plan = _plan(SPECS["text_pii_scrub"].build(spark, sf_dir))
         assert "Join" not in plan and "Exchange hashpartitioning" not in plan
+
+
+class TestRound5OperatorPlans:
+    def test_asof_join_has_no_join_node(self, spark, sf_dir):
+        """The as-of rewrite is union + window fill: no join operator of
+        any kind in the plan — the naive formulation would be a
+        BroadcastNestedLoopJoin on the inequality."""
+        plan = _plan(SPECS["ops_asof_join"].build(spark, sf_dir))
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        assert "Window" in plan
+        # the fill itself: union of the two sides feeds the window
+        assert "Union" in plan
+
+    def test_range_join_is_equi_join(self, spark, sf_dir):
+        """Bucketing turns interval containment into an equi-join; the
+        range predicate is a post-join filter, never a nested loop."""
+        plan = _plan(SPECS["ops_range_join"].build(spark, sf_dir))
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+            "BroadcastHashJoin" in plan
+        )
+
+    def test_decontaminate_broadcasts_eval_grams(self, spark, sf_dir):
+        """The corpus gram stream meets the eval blocklist via broadcast
+        joins only — the bulk side is never hash-shuffled before the
+        contamination filter."""
+        plan = _plan(SPECS["text_decontaminate"].build(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
