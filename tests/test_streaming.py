@@ -251,3 +251,94 @@ class TestWatermarkLateData:
             ("2024-01-01 00:00:00", "click"): 2,   # unchanged by the late row
             ("2024-01-01 02:00:00", "view"): 1,    # exactly the on-time event
         }
+
+
+class TestStreamDedup:
+    def test_redelivery_within_watermark_dropped(self, spark, tmp_path):
+        """At-least-once re-delivery across micro-batches: the same
+        event_id arriving again within the watermark delay is dropped;
+        fresh ids pass. State survives the checkpointed restart."""
+        from datetime import datetime
+
+        from hudi_rs_spark.streaming.dedup_stream import dedup_stream
+
+        src_dir, out, ckpt = tmp_path / "src", tmp_path / "out", str(tmp_path / "ckpt")
+        src_dir.mkdir()
+
+        def write_batch(rows):
+            spark.createDataFrame(
+                rows, "event_id long, ts timestamp, payload string"
+            ).coalesce(1).write.mode("append").parquet(str(src_dir))
+
+        def run_stream():
+            stream = spark.readStream.schema(
+                "event_id long, ts timestamp, payload string"
+            ).parquet(str(src_dir))
+            deduped = dedup_stream(
+                stream, ["event_id"], "ts", delay="10 minutes"
+            )
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return sorted(
+                (r["event_id"], r["payload"])
+                for r in spark.read.parquet(str(out)).collect()
+            )
+
+        write_batch([
+            (1, datetime(2024, 1, 1, 0, 0), "first"),
+            (2, datetime(2024, 1, 1, 0, 1), "second"),
+        ])
+        assert run_stream() == [(1, "first"), (2, "second")]
+
+        # re-delivery of id 1 (1 min later, inside the 10-min window)
+        # plus a genuinely new id 3
+        write_batch([
+            (1, datetime(2024, 1, 1, 0, 2), "first-redelivered"),
+            (3, datetime(2024, 1, 1, 0, 3), "third"),
+        ])
+        assert run_stream() == [(1, "first"), (2, "second"), (3, "third")]
+
+    def test_enrich_stream_broadcast_dim(self, spark, tmp_path):
+        """Stream-static join: each micro-batch row picks up its
+        dimension attributes; dim misses keep the row (left join)."""
+        from datetime import datetime
+
+        from hudi_rs_spark.streaming.dedup_stream import enrich_stream
+
+        src_dir = tmp_path / "src"
+        spark.createDataFrame(
+            [
+                (1, datetime(2024, 1, 1), 10),
+                (2, datetime(2024, 1, 1), 20),
+                (3, datetime(2024, 1, 1), 99),  # no dim row
+            ],
+            "event_id long, ts timestamp, user_id long",
+        ).coalesce(1).write.parquet(str(src_dir))
+
+        dim = spark.createDataFrame(
+            [(10, "gold"), (20, "basic")], "user_id long, tier string"
+        )
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long"
+        ).parquet(str(src_dir))
+        q = (
+            enrich_stream(stream, dim, "user_id")
+            .writeStream.format("memory")
+            .queryName("enriched_stream_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["event_id"]: r["tier"]
+            for r in spark.sql("SELECT * FROM enriched_stream_test").collect()
+        }
+        assert got == {1: "gold", 2: "basic", 3: None}
