@@ -31,6 +31,9 @@ def get_spark(app_name: str = "hudi-rs-spark", cpus: int | None = None) -> Spark
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # Python DataSource connector (sources/pyds.py): let pushFilters
+        # receive filters for partition/stats pruning
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     return builder.getOrCreate()
 
@@ -45,4 +48,8 @@ def configure_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # static in some deployments; connector degrades to no pushdown
     return spark

@@ -65,14 +65,24 @@ class HudiTable:
         MDT read problem; "direct" always walks storage; "mdt" forces the
         metadata path (errors surface)."""
         self.base_path = base_path.rstrip("/")
-        self.spark = spark or SparkSession.getActiveSession()
-        if self.spark is None:
-            raise RuntimeError("no active SparkSession")
+        # Lazy: planning (timeline, listing, pruning, schema resolution)
+        # is pure driver-side Python and never touches Spark, so the
+        # Python DataSource connector (sources/pyds.py) can plan without
+        # a session; read paths resolve the session on first use.
+        self._spark = spark
         self.config = HudiTableConfig.from_base_path(self.base_path)
         self.timeline = Timeline.load(self.base_path, self.config)
         if listing not in ("auto", "direct", "mdt"):
             raise ValueError(f"bad listing mode: {listing}")
         self.listing = listing
+
+    @property
+    def spark(self) -> SparkSession:
+        s = self._spark or SparkSession.getActiveSession()
+        if s is None:
+            raise RuntimeError("no active SparkSession")
+        self._spark = s
+        return s
 
     # ------------------------------------------------------------------
     # schema resolution (resolver.rs:41-114 priority order)

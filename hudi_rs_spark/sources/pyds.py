@@ -1,0 +1,348 @@
+"""Spark-native Hudi connector via the Python Data Source API (Spark 4).
+
+This is the registration surface the reference exposes through
+DataFusion (`HudiDataSource::new_with_options` + `CREATE EXTERNAL TABLE
+... STORED AS HUDI`, crates/datafusion/src/lib.rs:180-304,936-982),
+re-expressed as a first-class Spark source:
+
+    spark.dataSource.register(HudiPyDataSource)
+    df = spark.read.format("hudi_py").option("path", p).load()
+    spark.sql("CREATE TEMPORARY VIEW t USING hudi_py OPTIONS (path '...')")
+    spark.sql("SELECT ... FROM t WHERE ...")   # filters push down
+
+Division of labor (SURVEY §3.3's one real distribution boundary):
+- ``schema()`` / ``partitions()`` run on the DRIVER: hoodie.properties,
+  timeline, MDT/direct listing, partition + stats pruning, per-group
+  as-of slice selection — all the pure-Python planning HudiTable does,
+  one InputPartition per file slice (the reference's unit of scan
+  parallelism, hudi_exec.rs:294-324).
+- ``read(partition)`` runs in EXECUTOR Python workers: pyarrow parquet
+  read of the base file conformed to the resolved schema (COW /
+  read-optimized: zero-copy Arrow straight through), plus pure-Python
+  log decode + OVERWRITE_WITH_LATEST merge for MOR snapshot slices —
+  the same block validity, ordering, and delete semantics as
+  ``operators/merge.py``, applied slice-locally (a slice is exactly the
+  reference's merge scope, record_merger.rs:89-187).
+
+``pushFilters`` consumes equality/range/IN filters for partition and
+file-stats pruning but reports every filter unsupported, so Spark
+re-evaluates them post-scan: pruning stays a pure optimization and can
+never change results. Same split as the reference's Exact/Inexact
+classification, taken conservatively.
+
+Scale: per-slice partitions give the same parallelism as the Spark
+parquet reader's split planning for typical Hudi file sizing (~128 MB
+base files); the MOR merge is slice-local (no shuffle at all — the
+merge key never leaves its file group by construction). The eager
+``HudiTable.read()`` path remains the better choice when one slice is
+huge (it can shuffle-merge), but at Hudi's write sizing the connector
+plan IS the scalable plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter as DSFilter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql import types as T
+
+_OPS = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+@dataclass
+class HudiSlicePartition(InputPartition):
+    base_file: str
+    log_files: list[str]
+    schema_json: str
+    ordering: str | None
+    strategy: str
+    valid_instants: list[str]
+    archival_boundary: str | None
+    pending_instants: list[str]
+    as_of: str | None
+    merge_logs: bool
+
+
+class HudiPyDataSource(DataSource):
+    """format("hudi_py") — options: path (required), asOf (time travel,
+    any format timestamps.py accepts), readOptimized ('true' skips log
+    merge), listing (auto|direct|mdt)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "hudi_py"
+
+    def _table(self):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("hudi_py requires option 'path'")
+        return HudiTable(
+            path, spark=None, listing=self.options.get("listing", "auto")
+        )
+
+    def schema(self) -> T.StructType:
+        # Spark's parquet reader reports everything nullable regardless of
+        # the footer's nested nullability; declare the same so the
+        # connector schema is bit-identical to the eager read's.
+        return _as_nullable(self._table().get_schema())
+
+    def reader(self, schema: T.StructType) -> "HudiPyReader":
+        return HudiPyReader(self._table(), dict(self.options), schema)
+
+
+class HudiPyReader(DataSourceReader):
+    def __init__(self, table, options: dict, schema: T.StructType):
+        self.table = table
+        self.options = options
+        self.out_schema = schema
+        self.filters: list = []  # triples consumed for pruning
+
+    def pushFilters(self, filters: list[DSFilter]) -> Iterator[DSFilter]:
+        from hudi_rs_spark.plans.partition_pruner import Filter
+
+        for f in filters:
+            op = _OPS.get(type(f))
+            if op is not None and len(f.attribute) == 1:
+                self.filters.append(Filter(f.attribute[0], op, str(f.value)))
+            elif isinstance(f, In) and len(f.attribute) == 1:
+                vals = ",".join(str(v).replace(",", "\\,") for v in f.value)
+                self.filters.append(Filter(f.attribute[0], "IN", vals))
+        # report ALL filters unsupported: Spark re-applies them after the
+        # scan, so consuming them above is pruning-only and always safe
+        return iter(filters)
+
+    def partitions(self) -> list[HudiSlicePartition]:
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+        from hudi_rs_spark.config.table_config import MergeStrategy, TableType
+        from hudi_rs_spark.timeline.timestamps import to_hudi_timestamp
+
+        t = self.table
+        as_of = self.options.get("asof") or self.options.get("asOf")
+        if as_of is not None:
+            as_of = to_hudi_timestamp(as_of, t.config.timezone)
+        read_optimized = str(
+            self.options.get("readoptimized", self.options.get("readOptimized", ""))
+        ).lower() in ("true", "1")
+
+        slices = t.get_file_slices(as_of, self.filters)
+        slices = t._stats_prune(
+            slices,
+            self.filters,
+            HudiReadOptions(use_read_optimized_mode=read_optimized),
+        )
+        resolved = _as_nullable(t._resolve_schema(slices))
+        merge_logs = (
+            not read_optimized and t.config.table_type != TableType.COPY_ON_WRITE
+        )
+        ordering_fields = t.config.ordering_fields
+        ordering = ordering_fields[0] if ordering_fields else None
+        strategy = t.config.merge_strategy
+        if (
+            merge_logs
+            and strategy == MergeStrategy.OVERWRITE_WITH_LATEST
+            and ordering is None
+            and any(s.has_log_files for s in slices)
+        ):
+            raise ValueError(
+                "merge strategy OVERWRITE_WITH_LATEST requires "
+                "hoodie.table.ordering.fields / hoodie.table.precombine.field"
+            )
+        valid = sorted(i.timestamp for i in t.timeline.instants_as_of(as_of))
+        boundary = t.timeline.earliest_active_timestamp()
+        pending = sorted(t.timeline.pending_timestamps)
+        return [
+            HudiSlicePartition(
+                base_file=os.path.join(t.base_path, s.base_file_relative_path()),
+                log_files=[
+                    os.path.join(t.base_path, rel)
+                    for rel in (s.log_file_relative_paths() if merge_logs else [])
+                ],
+                schema_json=resolved.json(),
+                ordering=ordering,
+                strategy=strategy.value
+                if hasattr(strategy, "value")
+                else str(strategy),
+                valid_instants=valid,
+                archival_boundary=boundary,
+                pending_instants=pending,
+                as_of=as_of,
+                merge_logs=merge_logs,
+            )
+            for s in slices
+        ]
+
+    def read(self, partition: HudiSlicePartition):
+        """Executor-side slice read. Yields pyarrow RecordBatches."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        struct = T.StructType.fromJson(json.loads(partition.schema_json))
+        target = to_arrow_schema(struct)
+        base = pq.read_table(partition.base_file)
+        base = _conform_table(base, target)
+
+        if not partition.log_files:
+            yield from base.to_batches()
+            return
+
+        rows, deletes = _decode_logs(partition, struct)
+        if rows or deletes:
+            merged = _merge_slice(
+                base.to_pylist(), rows, deletes, partition, struct
+            )
+            yield from pa.Table.from_pylist(merged, schema=target).to_batches()
+        else:
+            yield from base.to_batches()
+
+
+def _as_nullable(dt: T.DataType) -> T.DataType:
+    """Recursively mark every field/element nullable (Spark parquet-read
+    semantics)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _as_nullable(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_as_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_as_nullable(dt.keyType), _as_nullable(dt.valueType), True)
+    return dt
+
+
+# ---------------------------------------------------------------------------
+# executor-side helpers (pure functions; importable in Python workers)
+# ---------------------------------------------------------------------------
+def _conform_table(tbl, target):
+    """Project/cast an arrow table to the resolved schema: extra columns
+    dropped, missing columns null-backfilled (schema evolution), types
+    cast to the declared resolution."""
+    import pyarrow as pa
+
+    cols = []
+    for f in target:
+        if f.name in tbl.column_names:
+            cols.append(tbl.column(f.name).cast(f.type))
+        else:
+            cols.append(pa.nulls(len(tbl), f.type))
+    return pa.table(cols, schema=target)
+
+
+def _decode_logs(partition: HudiSlicePartition, struct: T.StructType):
+    """Decode + validity-filter this slice's log blocks (same rollback /
+    valid-commit / archival rules as the driver and mapInPandas paths)."""
+    from hudi_rs_spark.logfile import reader as logreader
+    from hudi_rs_spark.sources.conform import conform_row
+
+    file_blocks = [logreader.read_log_file(p) for p in partition.log_files]
+    targets: set[str] = set()
+    for blocks in file_blocks:
+        targets |= logreader.rollback_targets(blocks)
+    valid = set(partition.valid_instants)
+    rows: list[dict] = []
+    deletes: list[tuple] = []  # (commit_time, key, ordering_val)
+    for blocks in file_blocks:
+        for b in logreader.valid_blocks(
+            blocks,
+            None,
+            partition.as_of,
+            valid,
+            rollback_targets_override=targets,
+            archival_boundary=partition.archival_boundary,
+            pending_instants=set(partition.pending_instants),
+        ):
+            for r in b.records or []:
+                rows.append(conform_row(r, struct))
+            for key, _part, ordering_val in b.delete_records:
+                deletes.append((b.instant_time, key, ordering_val))
+    return rows, deletes
+
+
+def _sort_key_desc_nulls_last(vals):
+    """Key for reverse=True sort: non-null first (desc), nulls last —
+    mirrors merge.py desc_nulls_last."""
+    return tuple((v is not None, v if v is not None else 0) for v in vals)
+
+
+def _merge_slice(base_rows, log_rows, deletes, partition, struct):
+    """Slice-local OVERWRITE_WITH_LATEST merge, mirroring
+    operators/merge.py::latest_by_key + merge_with_deletes exactly
+    (fixture-matrix equivalence against the Spark path is the test)."""
+    from hudi_rs_spark.sources.conform import conform_value
+
+    data = base_rows + log_rows
+    ordering = partition.ordering
+    if partition.strategy == "APPEND_ONLY" or ordering is None:
+        return data
+
+    seqno = "_hoodie_commit_seqno" if "_hoodie_commit_seqno" in struct.names else None
+    ord_cols = [ordering] + ([seqno] if seqno else [])
+    data.sort(
+        key=lambda r: _sort_key_desc_nulls_last([r.get(c) for c in ord_cols]),
+        reverse=True,
+    )
+    survivors: dict[str, dict] = {}
+    for r in data:
+        survivors.setdefault(r.get("_hoodie_record_key"), r)
+
+    if deletes:
+        ord_type = struct[ordering].dataType
+        del_event: dict[str, object] = {}
+        del_commit: dict[str, str] = {}
+        for commit, key, oval in deletes:
+            oval = conform_value(oval, ord_type)
+            if key not in del_event:
+                del_event[key] = oval
+                del_commit[key] = commit
+            else:
+                # max with null-smallest semantics (arrow Row encoding)
+                cur = del_event[key]
+                if cur is None or (oval is not None and oval > cur):
+                    del_event[key] = oval
+                if commit > del_commit[key]:
+                    del_commit[key] = commit
+        out = []
+        for key, row in survivors.items():
+            if key not in del_commit:
+                out.append(row)
+                continue
+            de, dc = del_event.get(key), del_commit[key]
+            re_, rc = row.get(ordering), row.get("_hoodie_commit_time")
+            try:
+                event_zero = de is not None and float(de) == 0.0
+            except (TypeError, ValueError):
+                event_zero = False
+            if event_zero:
+                wins = dc > (rc or "")
+            else:
+                gt = (de is not None and re_ is None) or (
+                    de is not None and re_ is not None and de > re_
+                )
+                eq = de == re_ or (de is None and re_ is None)
+                wins = gt or (eq and dc > (rc or ""))
+            if not wins:
+                out.append(row)
+        return out
+    return list(survivors.values())
