@@ -49,6 +49,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter as DSFilter,
     GreaterThan,
@@ -81,6 +82,9 @@ class HudiSlicePartition(InputPartition):
     pending_instants: list[str]
     as_of: str | None
     merge_logs: bool
+    # incremental window: rows with commit_time in (start_exclusive, as_of]
+    # (streaming micro-batches; None = snapshot read)
+    start_exclusive: str | None = None
 
 
 class HudiPyDataSource(DataSource):
@@ -111,6 +115,9 @@ class HudiPyDataSource(DataSource):
     def reader(self, schema: T.StructType) -> "HudiPyReader":
         return HudiPyReader(self._table(), dict(self.options), schema)
 
+    def streamReader(self, schema: T.StructType) -> "HudiPyStreamReader":
+        return HudiPyStreamReader(dict(self.options))
+
 
 class HudiPyReader(DataSourceReader):
     def __init__(self, table, options: dict, schema: T.StructType):
@@ -135,7 +142,6 @@ class HudiPyReader(DataSourceReader):
 
     def partitions(self) -> list[HudiSlicePartition]:
         from hudi_rs_spark.config.read_config import HudiReadOptions
-        from hudi_rs_spark.config.table_config import MergeStrategy, TableType
         from hudi_rs_spark.timeline.timestamps import to_hudi_timestamp
 
         t = self.table
@@ -152,70 +158,185 @@ class HudiPyReader(DataSourceReader):
             self.filters,
             HudiReadOptions(use_read_optimized_mode=read_optimized),
         )
-        resolved = _as_nullable(t._resolve_schema(slices))
-        merge_logs = (
-            not read_optimized and t.config.table_type != TableType.COPY_ON_WRITE
-        )
-        ordering_fields = t.config.ordering_fields
-        ordering = ordering_fields[0] if ordering_fields else None
-        strategy = t.config.merge_strategy
-        if (
-            merge_logs
-            and strategy == MergeStrategy.OVERWRITE_WITH_LATEST
-            and ordering is None
-            and any(s.has_log_files for s in slices)
-        ):
-            raise ValueError(
-                "merge strategy OVERWRITE_WITH_LATEST requires "
-                "hoodie.table.ordering.fields / hoodie.table.precombine.field"
-            )
-        valid = sorted(i.timestamp for i in t.timeline.instants_as_of(as_of))
-        boundary = t.timeline.earliest_active_timestamp()
-        pending = sorted(t.timeline.pending_timestamps)
-        return [
-            HudiSlicePartition(
-                base_file=os.path.join(t.base_path, s.base_file_relative_path()),
-                log_files=[
-                    os.path.join(t.base_path, rel)
-                    for rel in (s.log_file_relative_paths() if merge_logs else [])
-                ],
-                schema_json=resolved.json(),
-                ordering=ordering,
-                strategy=strategy.value
-                if hasattr(strategy, "value")
-                else str(strategy),
-                valid_instants=valid,
-                archival_boundary=boundary,
-                pending_instants=pending,
-                as_of=as_of,
-                merge_logs=merge_logs,
-            )
-            for s in slices
-        ]
+        return _slice_partitions(t, slices, as_of, read_optimized)
 
     def read(self, partition: HudiSlicePartition):
         """Executor-side slice read. Yields pyarrow RecordBatches."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
+        yield from _read_slice(partition)
 
-        struct = T.StructType.fromJson(json.loads(partition.schema_json))
-        target = to_arrow_schema(struct)
-        base = pq.read_table(partition.base_file)
-        base = _conform_table(base, target)
 
-        if not partition.log_files:
-            yield from base.to_batches()
-            return
+class HudiPyStreamReader(DataSourceStreamReader):
+    """spark.readStream.format("hudi_py") — completed Hudi commits are
+    the offset log. Each micro-batch is an incremental query over the
+    commit window (start, end]: exactly-once delivery of every row
+    change, driven by Spark's own offset checkpointing instead of the
+    caller-managed ``HudiIncrementalFeed``.
 
-        rows, deletes = _decode_logs(partition, struct)
-        if rows or deletes:
-            merged = _merge_slice(
-                base.to_pylist(), rows, deletes, partition, struct
-            )
-            yield from pa.Table.from_pylist(merged, schema=target).to_batches()
-        else:
-            yield from base.to_batches()
+    The reference has no streaming surface (its closest analog is the
+    batch incremental query, SURVEY §2 op 3); this is the Spark-native
+    upgrade. Option ``startingOffsets``: "earliest" (default — replay
+    table history) or "latest" (only new commits).
+
+    Planning per micro-batch runs on the driver (timeline reload +
+    touched-file-group planning, cost ∝ commits in the window);
+    reads fan out per slice to executor Python workers."""
+
+    def __init__(self, options: dict):
+        self.options = options
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("hudi_py requires option 'path'")
+
+    def _table(self):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        # fresh instance: the timeline must see commits that landed
+        # after the stream started
+        return HudiTable(
+            self.path, spark=None, listing=self.options.get("listing", "auto")
+        )
+
+    def initialOffset(self) -> dict:
+        mode = str(self.options.get("startingoffsets", "earliest")).lower()
+        if mode == "latest":
+            return {"commit": self._table().timeline.latest_commit_timestamp() or ""}
+        return {"commit": ""}
+
+    def latestOffset(self) -> dict:
+        return {"commit": self._table().timeline.latest_commit_timestamp() or ""}
+
+    def partitions(self, start: dict, end: dict) -> list[HudiSlicePartition]:
+        t = self._table()
+        start_ts = start.get("commit") or None
+        end_ts = end.get("commit") or None
+        instants = t.timeline.instants_in_range(start_ts, end_ts)
+        touched: set[tuple[str, str]] = set()
+        for i in instants:
+            meta = t.timeline.metadata_for(i)
+            for ws in meta.write_stats:
+                touched.add((ws.partition_path, ws.file_id))
+        slices = [
+            s
+            for s in t.get_file_slices(end_ts)
+            if (s.partition_path, s.base_file.file_id) in touched
+        ]
+        return _slice_partitions(
+            t, slices, end_ts, read_optimized=False, start_exclusive=start_ts or ""
+        )
+
+    def read(self, partition: HudiSlicePartition):
+        yield from _read_slice(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; nothing table-side
+
+
+def _slice_partitions(
+    t,
+    slices,
+    as_of: str | None,
+    read_optimized: bool,
+    start_exclusive: str | None = None,
+) -> list[HudiSlicePartition]:
+    """Driver-side: payload one picklable InputPartition per file slice
+    (shared by the batch reader and the streaming micro-batch planner)."""
+    from hudi_rs_spark.config.table_config import MergeStrategy, TableType
+
+    if not slices:
+        # empty window (e.g. a no-op trailing micro-batch): nothing to
+        # read, and schema resolution may be impossible without a footer
+        return []
+    resolved = _as_nullable(t._resolve_schema(slices))
+    merge_logs = (
+        not read_optimized and t.config.table_type != TableType.COPY_ON_WRITE
+    )
+    ordering_fields = t.config.ordering_fields
+    ordering = ordering_fields[0] if ordering_fields else None
+    strategy = t.config.merge_strategy
+    if (
+        merge_logs
+        and strategy == MergeStrategy.OVERWRITE_WITH_LATEST
+        and ordering is None
+        and any(s.has_log_files for s in slices)
+    ):
+        raise ValueError(
+            "merge strategy OVERWRITE_WITH_LATEST requires "
+            "hoodie.table.ordering.fields / hoodie.table.precombine.field"
+        )
+    valid = sorted(i.timestamp for i in t.timeline.instants_as_of(as_of))
+    boundary = t.timeline.earliest_active_timestamp()
+    pending = sorted(t.timeline.pending_timestamps)
+    return [
+        HudiSlicePartition(
+            base_file=os.path.join(t.base_path, s.base_file_relative_path()),
+            log_files=[
+                os.path.join(t.base_path, rel)
+                for rel in (s.log_file_relative_paths() if merge_logs else [])
+            ],
+            schema_json=resolved.json(),
+            ordering=ordering,
+            strategy=strategy.value if hasattr(strategy, "value") else str(strategy),
+            valid_instants=valid,
+            archival_boundary=boundary,
+            pending_instants=pending,
+            as_of=as_of,
+            merge_logs=merge_logs,
+            start_exclusive=start_exclusive,
+        )
+        for s in slices
+    ]
+
+
+def _read_slice(partition: HudiSlicePartition):
+    """Executor-side slice read (batch and streaming share it). Yields
+    pyarrow RecordBatches. Incremental windows (``start_exclusive`` set)
+    apply the reference's commit-time masks: base rows bounded BEFORE the
+    merge (file_group/reader.rs:169-177) and the merged result bounded
+    after (reader.rs:652-701)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    struct = T.StructType.fromJson(json.loads(partition.schema_json))
+    target = to_arrow_schema(struct)
+    base = pq.read_table(partition.base_file)
+    base = _conform_table(base, target)
+    start = partition.start_exclusive
+    has_commit = "_hoodie_commit_time" in struct.names
+    if start is not None and has_commit:
+        base = _commit_window(base, start, partition.as_of)
+
+    if not partition.log_files:
+        if start is not None and not has_commit:
+            return  # cannot attribute rows to commits: emit nothing
+        yield from base.to_batches()
+        return
+
+    rows, deletes = _decode_logs(partition, struct)
+    if rows or deletes:
+        merged = _merge_slice(base.to_pylist(), rows, deletes, partition, struct)
+        if start is not None and has_commit:
+            merged = [
+                r
+                for r in merged
+                if r.get("_hoodie_commit_time") is not None
+                and r["_hoodie_commit_time"] > start
+                and (partition.as_of is None or r["_hoodie_commit_time"] <= partition.as_of)
+            ]
+        yield from pa.Table.from_pylist(merged, schema=target).to_batches()
+    else:
+        yield from base.to_batches()
+
+
+def _commit_window(tbl, start_exclusive: str, end_inclusive: str | None):
+    """Arrow filter: _hoodie_commit_time in (start, end]."""
+    import pyarrow.compute as pc
+
+    col = tbl.column("_hoodie_commit_time")
+    mask = pc.greater(col, start_exclusive)
+    if end_inclusive is not None:
+        mask = pc.and_(mask, pc.less_equal(col, end_inclusive))
+    return tbl.filter(mask)
 
 
 def _as_nullable(dt: T.DataType) -> T.DataType:
