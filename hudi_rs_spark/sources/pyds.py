@@ -145,12 +145,25 @@ class HudiPyReader(DataSourceReader):
         from hudi_rs_spark.timeline.timestamps import to_hudi_timestamp
 
         t = self.table
-        as_of = self.options.get("asof") or self.options.get("asOf")
+        opt = self.options
+        as_of = opt.get("asof") or opt.get("asOf")
         if as_of is not None:
             as_of = to_hudi_timestamp(as_of, t.config.timezone)
         read_optimized = str(
-            self.options.get("readoptimized", self.options.get("readOptimized", ""))
+            opt.get("readoptimized", opt.get("readOptimized", ""))
         ).lower() in ("true", "1")
+
+        start = opt.get("starttimestamp") or opt.get("startTimestamp")
+        end = opt.get("endtimestamp") or opt.get("endTimestamp")
+        if start is not None or end is not None:
+            # incremental batch query: rows changed in (start, end]
+            # (SURVEY §2 op 3 through the connector surface)
+            if start is not None:
+                start = to_hudi_timestamp(start, t.config.timezone)
+            if end is not None:
+                end = to_hudi_timestamp(end, t.config.timezone)
+            end = end or t.timeline.latest_commit_timestamp()
+            return _incremental_partitions(t, start, end)
 
         slices = t.get_file_slices(as_of, self.filters)
         slices = t._stats_prune(
@@ -206,22 +219,8 @@ class HudiPyStreamReader(DataSourceStreamReader):
         return {"commit": self._table().timeline.latest_commit_timestamp() or ""}
 
     def partitions(self, start: dict, end: dict) -> list[HudiSlicePartition]:
-        t = self._table()
-        start_ts = start.get("commit") or None
-        end_ts = end.get("commit") or None
-        instants = t.timeline.instants_in_range(start_ts, end_ts)
-        touched: set[tuple[str, str]] = set()
-        for i in instants:
-            meta = t.timeline.metadata_for(i)
-            for ws in meta.write_stats:
-                touched.add((ws.partition_path, ws.file_id))
-        slices = [
-            s
-            for s in t.get_file_slices(end_ts)
-            if (s.partition_path, s.base_file.file_id) in touched
-        ]
-        return _slice_partitions(
-            t, slices, end_ts, read_optimized=False, start_exclusive=start_ts or ""
+        return _incremental_partitions(
+            self._table(), start.get("commit") or None, end.get("commit") or None
         )
 
     def read(self, partition: HudiSlicePartition):
@@ -229,6 +228,28 @@ class HudiPyStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; nothing table-side
+
+
+def _incremental_partitions(
+    t, start_ts: str | None, end_ts: str | None
+) -> list[HudiSlicePartition]:
+    """Plan an incremental window (start, end]: only file groups touched
+    by in-range commits, slices as-of end, commit-time masks in read()
+    (same shape as HudiTable.read_incremental)."""
+    instants = t.timeline.instants_in_range(start_ts, end_ts)
+    touched: set[tuple[str, str]] = set()
+    for i in instants:
+        meta = t.timeline.metadata_for(i)
+        for ws in meta.write_stats:
+            touched.add((ws.partition_path, ws.file_id))
+    slices = [
+        s
+        for s in t.get_file_slices(end_ts)
+        if (s.partition_path, s.base_file.file_id) in touched
+    ]
+    return _slice_partitions(
+        t, slices, end_ts, read_optimized=False, start_exclusive=start_ts or ""
+    )
 
 
 def _slice_partitions(

@@ -227,3 +227,21 @@ class TestStreamingSource:
         files = glob.glob(out + "/*.parquet")
         rows = spark.read.parquet(out).collect() if files else []
         assert rows == []  # history skipped; nothing new arrived
+
+
+def test_incremental_batch_options(spark, v8_trips_table):
+    """startTimestamp/endTimestamp options run the incremental query
+    through the connector — equivalent to HudiTable.read_incremental."""
+    t = HudiTable(v8_trips_table, spark)
+    commits = [i.timestamp for i in t.timeline.instants]
+    start, end = commits[0], commits[-1]
+    conn = (
+        spark.read.format("hudi_py")
+        .option("path", v8_trips_table)
+        .option("startTimestamp", start)
+        .option("endTimestamp", end)
+        .load()
+    )
+    eager = t.read_incremental(start, end)
+    assert _rows(conn) == _rows(eager)
+    assert len(_rows(conn)) > 0
