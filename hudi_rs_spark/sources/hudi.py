@@ -316,12 +316,71 @@ class HudiTable:
         slices = self.get_file_slices(as_of, filters)
         slices = self._stats_prune(slices, filters, options)
         df = self._execute_slices(slices, as_of, options)
+        df, filters = self._restore_partition_columns(df, slices, filters)
         df = apply_filters(df, filters)
         if options.projection:
             df = df.select(*options.projection)
         if options.limit is not None:
             df = df.limit(options.limit)
         return df
+
+    def _restore_partition_columns(self, df, slices, filters):
+        """hoodie.datasource.write.drop.partition.columns=true support:
+        the partition columns are NOT in the data files, so the plain
+        scan yields them as nulls. Two obligations (reference
+        `options_for_file_group`, table/mod.rs:725-753):
+
+        1. STRIP partition-column filters from the post-scan residual —
+           the partition pruner already enforced them at file level, and
+           evaluating them against null columns would wrongly drop every
+           row (the reference strips for the same reason: its per-slice
+           reader validates filter columns against the batch schema).
+        2. RESTORE the values from the partition paths (beyond the
+           reference, which leaves them to the engine): a broadcast join
+           from `_hoodie_partition_path` to the pruner-parsed typed
+           values — O(partitions) driver work, no extra scan.
+
+        Returns (df, residual_filters)."""
+        pf = self.config.partition_fields
+        if not (self.config.drops_partition_columns and pf):
+            return df, filters
+        pnames = set(pf)
+        remaining = [f for f in filters if f.field not in pnames]
+        restorable = set(pf) & set(df.columns)
+        if "_hoodie_partition_path" not in df.columns or not restorable:
+            return df, remaining
+        pruner = PartitionPruner(
+            self.get_partition_schema(),
+            [],
+            self.config.hive_style_partitioning,
+            self.config.partition_path_url_encoded,
+        )
+        rows = []
+        for p in sorted({s.partition_path for s in slices}):
+            try:
+                vals = pruner.parse_path(p)
+            except (ValueError, KeyError):
+                return df, remaining  # unparseable layout: leave nulls
+            rows.append((p, *[str(vals[n]) for n in pf]))
+        if not rows:
+            return df, remaining
+        mapping = self.spark.createDataFrame(
+            rows, ["__pp"] + [f"__pv_{n}" for n in pf]
+        )
+        out = df.join(
+            F.broadcast(mapping),
+            df["_hoodie_partition_path"] == mapping["__pp"],
+            "left",
+        )
+        replaced = [
+            (
+                F.coalesce(df[c], F.col(f"__pv_{c}").cast(df.schema[c].dataType)).alias(c)
+                if c in restorable
+                else df[c]
+            )
+            for c in df.columns
+        ]
+        return out.select(*replaced), remaining
 
     def _stats_prune(self, slices, filters, options):
         """File-level min/max skip — ONLY when no log files will be
@@ -501,6 +560,7 @@ class HudiTable:
             s for s in all_slices if (s.partition_path, s.base_file.file_id) in touched
         ]
         df = self._execute_slices(slices, end, options, start_exclusive=start_timestamp)
+        df, filters = self._restore_partition_columns(df, slices, filters)
         if "_hoodie_commit_time" in df.columns:
             if start_timestamp:
                 df = df.filter(F.col("_hoodie_commit_time") > F.lit(start_timestamp))

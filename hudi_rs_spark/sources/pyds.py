@@ -85,6 +85,9 @@ class HudiSlicePartition(InputPartition):
     # incremental window: rows with commit_time in (start_exclusive, as_of]
     # (streaming micro-batches; None = snapshot read)
     start_exclusive: str | None = None
+    # dropped partition columns (drop.partition.columns=true) restored as
+    # per-slice literals: {column: string value} parsed from the path
+    partition_values: dict | None = None
 
 
 class HudiPyDataSource(DataSource):
@@ -287,6 +290,22 @@ def _slice_partitions(
     valid = sorted(i.timestamp for i in t.timeline.instants_as_of(as_of))
     boundary = t.timeline.earliest_active_timestamp()
     pending = sorted(t.timeline.pending_timestamps)
+
+    part_vals: dict[str, dict | None] = {}
+    if t.config.drops_partition_columns and t.config.partition_fields:
+        from hudi_rs_spark.plans.partition_pruner import PartitionPruner
+
+        pruner = PartitionPruner(
+            t.get_partition_schema(),
+            [],
+            t.config.hive_style_partitioning,
+            t.config.partition_path_url_encoded,
+        )
+        for p in {s.partition_path for s in slices}:
+            try:
+                part_vals[p] = dict(pruner.parse_path(p))  # typed primitives
+            except (ValueError, KeyError):
+                part_vals[p] = None  # unparseable: leave nulls
     return [
         HudiSlicePartition(
             base_file=os.path.join(t.base_path, s.base_file_relative_path()),
@@ -303,6 +322,7 @@ def _slice_partitions(
             as_of=as_of,
             merge_logs=merge_logs,
             start_exclusive=start_exclusive,
+            partition_values=part_vals.get(s.partition_path),
         )
         for s in slices
     ]
@@ -321,7 +341,7 @@ def _read_slice(partition: HudiSlicePartition):
     struct = T.StructType.fromJson(json.loads(partition.schema_json))
     target = to_arrow_schema(struct)
     base = pq.read_table(partition.base_file)
-    base = _conform_table(base, target)
+    base = _conform_table(base, target, partition.partition_values)
     start = partition.start_exclusive
     has_commit = "_hoodie_commit_time" in struct.names
     if start is not None and has_commit:
@@ -334,6 +354,12 @@ def _read_slice(partition: HudiSlicePartition):
         return
 
     rows, deletes = _decode_logs(partition, struct)
+    if partition.partition_values:
+        # dropped partition columns are absent from log records too
+        for r in rows:
+            for k, v in partition.partition_values.items():
+                if r.get(k) is None:
+                    r[k] = v
     if rows or deletes:
         merged = _merge_slice(base.to_pylist(), rows, deletes, partition, struct)
         if start is not None and has_commit:
@@ -377,16 +403,19 @@ def _as_nullable(dt: T.DataType) -> T.DataType:
 # ---------------------------------------------------------------------------
 # executor-side helpers (pure functions; importable in Python workers)
 # ---------------------------------------------------------------------------
-def _conform_table(tbl, target):
+def _conform_table(tbl, target, constants: dict | None = None):
     """Project/cast an arrow table to the resolved schema: extra columns
-    dropped, missing columns null-backfilled (schema evolution), types
-    cast to the declared resolution."""
+    dropped, missing columns null-backfilled (schema evolution) or
+    filled from ``constants`` (dropped partition columns restored from
+    the slice's partition path), types cast to the declared resolution."""
     import pyarrow as pa
 
     cols = []
     for f in target:
         if f.name in tbl.column_names:
             cols.append(tbl.column(f.name).cast(f.type))
+        elif constants and f.name in constants:
+            cols.append(pa.array([constants[f.name]] * len(tbl)).cast(f.type))
         else:
             cols.append(pa.nulls(len(tbl), f.type))
     return pa.table(cols, schema=target)

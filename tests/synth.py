@@ -283,23 +283,36 @@ class SynthTable:
             return os.path.join(hoodie, self._props["hoodie.timeline.path"])
         return hoodie
 
-    def meta_columns(self, instant: str, keys: list[str], file_name: str) -> dict:
+    def meta_columns(
+        self, instant: str, keys: list[str], file_name: str, partition: str = ""
+    ) -> dict:
         return {
             "_hoodie_commit_time": [instant] * len(keys),
             "_hoodie_commit_seqno": [f"{instant}_0_{i}" for i in range(len(keys))],
             "_hoodie_record_key": keys,
-            "_hoodie_partition_path": [""] * len(keys),
+            "_hoodie_partition_path": [partition] * len(keys),
             "_hoodie_file_name": [file_name] * len(keys),
         }
 
-    def write_base(self, file_id: str, instant: str, data: dict, keys: list[str]):
-        """data: non-meta columns (must include the ordering field)."""
+    def write_base(
+        self,
+        file_id: str,
+        instant: str,
+        data: dict,
+        keys: list[str],
+        partition: str = "",
+    ):
+        """data: non-meta columns (must include the ordering field).
+        ``partition``: relative partition dir ('' = non-partitioned)."""
         name = f"{file_id}_0-1-0_{instant}.parquet"
-        cols = self.meta_columns(instant, keys, name)
+        rel = f"{partition}/{name}" if partition else name
+        cols = self.meta_columns(instant, keys, name, partition)
         cols.update(data)
-        pq.write_table(pa.table(cols), os.path.join(self.base_path, name))
+        full = os.path.join(self.base_path, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pq.write_table(pa.table(cols), full)
         self._write_stats.setdefault(instant, []).append(
-            {"fileId": file_id, "path": name, "partitionPath": ""}
+            {"fileId": file_id, "path": rel, "partitionPath": partition}
         )
         return name
 
