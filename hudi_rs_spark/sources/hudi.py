@@ -324,6 +324,74 @@ class HudiTable:
             df = df.limit(options.limit)
         return df
 
+    def _scan_base_files(self, slices, resolved: T.StructType) -> DataFrame:
+        """Vectorized base-file scan. Fast path: ONE multi-file scan with
+        the resolved schema. When a column's TYPE evolved across commits
+        (e.g. long -> string ts_millis in the reference's
+        v9_timebasedkeygen_epochmillis fixture), old files' physical type
+        contradicts the resolved schema and Spark's vectorized reader
+        errors — the reference survives because its per-slice reader
+        casts every batch (table_read_tests.rs:1058 pins this table).
+        Here: group files by the avro schema their WRITING COMMIT
+        recorded (driver-side JSON, no footer reads), scan each epoch
+        with its own physical types, cast to resolved, union. One epoch
+        (the overwhelmingly common case) degenerates to the fast path."""
+        by_ts = {i.timestamp: i for i in self.timeline.instants}
+        if self.config.archived_read_enabled:
+            for i in self.timeline.archived_instants():
+                by_ts.setdefault(i.timestamp, i)
+
+        def epoch(s: FileSlice) -> str | None:
+            inst = by_ts.get(s.commit_timestamp)
+            if inst is None:
+                return None
+            try:
+                return self.timeline.metadata_for(inst).schema_json
+            except Exception:
+                return None
+
+        groups: dict[str | None, list[str]] = {}
+        for s in slices:
+            groups.setdefault(epoch(s), []).append(
+                os.path.join(self.base_path, s.base_file_relative_path())
+            )
+        if len(groups) <= 1:
+            paths = next(iter(groups.values()))
+            return self.spark.read.schema(resolved).parquet(*paths)
+
+        parts: list[DataFrame] = []
+        for schema_json, paths in sorted(
+            groups.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+        ):
+            epoch_types: dict[str, T.DataType] = {}
+            if schema_json:
+                try:
+                    struct = avro_record_to_struct(json.loads(schema_json))
+                    epoch_types = {f.name: f.dataType for f in struct.fields}
+                except Exception:
+                    epoch_types = {}
+            phys = T.StructType(
+                [
+                    T.StructField(f.name, epoch_types.get(f.name, f.dataType), True)
+                    for f in resolved.fields
+                ]
+            )
+            df = self.spark.read.schema(phys).parquet(*paths)
+            parts.append(
+                df.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        if phys[f.name].dataType != f.dataType
+                        else F.col(f.name)
+                        for f in resolved.fields
+                    ]
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _restore_partition_columns(self, df, slices, filters):
         """hoodie.datasource.write.drop.partition.columns=true support:
         the partition columns are NOT in the data files, so the plain
@@ -591,8 +659,10 @@ class HudiTable:
             return self.spark.createDataFrame([], resolved)
 
         # explicit schema: no footer inference job, and old base files of an
-        # evolved table read with the latest column set (nulls backfilled)
-        base_df = self.spark.read.schema(resolved).parquet(*base_paths)
+        # evolved table read with the latest column set (nulls backfilled);
+        # type-evolved tables (heterogeneous physical types) scan per
+        # schema epoch with casts
+        base_df = self._scan_base_files(slices, resolved)
 
         if not log_slices or self.config.table_type == TableType.COPY_ON_WRITE:
             return base_df

@@ -334,6 +334,10 @@ def _read_slice(partition: HudiSlicePartition):
     apply the reference's commit-time masks: base rows bounded BEFORE the
     merge (file_group/reader.rs:169-177) and the merged result bounded
     after (reader.rs:652-701)."""
+    if partition is None:
+        # an empty partitions() list reaches read() as a single None
+        # partition (engine convention): empty table, nothing to emit
+        return
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema

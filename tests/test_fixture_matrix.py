@@ -162,6 +162,33 @@ def test_v9_timebasedkeygen_cow_snapshot_pinned(spark):
     ]
 
 
+def test_v9_timebasedkeygen_epochmillis_type_evolution_pinned(spark):
+    """table_read_tests.rs:1058-1075 pinned rows. This table's ts_millis
+    column evolved long -> string mid-history, so older base files carry
+    INT64 physically while the resolved schema says string: a single
+    explicit-schema scan errors the moment the column is actually
+    decoded (column pruning hid this in key-only reads). The
+    epoch-grouped scan (_scan_base_files) reads each commit-schema epoch
+    with its physical types and casts — the reference's per-slice batch
+    cast, re-expressed as a union of homogeneous scans."""
+    t = HudiTable(
+        extract_fixture("sample_table/cow/v9_timebasedkeygen_epochmillis.zip"), spark
+    )
+    df = t.read()
+    assert _txn_rows(df) == [
+        ("TXN-001", "debit", 1700000000001),
+        ("TXN-001", "reversal", 1700100000001),
+        ("TXN-002", "debit", 1700000000002),
+        ("TXN-003", "debit", 1700200000003),
+        ("TXN-005", "debit", 1700100000005),
+        ("TXN-006", "transfer", 1700100000006),
+    ]
+    # the evolved column is fully materialized: every row has a string
+    # value (old INT64 epochs cast, not nulled)
+    vals = [r["ts_millis"] for r in df.select("ts_millis").collect()]
+    assert len(vals) == 6 and all(isinstance(v, str) and v for v in vals)
+
+
 def test_v9_txns_overwrite_time_travel_pinned(spark):
     """table_read_tests.rs test_txns_simple_overwrite_cow_time_travel:
     8 rows before the full-table INSERT OVERWRITE, 3 rows as of the

@@ -20,11 +20,22 @@ VARIANTS = [
     "sample_table/cow/v8_simplekeygen_nonhivestyle.zip",
     "sample_table/cow/v9_txns_simple_meta.zip",
     "sample_table/cow/v9_txns_nonpart_nometa.zip",
+    "sample_table/cow/v6_simplekeygen_nonhivestyle_overwritetable.zip",
+    "sample_table/cow/v6_timebasedkeygen_nonhivestyle.zip",
+    "sample_table/cow/v8_complexkeygen_hivestyle.zip",
+    "sample_table/cow/v9_timebasedkeygen_epochmillis.zip",
+    "sample_table/cow/v9_txns_simple_overwrite.zip",
+    "sample_table/cow/v6_empty.zip",
     # MOR (log merge on executors)
     "sample_table/mor/parquet/v6_nonpartitioned.zip",
+    "sample_table/mor/parquet/v6_nonpartitioned_rollback.zip",
     "sample_table/mor/parquet/v6_simplekeygen_nonhivestyle.zip",
+    "sample_table/mor/parquet/v6_simplekeygen_nonhivestyle_overwritetable.zip",
     "sample_table/mor/parquet/v6_complexkeygen_hivestyle.zip",
+    "sample_table/mor/avro/v9_nonpartitioned_rollback.zip",
+    "sample_table/mor/avro/v9_timebasedkeygen_nonhivestyle.zip",
     "sample_table/mor/avro/v9_txns_simple_meta.zip",
+    "sample_table/mor/avro/v9_txns_simple_overwrite.zip",
     "sample_table/mor/avro/v9_txns_complex_nometa.zip",
     "sample_table/mor/avro/v9_txns_nonpart_meta.zip",
     # trips lifecycles: inserts + updates + deletes
