@@ -24,6 +24,7 @@ VARIANTS = [
     "sample_table/cow/v6_timebasedkeygen_nonhivestyle.zip",
     "sample_table/cow/v8_complexkeygen_hivestyle.zip",
     "sample_table/cow/v9_timebasedkeygen_epochmillis.zip",
+    "sample_table/cow/v9_timebasedkeygen_unixtimestamp.zip",
     "sample_table/cow/v9_txns_simple_overwrite.zip",
     "sample_table/cow/v6_empty.zip",
     # MOR (log merge on executors)
