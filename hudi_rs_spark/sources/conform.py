@@ -21,6 +21,11 @@ def conform_value(v, dtype: T.DataType):
         return int(v)
     if isinstance(dtype, T.DoubleType) and isinstance(v, int):
         return float(v)
+    if isinstance(dtype, T.StringType) and isinstance(v, (int, float, bool)):
+        # type-evolved column (e.g. long -> string): log records written
+        # before the evolution carry the old type; mirror the base-scan
+        # epoch cast (Spark cast semantics: bools lowercase)
+        return str(v).lower() if isinstance(v, bool) else str(v)
     if isinstance(dtype, T.MapType):
         # pyarrow .to_pylist() yields maps as [(k, v), ...]
         items = v.items() if isinstance(v, dict) else v

@@ -163,3 +163,19 @@ class TestAvroBinary:
         # unscaled 12345 -> bytes big-endian 0x3039, avro bytes len 2 -> varint 4
         buf = bytes([0x04, 0x30, 0x39])
         assert decode_datum(buf, schema) == Decimal("123.45")
+
+
+class TestConformTypeEvolution:
+    """conform_value mirrors the base-scan epoch cast for log records of
+    type-evolved columns (old-typed values into the resolved type)."""
+
+    def test_numeric_into_string_column(self):
+        from pyspark.sql import types as T
+
+        from hudi_rs_spark.sources.conform import conform_value
+
+        assert conform_value(1700000000001, T.StringType()) == "1700000000001"
+        assert conform_value(1.5, T.StringType()) == "1.5"
+        assert conform_value(True, T.StringType()) == "true"
+        assert conform_value("already", T.StringType()) == "already"
+        assert conform_value(None, T.StringType()) is None
