@@ -39,6 +39,10 @@ def iter_batches(df: DataFrame, batch_size: int = 1024) -> Iterator[pa.RecordBat
     """Row-accurate batching (the reference slices its last batch the same
     way: LimitBatchStream, hudi_exec.rs:127-168). Slicing is zero-copy;
     only batch assembly from multiple pieces concatenates."""
+    if batch_size < 1:
+        # reference parity (test_batch_size_zero_errors): a zero batch
+        # size must error loudly, not spin yielding empty batches
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     pending: list[pa.RecordBatch] = []
     n_pending = 0
     for rb in _arrow_partition_batches(df):
@@ -96,4 +100,8 @@ def read_stream(table, options=None, batch_size: int | None = None):
         # parity: the reference rejects incremental streaming reads
         raise ValueError("streaming read supports snapshot queries only")
     df = table.read(options)
-    return iter_batches(df, batch_size or options.batch_size)
+    # explicit None check: batch_size=0 must reach the validator and
+    # error, not silently fall back to the default
+    return iter_batches(
+        df, options.batch_size if batch_size is None else batch_size
+    )

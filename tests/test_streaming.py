@@ -342,3 +342,37 @@ class TestStreamDedup:
             for r in spark.sql("SELECT * FROM enriched_stream_test").collect()
         }
         assert got == {1: "gold", 2: "basic", 3: None}
+
+
+class TestBatchSizeValidation:
+    def test_batch_size_zero_errors(self, spark, v8_trips_table):
+        """Reference parity (table_read_tests test_batch_size_zero_errors):
+        a non-positive batch size errors instead of looping on empty
+        batches."""
+        import pytest as _pytest
+
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.streaming.batches import read_stream
+
+        t = HudiTable(v8_trips_table, spark)
+        with _pytest.raises(ValueError, match="batch_size"):
+            next(read_stream(t, batch_size=0))
+        with _pytest.raises(ValueError, match="batch_size"):
+            next(read_stream(t, batch_size=-4))
+
+
+class TestMetaFieldFilter:
+    def test_filter_on_commit_time_meta_field(self, spark, v8_trips_table):
+        """Reference parity (test_table_read_accepts_meta_field_filter):
+        filters on _hoodie_* meta columns flow through the read like any
+        data column."""
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = HudiTable(v8_trips_table, spark)
+        first = t.timeline.instants[0].timestamp
+        df = t.read(
+            HudiReadOptions(filters=[("_hoodie_commit_time", "=", first)])
+        )
+        rows = df.collect()
+        assert rows and all(r["_hoodie_commit_time"] == first for r in rows)
