@@ -137,3 +137,111 @@ class TestTimestampKeygenPruning:
         src = t.config.partition_fields[0]
         full = t.read().count()
         assert full > 0
+
+
+class TestStatsTypeMatrix:
+    """Typed min/max extraction + pruning truth over generated parquet —
+    the reference's statistics_tests.rs matrix (boolean, int8/16,
+    negative ints, floats incl. specials, string, date32, timestamps,
+    all-nulls, min==max, no-stats)."""
+
+    @staticmethod
+    def _write(tmp_path, table):
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / "stats.parquet")
+        pq.write_table(table, p)
+        return p
+
+    def test_typed_min_max_extraction(self, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+
+        from hudi_rs_spark.plans.file_pruner import parquet_column_stats
+
+        table = pa.table(
+            {
+                "b": pa.array([False, True, True], pa.bool_()),
+                "i8": pa.array([-128, 0, 127], pa.int8()),
+                "i16": pa.array([-32768, 5, 32767], pa.int16()),
+                "neg": pa.array([-100, -50, -1], pa.int64()),
+                "f": pa.array([-1.5, 0.0, 2.5], pa.float64()),
+                "s": pa.array(["apple", "mango", "zebra"]),
+                "d": pa.array(
+                    [dt.date(2024, 1, 1), dt.date(2024, 6, 1), dt.date(2024, 12, 31)],
+                    pa.date32(),
+                ),
+                "ts_us": pa.array(
+                    [dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1), dt.datetime(2024, 12, 31)],
+                    pa.timestamp("us"),
+                ),
+                "ts_ms": pa.array(
+                    [dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1), dt.datetime(2024, 12, 31)],
+                    pa.timestamp("ms"),
+                ),
+                "nulls": pa.array([None, None, None], pa.int64()),
+                "const": pa.array([7, 7, 7], pa.int64()),
+            }
+        )
+        stats = parquet_column_stats(self._write(tmp_path, table))
+        assert stats["b"] == (False, True)
+        assert stats["i8"] == (-128, 127)
+        assert stats["i16"] == (-32768, 32767)
+        assert stats["neg"] == (-100, -1)
+        assert stats["f"] == (-1.5, 2.5)
+        assert stats["s"] == ("apple", "zebra")
+        assert stats["d"] == (dt.date(2024, 1, 1), dt.date(2024, 12, 31))
+        assert stats["ts_us"][0] == dt.datetime(2024, 1, 1)
+        assert stats["ts_ms"][1] == dt.datetime(2024, 12, 31)
+        assert "nulls" not in stats  # all-null column: no min/max -> fail-open
+        assert stats["const"] == (7, 7)
+
+    def test_typed_pruning_decisions(self, tmp_path):
+        from hudi_rs_spark.plans.file_pruner import should_include_file
+        from hudi_rs_spark.plans.partition_pruner import Filter
+
+        stats = {
+            "neg": (-100, -1),
+            "f": (-1.5, 2.5),
+            "s": ("apple", "zebra"),
+            "const": (7, 7),
+            "b": (False, True),
+        }
+        # negative-range pruning
+        assert not should_include_file(stats, [Filter("neg", ">", "0")])
+        assert should_include_file(stats, [Filter("neg", "<", "-50")])
+        # float range
+        assert not should_include_file(stats, [Filter("f", ">=", "3.0")])
+        assert should_include_file(stats, [Filter("f", "=", "0.0")])
+        # string range
+        assert not should_include_file(stats, [Filter("s", "<", "apple")])
+        # min == max: != prunes, = keeps
+        assert not should_include_file(stats, [Filter("const", "!=", "7")])
+        assert should_include_file(stats, [Filter("const", "=", "7")])
+        # boolean coercion
+        assert should_include_file(stats, [Filter("b", "=", "true")])
+        # absent column (all-null / no stats) -> keep
+        assert should_include_file(stats, [Filter("nulls", "=", "1")])
+
+    def test_nan_stats_fail_open(self, tmp_path):
+        """Files whose float stats degenerate to NaN must never be
+        pruned: every comparison with NaN is False, so all ops keep."""
+        from hudi_rs_spark.plans.file_pruner import should_include_file
+        from hudi_rs_spark.plans.partition_pruner import Filter
+
+        nan = float("nan")
+        stats = {"f": (nan, nan)}
+        for op in ("=", "!=", "<", "<=", ">", ">="):
+            assert should_include_file(stats, [Filter("f", op, "1.0")])
+
+    def test_multiple_row_groups_merge(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from hudi_rs_spark.plans.file_pruner import parquet_column_stats
+
+        p = str(tmp_path / "rg.parquet")
+        t = pa.table({"x": pa.array(list(range(100)), pa.int64())})
+        pq.write_table(t, p, row_group_size=10)  # 10 groups
+        assert parquet_column_stats(p)["x"] == (0, 99)
