@@ -317,6 +317,11 @@ class HudiTable:
         slices = self._stats_prune(slices, filters, options)
         df = self._execute_slices(slices, as_of, options)
         df, filters = self._restore_partition_columns(df, slices, filters)
+        if options.input_partitions > 0:
+            # reference InputPartitions semantic (datafusion/src/lib.rs:
+            # 634-636 chunks slices into N scan groups): cap the scan
+            # task count. coalesce is narrow — no shuffle.
+            df = df.coalesce(options.input_partitions)
         df = apply_filters(df, filters)
         if options.projection:
             df = df.select(*options.projection)

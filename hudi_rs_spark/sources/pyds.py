@@ -156,6 +156,8 @@ class HudiPyReader(DataSourceReader):
             opt.get("readoptimized", opt.get("readOptimized", ""))
         ).lower() in ("true", "1")
 
+        n_parts = int(opt.get("inputpartitions", opt.get("inputPartitions", 0)) or 0)
+
         start = opt.get("starttimestamp") or opt.get("startTimestamp")
         end = opt.get("endtimestamp") or opt.get("endTimestamp")
         if start is not None or end is not None:
@@ -166,7 +168,7 @@ class HudiPyReader(DataSourceReader):
             if end is not None:
                 end = to_hudi_timestamp(end, t.config.timezone)
             end = end or t.timeline.latest_commit_timestamp()
-            return _incremental_partitions(t, start, end)
+            return _chunk_partitions(_incremental_partitions(t, start, end), n_parts)
 
         slices = t.get_file_slices(as_of, self.filters)
         slices = t._stats_prune(
@@ -174,7 +176,9 @@ class HudiPyReader(DataSourceReader):
             self.filters,
             HudiReadOptions(use_read_optimized_mode=read_optimized),
         )
-        return _slice_partitions(t, slices, as_of, read_optimized)
+        return _chunk_partitions(
+            _slice_partitions(t, slices, as_of, read_optimized), n_parts
+        )
 
     def read(self, partition: HudiSlicePartition):
         """Executor-side slice read. Yields pyarrow RecordBatches."""
@@ -231,6 +235,27 @@ class HudiPyStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; nothing table-side
+
+
+@dataclass
+class HudiSliceGroupPartition(InputPartition):
+    """N slices read sequentially by one scan task — the reference's
+    InputPartitions chunking (datafusion/src/lib.rs:634-636
+    split_into_chunks)."""
+
+    slices: list
+
+
+def _chunk_partitions(parts: list[HudiSlicePartition], n: int):
+    """Pack per-slice partitions into at most ``n`` scan groups (round
+    robin keeps group byte-sizes even for similar slice sizes); n<=0 or
+    n>=len keeps one task per slice."""
+    if n <= 0 or n >= len(parts):
+        return parts
+    groups: list[list[HudiSlicePartition]] = [[] for _ in range(n)]
+    for i, p in enumerate(parts):
+        groups[i % n].append(p)
+    return [HudiSliceGroupPartition(g) for g in groups if g]
 
 
 def _incremental_partitions(
@@ -337,6 +362,10 @@ def _read_slice(partition: HudiSlicePartition):
     if partition is None:
         # an empty partitions() list reaches read() as a single None
         # partition (engine convention): empty table, nothing to emit
+        return
+    if isinstance(partition, HudiSliceGroupPartition):
+        for p in partition.slices:
+            yield from _read_slice(p)
         return
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -257,3 +257,31 @@ def test_incremental_batch_options(spark, v8_trips_table):
     eager = t.read_incremental(start, end)
     assert _rows(conn) == _rows(eager)
     assert len(_rows(conn)) > 0
+
+
+def test_input_partitions_chunking(spark, v8_trips_table):
+    """inputPartitions caps the scan task count (reference
+    InputPartitions: slices chunked into N groups) without changing
+    results; eager path maps it to a narrow coalesce."""
+    from hudi_rs_spark.config.read_config import HudiReadOptions
+    from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+    ds = HudiPyDataSource({"path": v8_trips_table})
+    n_all = len(ds.reader(ds.schema()).partitions())
+    assert n_all > 2
+
+    ds2 = HudiPyDataSource({"path": v8_trips_table, "inputPartitions": "2"})
+    parts = ds2.reader(ds2.schema()).partitions()
+    assert len(parts) == 2
+
+    conn = (
+        spark.read.format("hudi_py")
+        .option("path", v8_trips_table)
+        .option("inputPartitions", "2")
+        .load()
+    )
+    eager = HudiTable(v8_trips_table, spark).read(
+        HudiReadOptions(input_partitions=2)
+    )
+    assert eager.rdd.getNumPartitions() <= 2
+    assert _rows(conn) == _rows(eager)
