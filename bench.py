@@ -74,10 +74,12 @@ HEADLINE = [
     "text_length_outliers",
     "mm_resize_features",
     "mm_frame_sample",
-    # round-5 temporal joins + decontamination
+    # round-5 temporal joins + decontamination + incremental dedup
     "ops_asof_join",
     "ops_range_join",
     "text_decontaminate",
+    "dedup_incremental",
+    "grouping_sets_revenue",
 ]
 
 

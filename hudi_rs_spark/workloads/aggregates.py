@@ -122,3 +122,46 @@ for _n, _f, _s, _d in [
     ("salted_revenue_by_status", salted_revenue_by_status, SALTED_SQL, "skew-proof salted agg"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("aggregate",), doc=_d))
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the generalization CUBE/ROLLUP compile
+    to): per-status totals, per-priority totals, and the grand total in
+    one pass — Spark plans a single Expand + aggregate, no re-scan per
+    set."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            round2(F.sum(dec("o_totalprice"))).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS total,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+register(
+    QuerySpec(
+        name="grouping_sets_revenue",
+        build=grouping_sets_revenue,
+        oracle=GROUPING_SETS_SQL,
+        tags=("aggregate",),
+        doc="explicit GROUPING SETS single-pass multi-level totals",
+    )
+)

@@ -268,3 +268,53 @@ for _n, _f, _s, _d in [
     ("dedup_simhash", dedup_simhash, SIMHASH_SQL, "simhash hamming near-dup"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("dedup",), doc=_d))
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-over-history) dedup: the standing pipeline
+    shape where each NEW ingestion batch is deduped against the
+    fingerprints of everything already accepted — an anti-join against
+    the seen-set, never a recompute over history. The history/new split
+    is carved deterministically (doc_id % 10) so both engines agree.
+
+    At 100 TB the seen-set is a compact (fingerprint) table: the
+    anti-join shuffles only fingerprints (16-byte keys, uniform), and
+    AQE broadcasts it whenever the batch's fingerprint set is small.
+    """
+    from hudi_rs_spark.operators.text import fingerprint
+
+    d = load(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") % 10 < 8)
+    new = d.filter(F.col("doc_id") % 10 >= 8)
+    seen = history.select(fingerprint(F.col("text")).alias("fp")).distinct()
+    return (
+        new.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .join(seen, "fp", "left_anti")
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    )
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH fps AS (
+  SELECT doc_id, md5({SQL_NORM}) AS fp FROM documents
+),
+seen AS (
+  SELECT DISTINCT fp FROM fps WHERE doc_id % 10 < 8
+)
+SELECT f.doc_id, f.fp
+FROM fps f
+WHERE f.doc_id % 10 >= 8
+  AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = f.fp)
+ORDER BY f.doc_id
+"""
+
+register(
+    QuerySpec(
+        name="dedup_incremental",
+        build=dedup_incremental,
+        oracle=INCREMENTAL_DEDUP_SQL,
+        tags=("dedup",),
+        doc="new-batch vs seen-set fingerprint anti-join",
+    )
+)
