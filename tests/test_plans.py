@@ -208,3 +208,17 @@ class TestRound5OperatorPlans:
         plan = _plan(SPECS["text_decontaminate"].build(spark, sf_dir))
         assert "BroadcastHashJoin" in plan
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    def test_grouping_sets_single_expand(self, spark, sf_dir):
+        """GROUPING SETS compiles to ONE Expand + aggregate — one scan
+        for all grouping levels, not a re-scan per set."""
+        plan = _plan(SPECS["grouping_sets_revenue"].build(spark, sf_dir))
+        assert plan.count("Expand") == 1
+        assert plan.count("Scan parquet") == 1
+
+    def test_dedup_incremental_anti_join(self, spark, sf_dir):
+        """The seen-set check is an anti-join on the fingerprint key —
+        no NOT-IN nested loop."""
+        plan = _plan(SPECS["dedup_incremental"].build(spark, sf_dir))
+        assert "LeftAnti" in plan
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
