@@ -71,3 +71,70 @@ def test_cdc_bearing_table_reads_without_error(spark, tmp_path):
     out = HudiTable(base, spark).read().collect()  # must not raise
     vals = {r["id"]: r["val"] for r in out if r["id"] is not None}
     assert vals == {"k1": "new"}
+
+
+class TestChangeFeed:
+    """HudiTable.read_changes: typed CDC feed from type-6 blocks,
+    commit-window bounded and rollback-gated."""
+
+    def _table(self, tmp_path) -> SynthTable:
+        base = os.path.join(tmp_path, "cdc_tbl")
+        t = SynthTable(base)
+        t.write_base("g1-0", C1, {"id": ["k1"], "ts": [1], "val": ["v1"]}, ["k1"])
+        t.append_log(
+            "g1-0",
+            C1,
+            cdc_block(
+                C2,
+                [
+                    {
+                        "op": "u",
+                        "ts_ms": "1704153600000",
+                        "before": json.dumps({"id": "k1", "val": "v1"}),
+                        "after": json.dumps({"id": "k1", "val": "v2"}),
+                    }
+                ],
+            ),
+            stats_instant=C2,
+        )
+        t.commit(C1)
+        t.commit(C2)
+        return t
+
+    def test_changes_in_window(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = self._table(tmp_path)
+        feed = HudiTable(t.base_path, spark).read_changes(C1, C2).collect()
+        assert len(feed) == 1
+        r = feed[0]
+        assert r["op"] == "u" and r["commit_time"] == C2
+        assert json.loads(r["after"]) == {"id": "k1", "val": "v2"}
+
+    def test_window_excludes_outside_commits(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = self._table(tmp_path)
+        assert HudiTable(t.base_path, spark).read_changes(C2).collect() == []
+        assert HudiTable(t.base_path, spark).read_changes(None, C1).collect() == []
+
+    def test_rolled_back_changes_never_leak(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from tests.synth import rollback_block
+
+        t = self._table(tmp_path)
+        C3 = "20240103000000000"
+        # a rollback command voiding C2's blocks lands in a later file
+        t.append_log("g1-0", C1, rollback_block(C3, C2), version=2)
+        t.commit(C3)
+        assert HudiTable(t.base_path, spark).read_changes(C1).collect() == []
+
+    def test_plain_table_yields_empty_feed(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        base = os.path.join(tmp_path, "plain")
+        t = SynthTable(base)
+        t.write_base("g1-0", C1, {"id": ["a"], "ts": [1], "val": ["x"]}, ["a"])
+        t.commit(C1)
+        df = HudiTable(t.base_path, spark).read_changes(None)
+        assert df.collect() == [] and "op" in df.columns
