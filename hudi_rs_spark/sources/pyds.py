@@ -394,16 +394,15 @@ def _read_slice(partition: HudiSlicePartition):
                 if r.get(k) is None:
                     r[k] = v
     if rows or deletes:
-        merged = _merge_slice(base.to_pylist(), rows, deletes, partition, struct)
+        combined = base
+        if rows:
+            combined = pa.concat_tables(
+                [base, pa.Table.from_pylist(rows, schema=target)]
+            )
+        merged = _merge_slice_table(combined, deletes, partition, struct)
         if start is not None and has_commit:
-            merged = [
-                r
-                for r in merged
-                if r.get("_hoodie_commit_time") is not None
-                and r["_hoodie_commit_time"] > start
-                and (partition.as_of is None or r["_hoodie_commit_time"] <= partition.as_of)
-            ]
-        yield from pa.Table.from_pylist(merged, schema=target).to_batches()
+            merged = _commit_window(merged, start, partition.as_of)
+        yield from merged.to_batches()
     else:
         yield from base.to_batches()
 
@@ -490,28 +489,48 @@ def _sort_key_desc_nulls_last(vals):
     return tuple((v is not None, v if v is not None else 0) for v in vals)
 
 
-def _merge_slice(base_rows, log_rows, deletes, partition, struct):
+def _merge_slice_table(combined, deletes, partition, struct):
     """Slice-local OVERWRITE_WITH_LATEST merge, mirroring
     operators/merge.py::latest_by_key + merge_with_deletes exactly
-    (fixture-matrix equivalence against the Spark path is the test)."""
+    (fixture-matrix equivalence against the Spark path is the test).
+
+    Arrow-native for the wide data: winner selection runs over just the
+    key/ordering/seqno columns (python scalars — cheap, three thin
+    columns), then one ``take`` materializes the surviving full rows —
+    no per-row python objects for the payload columns."""
     from hudi_rs_spark.sources.conform import conform_value
 
-    data = base_rows + log_rows
     ordering = partition.ordering
     if partition.strategy == "APPEND_ONLY" or ordering is None:
-        return data
+        return combined
 
-    seqno = "_hoodie_commit_seqno" if "_hoodie_commit_seqno" in struct.names else None
-    ord_cols = [ordering] + ([seqno] if seqno else [])
-    data.sort(
-        key=lambda r: _sort_key_desc_nulls_last([r.get(c) for c in ord_cols]),
+    keys = combined.column("_hoodie_record_key").to_pylist()
+    evs = combined.column(ordering).to_pylist()
+    seqs = (
+        combined.column("_hoodie_commit_seqno").to_pylist()
+        if "_hoodie_commit_seqno" in struct.names
+        else None
+    )
+    n = len(keys)
+    order = sorted(
+        range(n),
+        key=(
+            (lambda i: _sort_key_desc_nulls_last((evs[i], seqs[i])))
+            if seqs is not None
+            else (lambda i: _sort_key_desc_nulls_last((evs[i],)))
+        ),
         reverse=True,
     )
-    survivors: dict[str, dict] = {}
-    for r in data:
-        survivors.setdefault(r.get("_hoodie_record_key"), r)
+    winner: dict = {}
+    for i in order:
+        winner.setdefault(keys[i], i)
 
     if deletes:
+        commits = (
+            combined.column("_hoodie_commit_time").to_pylist()
+            if "_hoodie_commit_time" in struct.names
+            else [None] * n
+        )
         ord_type = struct[ordering].dataType
         del_event: dict[str, object] = {}
         del_commit: dict[str, str] = {}
@@ -527,13 +546,13 @@ def _merge_slice(base_rows, log_rows, deletes, partition, struct):
                     del_event[key] = oval
                 if commit > del_commit[key]:
                     del_commit[key] = commit
-        out = []
-        for key, row in survivors.items():
+        kept: list[int] = []
+        for key, i in winner.items():
             if key not in del_commit:
-                out.append(row)
+                kept.append(i)
                 continue
             de, dc = del_event.get(key), del_commit[key]
-            re_, rc = row.get(ordering), row.get("_hoodie_commit_time")
+            re_, rc = evs[i], commits[i]
             try:
                 event_zero = de is not None and float(de) == 0.0
             except (TypeError, ValueError):
@@ -547,6 +566,12 @@ def _merge_slice(base_rows, log_rows, deletes, partition, struct):
                 eq = de == re_ or (de is None and re_ is None)
                 wins = gt or (eq and dc > (rc or ""))
             if not wins:
-                out.append(row)
-        return out
-    return list(survivors.values())
+                kept.append(i)
+    else:
+        kept = list(winner.values())
+    kept.sort()
+    import pyarrow as pa
+
+    # typed indices: a plain empty list infers null type, which take()
+    # has no kernel for
+    return combined.take(pa.array(kept, type=pa.int64()))
