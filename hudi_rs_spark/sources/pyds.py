@@ -88,16 +88,34 @@ class HudiSlicePartition(InputPartition):
     # dropped partition columns (drop.partition.columns=true) restored as
     # per-slice literals: {column: string value} parsed from the path
     partition_values: dict | None = None
+    # CDC mode: read() yields change rows decoded from CDC log blocks
+    # instead of merged records
+    cdc: bool = False
 
 
 class HudiPyDataSource(DataSource):
     """format("hudi_py") — options: path (required), asOf (time travel,
     any format timestamps.py accepts), readOptimized ('true' skips log
-    merge), listing (auto|direct|mdt)."""
+    merge), listing (auto|direct|mdt), startTimestamp/endTimestamp
+    (incremental window), queryType='cdc' (typed change feed from CDC
+    log blocks, same window options), inputPartitions (scan task cap)."""
+
+    CDC_SCHEMA = T.StructType(
+        [
+            T.StructField("commit_time", T.StringType(), True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("ts_ms", T.StringType(), True),
+            T.StructField("before", T.StringType(), True),
+            T.StructField("after", T.StringType(), True),
+        ]
+    )
 
     @classmethod
     def name(cls) -> str:
         return "hudi_py"
+
+    def _is_cdc(self) -> bool:
+        return str(self.options.get("querytype", self.options.get("queryType", ""))).lower() == "cdc"
 
     def _table(self):
         from hudi_rs_spark.sources.hudi import HudiTable
@@ -110,6 +128,8 @@ class HudiPyDataSource(DataSource):
         )
 
     def schema(self) -> T.StructType:
+        if self._is_cdc():
+            return self.CDC_SCHEMA
         # Spark's parquet reader reports everything nullable regardless of
         # the footer's nested nullability; declare the same so the
         # connector schema is bit-identical to the eager read's.
@@ -160,6 +180,22 @@ class HudiPyReader(DataSourceReader):
 
         start = opt.get("starttimestamp") or opt.get("startTimestamp")
         end = opt.get("endtimestamp") or opt.get("endTimestamp")
+        if str(opt.get("querytype", opt.get("queryType", ""))).lower() == "cdc":
+            if start is not None:
+                start = to_hudi_timestamp(start, t.config.timezone)
+            if end is not None:
+                end = to_hudi_timestamp(end, t.config.timezone)
+            end = end or t.timeline.latest_commit_timestamp()
+            parts = _slice_partitions(
+                t,
+                [s for s in t.get_file_slices(end) if s.has_log_files],
+                end,
+                read_optimized=False,
+                start_exclusive=start or "",
+            )
+            for p in parts:
+                p.cdc = True
+            return _chunk_partitions(parts, n_parts)
         if start is not None or end is not None:
             # incremental batch query: rows changed in (start, end]
             # (SURVEY §2 op 3 through the connector surface)
@@ -367,6 +403,9 @@ def _read_slice(partition: HudiSlicePartition):
         for p in partition.slices:
             yield from _read_slice(p)
         return
+    if partition.cdc:
+        yield from _read_cdc_slice(partition)
+        return
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -405,6 +444,50 @@ def _read_slice(partition: HudiSlicePartition):
         yield from merged.to_batches()
     else:
         yield from base.to_batches()
+
+
+def _read_cdc_slice(partition: HudiSlicePartition):
+    """Executor-side CDC decode: change rows from this slice's type-6
+    log blocks inside the commit window — same validity gating as data
+    blocks (HudiTable.read_changes, distributed)."""
+    import pyarrow as pa
+
+    from hudi_rs_spark.logfile import reader as logreader
+    from hudi_rs_spark.logfile.reader import BLOCK_CDC_DATA
+
+    file_blocks = [logreader.read_log_file(p) for p in partition.log_files]
+    targets: set[str] = set()
+    for blocks in file_blocks:
+        targets |= logreader.rollback_targets(blocks)
+    valid = set(partition.valid_instants)
+    rows: list[dict] = []
+    for blocks in file_blocks:
+        for b in logreader.valid_blocks(
+            blocks,
+            partition.start_exclusive or None,
+            partition.as_of,
+            valid,
+            rollback_targets_override=targets,
+            archival_boundary=partition.archival_boundary,
+            pending_instants=set(partition.pending_instants),
+        ):
+            if b.block_type != BLOCK_CDC_DATA:
+                continue
+            for r in b.records or []:
+                rows.append(
+                    {
+                        "commit_time": b.instant_time,
+                        "op": r.get("op"),
+                        "ts_ms": r.get("ts_ms"),
+                        "before": r.get("before"),
+                        "after": r.get("after"),
+                    }
+                )
+    schema = pa.schema(
+        [(n, pa.string()) for n in ("commit_time", "op", "ts_ms", "before", "after")]
+    )
+    if rows:
+        yield from pa.Table.from_pylist(rows, schema=schema).to_batches()
 
 
 def _commit_window(tbl, start_exclusive: str, end_inclusive: str | None):

@@ -138,3 +138,26 @@ class TestChangeFeed:
         t.commit(C1)
         df = HudiTable(t.base_path, spark).read_changes(None)
         assert df.collect() == [] and "op" in df.columns
+
+
+class TestConnectorCdc:
+    def test_query_type_cdc_matches_read_changes(self, spark, tmp_path):
+        """format('hudi_py') with queryType=cdc: the same typed change
+        feed as HudiTable.read_changes, decoded on executors."""
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+        spark.dataSource.register(HudiPyDataSource)
+        t = TestChangeFeed()._table(tmp_path)
+        conn = (
+            spark.read.format("hudi_py")
+            .option("path", t.base_path)
+            .option("queryType", "cdc")
+            .option("startTimestamp", C1)
+            .load()
+        )
+        cols = sorted(conn.columns)
+        got = sorted(map(tuple, conn.select(*cols).collect()))
+        eager = HudiTable(t.base_path, spark).read_changes(C1)
+        want = sorted(map(tuple, eager.select(*cols).collect()))
+        assert got == want and len(got) == 1
