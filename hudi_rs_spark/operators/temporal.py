@@ -52,15 +52,22 @@ def asof_join(
     Single hash-shuffle on the key, window sort within partitions, no
     join node. Output: all left columns + payload columns.
     """
+    from pyspark.sql import types as T
+
     keys = [on] if isinstance(on, str) else list(on)
     left_cols = [c for c in left.columns]
 
+    # The payload travels as ONE struct so the fill always resolves to a
+    # single right row: per-column last(ignorenulls) would back-fill a
+    # legitimate NULL in one payload column from an OLDER right row,
+    # fabricating a mixed row that never existed.
+    pay_type = T.StructType([T.StructField(c, right.schema[c].dataType) for c in payload])
     l_tag = left.select(
         *keys,
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in left_cols if c not in keys],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(pay_type).alias("_pay"),
     )
     r_tag = right.select(
         *keys,
@@ -68,7 +75,7 @@ def asof_join(
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_cols if c not in keys],
-        *payload,
+        F.struct(*payload).alias("_pay"),
     )
     # right rows sort BEFORE left rows at the same timestamp (_is_left
     # ascending) so an exact-time match is visible to the fill
@@ -78,12 +85,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = r_tag.unionByName(l_tag).select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in payload]
+        "*", F.last("_pay", ignorenulls=True).over(w).alias("_f_pay")
     )
     return filled.filter(F.col("_is_left") == 1).select(
         *keys,
         *[c for c in left_cols if c not in keys],
-        *[F.col(f"_f_{c}").alias(c) for c in payload],
+        *[F.col(f"_f_pay.{c}").alias(c) for c in payload],
     )
 
 

@@ -24,8 +24,15 @@ class Filter:
     field: str
     op: str
     value: str  # string form; split on unescaped commas for IN/NOT IN
+    # IN/NOT IN value list carried typed (no serialize/strip round-trip):
+    # string members with leading/trailing whitespace or embedded
+    # escape-sensitive characters survive exactly. When set, values()
+    # never touches `value`.
+    typed: tuple | None = None
 
     def values(self) -> list[str]:
+        if self.typed is not None:
+            return [str(v) for v in self.typed]
         out, buf, i = [], [], 0
         v = self.value
         while i < len(v):

@@ -453,7 +453,16 @@ class HudiTable:
             )
             for c in df.columns
         ]
-        return out.select(*replaced), remaining
+        # Restore succeeded: the partition columns are now evaluable, so
+        # KEEP their filters in the residual. The pruner fails open on
+        # unparseable paths / uncomparable values, so file-level pruning
+        # alone may not have enforced them — stripping here would return
+        # rows the filter should exclude. Only filters on non-restorable
+        # partition columns (absent from the projection) stay stripped.
+        residual = remaining + [
+            f for f in filters if f.field in pnames and f.field in restorable
+        ]
+        return out.select(*replaced), residual
 
     def _stats_prune(self, slices, filters, options):
         """File-level min/max skip — ONLY when no log files will be
@@ -644,6 +653,33 @@ class HudiTable:
             df = df.select(*options.projection)
         return df
 
+    def cdc_log_groups(
+        self, start_timestamp: str | None, end: str | None
+    ) -> dict[tuple[str, str], list[str]]:
+        """Plan a CDC window read: (partition, file_id) -> sorted relative
+        log paths that may hold in-window CDC blocks. Sourced from the
+        in-window commits' write stats (the files those commits actually
+        wrote) UNIONED with the as-of-end slice log lists — the slice
+        view alone loses pre-compaction log files (a compaction inside
+        the window swaps the slice to a new base and drops old logs),
+        silently truncating the change feed. Commit metadata is the
+        durable record of what was written (ref: timeline commit
+        avro/json partitionToWriteStats)."""
+        groups: dict[tuple[str, str], set[str]] = {}
+        for s in self.get_file_slices(end):
+            key = (s.partition_path, s.base_file.file_id)
+            groups.setdefault(key, set()).update(s.log_file_relative_paths())
+        for i in self.timeline.instants_in_range(start_timestamp, end):
+            meta = self.timeline.metadata_for(i)
+            for ws in meta.write_stats:
+                rel = ws.path.lstrip("/")
+                if ".log." not in os.path.basename(rel):
+                    continue  # base files carry no CDC blocks
+                if not os.path.isfile(os.path.join(self.base_path, rel)):
+                    continue  # cleaned since; nothing to read
+                groups.setdefault((ws.partition_path, ws.file_id), set()).add(rel)
+        return {k: sorted(v) for k, v in groups.items()}
+
     def read_changes(
         self,
         start_timestamp: str | None,
@@ -681,10 +717,12 @@ class HudiTable:
             ]
         )
         rows: list[tuple] = []
-        for s in self.get_file_slices(end):
+        for _group, rel_paths in sorted(
+            self.cdc_log_groups(start_timestamp, end).items()
+        ):
             file_blocks = [
                 logreader.read_log_file(os.path.join(self.base_path, rel))
-                for rel in s.log_file_relative_paths()
+                for rel in rel_paths
             ]
             targets: set[str] = set()
             for blocks in file_blocks:

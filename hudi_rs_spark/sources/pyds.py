@@ -157,8 +157,12 @@ class HudiPyReader(DataSourceReader):
             if op is not None and len(f.attribute) == 1:
                 self.filters.append(Filter(f.attribute[0], op, str(f.value)))
             elif isinstance(f, In) and len(f.attribute) == 1:
-                vals = ",".join(str(v).replace(",", "\\,") for v in f.value)
-                self.filters.append(Filter(f.attribute[0], "IN", vals))
+                # values travel typed: a comma-joined string round-trip
+                # strips whitespace and mangles escape-adjacent members,
+                # and pruning drops whole files — unrecoverable post-scan
+                self.filters.append(
+                    Filter(f.attribute[0], "IN", "", typed=tuple(f.value))
+                )
         # report ALL filters unsupported: Spark re-applies them after the
         # scan, so consuming them above is pruning-only and always safe
         return iter(filters)
@@ -186,15 +190,31 @@ class HudiPyReader(DataSourceReader):
             if end is not None:
                 end = to_hudi_timestamp(end, t.config.timezone)
             end = end or t.timeline.latest_commit_timestamp()
-            parts = _slice_partitions(
-                t,
-                [s for s in t.get_file_slices(end) if s.has_log_files],
-                end,
-                read_optimized=False,
-                start_exclusive=start or "",
-            )
-            for p in parts:
-                p.cdc = True
+            # plan from commit-metadata write stats (cdc_log_groups), not
+            # the as-of slice log lists: a compaction inside the window
+            # drops pre-compaction logs from the slice view and would
+            # silently truncate the feed
+            valid = sorted(i.timestamp for i in t.timeline.instants_as_of(end))
+            boundary = t.timeline.earliest_active_timestamp()
+            pending = sorted(t.timeline.pending_timestamps)
+            parts = [
+                HudiSlicePartition(
+                    base_file="",
+                    log_files=[os.path.join(t.base_path, rel) for rel in rels],
+                    schema_json=self.out_schema.json(),
+                    ordering=None,
+                    strategy="APPEND_ONLY",
+                    valid_instants=valid,
+                    archival_boundary=boundary,
+                    pending_instants=pending,
+                    as_of=end,
+                    merge_logs=True,
+                    start_exclusive=start or "",
+                    cdc=True,
+                )
+                for _group, rels in sorted(t.cdc_log_groups(start, end).items())
+                if rels
+            ]
             return _chunk_partitions(parts, n_parts)
         if start is not None or end is not None:
             # incremental batch query: rows changed in (start, end]
@@ -552,7 +572,12 @@ def _decode_logs(partition: HudiSlicePartition, struct: T.StructType):
     for blocks in file_blocks:
         for b in logreader.valid_blocks(
             blocks,
-            None,
+            # Incremental/streaming windows must exclude pre-window log
+            # blocks BEFORE the merge (mirrors the eager path's
+            # hudi.py _execute_slices gating): otherwise a pre-window row
+            # with a higher ordering value wins the slice merge and the
+            # post-merge commit window then drops the key entirely.
+            partition.start_exclusive or None,
             partition.as_of,
             valid,
             rollback_targets_override=targets,
