@@ -58,6 +58,7 @@ def merge_with_deletes(
     event_col: str,
     commit_col: str,
     tiebreak_cols: Sequence[str] = (),
+    broadcast_deletes: bool = False,
 ) -> DataFrame:
     """Full OVERWRITE_WITH_LATEST merge with delete records.
 
@@ -69,6 +70,13 @@ def merge_with_deletes(
     Delete semantics follow merge/ordering.rs: track per key the max
     event-time ordering AND the max commit-time independently; a delete
     whose max event-time is 0 (or null) compares on commit time only.
+
+    ``broadcast_deletes``: only set True when the caller KNOWS the delete
+    set is small (e.g. driver-decoded rows it already counted). A forced
+    broadcast of an unbounded delete aggregate OOMs the driver on a
+    heavy-delete table between compactions; the default leaves the join
+    strategy to Catalyst/AQE, which still broadcasts at runtime when the
+    post-aggregation shuffle stats come in under the threshold.
     """
     survivors = latest_by_key(
         data, key_cols, [event_col, commit_col, *tiebreak_cols]
@@ -90,7 +98,9 @@ def merge_with_deletes(
         c = survivors[k].eqNullSafe(F.col(f"__delk_{k}"))
         cond = c if cond is None else (cond & c)
 
-    joined = survivors.join(F.broadcast(del_agg), cond, "left")
+    if broadcast_deletes:
+        del_agg = F.broadcast(del_agg)
+    joined = survivors.join(del_agg, cond, "left")
 
     row_event = F.col(event_col)
     row_commit = F.col(commit_col)

@@ -919,6 +919,8 @@ class HudiTable:
                 event_col=ordering,
                 commit_col="_hoodie_commit_time",
                 tiebreak_cols=["_hoodie_commit_seqno"],
+                # driver-decoded: the count is exact, gate the broadcast
+                broadcast_deletes=len(delete_rows) <= 100_000,
             )
         return out.drop("__fg")
 

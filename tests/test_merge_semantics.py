@@ -159,3 +159,42 @@ class TestDeleteOrdering:
             [("c3", "s3", "k1", 5, 10)],
             [("k1", 6, "c1"), ("k1", 2, "c9")],
         ) == []  # event max 6 > 5 -> delete wins regardless of commit
+
+
+class TestDeleteBroadcastGate:
+    """The delete-side broadcast is opt-in: a forced broadcast of an
+    unbounded delete aggregate OOMs on heavy-delete tables at scale, so
+    only callers that counted the delete set (driver decode) may hint."""
+
+    def _plans(self, spark, broadcast_deletes):
+        from pyspark.sql import functions as F
+
+        data = spark.range(0, 1000).select(
+            F.concat(F.lit("k"), F.col("id")).alias("key"),
+            F.col("id").cast("int").alias("ts"),
+            F.lit("c1").alias("commit"),
+            F.lit("s1").alias("seqno"),
+        )
+        # big enough that Spark's size estimate clears the 10MB
+        # autoBroadcastJoinThreshold (plan-only, never executed)
+        deletes = spark.range(0, 20_000_000).select(
+            F.concat(F.lit("k"), F.col("id")).alias("key"),
+            F.col("id").cast("int").alias("ts"),
+            F.lit("c2").alias("commit"),
+        )
+        out = merge_with_deletes(
+            data, deletes, ["key"], event_col="ts", commit_col="commit",
+            tiebreak_cols=["seqno"], broadcast_deletes=broadcast_deletes,
+        )
+        jqe = out._jdf.queryExecution()
+        return jqe.optimizedPlan().toString(), jqe.executedPlan().toString()
+
+    def test_unhinted_large_deletes_plan_shuffle_join(self, spark):
+        logical, physical = self._plans(spark, broadcast_deletes=False)
+        assert "broadcast" not in logical.lower()
+        assert "SortMergeJoin" in physical
+
+    def test_hinted_small_deletes_plan_broadcast(self, spark):
+        logical, physical = self._plans(spark, broadcast_deletes=True)
+        assert "broadcast" in logical.lower()
+        assert "BroadcastHashJoin" in physical
