@@ -58,5 +58,6 @@ def read_ocf(buf: bytes) -> tuple[dict, list[Any]]:
 
 
 def read_ocf_file(path: str) -> tuple[dict, list[Any]]:
-    with open(path, "rb") as f:
-        return read_ocf(f.read())
+    from hudi_rs_spark.fs.storage import storage_for
+
+    return read_ocf(storage_for(path).read_bytes(path))

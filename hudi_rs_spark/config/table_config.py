@@ -63,9 +63,10 @@ class HudiTableConfig:
 
     @classmethod
     def from_base_path(cls, base_path: str) -> "HudiTableConfig":
+        from hudi_rs_spark.fs.storage import storage_for
+
         path = os.path.join(base_path, ".hoodie", "hoodie.properties")
-        with open(path, "r", encoding="utf-8") as f:
-            return cls(parse_properties(f.read()))
+        return cls(parse_properties(storage_for(base_path).read_text(path)))
 
     # -- core identity ----------------------------------------------------
     @property

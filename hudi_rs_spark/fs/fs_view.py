@@ -20,13 +20,14 @@ BASE_EXTENSIONS = ("parquet", "orc", "lance", "hfile")
 
 def list_data_files(base_path: str):
     """Yield (partition_path, file_name, size) for every data file under
-    the table, skipping the .hoodie metadata tree."""
-    for root, dirs, files in os.walk(base_path):
-        dirs[:] = [d for d in dirs if d != ".hoodie"]
-        rel = os.path.relpath(root, base_path)
-        partition = "" if rel == "." else rel.replace(os.sep, "/")
-        for name in files:
-            yield partition, name, os.path.getsize(os.path.join(root, name))
+    the table, skipping the .hoodie metadata tree. Goes through the
+    storage layer (fs/storage.py): on an object store this is ONE
+    recursive LIST, the planner's dominant cost at 100 TB."""
+    from hudi_rs_spark.fs.storage import storage_for
+
+    yield from storage_for(base_path).walk_files(
+        base_path, skip_dirs=frozenset({".hoodie"})
+    )
 
 
 def build_file_groups(

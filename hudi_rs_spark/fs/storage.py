@@ -1,0 +1,335 @@
+"""Storage abstraction for ALL planner-side I/O (timeline, listing,
+commit metadata, HFile/log reads, parquet footers).
+
+The reference routes every byte through its ``object_store`` layer with
+s3/gcs/azure backends selected by URL scheme and per-table storage
+options (crates/core/src/storage/mod.rs:26-28 ``parse_url_opts``; options
+plumbed from table construction). This module is the Spark-side
+equivalent:
+
+- ``LocalStorage`` — plain paths and ``file://`` URIs (os module).
+- ``ArrowFSStorage`` — any scheme ``pyarrow.fs.FileSystem.from_uri``
+  resolves (s3://, s3a:// normalized to s3://, gs://, hdfs://, ...);
+  per-table ``storage_options`` are forwarded to the filesystem
+  constructor (endpoint/credentials overrides), else pyarrow's standard
+  env/instance-profile resolution applies.
+- ``MemoryStorage`` — in-process dict-backed ``memory://`` scheme used
+  by tests to prove no planner module touches ``os``/``open`` directly.
+
+``storage_for(path, options)`` dispatches on scheme and caches one
+backend per (scheme, authority), so call sites resolve per path with no
+threading of a storage object through every signature — which also makes
+executor-side helpers (log decode in Python workers) scheme-transparent.
+
+Scale note: planner cost on object stores is dominated by LIST and GET
+round-trips; every method here is one storage round-trip at most (the
+recursive walk is a single paginated LIST on object stores, not the
+O(depth) sequential walk a naive port of os.walk would issue).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import posixpath
+import threading
+from dataclasses import dataclass
+from typing import BinaryIO, Iterator
+from urllib.parse import urlsplit
+
+
+@dataclass(frozen=True)
+class FileEntry:
+    name: str  # base name, no directory component
+    is_dir: bool
+    size: int  # 0 for directories
+
+
+class Storage:
+    """Minimal read-side contract every backend implements. All paths
+    are FULL paths in the caller's notation (scheme-qualified for
+    non-local backends); joining stays the caller's job via
+    posix-style '/' (os.path.join on POSIX is compatible)."""
+
+    def read_bytes(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def read_text(self, path: str, encoding: str = "utf-8") -> str:
+        return self.read_bytes(path).decode(encoding)
+
+    def open_seekable(self, path: str) -> BinaryIO:
+        """Seekable binary reader (context manager). Header-only scans
+        (log block framing) use this to avoid full-object GETs."""
+        raise NotImplementedError
+
+    def list_dir(self, path: str) -> list[FileEntry]:
+        """Immediate children; [] for a missing directory (planner code
+        treats absent metadata dirs as empty, never as errors)."""
+        raise NotImplementedError
+
+    def walk_files(
+        self, path: str, skip_dirs: frozenset[str] = frozenset()
+    ) -> Iterator[tuple[str, str, int]]:
+        """Yield (relative_dir ('' = root, '/'-separated), name, size)
+        for every file under ``path``, pruning any directory whose NAME
+        is in ``skip_dirs`` at any depth."""
+        raise NotImplementedError
+
+    def isfile(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def isdir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def size(self, path: str) -> int:
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+class LocalStorage(Storage):
+    """os-backed storage; accepts plain paths and file:// URIs."""
+
+    @staticmethod
+    def _p(path: str) -> str:
+        if path.startswith("file://"):
+            return path[len("file://") :] or "/"
+        return path
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(self._p(path), "rb") as f:
+            return f.read()
+
+    def open_seekable(self, path: str) -> BinaryIO:
+        return open(self._p(path), "rb")
+
+    def list_dir(self, path: str) -> list[FileEntry]:
+        p = self._p(path)
+        if not os.path.isdir(p):
+            return []
+        out = []
+        with os.scandir(p) as it:
+            for e in it:
+                is_dir = e.is_dir()
+                out.append(
+                    FileEntry(e.name, is_dir, 0 if is_dir else e.stat().st_size)
+                )
+        return out
+
+    def walk_files(self, path, skip_dirs=frozenset()):
+        base = self._p(path)
+        for root, dirs, files in os.walk(base):
+            dirs[:] = [d for d in dirs if d not in skip_dirs]
+            rel = os.path.relpath(root, base)
+            rel_dir = "" if rel == "." else rel.replace(os.sep, "/")
+            for name in files:
+                yield rel_dir, name, os.path.getsize(os.path.join(root, name))
+
+    def isfile(self, path: str) -> bool:
+        return os.path.isfile(self._p(path))
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(self._p(path))
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(self._p(path))
+
+
+# ---------------------------------------------------------------------------
+class ArrowFSStorage(Storage):
+    """pyarrow.fs-backed storage for object stores. One instance per
+    (scheme, authority); inner paths derived by prefix substitution so a
+    single FileSystem handle (connection pool, credentials) serves every
+    call for that bucket/namenode."""
+
+    def __init__(self, scheme: str, authority: str, options: dict | None = None):
+        from pyarrow import fs as pafs
+
+        self._uri_prefix = f"{scheme}://{authority}"
+        if options:
+            cls = {
+                "s3": pafs.S3FileSystem,
+                "s3a": pafs.S3FileSystem,
+                "gs": pafs.GcsFileSystem,
+                "gcs": pafs.GcsFileSystem,
+                "hdfs": pafs.HadoopFileSystem,
+            }.get(scheme)
+            if cls is None:
+                raise ValueError(
+                    f"storage options unsupported for scheme {scheme!r}"
+                )
+            self.fs = cls(**options)
+            # bucket-style schemes address objects as "<bucket>/<key>"
+            self._inner_prefix = authority if scheme != "hdfs" else ""
+        else:
+            norm = "s3" if scheme == "s3a" else scheme
+            self.fs, self._inner_prefix = pafs.FileSystem.from_uri(
+                f"{norm}://{authority}"
+            )
+
+    def _inner(self, path: str) -> str:
+        if path == self._uri_prefix:
+            return self._inner_prefix
+        if path.startswith(self._uri_prefix + "/"):
+            rest = path[len(self._uri_prefix) :]
+            return (self._inner_prefix + rest).lstrip("/") if self._inner_prefix else rest.lstrip("/")
+        raise ValueError(f"path {path!r} not under {self._uri_prefix!r}")
+
+    def read_bytes(self, path: str) -> bytes:
+        with self.fs.open_input_stream(self._inner(path)) as f:
+            return f.read()
+
+    def open_seekable(self, path: str) -> BinaryIO:
+        return self.fs.open_input_file(self._inner(path))
+
+    def list_dir(self, path: str) -> list[FileEntry]:
+        from pyarrow import fs as pafs
+
+        try:
+            infos = self.fs.get_file_info(
+                pafs.FileSelector(self._inner(path), recursive=False)
+            )
+        except (FileNotFoundError, OSError):
+            return []
+        out = []
+        for i in infos:
+            is_dir = i.type == pafs.FileType.Directory
+            out.append(FileEntry(i.base_name, is_dir, 0 if is_dir else (i.size or 0)))
+        return out
+
+    def walk_files(self, path, skip_dirs=frozenset()):
+        from pyarrow import fs as pafs
+
+        inner = self._inner(path)
+        try:
+            infos = self.fs.get_file_info(pafs.FileSelector(inner, recursive=True))
+        except (FileNotFoundError, OSError):
+            return
+        prefix = inner.rstrip("/") + "/"
+        for i in infos:
+            if i.type != pafs.FileType.File:
+                continue
+            rel = i.path[len(prefix) :] if i.path.startswith(prefix) else i.path
+            rel_dir, _, name = rel.rpartition("/")
+            if skip_dirs and any(seg in skip_dirs for seg in rel_dir.split("/")):
+                continue
+            yield rel_dir, name, i.size or 0
+
+    def _info(self, path: str):
+        return self.fs.get_file_info([self._inner(path)])[0]
+
+    def isfile(self, path: str) -> bool:
+        from pyarrow import fs as pafs
+
+        return self._info(path).type == pafs.FileType.File
+
+    def isdir(self, path: str) -> bool:
+        from pyarrow import fs as pafs
+
+        return self._info(path).type == pafs.FileType.Directory
+
+    def size(self, path: str) -> int:
+        return self._info(path).size or 0
+
+
+# ---------------------------------------------------------------------------
+class MemoryStorage(Storage):
+    """In-process memory:// backend (tests). One shared namespace per
+    authority; driver-side only — Python workers are separate processes
+    and cannot see it, which is fine for exercising PLANNER code paths."""
+
+    _stores: dict[str, dict[str, bytes]] = {}
+    _lock = threading.Lock()
+
+    def __init__(self, authority: str):
+        with MemoryStorage._lock:
+            self._files = MemoryStorage._stores.setdefault(authority, {})
+        self._prefix = f"memory://{authority}"
+
+    def _key(self, path: str) -> str:
+        if not path.startswith(self._prefix):
+            raise ValueError(f"path {path!r} not under {self._prefix!r}")
+        return path[len(self._prefix) :].strip("/")
+
+    # test-side helper (write path is out of engine scope)
+    def write_bytes(self, path: str, data: bytes) -> None:
+        self._files[self._key(path)] = bytes(data)
+
+    def read_bytes(self, path: str) -> bytes:
+        key = self._key(path)
+        if key not in self._files:
+            raise FileNotFoundError(path)
+        return self._files[key]
+
+    def open_seekable(self, path: str) -> BinaryIO:
+        return io.BytesIO(self.read_bytes(path))
+
+    def list_dir(self, path: str) -> list[FileEntry]:
+        prefix = self._key(path)
+        prefix = prefix + "/" if prefix else ""
+        names: dict[str, FileEntry] = {}
+        for k, v in self._files.items():
+            if not k.startswith(prefix):
+                continue
+            rest = k[len(prefix) :]
+            head, sep, _ = rest.partition("/")
+            if sep:
+                names.setdefault(head, FileEntry(head, True, 0))
+            else:
+                names[head] = FileEntry(head, False, len(v))
+        return list(names.values())
+
+    def walk_files(self, path, skip_dirs=frozenset()):
+        prefix = self._key(path)
+        prefix = prefix + "/" if prefix else ""
+        for k, v in sorted(self._files.items()):
+            if not k.startswith(prefix):
+                continue
+            rel = k[len(prefix) :]
+            rel_dir, _, name = rel.rpartition("/")
+            if skip_dirs and any(seg in skip_dirs for seg in rel_dir.split("/")):
+                continue
+            yield rel_dir, name, len(v)
+
+    def isfile(self, path: str) -> bool:
+        return self._key(path) in self._files
+
+    def isdir(self, path: str) -> bool:
+        prefix = self._key(path) + "/"
+        return any(k.startswith(prefix) for k in self._files)
+
+    def size(self, path: str) -> int:
+        return len(self.read_bytes(path))
+
+
+# ---------------------------------------------------------------------------
+_cache: dict[tuple[str, str], Storage] = {}
+_cache_lock = threading.Lock()
+_LOCAL = LocalStorage()
+
+
+def storage_for(path: str, options: dict | None = None) -> Storage:
+    """Backend for ``path``, selected by URL scheme (the reference's
+    parse_url_opts). Plain paths and file:// -> local. Cached per
+    (scheme, authority); passing ``options`` (re)builds that cache entry,
+    so a table constructed with credentials primes resolution for every
+    subsequent same-bucket call."""
+    if "://" not in path:
+        return _LOCAL
+    parts = urlsplit(path)
+    scheme = parts.scheme.lower()
+    if scheme == "file":
+        return _LOCAL
+    key = (scheme, parts.netloc)
+    with _cache_lock:
+        if options or key not in _cache:
+            if scheme == "memory":
+                _cache[key] = MemoryStorage(parts.netloc)
+            else:
+                _cache[key] = ArrowFSStorage(scheme, parts.netloc, options)
+        return _cache[key]
+
+
+def join_path(*parts: str) -> str:
+    """'/'-join that preserves URI schemes (posixpath.join treats the
+    '//' in 'scheme://' fine since later parts are relative)."""
+    return posixpath.join(*parts)

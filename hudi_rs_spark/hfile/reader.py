@@ -184,8 +184,9 @@ class HFile:
 
     @classmethod
     def from_path(cls, path: str) -> "HFile":
-        with open(path, "rb") as f:
-            return cls(f.read())
+        from hudi_rs_spark.fs.storage import storage_for
+
+        return cls(storage_for(path).read_bytes(path))
 
     # -- blocks -----------------------------------------------------------
     def _block_payload(self, off: int) -> tuple[BlockHeader, bytes]:

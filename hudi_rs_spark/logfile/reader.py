@@ -113,8 +113,9 @@ def _read_metadata_map(r: Reader) -> dict[int, str]:
 
 
 def read_log_file(path: str) -> list[LogBlock]:
-    with open(path, "rb") as f:
-        buf = f.read()
+    from hudi_rs_spark.fs.storage import storage_for
+
+    buf = storage_for(path).read_bytes(path)
     r = Reader(buf)
     blocks: list[LogBlock] = []
     while not r.at_end():
@@ -218,8 +219,10 @@ def scan_rollback_targets(path: str) -> set[str]:
     content, so the driver can aggregate a file group's rollback targets
     across ALL its log files cheaply (O(blocks × header bytes) IO) before
     the data blocks decode on executors."""
+    from hudi_rs_spark.fs.storage import storage_for
+
     targets: set[str] = set()
-    with open(path, "rb") as f:
+    with storage_for(path).open_seekable(path) as f:
         while True:
             magic = f.read(6)
             if not magic:

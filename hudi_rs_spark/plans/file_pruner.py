@@ -29,7 +29,10 @@ def parquet_column_stats(path: str) -> dict[str, tuple]:
     """{column: (min, max)} from the footer; absent entries mean no stats."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    from hudi_rs_spark.fs.storage import storage_for
+
+    with storage_for(path).open_seekable(path) as f:
+        md = pq.ParquetFile(f).metadata
     acc: dict[str, list] = {}  # name -> [min, max] or None (no stats)
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -103,13 +106,15 @@ def estimate_table_stats(paths: list[str]) -> tuple[int, int]:
     """(est_rows, est_bytes) from parquet footers — op 23
     (table/mod.rs:895-952 uses MDT sizes x sampled compression; footer
     row counts are strictly better when listing is already done)."""
-    import os
-
     import pyarrow.parquet as pq
+
+    from hudi_rs_spark.fs.storage import storage_for
 
     rows = 0
     size = 0
     for p in paths:
-        rows += pq.ParquetFile(p).metadata.num_rows
-        size += os.path.getsize(p)
+        st = storage_for(p)
+        with st.open_seekable(p) as f:
+            rows += pq.ParquetFile(f).metadata.num_rows
+        size += st.size(p)
     return rows, size

@@ -57,19 +57,29 @@ class HudiTable:
         base_path: str,
         spark: SparkSession | None = None,
         listing: str = "auto",
+        storage_options: dict | None = None,
     ):
         """``listing``: "auto" uses the metadata-table files partition
         when present (O(partitions) planning instead of O(files) storage
         walk — the difference between a usable and an unusable planner on
         a 100 TB table), silently falling back to direct listing on any
         MDT read problem; "direct" always walks storage; "mdt" forces the
-        metadata path (errors surface)."""
+        metadata path (errors surface).
+
+        ``storage_options``: backend settings (credentials/endpoint) for
+        the table's URL scheme, the reference's ``parse_url_opts``
+        surface (storage/mod.rs:26-28). Registering them here primes the
+        per-(scheme, authority) storage cache, so every nested planner
+        module resolves the same configured backend."""
+        from hudi_rs_spark.fs.storage import storage_for
+
         self.base_path = base_path.rstrip("/")
         # Lazy: planning (timeline, listing, pruning, schema resolution)
         # is pure driver-side Python and never touches Spark, so the
         # Python DataSource connector (sources/pyds.py) can plan without
         # a session; read paths resolve the session on first use.
         self._spark = spark
+        self.storage = storage_for(self.base_path, storage_options)
         self.config = HudiTableConfig.from_base_path(self.base_path)
         self.timeline = Timeline.load(self.base_path, self.config)
         if listing not in ("auto", "direct", "mdt"):
@@ -120,7 +130,8 @@ class HudiTable:
 
             newest = max(slices, key=lambda s: s.commit_timestamp)
             path = os.path.join(self.base_path, newest.base_file_relative_path())
-            footer_schema = from_arrow_schema(pq.read_schema(path))
+            with self.storage.open_seekable(path) as f:
+                footer_schema = from_arrow_schema(pq.read_schema(f))
         sj = self.schema_json()
         if sj is None:
             if footer_schema is not None:
@@ -537,8 +548,9 @@ class HudiTable:
         total_bytes = sum(s.base_file.size for s in slices)
         sample = max(slices, key=lambda s: s.base_file.size)
         sample_path = os.path.join(self.base_path, sample.base_file_relative_path())
-        sample_rows = pq.ParquetFile(sample_path).metadata.num_rows
-        sample_bytes = sample.base_file.size or os.path.getsize(sample_path)
+        with self.storage.open_seekable(sample_path) as f:
+            sample_rows = pq.ParquetFile(f).metadata.num_rows
+        sample_bytes = sample.base_file.size or self.storage.size(sample_path)
         if sample_rows <= 0 or sample_bytes <= 0:
             return 0, total_bytes
         est_rows = round(total_bytes * (sample_rows / sample_bytes))
@@ -675,7 +687,7 @@ class HudiTable:
                 rel = ws.path.lstrip("/")
                 if ".log." not in os.path.basename(rel):
                     continue  # base files carry no CDC blocks
-                if not os.path.isfile(os.path.join(self.base_path, rel)):
+                if not self.storage.isfile(os.path.join(self.base_path, rel)):
                     continue  # cleaned since; nothing to read
                 groups.setdefault((ws.partition_path, ws.file_id), set()).add(rel)
         return {k: sorted(v) for k, v in groups.items()}

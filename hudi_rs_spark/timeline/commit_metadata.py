@@ -66,5 +66,6 @@ def parse_commit_bytes(data: bytes) -> CommitMetadata:
 
 
 def parse_commit_file(path: str) -> CommitMetadata:
-    with open(path, "rb") as f:
-        return parse_commit_bytes(f.read())
+    from hudi_rs_spark.fs.storage import storage_for
+
+    return parse_commit_bytes(storage_for(path).read_bytes(path))

@@ -48,21 +48,21 @@ class Timeline:
             timeline_dir = os.path.join(hoodie_dir, config.timeline_path)
         else:
             timeline_dir = hoodie_dir
+        from hudi_rs_spark.fs.storage import storage_for
+
         instants: list[Instant] = []
         pending: set[str] = set()
-        if os.path.isdir(timeline_dir):
-            for name in os.listdir(timeline_dir):
-                full = os.path.join(timeline_dir, name)
-                if not os.path.isfile(full):
-                    continue
-                try:
-                    instant = Instant.from_file_name(name)
-                except (ValueError, KeyError):
-                    continue  # non-data actions (indexing, clean, ...) or aux files
-                if instant.is_completed:
-                    instants.append(instant)
-                else:
-                    pending.add(instant.timestamp)
+        for entry in storage_for(base_path).list_dir(timeline_dir):
+            if entry.is_dir:
+                continue
+            try:
+                instant = Instant.from_file_name(entry.name)
+            except (ValueError, KeyError):
+                continue  # non-data actions (indexing, clean, ...) or aux files
+            if instant.is_completed:
+                instants.append(instant)
+            else:
+                pending.add(instant.timestamp)
         # a completed instant may coexist with stale markers; completion wins
         pending -= {i.timestamp for i in instants}
         instants.sort(key=lambda i: i.sort_key())
@@ -102,22 +102,23 @@ class Timeline:
             )
             out = self._load_lsm_history(history_dir)
         else:
+            from hudi_rs_spark.fs.storage import storage_for
+
             archive_dir = os.path.join(hoodie_dir, cfg.archivelog_folder)
             self._archived_dir_used = archive_dir
-            if os.path.isdir(archive_dir):
-                for name in os.listdir(archive_dir):
-                    if not os.path.isfile(os.path.join(archive_dir, name)):
-                        continue
-                    try:
-                        instant = Instant.from_file_name(name)
-                    except (ValueError, KeyError):
-                        # Not an instant-named file — e.g. a compacted
-                        # `.commits_.archive.N` Avro segment we don't decode.
-                        # Its instants are real history we failed to load.
-                        self._archived_skipped = True
-                        continue
-                    if instant.is_completed:
-                        out.append(instant)
+            for entry in storage_for(self.base_path).list_dir(archive_dir):
+                if entry.is_dir:
+                    continue
+                try:
+                    instant = Instant.from_file_name(entry.name)
+                except (ValueError, KeyError):
+                    # Not an instant-named file — e.g. a compacted
+                    # `.commits_.archive.N` Avro segment we don't decode.
+                    # Its instants are real history we failed to load.
+                    self._archived_skipped = True
+                    continue
+                if instant.is_completed:
+                    out.append(instant)
         active = {i.timestamp for i in self.instants}
         out = [i for i in out if i.timestamp not in active]
         out.sort(key=lambda i: i.sort_key())
@@ -130,14 +131,15 @@ class Timeline:
         from hudi_rs_spark.avro.ocf import read_ocf_file
         from hudi_rs_spark.timeline.commit_metadata import parse_commit_bytes
 
+        from hudi_rs_spark.fs.storage import storage_for
+
+        st = storage_for(self.base_path)
         version_file = os.path.join(history_dir, "_version_")
-        if not os.path.isfile(version_file):
+        if not st.isfile(version_file):
             return []
-        with open(version_file) as f:
-            version = int(f.read().strip())
+        version = int(st.read_text(version_file).strip())
         manifest_path = os.path.join(history_dir, f"manifest_{version}")
-        with open(manifest_path) as f:
-            manifest = _json.load(f)
+        manifest = _json.loads(st.read_text(manifest_path))
         out: list[Instant] = []
         for entry in manifest.get("entries", []):
             fpath = os.path.join(history_dir, entry["file_name"])
@@ -242,13 +244,16 @@ class Timeline:
         if key in self._archived_meta:  # layout-2 LSM history payload
             return self._archived_meta[key]
         if key not in self._metadata_cache:
+            from hudi_rs_spark.fs.storage import storage_for
+
+            st = storage_for(self.base_path)
             fname = _completed_file_name(instant)
             path = os.path.join(self.timeline_dir, fname)
-            if not os.path.isfile(path) and self._archived_dir_used:
+            if not st.isfile(path) and self._archived_dir_used:
                 # layout-1 archived instants are full commit files parked
                 # in the archive folder
                 alt = os.path.join(self._archived_dir_used, fname)
-                if os.path.isfile(alt):
+                if st.isfile(alt):
                     path = alt
             self._metadata_cache[key] = parse_commit_file(path)
         return self._metadata_cache[key]

@@ -1,0 +1,140 @@
+"""Storage abstraction (fs/storage.py): every planner-side byte —
+timeline listing, hoodie.properties, commit metadata, log/HFile decode,
+parquet footers — goes through Storage, proven by running the whole
+planner against a memory:// table no os/open call could ever reach.
+Mirrors the reference's object_store routing (storage/mod.rs:26-28)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from hudi_rs_spark.fs.storage import (
+    LocalStorage,
+    MemoryStorage,
+    storage_for,
+)
+from hudi_rs_spark.sources.hudi import HudiTable
+from tests.synth import SynthTable, cdc_block, parquet_data_block
+
+C1 = "20240101000000000"
+C2 = "20240102000000000"
+
+
+def _copy_to_memory(local_base: str, mem_base: str) -> MemoryStorage:
+    st = storage_for(mem_base)
+    local = LocalStorage()
+    for rel_dir, name, _size in local.walk_files(local_base):
+        rel = f"{rel_dir}/{name}" if rel_dir else name
+        st.write_bytes(
+            f"{mem_base}/{rel}", local.read_bytes(os.path.join(local_base, rel))
+        )
+    return st
+
+
+def _synth(tmp_path) -> SynthTable:
+    t = SynthTable(os.path.join(str(tmp_path), "tbl"))
+    t.write_base("g1-0", C1, {"id": ["k1", "k2"], "ts": [1, 1],
+                              "val": ["a", "b"]}, ["k1", "k2"])
+    t.commit(C1)
+    rows = t.log_rows(C2, {"id": ["k1"], "ts": [2], "val": ["a2"]}, ["k1"], "log")
+    payload = parquet_data_block(C2, rows) + cdc_block(
+        C2, [{"op": "u", "ts_ms": "0",
+              "before": json.dumps({"id": "k1", "val": "a"}),
+              "after": json.dumps({"id": "k1", "val": "a2"})}],
+    )
+    t.append_log("g1-0", C1, payload, stats_instant=C2)
+    t.commit(C2)
+    return t
+
+
+class TestBackends:
+    def test_scheme_dispatch(self):
+        assert storage_for("/plain/path") is storage_for("file:///plain/path")
+        assert isinstance(storage_for("/p"), LocalStorage)
+        assert isinstance(storage_for("memory://x/p"), MemoryStorage)
+        # one cached instance per authority
+        assert storage_for("memory://x/a") is storage_for("memory://x/b")
+        assert storage_for("memory://x/a") is not storage_for("memory://y/a")
+
+    def test_local_walk_prunes_skip_dirs(self, tmp_path):
+        (tmp_path / ".hoodie").mkdir()
+        (tmp_path / ".hoodie" / "f").write_bytes(b"x")
+        (tmp_path / "p1").mkdir()
+        (tmp_path / "p1" / "data").write_bytes(b"yy")
+        got = list(LocalStorage().walk_files(str(tmp_path),
+                                             skip_dirs=frozenset({".hoodie"})))
+        assert got == [("p1", "data", 2)]
+
+    def test_memory_roundtrip_and_listing(self):
+        st = storage_for("memory://rt")
+        st.write_bytes("memory://rt/a/b/f1", b"123")
+        st.write_bytes("memory://rt/a/f2", b"45")
+        assert st.read_bytes("memory://rt/a/b/f1") == b"123"
+        assert st.size("memory://rt/a/f2") == 2
+        assert st.isfile("memory://rt/a/f2") and not st.isfile("memory://rt/a")
+        assert st.isdir("memory://rt/a")
+        names = {(e.name, e.is_dir) for e in st.list_dir("memory://rt/a")}
+        assert names == {("b", True), ("f2", False)}
+        assert list(st.walk_files("memory://rt/a")) == [
+            ("b", "f1", 3), ("", "f2", 2)]
+        with st.open_seekable("memory://rt/a/b/f1") as f:
+            f.seek(1)
+            assert f.read() == b"23"
+        with pytest.raises(FileNotFoundError):
+            st.read_bytes("memory://rt/missing")
+
+
+class TestPlannerOnMemory:
+    """The full driver-side planner against memory:// — any leftover
+    direct os/open call in a planner module fails this with
+    FileNotFoundError on the URI."""
+
+    def _mem_table(self, tmp_path, spark) -> HudiTable:
+        t = _synth(tmp_path)
+        mem_base = "memory://planner/tbl"
+        _copy_to_memory(t.base_path, mem_base)
+        return HudiTable(mem_base, spark)
+
+    def test_timeline_and_slices(self, spark, tmp_path):
+        table = self._mem_table(tmp_path, spark)
+        assert [i.timestamp for i in table.timeline.instants] == [C1, C2]
+        slices = table.get_file_slices()
+        assert len(slices) == 1
+        assert slices[0].has_log_files
+
+    def test_schema_resolution_reads_memory_footer(self, spark, tmp_path):
+        table = self._mem_table(tmp_path, spark)
+        names = table.get_schema().fieldNames()
+        assert {"id", "ts", "val"} <= set(names)
+
+    def test_table_stats_estimation(self, spark, tmp_path):
+        table = self._mem_table(tmp_path, spark)
+        rows, size = table.compute_table_stats()
+        assert rows == 2 and size > 0
+
+    def test_cdc_feed_decodes_from_memory(self, spark, tmp_path):
+        table = self._mem_table(tmp_path, spark)
+        feed = table.read_changes(C1, C2).collect()
+        assert [(r["commit_time"], r["op"]) for r in feed] == [(C2, "u")]
+
+
+class TestFileUriEndToEnd:
+    """file:// is a real non-plain-path scheme Spark itself can execute:
+    the whole read (planner through executors) must equal the plain-path
+    read bit for bit."""
+
+    def test_snapshot_read_equal(self, spark, tmp_path):
+        t = _synth(tmp_path)
+        plain = HudiTable(t.base_path, spark).read()
+        via_uri = HudiTable("file://" + t.base_path, spark).read()
+        rows = lambda df: sorted(  # noqa: E731
+            map(repr, map(tuple, df.select(*sorted(df.columns)).collect()))
+        )
+        assert rows(via_uri) == rows(plain)
+        # (the CDC block decodes as one null-id record row, like the
+        # reference reading type-6 blocks as plain data — ignore it)
+        got = {r["id"]: r["val"] for r in via_uri.collect() if r["id"] is not None}
+        assert got == {"k1": "a2", "k2": "b"}
