@@ -255,13 +255,36 @@ class HudiPyStreamReader(DataSourceStreamReader):
 
     Planning per micro-batch runs on the driver (timeline reload +
     touched-file-group planning, cost ∝ commits in the window);
-    reads fan out per slice to executor Python workers."""
+    reads fan out per slice to executor Python workers.
+
+    Rate limiting: ``maxCommitsPerTrigger`` / ``maxBytesPerTrigger``
+    (bytes from commit-metadata write stats — no storage round-trips)
+    bound how far ``latestOffset`` advances past the reader's last
+    planned offset, so a long backlog drains as bounded micro-batches
+    instead of one giant first batch. At least one commit always
+    advances (progress guarantee). The Python DataSource API has no
+    ReadLimit hook, so the bound rides on reader-instance offset state;
+    after a checkpoint RESTART the first batch is unbounded (the
+    checkpointed start isn't visible until ``partitions`` runs), every
+    later batch is bounded again."""
 
     def __init__(self, options: dict):
         self.options = options
         self.path = options.get("path")
         if not self.path:
             raise ValueError("hudi_py requires option 'path'")
+
+        def _opt(*names) -> int:
+            for n in names:
+                v = options.get(n.lower(), options.get(n))
+                if v is not None:
+                    return max(0, int(v))
+            return 0
+
+        self._max_commits = _opt("maxCommitsPerTrigger")
+        self._max_bytes = _opt("maxBytesPerTrigger")
+        # last offset this reader returned/planned; None until known
+        self._cursor: str | None = None
 
     def _table(self):
         from hudi_rs_spark.sources.hudi import HudiTable
@@ -275,13 +298,45 @@ class HudiPyStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         mode = str(self.options.get("startingoffsets", "earliest")).lower()
         if mode == "latest":
-            return {"commit": self._table().timeline.latest_commit_timestamp() or ""}
-        return {"commit": ""}
+            off = self._table().timeline.latest_commit_timestamp() or ""
+        else:
+            off = ""
+        self._cursor = off
+        return {"commit": off}
 
     def latestOffset(self) -> dict:
-        return {"commit": self._table().timeline.latest_commit_timestamp() or ""}
+        t = self._table()
+        latest = t.timeline.latest_commit_timestamp() or ""
+        if (not self._max_commits and not self._max_bytes) or self._cursor is None:
+            self._cursor = latest
+            return {"commit": latest}
+        window = t.timeline.instants_in_range(self._cursor or None, latest or None)
+        end, n, nbytes = self._cursor, 0, 0
+        for i in window:
+            stats = t.timeline.metadata_for(i).write_stats
+            commit_bytes = sum(ws.size for ws in stats)
+            if self._max_bytes and commit_bytes == 0 and stats:
+                # writer recorded no fileSizeInBytes: stat the files.
+                # Bounded work — the loop breaks once over budget, so at
+                # most (commits taken + 1) commits are ever statted.
+                for ws in stats:
+                    p = os.path.join(t.base_path, ws.path.lstrip("/"))
+                    try:
+                        commit_bytes += t.storage.size(p)
+                    except (FileNotFoundError, OSError):
+                        pass  # cleaned since; contributes nothing
+            over_commits = self._max_commits and n + 1 > self._max_commits
+            over_bytes = self._max_bytes and nbytes + commit_bytes > self._max_bytes
+            if n > 0 and (over_commits or over_bytes):
+                break  # n > 0: a single over-budget commit still advances
+            end, n, nbytes = i.timestamp, n + 1, nbytes + commit_bytes
+        self._cursor = end
+        return {"commit": end}
 
     def partitions(self, start: dict, end: dict) -> list[HudiSlicePartition]:
+        # authoritative cursor resync (covers checkpoint restarts where
+        # initialOffset was never called on this reader instance)
+        self._cursor = end.get("commit") or ""
         return _incremental_partitions(
             self._table(), start.get("commit") or None, end.get("commit") or None
         )

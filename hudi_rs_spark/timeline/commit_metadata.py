@@ -15,6 +15,10 @@ class WriteStat:
     file_id: str
     path: str
     partition_path: str
+    # bytes this write produced (Hudi's fileSizeInBytes / totalWriteBytes;
+    # 0 when the writer recorded neither) — feeds maxBytesPerTrigger
+    # planning without any storage round-trip
+    size: int = 0
 
 
 @dataclass
@@ -36,8 +40,15 @@ def _from_dict(d: dict) -> CommitMetadata:
         for s in stats or []:
             fid, path = s.get("fileId"), s.get("path")
             if fid and path:
+                size = s.get("fileSizeInBytes") or s.get("totalWriteBytes") or 0
+                try:
+                    size = max(0, int(size))
+                except (TypeError, ValueError):
+                    size = 0
                 out.write_stats.append(
-                    WriteStat(fid, path, s.get("partitionPath") or partition or "")
+                    WriteStat(
+                        fid, path, s.get("partitionPath") or partition or "", size
+                    )
                 )
     p2r = d.get("partitionToReplaceFileIds") or {}
     for partition, ids in p2r.items():

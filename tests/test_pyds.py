@@ -285,3 +285,70 @@ def test_input_partitions_chunking(spark, v8_trips_table):
     )
     assert eager.rdd.getNumPartitions() <= 2
     assert _rows(conn) == _rows(eager)
+
+
+class TestStreamRateLimit:
+    """maxCommitsPerTrigger / maxBytesPerTrigger bound how far
+    latestOffset advances, so a backlog drains as bounded micro-batches
+    instead of one giant first batch (driven through the reader's offset
+    API — the exact call sequence MicroBatchExecution issues)."""
+
+    COMMITS = ["2024010100000000%d" % i for i in range(5)]
+
+    def _backlog_table(self, tmp_path):
+        from tests.synth import SynthTable
+
+        base = str(tmp_path / "tbl")
+        t = SynthTable(base)
+        for n, c in enumerate(self.COMMITS):
+            t.write_base(
+                f"g{n}-0", c, {"id": [f"k{n}"], "ts": [1], "val": ["v"]},
+                [f"k{n}"],
+            )
+            t.commit(c)
+        return base
+
+    def _drain(self, reader):
+        """initialOffset -> (latestOffset -> partitions)* until caught
+        up; returns the per-batch commit windows."""
+        cur = reader.initialOffset()
+        windows = []
+        for _ in range(20):
+            end = reader.latestOffset()
+            if end == cur:
+                break
+            parts = reader.partitions(cur, end)
+            windows.append((cur["commit"], end["commit"], len(parts)))
+            cur = end
+        else:
+            raise AssertionError("stream never caught up")
+        return windows
+
+    def test_max_commits_bounds_each_batch(self, spark, tmp_path):
+        from hudi_rs_spark.sources.pyds import HudiPyStreamReader
+
+        base = self._backlog_table(tmp_path)
+        r = HudiPyStreamReader({"path": base, "maxcommitspertrigger": "2"})
+        windows = self._drain(r)
+        # 5-commit backlog -> 2+2+1, never more than 2 slices per batch
+        assert [w[2] for w in windows] == [2, 2, 1]
+        assert windows[-1][1] == self.COMMITS[-1]
+
+    def test_max_bytes_bounds_but_always_advances(self, spark, tmp_path):
+        from hudi_rs_spark.sources.pyds import HudiPyStreamReader
+
+        base = self._backlog_table(tmp_path)
+        # 1 byte budget: every commit exceeds it -> exactly one commit
+        # per batch (progress guarantee), never zero
+        r = HudiPyStreamReader({"path": base, "maxbytespertrigger": "1"})
+        windows = self._drain(r)
+        assert [w[2] for w in windows] == [1] * 5
+        assert windows[-1][1] == self.COMMITS[-1]
+
+    def test_unbounded_without_options(self, spark, tmp_path):
+        from hudi_rs_spark.sources.pyds import HudiPyStreamReader
+
+        base = self._backlog_table(tmp_path)
+        r = HudiPyStreamReader({"path": base})
+        windows = self._drain(r)
+        assert [w[2] for w in windows] == [5]
