@@ -704,8 +704,9 @@ class HudiTable:
         commit window (start, end]. The reference reads CDC blocks only
         as plain record data (scanner.rs:182,223); this surfaces their
         payload. Tables that never wrote CDC blocks yield an empty
-        frame — the row-level incremental query stays
-        ``read_incremental``.
+        frame — use ``read_changes_derived`` there (before/after diffed
+        from consecutive commit snapshots); the row-level incremental
+        query stays ``read_incremental``.
 
         Blocks pass the same validity gates as data blocks (rollbacks,
         uncommitted, archival rules), so a rolled-back commit's changes
@@ -762,6 +763,121 @@ class HudiTable:
                             )
                         )
         return self.spark.createDataFrame(rows, schema)
+
+    def read_changes_derived(
+        self,
+        start_timestamp: str | None,
+        end_timestamp: str | None = None,
+    ) -> DataFrame:
+        """Change feed for tables WITHOUT CDC log blocks: derive op /
+        before / after by diffing consecutive commit snapshots. Neither
+        the reference nor its incremental query can produce before-images
+        on such tables — this closes that gap using the snapshot engine
+        that already exists.
+
+        Per in-window commit: read the touched file groups (from the
+        commit's write stats — never the whole table) as-of that commit
+        and as-of the previous commit, full-outer join on the record key,
+        and classify: only-new -> 'i', only-old -> 'd', value change ->
+        'u' (unchanged keys drop out). Images are JSON over the data
+        columns, matching the CDC writer's shape.
+
+        Scale: cost ∝ commits-in-window × touched-group bytes, each diff
+        one key-shuffle join; the CDC-block path (read_changes) stays the
+        cheap primary when the writer records change blocks."""
+        from hudi_rs_spark.timeline.timestamps import to_hudi_timestamp
+
+        if start_timestamp is not None:
+            start_timestamp = to_hudi_timestamp(start_timestamp, self.config.timezone)
+        if end_timestamp is not None:
+            end_timestamp = to_hudi_timestamp(end_timestamp, self.config.timezone)
+        end = end_timestamp or self.timeline.latest_commit_timestamp()
+        schema = T.StructType(
+            [
+                T.StructField("commit_time", T.StringType(), True),
+                T.StructField("op", T.StringType(), True),
+                T.StructField("ts_ms", T.StringType(), True),
+                T.StructField("before", T.StringType(), True),
+                T.StructField("after", T.StringType(), True),
+            ]
+        )
+        window = self.timeline.instants_in_range(start_timestamp, end)
+        if not window:
+            return self.spark.createDataFrame([], schema)
+        all_commits = [i.timestamp for i in self.timeline.instants_as_of(end)]
+        options = HudiReadOptions()
+        key = "_hoodie_record_key"
+        parts: list[DataFrame] = []
+        for inst in window:
+            meta = self.timeline.metadata_for(inst)
+            touched = {(ws.partition_path, ws.file_id) for ws in meta.write_stats}
+            if not touched:
+                continue
+            prior = [c for c in all_commits if c < inst.timestamp]
+            prev_ts = max(prior) if prior else None
+
+            def _snap(as_of):
+                if as_of is None:
+                    return None
+                slices = [
+                    s
+                    for s in self.get_file_slices(as_of)
+                    if (s.partition_path, s.base_file.file_id) in touched
+                ]
+                if not slices:
+                    return None
+                return self._execute_slices(slices, as_of, options)
+
+            new_df = _snap(inst.timestamp)
+            if new_df is None:
+                continue
+            data_cols = sorted(
+                c for c in new_df.columns if not c.startswith("_hoodie_")
+            )
+            img = F.to_json(F.struct(*[F.col(c) for c in data_cols]))
+            n = new_df.filter(F.col(key).isNotNull()).select(
+                F.col(key).alias("__k"), img.alias("after")
+            )
+            old_df = _snap(prev_ts)
+            if old_df is None:
+                o = self.spark.createDataFrame(
+                    [],
+                    T.StructType(
+                        [
+                            T.StructField("__k", T.StringType(), True),
+                            T.StructField("before", T.StringType(), True),
+                        ]
+                    ),
+                )
+            else:
+                o = old_df.filter(F.col(key).isNotNull()).select(
+                    F.col(key).alias("__k"), img.alias("before")
+                )
+            j = n.join(o, "__k", "full_outer")
+            op = (
+                F.when(F.col("before").isNull(), F.lit("i"))
+                .when(F.col("after").isNull(), F.lit("d"))
+                .otherwise(F.lit("u"))
+            )
+            parts.append(
+                j.filter(
+                    F.col("before").isNull()
+                    | F.col("after").isNull()
+                    | (F.col("before") != F.col("after"))
+                ).select(
+                    F.lit(inst.timestamp).alias("commit_time"),
+                    op.alias("op"),
+                    F.lit(None).cast("string").alias("ts_ms"),
+                    F.col("before"),
+                    F.col("after"),
+                )
+            )
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- physical plan builders ---------------------------------------
     def _execute_slices(
