@@ -352,3 +352,41 @@ class TestStreamRateLimit:
         r = HudiPyStreamReader({"path": base})
         windows = self._drain(r)
         assert [w[2] for w in windows] == [5]
+
+
+def test_incremental_across_replacecommit_connector_equals_eager(spark):
+    """Incremental windows crossing a clustering replacecommit boundary:
+    the connector's startTimestamp/endTimestamp path must match the eager
+    read_incremental for every window shape (ending on, starting before,
+    and spanning the replacecommit — ref set-difference semantics,
+    timeline/mod.rs:382-386)."""
+    path = extract_fixture("sample_table/mor/avro/v9_txns_simple_meta.zip")
+    t = HudiTable(path, spark)
+    stamps = [i.timestamp for i in t.timeline.instants]
+    replaces = [i.timestamp for i in t.timeline.instants if i.is_replacecommit]
+    assert replaces, "fixture must contain a clustering replacecommit"
+    r = replaces[0]
+    ri = stamps.index(r)
+    windows = {(stamps[i], stamps[i + 1]) for i in range(len(stamps) - 1)}
+    windows |= {
+        (stamps[max(ri - 1, 0)], r),              # ends ON the replace
+        (r, stamps[-1]),                          # starts ON the replace
+        (stamps[0], stamps[-1]),                  # spans it
+    }
+    if ri >= 1:
+        windows.add((stamps[ri - 1], stamps[min(ri + 1, len(stamps) - 1)]))
+    checked = 0
+    for start, end in sorted(windows):
+        if start >= end:
+            continue
+        eager = t.read_incremental(start, end)
+        conn = (
+            spark.read.format("hudi_py")
+            .option("path", path)
+            .option("startTimestamp", start)
+            .option("endTimestamp", end)
+            .load()
+        )
+        assert _rows(conn) == _rows(eager), f"window ({start}, {end}]"
+        checked += 1
+    assert checked >= 4
