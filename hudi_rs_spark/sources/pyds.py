@@ -70,6 +70,18 @@ _OPS = {
 }
 
 
+def _storage_options(options: dict) -> dict | None:
+    """``storage.<key>`` reader options -> backend settings for the
+    table's URL scheme (the reference plumbs storage options from table
+    construction the same way: parse_url_opts)."""
+    out = {
+        k[len("storage.") :]: v
+        for k, v in options.items()
+        if k.lower().startswith("storage.") and k[len("storage.") :]
+    }
+    return out or None
+
+
 @dataclass
 class HudiSlicePartition(InputPartition):
     base_file: str
@@ -96,7 +108,9 @@ class HudiSlicePartition(InputPartition):
 class HudiPyDataSource(DataSource):
     """format("hudi_py") — options: path (required), asOf (time travel,
     any format timestamps.py accepts), readOptimized ('true' skips log
-    merge), listing (auto|direct|mdt), startTimestamp/endTimestamp
+    merge), listing (auto|direct|mdt), storage.<key> (backend settings
+    for the table's URL scheme, e.g. storage.endpoint_override),
+    startTimestamp/endTimestamp
     (incremental window), queryType='cdc' (typed change feed from CDC
     log blocks, same window options), inputPartitions (scan task cap)."""
 
@@ -124,7 +138,10 @@ class HudiPyDataSource(DataSource):
         if not path:
             raise ValueError("hudi_py requires option 'path'")
         return HudiTable(
-            path, spark=None, listing=self.options.get("listing", "auto")
+            path,
+            spark=None,
+            listing=self.options.get("listing", "auto"),
+            storage_options=_storage_options(self.options),
         )
 
     def schema(self) -> T.StructType:
@@ -292,7 +309,10 @@ class HudiPyStreamReader(DataSourceStreamReader):
         # fresh instance: the timeline must see commits that landed
         # after the stream started
         return HudiTable(
-            self.path, spark=None, listing=self.options.get("listing", "auto")
+            self.path,
+            spark=None,
+            listing=self.options.get("listing", "auto"),
+            storage_options=_storage_options(self.options),
         )
 
     def initialOffset(self) -> dict:

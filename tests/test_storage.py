@@ -138,3 +138,35 @@ class TestFileUriEndToEnd:
         # reference reading type-6 blocks as plain data — ignore it)
         got = {r["id"]: r["val"] for r in via_uri.collect() if r["id"] is not None}
         assert got == {"k1": "a2", "k2": "b"}
+
+
+class TestConnectorStorageOptions:
+    def test_storage_option_extraction(self):
+        from hudi_rs_spark.sources.pyds import _storage_options
+
+        opts = {
+            "path": "s3://b/t",
+            "storage.endpoint_override": "http://minio:9000",
+            "storage.region": "us-east-1",
+            "listing": "auto",
+        }
+        assert _storage_options(opts) == {
+            "endpoint_override": "http://minio:9000",
+            "region": "us-east-1",
+        }
+        assert _storage_options({"path": "/x"}) is None
+
+    def test_connector_plans_against_memory_scheme(self, spark, tmp_path):
+        """The connector's driver-side planning (schema + partitions)
+        runs against a non-local scheme end to end."""
+        from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+        t = _synth(tmp_path)
+        mem_base = "memory://conn/tbl"
+        _copy_to_memory(t.base_path, mem_base)
+        ds = HudiPyDataSource({"path": mem_base})
+        schema = ds.schema()
+        assert {"id", "ts", "val"} <= set(schema.fieldNames())
+        parts = ds.reader(schema).partitions()
+        assert len(parts) == 1 and parts[0].log_files
+        assert parts[0].base_file.startswith("memory://")
