@@ -329,6 +329,18 @@ def storage_for(path: str, options: dict | None = None) -> Storage:
         return _cache[key]
 
 
+def as_local_path(path: str) -> str | None:
+    """Plain filesystem path when ``path`` is local (bare or file://),
+    else None. Readers use this to keep pyarrow's mmap'd/multi-threaded
+    plain-path parquet fast path for local files while routing
+    object-store paths through the configured backend's file handle."""
+    if "://" not in path:
+        return path
+    if path.startswith("file://"):
+        return path[len("file://") :] or "/"
+    return None
+
+
 def join_path(*parts: str) -> str:
     """'/'-join that preserves URI schemes (posixpath.join treats the
     '//' in 'scheme://' fine since later parts are relative)."""

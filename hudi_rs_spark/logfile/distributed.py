@@ -40,6 +40,7 @@ def decode_logs_distributed(
     rollback_targets_by_fg: dict[str, frozenset[str]] | None = None,
     archival_boundary: str | None = None,
     pending_instants: frozenset[str] | None = None,
+    storage_options: dict | None = None,
 ) -> DataFrame:
     full_schema = T.StructType(
         list(out_schema.fields) + [T.StructField(DELETE_FLAG, T.BooleanType(), False)]
@@ -58,14 +59,23 @@ def decode_logs_distributed(
     # past content) and ships the per-group target sets into the closure.
     fg_targets = {k: frozenset(v) for k, v in (rollback_targets_by_fg or {}).items()}
 
+    st_options = dict(storage_options) if storage_options else None
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # imports inside: runs on executors
+        from hudi_rs_spark.fs.storage import storage_for
         from hudi_rs_spark.logfile import reader as logreader
         from hudi_rs_spark.sources.conform import conform_row
 
+        primed = False
         for pdf in batches:
             rows: list[dict] = []
             for fg, path in zip(pdf["fg"], pdf["path"]):
+                if not primed:
+                    # executor processes have their own storage cache;
+                    # register the table's backend options once
+                    storage_for(path, st_options)
+                    primed = True
                 blocks = logreader.read_log_file(path)
                 for b in logreader.valid_blocks(
                     blocks, start_exclusive, end_inclusive, valid,

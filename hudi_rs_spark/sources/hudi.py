@@ -79,6 +79,10 @@ class HudiTable:
         # Python DataSource connector (sources/pyds.py) can plan without
         # a session; read paths resolve the session on first use.
         self._spark = spark
+        # retained so distributed read paths (sources/pyds.py) can ship
+        # the options to executor processes, whose storage cache is
+        # separate from the driver's
+        self.storage_options = dict(storage_options) if storage_options else None
         self.storage = storage_for(self.base_path, storage_options)
         self.config = HudiTableConfig.from_base_path(self.base_path)
         self.timeline = Timeline.load(self.base_path, self.config)
@@ -1088,6 +1092,7 @@ class HudiTable:
             rollback_targets_by_fg={k: frozenset(v) for k, v in fg_targets.items()},
             archival_boundary=self.timeline.earliest_active_timestamp(),
             pending_instants=frozenset(self.timeline.pending_timestamps),
+            storage_options=self.storage_options,
         )
         log_df = decoded.filter(~F.col(DELETE_FLAG)).drop(DELETE_FLAG)
         data = base_tagged.unionByName(log_df)

@@ -103,6 +103,11 @@ class HudiSlicePartition(InputPartition):
     # CDC mode: read() yields change rows decoded from CDC log blocks
     # instead of merged records
     cdc: bool = False
+    # per-table storage backend settings (credentials/endpoint), shipped
+    # to executors because their storage_for cache is a separate process
+    # from the driver's (the reference serializes storage options into
+    # every FileGroupReader the same way, storage/mod.rs:26-28)
+    storage_options: dict | None = None
 
 
 class HudiPyDataSource(DataSource):
@@ -479,6 +484,7 @@ def _slice_partitions(
             merge_logs=merge_logs,
             start_exclusive=start_exclusive,
             partition_values=part_vals.get(s.partition_path),
+            storage_options=getattr(t, "storage_options", None),
         )
         for s in slices
     ]
@@ -505,9 +511,19 @@ def _read_slice(partition: HudiSlicePartition):
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    from hudi_rs_spark.fs.storage import as_local_path, storage_for
+
     struct = T.StructType.fromJson(json.loads(partition.schema_json))
     target = to_arrow_schema(struct)
-    base = pq.read_table(partition.base_file)
+    # prime this worker's storage cache with the table's backend options
+    # (one (scheme, authority) entry covers the log files too)
+    storage = storage_for(partition.base_file, partition.storage_options)
+    local = as_local_path(partition.base_file)
+    if local is not None:
+        base = pq.read_table(local)
+    else:
+        with storage.open_seekable(partition.base_file) as f:
+            base = pq.read_table(f)
     base = _conform_table(base, target, partition.partition_values)
     start = partition.start_exclusive
     has_commit = "_hoodie_commit_time" in struct.names
@@ -547,9 +563,13 @@ def _read_cdc_slice(partition: HudiSlicePartition):
     blocks (HudiTable.read_changes, distributed)."""
     import pyarrow as pa
 
+    from hudi_rs_spark.fs.storage import storage_for
     from hudi_rs_spark.logfile import reader as logreader
     from hudi_rs_spark.logfile.reader import BLOCK_CDC_DATA
 
+    if partition.log_files:
+        # prime this worker's storage cache (see _read_slice)
+        storage_for(partition.log_files[0], partition.storage_options)
     file_blocks = [logreader.read_log_file(p) for p in partition.log_files]
     targets: set[str] = set()
     for blocks in file_blocks:

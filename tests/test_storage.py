@@ -170,3 +170,39 @@ class TestConnectorStorageOptions:
         parts = ds.reader(schema).partitions()
         assert len(parts) == 1 and parts[0].log_files
         assert parts[0].base_file.startswith("memory://")
+
+    def test_executor_slice_read_routes_through_storage(self, spark, tmp_path):
+        """The executor-side slice read (base parquet + log merge) is
+        scheme-transparent: running it against a memory:// partition
+        proves no pq.read_table(plain_path)/open() call remains in the
+        read path. (memory:// is driver-process-only, so the read runs
+        in-process — the same function executors run.)"""
+        from hudi_rs_spark.sources.pyds import HudiPyDataSource, _read_slice
+
+        t = _synth(tmp_path)
+        mem_base = "memory://execread/tbl"
+        _copy_to_memory(t.base_path, mem_base)
+        ds = HudiPyDataSource({"path": mem_base})
+        schema = ds.schema()
+        [part] = ds.reader(schema).partitions()
+        merged = {}
+        for batch in _read_slice(part):
+            for row in batch.to_pylist():
+                if row.get("id") is not None:
+                    merged[row["id"]] = row["val"]
+        assert merged == {"k1": "a2", "k2": "b"}
+
+    def test_partitions_carry_storage_options_to_executors(self, spark, tmp_path):
+        """Executor processes have their own storage_for cache; the
+        per-table backend options must ride on every InputPartition."""
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.sources.pyds import _slice_partitions
+
+        t = _synth(tmp_path)
+        opts = {"endpoint_override": "http://minio:9000"}
+        table = HudiTable(t.base_path, spark, storage_options=opts)
+        assert table.storage_options == opts
+        parts = _slice_partitions(
+            table, table.get_file_slices(), None, read_optimized=False
+        )
+        assert all(p.storage_options == opts for p in parts)
