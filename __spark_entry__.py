@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 # finally records rows for them; then the rarely-sampled similarity
 # family (last driver rows r1/r2); then everything else in stable order.
 _SURFACE_FIRST = [
+    "text_rarity_score",
     "text_tfidf_topterms", "text_length_outliers", "sim_kmeans_clusters",
     "q_price_percentiles", "dedup_fuzzy_levenshtein", "sample_stratified",
     "sample_weighted_mix", "pack_token_shards", "pipeline_curate",

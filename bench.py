@@ -80,6 +80,8 @@ HEADLINE = [
     "text_decontaminate",
     "dedup_incremental",
     "grouping_sets_revenue",
+    # round-6 quality scoring
+    "text_rarity_score",
 ]
 
 

@@ -398,6 +398,79 @@ ORDER BY d.doc_id
 """
 
 
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram rarity — the deterministic analog of
+    CCNet-style LM-perplexity quality filtering: documents whose tokens
+    are rare across the corpus score high, boilerplate scores low.
+
+    Perplexity proper is exp(-mean ln p(token)); ln is a libm call whose
+    last ulp differs across engines and a per-doc double sum is
+    partition-order-dependent, so neither survives a hash-exact oracle.
+    Instead each token scores the scaled inverse document frequency
+    (N_docs * 1e6) div df — pure BIGINT ops, bit-identical everywhere —
+    and the per-doc aggregate is an exact DECIMAL(28,0) sum
+    (order-independent on any partitioning). The final mean derives in
+    one fixed sequence of double ops the oracle mirrors. Ranking is the
+    same quality signal (monotone in mean inverse df).
+
+    Plan: explode words once; df is one partial-aggregated groupBy on
+    term; words join df on term (uniform key, broadcast-able when the
+    vocabulary is small — AQE decides); per-doc aggregate shuffles on
+    doc_id. At 100 TB every shuffle is keyed by term or doc_id — both
+    high-cardinality and uniform.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    docfreq = words.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = d.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        words.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "lang", F.expr("n * 1000000 div df").alias("v"))
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("v").cast("decimal(28,0)")).alias("sv"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (
+            F.col("sv").cast("double")
+            / (F.lit(1000000.0) * F.col("n_tokens").cast("double"))
+        ).alias("rarity"),
+    ).orderBy("doc_id")
+
+
+RARITY_SQL = """
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+docfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM words) GROUP BY term
+),
+n_docs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT doc_id, lang, (n * 1000000) // df AS v
+  FROM words JOIN docfreq USING (term) CROSS JOIN n_docs
+),
+per_doc AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(CAST(v AS DECIMAL(28,0))) AS sv
+  FROM scored GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(sv AS DOUBLE) / (1000000.0 * CAST(n_tokens AS DOUBLE)) AS rarity
+FROM per_doc ORDER BY doc_id
+"""
+
+
 for _n, _f, _s, _d in [
     ("text_token_stats", text_token_stats, TOKEN_SQL, "token + BPE-ish counting"),
     ("text_quality", text_quality, QUALITY_SQL, "quality scoring"),
@@ -407,5 +480,7 @@ for _n, _f, _s, _d in [
     ("text_repetition", text_repetition, REPETITION_SQL, "repetition/boilerplate signals"),
     ("text_tfidf_topterms", text_tfidf_topterms, TFIDF_SQL, "per-language TF-IDF top terms"),
     ("text_length_outliers", text_length_outliers, OUTLIER_SQL, "z-score length outliers"),
+    ("text_rarity_score", text_rarity_score, RARITY_SQL,
+     "unigram-rarity quality score (deterministic CCNet-perplexity analog)"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("text",), doc=_d))
