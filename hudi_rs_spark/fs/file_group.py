@@ -65,15 +65,35 @@ class LogFile:
 
 @dataclass
 class FileSlice:
-    base_file: BaseFile
+    # None for a LOG-ONLY slice: a file group created by a deltacommit
+    # that wrote only log files (no base yet — e.g. log-indexed inserts
+    # before the first compaction). The reference does NOT support these
+    # ("file slices without a base file are not yet supported",
+    # docs/reader-spec.md §4); we read them by merging the logs against
+    # an empty base.
+    base_file: BaseFile | None
     partition_path: str
     log_files: list[LogFile] = field(default_factory=list)
+    # slice key for a log-only slice: requested ts of the deltacommit
+    # that created the group (unused when base_file is set)
+    log_anchor_timestamp: str | None = None
 
     @property
     def commit_timestamp(self) -> str:
-        return self.base_file.commit_timestamp
+        if self.base_file is not None:
+            return self.base_file.commit_timestamp
+        assert self.log_anchor_timestamp is not None
+        return self.log_anchor_timestamp
 
-    def base_file_relative_path(self) -> str:
+    @property
+    def file_id(self) -> str:
+        if self.base_file is not None:
+            return self.base_file.file_id
+        return self.log_files[0].file_id
+
+    def base_file_relative_path(self) -> str | None:
+        if self.base_file is None:
+            return None
         if self.partition_path:
             return f"{self.partition_path}/{self.base_file.file_name}"
         return self.base_file.file_name
@@ -100,20 +120,33 @@ class FileGroup:
     slices: dict[str, FileSlice] = field(default_factory=dict)
 
     def add_base_file(self, bf: BaseFile) -> None:
-        # newer write_token for same commit wins (retried writes)
+        # newer write_token for same commit wins (retried writes); a base
+        # landing on a log-only slice's key (compaction scheduled at the
+        # same instant) upgrades it in place, keeping the logs
         existing = self.slices.get(bf.commit_timestamp)
-        if existing is None or bf.write_token > existing.base_file.write_token:
+        if (
+            existing is None
+            or existing.base_file is None
+            or bf.write_token > existing.base_file.write_token
+        ):
             keep_logs = existing.log_files if existing else []
             self.slices[bf.commit_timestamp] = FileSlice(bf, self.partition_path, keep_logs)
 
     def add_log_file(self, lf: LogFile) -> None:
         """Associate by completion time (v8+) else by embedded base ts (v6):
         attach to the slice with the largest base commit_ts <= anchor
-        (file_group/mod.rs:196-248)."""
+        (file_group/mod.rs:196-248). A log preceding every base slice
+        starts a LOG-ONLY slice keyed at its embedded deltacommit ts —
+        callers must feed logs in ascending anchor order so later logs of
+        the same pre-compaction window attach to it instead of each
+        spawning their own slice (fs_view.build_file_groups sorts)."""
         anchor = lf.completion_timestamp or lf.timestamp
         candidates = [ts for ts in self.slices if ts <= anchor]
         if not candidates:
-            return  # log for a pending/compacted-away base; skip
+            self.slices[lf.timestamp] = FileSlice(
+                None, self.partition_path, [lf], log_anchor_timestamp=lf.timestamp
+            )
+            return
         self.slices[max(candidates)].log_files.append(lf)
 
     def get_file_slice_as_of(self, timestamp: str | None) -> FileSlice | None:

@@ -81,11 +81,18 @@ def build_file_groups(
             groups[key] = FileGroup(bf.file_id, partition)
         groups[key].add_base_file(bf)
 
+    # ascending anchor order: the earliest log of a log-only (baseless)
+    # group creates the slice and later pre-compaction logs attach to it
+    logs.sort(key=lambda pl: (pl[1].completion_timestamp or pl[1].timestamp,
+                              pl[1].sort_key()))
     for partition, lf in logs:
         key = (partition, lf.file_id)
         group = groups.get(key)
-        if group is not None:
-            group.add_log_file(lf)
+        if group is None:
+            # no base file anywhere in the group: log-only file group
+            # (the reference rejects these; we merge against empty base)
+            group = groups[key] = FileGroup(lf.file_id, partition)
+        group.add_log_file(lf)
     return groups
 
 

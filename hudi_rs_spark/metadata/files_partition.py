@@ -117,7 +117,13 @@ def iter_partition_hfiles(data_table_base_path: str, partition: str):
     if not slices:
         return
     for sl in slices:
-        yield True, HFile.from_path(os.path.join(base, sl.base_file_relative_path()))
+        if sl.base_file is not None:
+            yield True, HFile.from_path(
+                os.path.join(base, sl.base_file_relative_path())
+            )
+        # MDT file groups are LOG-ONLY until their first compaction (the
+        # writer appends HFile-payload log blocks); a baseless slice just
+        # means every record is still in the logs
         for rel in sl.log_file_relative_paths():
             blocks = logreader.read_log_file(os.path.join(base, rel))
             for b in logreader.valid_blocks(

@@ -128,11 +128,12 @@ class HudiTable:
         no footer inference/merge job at all — O(1) driver footer reads
         regardless of file count."""
         footer_schema: T.StructType | None = None
-        if slices:
+        based = [s for s in slices if s.base_file is not None]
+        if based:
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import from_arrow_schema
 
-            newest = max(slices, key=lambda s: s.commit_timestamp)
+            newest = max(based, key=lambda s: s.commit_timestamp)
             path = os.path.join(self.base_path, newest.base_file_relative_path())
             with self.storage.open_seekable(path) as f:
                 footer_schema = from_arrow_schema(pq.read_schema(f))
@@ -516,6 +517,9 @@ class HudiTable:
 
         out = []
         for s in slices:
+            if s.base_file is None:
+                out.append(s)  # log-only slice: no footer/MDT stats, keep
+                continue
             stats = mdt_stats.get(s.base_file.file_name)
             if stats is None:
                 path = os.path.join(self.base_path, s.base_file_relative_path())
@@ -540,6 +544,9 @@ class HudiTable:
         slices = self.get_file_slices()
         if exact is None:
             exact = len(slices) <= 64
+        # log-only slices have no base footer; like the reference, the
+        # row estimate counts base num_records only (reader-spec.md §4)
+        slices = [s for s in slices if s.base_file is not None]
         paths = [
             os.path.join(self.base_path, s.base_file_relative_path()) for s in slices
         ]
@@ -581,7 +588,7 @@ class HudiTable:
         slices = [
             s
             for s in self.get_file_slices()
-            if (s.partition_path, s.base_file.file_id) in targets
+            if (s.partition_path, s.file_id) in targets
         ]
         df = self._execute_slices(slices, None, options)
         if "_hoodie_record_key" in df.columns:
@@ -655,7 +662,7 @@ class HudiTable:
         filters = [Filter(*f) for f in options.filters]
         all_slices = self.get_file_slices(end, filters)
         slices = [
-            s for s in all_slices if (s.partition_path, s.base_file.file_id) in touched
+            s for s in all_slices if (s.partition_path, s.file_id) in touched
         ]
         df = self._execute_slices(slices, end, options, start_exclusive=start_timestamp)
         df, filters = self._restore_partition_columns(df, slices, filters)
@@ -683,7 +690,7 @@ class HudiTable:
         avro/json partitionToWriteStats)."""
         groups: dict[tuple[str, str], set[str]] = {}
         for s in self.get_file_slices(end):
-            key = (s.partition_path, s.base_file.file_id)
+            key = (s.partition_path, s.file_id)
             groups.setdefault(key, set()).update(s.log_file_relative_paths())
         for i in self.timeline.instants_in_range(start_timestamp, end):
             meta = self.timeline.metadata_for(i)
@@ -826,7 +833,7 @@ class HudiTable:
                 slices = [
                     s
                     for s in self.get_file_slices(as_of)
-                    if (s.partition_path, s.base_file.file_id) in touched
+                    if (s.partition_path, s.file_id) in touched
                 ]
                 if not slices:
                     return None
@@ -891,22 +898,28 @@ class HudiTable:
         options: HudiReadOptions,
         start_exclusive: str | None = None,
     ) -> DataFrame:
+        based_slices = [s for s in slices if s.base_file is not None]
         base_paths = [
-            os.path.join(self.base_path, s.base_file_relative_path()) for s in slices
+            os.path.join(self.base_path, s.base_file_relative_path())
+            for s in based_slices
         ]
         log_slices = [] if options.use_read_optimized_mode else [
             s for s in slices if s.has_log_files
         ]
 
         resolved = self._resolve_schema(slices)
-        if not base_paths:
+        if not base_paths and not log_slices:
             return self.spark.createDataFrame([], resolved)
 
         # explicit schema: no footer inference job, and old base files of an
         # evolved table read with the latest column set (nulls backfilled);
         # type-evolved tables (heterogeneous physical types) scan per
-        # schema epoch with casts
-        base_df = self._scan_base_files(slices, resolved)
+        # schema epoch with casts. Log-only slices (no base file — beyond
+        # the reference, which rejects them) merge against an empty base.
+        if base_paths:
+            base_df = self._scan_base_files(based_slices, resolved)
+        else:
+            base_df = self.spark.createDataFrame([], resolved)
 
         if not log_slices or self.config.table_type == TableType.COPY_ON_WRITE:
             return base_df
@@ -960,7 +973,7 @@ class HudiTable:
         # choose decode locality: driver decode is fine for small deltas;
         # log-heavy tables decode on executors (mapInPandas over paths)
         log_tasks = [
-            (s.base_file.file_id, os.path.join(self.base_path, rel))
+            (s.file_id, os.path.join(self.base_path, rel))
             for s in log_slices
             for rel in s.log_file_relative_paths()
         ]
@@ -980,7 +993,7 @@ class HudiTable:
         data_rows: list[dict] = []
         delete_rows: list[tuple] = []  # (file_group, commit_time, key, partition, ordering)
         for s in log_slices:
-            fg = s.base_file.file_id
+            fg = s.file_id
             # rollback targets aggregate across ALL of the slice's log
             # files before filtering (scanner.rs CollectedBlocks): a
             # rollback command in a later file voids blocks in earlier ones

@@ -84,7 +84,7 @@ def _storage_options(options: dict) -> dict | None:
 
 @dataclass
 class HudiSlicePartition(InputPartition):
-    base_file: str
+    base_file: str | None  # None: log-only slice (merge against empty base)
     log_files: list[str]
     schema_json: str
     ordering: str | None
@@ -233,6 +233,7 @@ class HudiPyReader(DataSourceReader):
                     merge_logs=True,
                     start_exclusive=start or "",
                     cdc=True,
+                    storage_options=getattr(t, "storage_options", None),
                 )
                 for _group, rels in sorted(t.cdc_log_groups(start, end).items())
                 if rels
@@ -409,7 +410,7 @@ def _incremental_partitions(
     slices = [
         s
         for s in t.get_file_slices(end_ts)
-        if (s.partition_path, s.base_file.file_id) in touched
+        if (s.partition_path, s.file_id) in touched
     ]
     return _slice_partitions(
         t, slices, end_ts, read_optimized=False, start_exclusive=start_ts or ""
@@ -469,7 +470,11 @@ def _slice_partitions(
                 part_vals[p] = None  # unparseable: leave nulls
     return [
         HudiSlicePartition(
-            base_file=os.path.join(t.base_path, s.base_file_relative_path()),
+            base_file=(
+                os.path.join(t.base_path, s.base_file_relative_path())
+                if s.base_file is not None
+                else None
+            ),
             log_files=[
                 os.path.join(t.base_path, rel)
                 for rel in (s.log_file_relative_paths() if merge_logs else [])
@@ -516,14 +521,24 @@ def _read_slice(partition: HudiSlicePartition):
     struct = T.StructType.fromJson(json.loads(partition.schema_json))
     target = to_arrow_schema(struct)
     # prime this worker's storage cache with the table's backend options
-    # (one (scheme, authority) entry covers the log files too)
-    storage = storage_for(partition.base_file, partition.storage_options)
-    local = as_local_path(partition.base_file)
-    if local is not None:
-        base = pq.read_table(local)
+    # (one (scheme, authority) entry covers every file of the table)
+    any_path = partition.base_file or (
+        partition.log_files[0] if partition.log_files else None
+    )
+    if any_path is None:
+        return  # log-only slice under read-optimized mode: nothing to emit
+    storage = storage_for(any_path, partition.storage_options)
+    if partition.base_file is None:
+        # log-only slice (beyond the reference, which rejects baseless
+        # slices): merge the logs against an empty base
+        base = target.empty_table()
     else:
-        with storage.open_seekable(partition.base_file) as f:
-            base = pq.read_table(f)
+        local = as_local_path(partition.base_file)
+        if local is not None:
+            base = pq.read_table(local)
+        else:
+            with storage.open_seekable(partition.base_file) as f:
+                base = pq.read_table(f)
     base = _conform_table(base, target, partition.partition_values)
     start = partition.start_exclusive
     has_commit = "_hoodie_commit_time" in struct.names

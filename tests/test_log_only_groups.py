@@ -1,0 +1,149 @@
+"""Log-only file groups (file slices with NO base file).
+
+The reference explicitly rejects these ("File slices without a base
+file (log-only groups) are not yet supported", docs/reader-spec.md §4
+notes) — they occur in real MOR tables when a deltacommit inserts into
+a log-indexed file group before its first compaction. We support them
+by merging the logs against an empty base, in both the eager path
+(sources/hudi.py) and the connector (sources/pyds.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from hudi_rs_spark.sources.hudi import HudiTable
+from tests.synth import SynthTable, avro_schema, parquet_data_block
+
+C1 = "20240101000000000"
+C2 = "20240102000000000"
+C3 = "20240103000000000"
+
+SCHEMA = avro_schema([("id", "string"), ("ts", "long"), ("val", "string")])
+
+
+def _mixed_table(tmp_path) -> SynthTable:
+    """g1-0: normal base group at C1. g2-0: log-only group created by a
+    log insert at C2, updated by a second log at C3."""
+    t = SynthTable(os.path.join(str(tmp_path), "mixed"))
+    t.write_base("g1-0", C1, {"id": ["a1"], "ts": [1], "val": ["base"]}, ["a1"])
+    t.commit(C1, schema=SCHEMA)
+    rows2 = t.log_rows(C2, {"id": ["b1", "b2"], "ts": [1, 1],
+                            "val": ["new", "new"]}, ["b1", "b2"], "log")
+    t.append_log("g2-0", C2, parquet_data_block(C2, rows2), stats_instant=C2)
+    t.commit(C2, schema=SCHEMA)
+    rows3 = t.log_rows(C3, {"id": ["b1"], "ts": [2], "val": ["upd"]}, ["b1"], "log")
+    t.append_log("g2-0", C2, parquet_data_block(C3, rows3), version=2,
+                 stats_instant=C3)
+    t.commit(C3, schema=SCHEMA)
+    return t
+
+
+def _log_only_table(tmp_path) -> SynthTable:
+    """No base file anywhere: schema comes from commit metadata."""
+    t = SynthTable(os.path.join(str(tmp_path), "logonly"))
+    rows = t.log_rows(C1, {"id": ["k1", "k2"], "ts": [1, 1],
+                           "val": ["x", "y"]}, ["k1", "k2"], "log")
+    t.append_log("g1-0", C1, parquet_data_block(C1, rows), stats_instant=C1)
+    t.commit(C1, schema=SCHEMA)
+    rows2 = t.log_rows(C2, {"id": ["k1"], "ts": [2], "val": ["x2"]}, ["k1"], "log")
+    t.append_log("g1-0", C1, parquet_data_block(C2, rows2), version=2,
+                 stats_instant=C2)
+    t.commit(C2, schema=SCHEMA)
+    return t
+
+
+def _vals(df) -> dict:
+    return {r["id"]: r["val"] for r in df.collect() if r["id"] is not None}
+
+
+class TestEagerLogOnly:
+    def test_mixed_snapshot_merges_log_only_group(self, spark, tmp_path):
+        t = HudiTable(_mixed_table(tmp_path).base_path, spark)
+        slices = t.get_file_slices()
+        assert sorted(s.file_id for s in slices) == ["g1-0", "g2-0"]
+        assert any(s.base_file is None for s in slices)
+        assert _vals(t.read()) == {"a1": "base", "b1": "upd", "b2": "new"}
+
+    def test_time_travel_into_log_only_group(self, spark, tmp_path):
+        t = HudiTable(_mixed_table(tmp_path).base_path, spark)
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+
+        got = _vals(t.read(HudiReadOptions(as_of_timestamp=C2)))
+        assert got == {"a1": "base", "b1": "new", "b2": "new"}
+
+    def test_read_optimized_hides_log_only_group(self, spark, tmp_path):
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+
+        t = HudiTable(_mixed_table(tmp_path).base_path, spark)
+        got = _vals(t.read(HudiReadOptions(use_read_optimized_mode=True)))
+        assert got == {"a1": "base"}
+
+    def test_pure_log_only_table_snapshot(self, spark, tmp_path):
+        t = HudiTable(_log_only_table(tmp_path).base_path, spark)
+        assert _vals(t.read()) == {"k1": "x2", "k2": "y"}
+
+    def test_pure_log_only_incremental_window(self, spark, tmp_path):
+        t = HudiTable(_log_only_table(tmp_path).base_path, spark)
+        got = _vals(t.read_incremental(C1, C2))
+        assert got == {"k1": "x2"}
+
+    def test_compaction_supersedes_log_only_slice(self, spark, tmp_path):
+        """Log-only slice at C1, compaction writes a base at C2: latest
+        reads the base; as-of C1 still sees the log-only contents."""
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+
+        t = SynthTable(os.path.join(str(tmp_path), "compacted"))
+        rows = t.log_rows(C1, {"id": ["k1"], "ts": [1], "val": ["v1"]},
+                          ["k1"], "log")
+        t.append_log("g1-0", C1, parquet_data_block(C1, rows), stats_instant=C1)
+        t.commit(C1, schema=SCHEMA)
+        t.write_base("g1-0", C2, {"id": ["k1"], "ts": [1], "val": ["v1"]}, ["k1"])
+        t.commit(C2, action="commit", schema=SCHEMA)
+        table = HudiTable(t.base_path, spark)
+        [sl] = table.get_file_slices()
+        assert sl.base_file is not None and sl.commit_timestamp == C2
+        assert _vals(table.read()) == {"k1": "v1"}
+        [old] = table.get_file_slices(C1)
+        assert old.base_file is None and old.commit_timestamp == C1
+        assert _vals(table.read(HudiReadOptions(as_of_timestamp=C1))) == {"k1": "v1"}
+
+    def test_table_stats_counts_base_records_only(self, spark, tmp_path):
+        # reference semantics: slice record count = base num_records
+        t = HudiTable(_mixed_table(tmp_path).base_path, spark)
+        rows, _size = t.compute_table_stats()
+        assert rows == 1
+
+
+class TestConnectorLogOnly:
+    def test_connector_equals_eager(self, spark, tmp_path):
+        from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+        base = _mixed_table(tmp_path).base_path
+        spark.dataSource.register(HudiPyDataSource)
+        conn = spark.read.format("hudi_py").option("path", base).load()
+        eager = HudiTable(base, spark).read()
+        assert _vals(conn) == _vals(eager) == {
+            "a1": "base", "b1": "upd", "b2": "new"
+        }
+
+    def test_connector_pure_log_only(self, spark, tmp_path):
+        from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+        base = _log_only_table(tmp_path).base_path
+        spark.dataSource.register(HudiPyDataSource)
+        conn = spark.read.format("hudi_py").option("path", base).load()
+        assert _vals(conn) == {"k1": "x2", "k2": "y"}
+
+    def test_connector_read_optimized_skips_log_only(self, spark, tmp_path):
+        from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+        base = _mixed_table(tmp_path).base_path
+        spark.dataSource.register(HudiPyDataSource)
+        conn = (
+            spark.read.format("hudi_py")
+            .option("path", base)
+            .option("readOptimized", "true")
+            .load()
+        )
+        assert _vals(conn) == {"a1": "base"}
