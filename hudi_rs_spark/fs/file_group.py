@@ -111,6 +111,13 @@ class FileSlice:
     def has_log_files(self) -> bool:
         return bool(self.log_files)
 
+    def total_size_bytes(self) -> int:
+        """On-disk base + log sizes; files with unknown size contribute 0
+        (reference FileSlice::total_size_bytes, docs/reader-spec.md §4 —
+        log sizes included since they contribute to I/O cost)."""
+        base = self.base_file.size if self.base_file is not None else 0
+        return base + sum(lf.size for lf in self.log_files)
+
 
 @dataclass
 class FileGroup:

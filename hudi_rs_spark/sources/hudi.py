@@ -345,6 +345,68 @@ class HudiTable:
             df = df.limit(options.limit)
         return df
 
+    def read_file_slice(
+        self, file_slice: FileSlice, options: HudiReadOptions | None = None
+    ) -> DataFrame:
+        """Physical read of ONE slice the caller already selected
+        (typically from ``get_file_slices``) — the reference's
+        ``FileGroupReader::read_file_slice`` (file_group/reader.rs:202-405,
+        docs/reader-spec.md:131-139): base + merged logs, with the
+        options' filters/projection applied and an as-of timestamp
+        resolved into the log-scan bound."""
+        options = options or HudiReadOptions()
+        filters = [Filter(*f) for f in options.filters]
+        as_of = options.as_of_timestamp
+        if as_of is not None:
+            from hudi_rs_spark.timeline.timestamps import to_hudi_timestamp
+
+            as_of = to_hudi_timestamp(as_of, self.config.timezone)
+        df = self._execute_slices([file_slice], as_of, options)
+        df, filters = self._restore_partition_columns(df, [file_slice], filters)
+        df = apply_filters(df, filters)
+        if options.projection:
+            df = df.select(*options.projection)
+        return df
+
+    def read_file_slice_from_paths(
+        self,
+        base_file_relative_path: str | None,
+        log_file_relative_paths: list[str] | None = None,
+        options: HudiReadOptions | None = None,
+    ) -> DataFrame:
+        """``FileGroupReader::read_file_slice_from_paths`` analog: build
+        the slice from paths RELATIVE to the table base (pass None /
+        empty logs for a base-only or log-only read) and read it. The
+        reference requires a base path; log-only reads are our
+        extension."""
+        from hudi_rs_spark.fs.file_group import BaseFile, LogFile
+
+        def _split(rel: str) -> tuple[str, str]:
+            d, _, name = rel.rpartition("/")
+            return d, name
+
+        log_rels = list(log_file_relative_paths or [])
+        if base_file_relative_path is None and not log_rels:
+            raise ValueError("need a base file path and/or log file paths")
+        base = None
+        if base_file_relative_path is not None:
+            part, name = _split(base_file_relative_path)
+            base = BaseFile.parse(name)
+        else:
+            part, _ = _split(log_rels[0])
+        logs = []
+        for rel in log_rels:
+            lp, name = _split(rel)
+            if lp != part:
+                raise ValueError(
+                    f"log {rel!r} not in slice partition {part!r}"
+                )
+            logs.append(LogFile.parse(name))
+        anchor = min(lf.timestamp for lf in logs) if base is None else None
+        return self.read_file_slice(
+            FileSlice(base, part, logs, log_anchor_timestamp=anchor), options
+        )
+
     def _scan_base_files(self, slices, resolved: T.StructType) -> DataFrame:
         """Vectorized base-file scan. Fast path: ONE multi-file scan with
         the resolved schema. When a column's TYPE evolved across commits

@@ -115,6 +115,43 @@ class TestEagerLogOnly:
         assert rows == 1
 
 
+class TestPerSliceRead:
+    """FileGroupReader::read_file_slice(_from_paths) analog
+    (docs/reader-spec.md:131-139): per-slice physical reads union back
+    to the full snapshot, and explicit-paths reads match slice reads."""
+
+    def test_slice_reads_union_to_snapshot(self, spark, tmp_path):
+        t = HudiTable(_mixed_table(tmp_path).base_path, spark)
+        got: dict = {}
+        for sl in t.get_file_slices():
+            got.update(_vals(t.read_file_slice(sl)))
+        assert got == _vals(t.read())
+
+    def test_from_paths_matches_slice_read(self, spark, tmp_path):
+        t = HudiTable(_mixed_table(tmp_path).base_path, spark)
+        for sl in t.get_file_slices():
+            by_paths = t.read_file_slice_from_paths(
+                sl.base_file_relative_path(), sl.log_file_relative_paths()
+            )
+            assert _vals(by_paths) == _vals(t.read_file_slice(sl))
+
+    def test_from_paths_base_only_skips_logs(self, spark, tmp_path):
+        t = HudiTable(_mixed_table(tmp_path).base_path, spark)
+        [based] = [s for s in t.get_file_slices() if s.base_file is not None]
+        got = _vals(
+            t.read_file_slice_from_paths(based.base_file_relative_path(), [])
+        )
+        assert got == {"a1": "base"}
+
+    def test_slice_size_bytes(self, spark, tmp_path):
+        t = HudiTable(_mixed_table(tmp_path).base_path, spark)
+        for sl in t.get_file_slices():
+            expect = (sl.base_file.size if sl.base_file else 0) + sum(
+                lf.size for lf in sl.log_files
+            )
+            assert sl.total_size_bytes() == expect > 0
+
+
 class TestConnectorLogOnly:
     def test_connector_equals_eager(self, spark, tmp_path):
         from hudi_rs_spark.sources.pyds import HudiPyDataSource
