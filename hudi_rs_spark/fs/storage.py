@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import io
 import os
-import posixpath
 import threading
 from dataclasses import dataclass
 from typing import BinaryIO, Iterator
@@ -109,10 +108,13 @@ class LocalStorage(Storage):
         out = []
         with os.scandir(p) as it:
             for e in it:
-                is_dir = e.is_dir()
-                out.append(
-                    FileEntry(e.name, is_dir, 0 if is_dir else e.stat().st_size)
-                )
+                try:
+                    is_dir = e.is_dir()
+                    size = 0 if is_dir else e.stat().st_size
+                except FileNotFoundError:
+                    continue  # deleted between scandir and stat (archiver/
+                    # cleaner race) or dangling symlink: skip, don't fail
+                out.append(FileEntry(e.name, is_dir, size))
         return out
 
     def walk_files(self, path, skip_dirs=frozenset()):
@@ -144,6 +146,7 @@ class ArrowFSStorage(Storage):
     def __init__(self, scheme: str, authority: str, options: dict | None = None):
         from pyarrow import fs as pafs
 
+        self._scheme = scheme
         self._uri_prefix = f"{scheme}://{authority}"
         if options:
             cls = {
@@ -171,7 +174,14 @@ class ArrowFSStorage(Storage):
             return self._inner_prefix
         if path.startswith(self._uri_prefix + "/"):
             rest = path[len(self._uri_prefix) :]
-            return (self._inner_prefix + rest).lstrip("/") if self._inner_prefix else rest.lstrip("/")
+            if self._inner_prefix:
+                # bucket-style: "<bucket>/<key>" (no leading slash)
+                return (self._inner_prefix + rest).lstrip("/")
+            if self._scheme == "hdfs":
+                # HDFS paths are ABSOLUTE: stripping the leading '/'
+                # would make libhdfs resolve them against /user/<user>
+                return rest
+            return rest.lstrip("/")
         raise ValueError(f"path {path!r} not under {self._uri_prefix!r}")
 
     def read_bytes(self, path: str) -> bytes:
@@ -302,7 +312,7 @@ class MemoryStorage(Storage):
 
 
 # ---------------------------------------------------------------------------
-_cache: dict[tuple[str, str], Storage] = {}
+_cache: dict[tuple[str, str], tuple[Storage, dict | None]] = {}
 _cache_lock = threading.Lock()
 _LOCAL = LocalStorage()
 
@@ -310,9 +320,11 @@ _LOCAL = LocalStorage()
 def storage_for(path: str, options: dict | None = None) -> Storage:
     """Backend for ``path``, selected by URL scheme (the reference's
     parse_url_opts). Plain paths and file:// -> local. Cached per
-    (scheme, authority); passing ``options`` (re)builds that cache entry,
-    so a table constructed with credentials primes resolution for every
-    subsequent same-bucket call."""
+    (scheme, authority); passing ``options`` primes that cache entry, and
+    the backend is rebuilt only when the options actually DIFFER from the
+    cached entry's — repeated priming calls (one per scan task /
+    streaming trigger) reuse the existing filesystem handle instead of
+    paying credential/TLS setup every time."""
     if "://" not in path:
         return _LOCAL
     parts = urlsplit(path)
@@ -321,12 +333,15 @@ def storage_for(path: str, options: dict | None = None) -> Storage:
         return _LOCAL
     key = (scheme, parts.netloc)
     with _cache_lock:
-        if options or key not in _cache:
-            if scheme == "memory":
-                _cache[key] = MemoryStorage(parts.netloc)
-            else:
-                _cache[key] = ArrowFSStorage(scheme, parts.netloc, options)
-        return _cache[key]
+        hit = _cache.get(key)
+        if hit is not None and (options is None or options == hit[1]):
+            return hit[0]
+        if scheme == "memory":
+            st: Storage = MemoryStorage(parts.netloc)
+        else:
+            st = ArrowFSStorage(scheme, parts.netloc, options)
+        _cache[key] = (st, options)
+        return st
 
 
 def as_local_path(path: str) -> str | None:
@@ -341,7 +356,3 @@ def as_local_path(path: str) -> str | None:
     return None
 
 
-def join_path(*parts: str) -> str:
-    """'/'-join that preserves URI schemes (posixpath.join treats the
-    '//' in 'scheme://' fine since later parts are relative)."""
-    return posixpath.join(*parts)

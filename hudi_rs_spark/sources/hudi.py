@@ -760,8 +760,11 @@ class HudiTable:
                 rel = ws.path.lstrip("/")
                 if ".log." not in os.path.basename(rel):
                     continue  # base files carry no CDC blocks
-                if not self.storage.isfile(os.path.join(self.base_path, rel)):
-                    continue  # cleaned since; nothing to read
+                # no per-file existence HEAD here: on an object store that
+                # is O(in-window log files) sequential driver round-trips.
+                # Cleaned-since files surface as FileNotFoundError at read
+                # time and are skipped there (the same race exists with a
+                # check anyway).
                 groups.setdefault((ws.partition_path, ws.file_id), set()).add(rel)
         return {k: sorted(v) for k, v in groups.items()}
 
@@ -806,10 +809,14 @@ class HudiTable:
         for _group, rel_paths in sorted(
             self.cdc_log_groups(start_timestamp, end).items()
         ):
-            file_blocks = [
-                logreader.read_log_file(os.path.join(self.base_path, rel))
-                for rel in rel_paths
-            ]
+            file_blocks = []
+            for rel in rel_paths:
+                try:
+                    file_blocks.append(
+                        logreader.read_log_file(os.path.join(self.base_path, rel))
+                    )
+                except FileNotFoundError:
+                    continue  # cleaned after the commit wrote it
             targets: set[str] = set()
             for blocks in file_blocks:
                 targets |= logreader.rollback_targets(blocks)
@@ -879,53 +886,76 @@ class HudiTable:
             return self.spark.createDataFrame([], schema)
         all_commits = [i.timestamp for i in self.timeline.instants_as_of(end)]
         options = HudiReadOptions()
-        key = "_hoodie_record_key"
+        if self.config.populates_meta_fields:
+            key = "_hoodie_record_key"
+        else:
+            # no materialized key column: diff on the configured record
+            # key (same fallback as point_lookup)
+            key_fields = self.config.record_key_fields
+            if len(key_fields) != 1:
+                raise ValueError(
+                    "derived change feed needs _hoodie_record_key or a "
+                    f"single record-key field, got {key_fields}"
+                )
+            key = key_fields[0]
         parts: list[DataFrame] = []
         for inst in window:
             meta = self.timeline.metadata_for(inst)
             touched = {(ws.partition_path, ws.file_id) for ws in meta.write_stats}
-            if not touched:
+            # a replacecommit's write stats list only the NEW groups; the
+            # before-image lives in the groups it REPLACED. Including them
+            # makes clustering a no-op in the feed (before == after drops
+            # out) and insert_overwrite emit 'd' for removed keys instead
+            # of re-inserting the whole rewritten data set.
+            replaced = {
+                (p, fid)
+                for p, ids in meta.replaced_file_ids.items()
+                for fid in ids
+            }
+            if not touched and not replaced:
                 continue
             prior = [c for c in all_commits if c < inst.timestamp]
             prev_ts = max(prior) if prior else None
 
-            def _snap(as_of):
+            def _snap(as_of, groups):
                 if as_of is None:
                     return None
                 slices = [
                     s
                     for s in self.get_file_slices(as_of)
-                    if (s.partition_path, s.file_id) in touched
+                    if (s.partition_path, s.file_id) in groups
                 ]
                 if not slices:
                     return None
                 return self._execute_slices(slices, as_of, options)
 
-            new_df = _snap(inst.timestamp)
-            if new_df is None:
-                continue
+            new_df = _snap(inst.timestamp, touched)
+            old_df = _snap(prev_ts, touched | replaced)
+            if new_df is None and old_df is None:
+                continue  # e.g. delete_partition of never-written groups
+            ref_df = new_df if new_df is not None else old_df
             data_cols = sorted(
-                c for c in new_df.columns if not c.startswith("_hoodie_")
+                c for c in ref_df.columns if not c.startswith("_hoodie_")
             )
             img = F.to_json(F.struct(*[F.col(c) for c in data_cols]))
-            n = new_df.filter(F.col(key).isNotNull()).select(
-                F.col(key).alias("__k"), img.alias("after")
-            )
-            old_df = _snap(prev_ts)
-            if old_df is None:
-                o = self.spark.createDataFrame(
-                    [],
-                    T.StructType(
-                        [
-                            T.StructField("__k", T.StringType(), True),
-                            T.StructField("before", T.StringType(), True),
-                        ]
-                    ),
+
+            def _side(df, alias):
+                if df is None:
+                    return self.spark.createDataFrame(
+                        [],
+                        T.StructType(
+                            [
+                                T.StructField("__k", T.StringType(), True),
+                                T.StructField(alias, T.StringType(), True),
+                            ]
+                        ),
+                    )
+                return df.filter(F.col(key).isNotNull()).select(
+                    F.col(key).alias("__k"), img.alias(alias)
                 )
-            else:
-                o = old_df.filter(F.col(key).isNotNull()).select(
-                    F.col(key).alias("__k"), img.alias("before")
-                )
+
+            n = _side(new_df, "after")
+            o = _side(old_df, "before")
             j = n.join(o, "__k", "full_outer")
             op = (
                 F.when(F.col("before").isNull(), F.lit("i"))

@@ -585,7 +585,12 @@ def _read_cdc_slice(partition: HudiSlicePartition):
     if partition.log_files:
         # prime this worker's storage cache (see _read_slice)
         storage_for(partition.log_files[0], partition.storage_options)
-    file_blocks = [logreader.read_log_file(p) for p in partition.log_files]
+    file_blocks = []
+    for p in partition.log_files:
+        try:
+            file_blocks.append(logreader.read_log_file(p))
+        except FileNotFoundError:
+            continue  # cleaned between planning and read
     targets: set[str] = set()
     for blocks in file_blocks:
         targets |= logreader.rollback_targets(blocks)

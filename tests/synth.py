@@ -336,11 +336,18 @@ class SynthTable:
             )
         return name
 
-    def commit_metadata_bytes(self, instant: str, schema: dict | None = None) -> bytes:
+    def commit_metadata_bytes(
+        self,
+        instant: str,
+        schema: dict | None = None,
+        replaced: dict[str, list[str]] | None = None,
+    ) -> bytes:
         meta = {
             "partitionToWriteStats": {"": self._write_stats.get(instant, [])},
             "operationType": "UPSERT",
         }
+        if replaced is not None:
+            meta["partitionToReplaceFileIds"] = replaced
         if schema is not None:
             meta["extraMetadata"] = {"schema": json.dumps(schema)}
         return json.dumps(meta).encode()
@@ -351,6 +358,7 @@ class SynthTable:
         action: str = "deltacommit",
         schema: dict | None = None,
         completion: str | None = None,
+        replaced: dict[str, list[str]] | None = None,
     ):
         tdir = self.timeline_dir
         os.makedirs(tdir, exist_ok=True)
@@ -359,7 +367,7 @@ class SynthTable:
         else:
             name = f"{instant}.{action}"
         with open(os.path.join(tdir, name), "wb") as f:
-            f.write(self.commit_metadata_bytes(instant, schema))
+            f.write(self.commit_metadata_bytes(instant, schema, replaced))
 
     def archive_instant(self, instant: str, action: str = "deltacommit"):
         """Layout 1: park the completed commit file in the archive folder
