@@ -230,10 +230,10 @@ class LanceFile:
             self._pages.append(pages)
 
     @classmethod
-    def from_path(cls, path: str) -> "LanceFile":
+    def from_path(cls, path: str, storage_options: dict | None = None) -> "LanceFile":
         from hudi_rs_spark.fs.storage import storage_for
 
-        return cls(storage_for(path).read_bytes(path))
+        return cls(storage_for(path, storage_options).read_bytes(path))
 
     # ------------------------------------------------------------------
     def arrow_schema(self) -> pa.Schema:
@@ -263,20 +263,59 @@ class LanceFile:
             pairs = sorted(zip(names, arrays), key=lambda p: order[p[0]])
             names = [p[0] for p in pairs]
             arrays = [p[1] for p in pairs]
-        tbl = pa.table(dict(zip(names, arrays)))
-        if not names:  # count-only projections
-            tbl = pa.table({}).append_column(
-                "__dummy", pa.nulls(self.num_rows)
-            ).drop_columns(["__dummy"])
-        return tbl
+        if not names:  # count-only projections: keep num_rows, zero cols
+            return pa.table({"__dummy": pa.nulls(self.num_rows)}).drop_columns(
+                ["__dummy"]
+            )
+        return pa.table(dict(zip(names, arrays)))
 
     # ------------------------------------------------------------------
     def _read_field(self, f: _Field, col: int) -> pa.Array:
-        typ = _arrow_type(f)
+        return pa.array(self._field_values(f, col), type=_arrow_type(f))
+
+    def _field_values(self, f: _Field, col: int) -> list:
+        """All pages of one flattened column as python values. Lists are
+        handled at FIELD level (not per page) because list-page offsets
+        are page-local while the child column's values are global: each
+        list page slices the child at a running base offset."""
+        if f.logical_type == "list":
+            return self._list_values(f, col)
         values: list = []
         for page in self._pages[col]:
             values.extend(self._decode_page(f, page))
-        return pa.array(values, type=typ)
+        return values
+
+    def _list_values(self, f: _Field, col: int) -> list:
+        [child] = f.children
+        # child column immediately follows the list column; decode it
+        # ONCE across all its pages (recursively — nested lists fine)
+        child_vals = self._field_values(child, self._child_col_index(f))
+        out: list = []
+        base = 0  # running child-row offset across list pages
+        for page in self._pages[col]:
+            enc = page.encoding
+            if 4 not in enc:
+                raise ValueError("expected list page encoding")
+            m = _fields(enc[4][0])
+            ends, nulls = self._offsets(
+                page, _fields(_first(m, 1, b"")), page.rows, _first(m, 2, 0)
+            )
+            prev = 0
+            for e, null in zip(ends, nulls):
+                out.append(None if null else child_vals[base + prev : base + e])
+                prev = e
+            num_items = _first(m, 3, 0)
+            if num_items and num_items != prev:
+                raise ValueError(
+                    f"list page item count mismatch: offsets end at {prev}, "
+                    f"page declares num_items={num_items}"
+                )
+            base += num_items or prev
+        if base != len(child_vals):
+            raise ValueError(
+                f"list column consumed {base} child rows of {len(child_vals)}"
+            )
+        return out
 
     def _decode_page(self, f: _Field, page: _Page) -> list:
         enc = page.encoding
@@ -285,8 +324,11 @@ class LanceFile:
             return self._decode_nullable(f, page, _fields(v))
         if variant == 6:  # binary / string
             return self._decode_binary(f, page, _fields(v))
-        if variant == 4:  # list
-            return self._decode_list(f, page, _fields(v))
+        if variant == 4:  # list — must go through _list_values
+            raise ValueError(
+                "list pages are decoded at field level (_list_values), "
+                "not per page"
+            )
         if variant == 1:  # bare flat
             return self._decode_flat(f, page, _fields(v), page.rows)
         raise ValueError(f"unsupported ArrayEncoding variant {variant}")
@@ -354,20 +396,15 @@ class LanceFile:
             return out
         raise ValueError(f"unsupported flat decode: {bits} bits as {lt!r}")
 
-    def _offsets(self, page: _Page, enc_msg: dict, rows: int, adjustment: int):
-        """Cumulative end offsets with null flags from a (possibly
-        nullable-wrapped) flat u64/u32 index encoding."""
-        m = enc_msg
-        if 2 in m:  # nullable wrapper around the offsets
-            nm = _fields(m[2][0])
-            if 1 in nm:
-                m = _fields(_first(_fields(_first(_fields(nm[1][0]), 1, b"")), 1, b""))
-                m = {1: [m]} if isinstance(m, bytes) else m
-        if 1 not in m:
-            raise ValueError("index encoding is not flat")
-        flat_msg = _fields(m[1][0]) if isinstance(m[1][0], bytes) else m[1][0]
-        bits = _first(flat_msg, 1, 0)
-        raw = self._buffer(page, flat_msg)
+    def _offsets(self, page: _Page, enc: dict, rows: int, adjustment: int):
+        """Cumulative end offsets + null flags from a (possibly
+        nullable-wrapped) flat u64/u32 index/offsets ArrayEncoding — the
+        ONE offset decoder shared by binary and list pages. A null row's
+        stored offset has ``adjustment`` added; modulo recovers the real
+        end (lance-encodings binary decoder semantics)."""
+        flat = self._unwrap_to_flat(enc)
+        bits = _first(flat, 1, 0)
+        raw = self._buffer(page, flat)
         if bits == 64:
             ends = list(struct.unpack(f"<{rows}Q", raw[: 8 * rows]))
         elif bits == 32:
@@ -391,58 +428,20 @@ class LanceFile:
         raise ValueError("expected flat(-wrapped) encoding")
 
     def _decode_binary(self, f: _Field, page: _Page, m: dict) -> list:
-        idx_enc = _fields(_first(m, 1, b""))
-        bytes_enc = _fields(_first(m, 2, b""))
-        adjustment = _first(m, 3, 0)
-        idx_flat = self._unwrap_to_flat(idx_enc)
-        bits = _first(idx_flat, 1, 0)
-        raw = self._buffer(page, idx_flat)
-        rows = page.rows
-        if bits == 64:
-            ends = list(struct.unpack(f"<{rows}Q", raw[: 8 * rows]))
-        elif bits == 32:
-            ends = list(struct.unpack(f"<{rows}I", raw[: 4 * rows]))
-        else:
-            raise ValueError(f"unsupported binary offset width {bits}")
-        data = self._buffer(page, self._unwrap_to_flat(bytes_enc))
+        ends, nulls = self._offsets(
+            page, _fields(_first(m, 1, b"")), page.rows, _first(m, 3, 0)
+        )
+        data = self._buffer(page, self._unwrap_to_flat(_fields(_first(m, 2, b""))))
         out: list = []
         prev = 0
         as_str = f.logical_type == "string"
-        for e in ends:
-            null = adjustment > 0 and e >= adjustment
-            real = e % adjustment if adjustment > 0 else e
+        for e, null in zip(ends, nulls):
             if null:
                 out.append(None)
             else:
-                chunk = data[prev:real]
+                chunk = data[prev:e]
                 out.append(chunk.decode() if as_str else chunk)
-            prev = real
-        return out
-
-    def _decode_list(self, f: _Field, page: _Page, m: dict) -> list:
-        [child] = f.children
-        offsets_enc = _fields(_first(m, 1, b""))
-        adjustment = _first(m, 2, 0)
-        idx_flat = self._unwrap_to_flat(offsets_enc)
-        bits = _first(idx_flat, 1, 0)
-        raw = self._buffer(page, idx_flat)
-        rows = page.rows
-        if bits == 64:
-            ends = list(struct.unpack(f"<{rows}Q", raw[: 8 * rows]))
-        else:
-            raise ValueError(f"unsupported list offset width {bits}")
-        # child column immediately follows the list column
-        child_col = self._child_col_index(f)
-        child_vals: list = []
-        for cpage in self._pages[child_col]:
-            child_vals.extend(self._decode_page(child, cpage))
-        out: list = []
-        prev = 0
-        for e in ends:
-            null = adjustment > 0 and e >= adjustment
-            real = e % adjustment if adjustment > 0 else e
-            out.append(None if null else child_vals[prev:real])
-            prev = real
+            prev = e
         return out
 
     def _child_col_index(self, f: _Field) -> int:

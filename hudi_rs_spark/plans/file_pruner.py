@@ -114,7 +114,12 @@ def estimate_table_stats(paths: list[str]) -> tuple[int, int]:
     size = 0
     for p in paths:
         st = storage_for(p)
-        with st.open_seekable(p) as f:
-            rows += pq.ParquetFile(f).metadata.num_rows
+        if p.endswith(".lance"):
+            from hudi_rs_spark.lance.reader import LanceFile
+
+            rows += LanceFile(st.read_bytes(p)).num_rows
+        else:
+            with st.open_seekable(p) as f:
+                rows += pq.ParquetFile(f).metadata.num_rows
         size += st.size(p)
     return rows, size

@@ -135,8 +135,15 @@ class HudiTable:
 
             newest = max(based, key=lambda s: s.commit_timestamp)
             path = os.path.join(self.base_path, newest.base_file_relative_path())
-            with self.storage.open_seekable(path) as f:
-                footer_schema = from_arrow_schema(pq.read_schema(f))
+            if path.endswith(".lance"):
+                from hudi_rs_spark.lance.reader import LanceFile
+
+                footer_schema = from_arrow_schema(
+                    LanceFile.from_path(path, self.storage_options).arrow_schema()
+                )
+            else:
+                with self.storage.open_seekable(path) as f:
+                    footer_schema = from_arrow_schema(pq.read_schema(f))
         sj = self.schema_json()
         if sj is None:
             if footer_schema is not None:
@@ -407,8 +414,48 @@ class HudiTable:
             FileSlice(base, part, logs, log_anchor_timestamp=anchor), options
         )
 
-    def _scan_base_files(self, slices, resolved: T.StructType) -> DataFrame:
-        """Vectorized base-file scan. Fast path: ONE multi-file scan with
+    def _scan_base_files(
+        self, slices, resolved: T.StructType, with_source: bool = False
+    ) -> DataFrame:
+        """Vectorized base-file scan, routed by base-file format (op 25
+        routing is COW/MOR; this is the op 5/6 format routing the
+        reference does in file_group/base_file/mod.rs): parquet slices go
+        through Spark's native vectorized reader, ``.lance`` slices
+        through the distributed pure-python Lance v2 decoder. When
+        ``with_source`` is set every row carries a ``__src_file`` column
+        (base file NAME) so the MOR merge can tag file groups uniformly —
+        ``input_file_name()`` is empty for the Lance path."""
+        lance = [
+            s for s in slices if s.base_file_relative_path().endswith(".lance")
+        ]
+        pq_slices = [
+            s for s in slices if not s.base_file_relative_path().endswith(".lance")
+        ]
+        parts: list[DataFrame] = []
+        if pq_slices:
+            parts.append(
+                self._scan_parquet_bases(pq_slices, resolved, with_source)
+            )
+        if lance:
+            parts.append(
+                self._scan_lance_files(
+                    [
+                        os.path.join(self.base_path, s.base_file_relative_path())
+                        for s in lance
+                    ],
+                    resolved,
+                    with_source,
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _scan_parquet_bases(
+        self, slices, resolved: T.StructType, with_source: bool = False
+    ) -> DataFrame:
+        """Fast path: ONE multi-file scan with
         the resolved schema. When a column's TYPE evolved across commits
         (e.g. long -> string ts_millis in the reference's
         v9_timebasedkeygen_epochmillis fixture), old files' physical type
@@ -419,6 +466,14 @@ class HudiTable:
         recorded (driver-side JSON, no footer reads), scan each epoch
         with its own physical types, cast to resolved, union. One epoch
         (the overwhelmingly common case) degenerates to the fast path."""
+
+        def _src(df: DataFrame) -> DataFrame:
+            if not with_source:
+                return df
+            return df.withColumn(
+                "__src_file",
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            )
         by_ts = {i.timestamp: i for i in self.timeline.instants}
         if self.config.archived_read_enabled:
             for i in self.timeline.archived_instants():
@@ -440,7 +495,7 @@ class HudiTable:
             )
         if len(groups) <= 1:
             paths = next(iter(groups.values()))
-            return self.spark.read.schema(resolved).parquet(*paths)
+            return _src(self.spark.read.schema(resolved).parquet(*paths))
 
         parts: list[DataFrame] = []
         for schema_json, paths in sorted(
@@ -461,19 +516,72 @@ class HudiTable:
             )
             df = self.spark.read.schema(phys).parquet(*paths)
             parts.append(
-                df.select(
-                    *[
-                        F.col(f.name).cast(f.dataType).alias(f.name)
-                        if phys[f.name].dataType != f.dataType
-                        else F.col(f.name)
-                        for f in resolved.fields
-                    ]
+                _src(
+                    df.select(
+                        *[
+                            F.col(f.name).cast(f.dataType).alias(f.name)
+                            if phys[f.name].dataType != f.dataType
+                            else F.col(f.name)
+                            for f in resolved.fields
+                        ]
+                    )
                 )
             )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _scan_lance_files(
+        self, paths: list[str], resolved: T.StructType, with_source: bool = False
+    ) -> DataFrame:
+        """Distributed Lance v2 base-file scan (op 6 — reference
+        crates/core/src/file_group/base_file/lance.rs:56-271 via the
+        lance-file crate; here the pure-python ``lance/reader.py``
+        decoder). Paths are shipped to executors and each decodes its
+        files locally into Arrow batches cast to the resolved schema —
+        per-file casts absorb schema evolution (extra columns dropped,
+        missing columns null-backfilled), the same conformance the
+        connector applies to parquet bases."""
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        out_struct = T.StructType(
+            list(resolved.fields)
+            + (
+                [T.StructField("__src_file", T.StringType(), False)]
+                if with_source
+                else []
+            )
+        )
+        target = to_arrow_schema(resolved)
+        opts = self.storage_options
+        n = min(len(paths), self.spark.sparkContext.defaultParallelism) or 1
+        paths_df = self.spark.createDataFrame(
+            [(p,) for p in paths],
+            T.StructType([T.StructField("path", T.StringType())]),
+        ).repartition(n)
+
+        def decode(batches):
+            import pyarrow as pa
+
+            from hudi_rs_spark.lance.reader import LanceFile
+            from hudi_rs_spark.sources.pyds import _conform_table
+
+            for batch in batches:
+                for path in batch.column("path").to_pylist():
+                    tbl = _conform_table(
+                        LanceFile.from_path(path, opts).to_table(), target
+                    )
+                    if with_source:
+                        name = path.rsplit("/", 1)[-1]
+                        tbl = tbl.append_column(
+                            "__src_file",
+                            pa.array([name] * len(tbl), pa.string()),
+                        )
+                    if len(tbl):
+                        yield from tbl.to_batches()
+
+        return paths_df.mapInArrow(decode, out_struct)
 
     def _restore_partition_columns(self, df, slices, filters):
         """hoodie.datasource.write.drop.partition.columns=true support:
@@ -621,8 +729,15 @@ class HudiTable:
         total_bytes = sum(s.base_file.size for s in slices)
         sample = max(slices, key=lambda s: s.base_file.size)
         sample_path = os.path.join(self.base_path, sample.base_file_relative_path())
-        with self.storage.open_seekable(sample_path) as f:
-            sample_rows = pq.ParquetFile(f).metadata.num_rows
+        if sample_path.endswith(".lance"):
+            from hudi_rs_spark.lance.reader import LanceFile
+
+            sample_rows = LanceFile.from_path(
+                sample_path, self.storage_options
+            ).num_rows
+        else:
+            with self.storage.open_seekable(sample_path) as f:
+                sample_rows = pq.ParquetFile(f).metadata.num_rows
         sample_bytes = sample.base_file.size or self.storage.size(sample_path)
         if sample_rows <= 0 or sample_bytes <= 0:
             return 0, total_bytes
@@ -1008,13 +1123,21 @@ class HudiTable:
         # type-evolved tables (heterogeneous physical types) scan per
         # schema epoch with casts. Log-only slices (no base file — beyond
         # the reference, which rejects them) merge against an empty base.
+        needs_fg = (
+            bool(log_slices)
+            and self.config.table_type != TableType.COPY_ON_WRITE
+        )
         if base_paths:
-            base_df = self._scan_base_files(based_slices, resolved)
+            base_df = self._scan_base_files(
+                based_slices, resolved, with_source=needs_fg
+            )
         else:
             base_df = self.spark.createDataFrame([], resolved)
 
-        if not log_slices or self.config.table_type == TableType.COPY_ON_WRITE:
-            return base_df
+        if not needs_fg:
+            return base_df if "__src_file" not in base_df.columns else (
+                base_df.drop("__src_file")
+            )
 
         # ---- MOR snapshot: decode logs, union, merge -----------------
         # The merge is scoped per FILE GROUP (reference merges per slice:
@@ -1041,14 +1164,23 @@ class HudiTable:
             )
 
         # tag base rows with their file group, parsed from the scanned
-        # file name ({file_id}_{write_token}_{ts}.parquet — file ids
-        # contain no underscores)
-        base_tagged = base_df.withColumn(
-            "__fg",
-            F.element_at(
-                F.split(F.element_at(F.split(F.input_file_name(), "/"), -1), "_"), 1
-            ),
-        )
+        # file name ({file_id}_{write_token}_{ts}.{ext} — file ids
+        # contain no underscores). The scan emitted __src_file (parquet:
+        # input_file_name; lance: literal per decoded file).
+        if "__src_file" in base_df.columns:
+            base_tagged = base_df.withColumn(
+                "__fg", F.element_at(F.split(F.col("__src_file"), "_"), 1)
+            ).drop("__src_file")
+        else:  # empty-base (log-only) frame built from createDataFrame
+            base_tagged = base_df.withColumn(
+                "__fg",
+                F.element_at(
+                    F.split(
+                        F.element_at(F.split(F.input_file_name(), "/"), -1), "_"
+                    ),
+                    1,
+                ),
+            )
 
         # Incremental reads bound base rows BEFORE the merge, like the
         # reference (file_group/reader.rs:169-177 applies the commit-time

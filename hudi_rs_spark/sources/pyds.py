@@ -532,6 +532,12 @@ def _read_slice(partition: HudiSlicePartition):
         # log-only slice (beyond the reference, which rejects baseless
         # slices): merge the logs against an empty base
         base = target.empty_table()
+    elif partition.base_file.endswith(".lance"):
+        # Lance v2 base file (reference lance.rs:56-271): pure-python
+        # decoder over the storage backend
+        from hudi_rs_spark.lance.reader import LanceFile
+
+        base = LanceFile(storage.read_bytes(partition.base_file)).to_table()
     else:
         local = as_local_path(partition.base_file)
         if local is not None:

@@ -1,0 +1,304 @@
+"""Lance v2 base-file reading, pinned against the reference's golden
+fixtures and their ``.sql`` expected operations.
+
+Reference parity targets:
+- decoder: crates/core/src/file_group/base_file/lance.rs:56-271 (the
+  reference delegates to the lance-file crate; ``lance/reader.py``
+  re-derives the published Lance v2 layout in pure python)
+- expected rows: crates/core/tests/table_read_tests.rs
+  test_v9_lance_nonpartitioned_cow_snapshot_applies_hudi_updates_deletes_and_inserts (:2473),
+  test_v9_lance_txns_simple_cow_snapshot_applies_updates_deletes_and_inserts (:2551),
+  test_v9_trips_lance_cow_snapshot_applies_updates_deletes_and_inserts (:2563),
+  test_v9_trips_lance_mor_snapshot_merges_available_log_update_and_base_files (:2636),
+  test_v9_lance_nonhivestyle_mor_snapshot_merges_available_log_update_and_base_files (:2592)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from tests.conftest import extract_fixture
+
+
+@pytest.fixture(scope="session")
+def lance_cow_nonpartitioned():
+    return extract_fixture("sample_table/cow/v9_lance_nonpartitioned.zip")
+
+
+@pytest.fixture(scope="session")
+def lance_cow_txns_simple():
+    return extract_fixture("sample_table/cow/v9_lance_txns_simple.zip")
+
+
+@pytest.fixture(scope="session")
+def lance_cow_trips():
+    return extract_fixture("quickstart_trips_table/cow/v9_trips_lance.zip")
+
+
+@pytest.fixture(scope="session")
+def lance_mor_trips():
+    return extract_fixture("quickstart_trips_table/mor/avro/v9_trips_lance.zip")
+
+
+@pytest.fixture(scope="session")
+def lance_mor_nonhivestyle():
+    return extract_fixture("sample_table/mor/avro/v9_lance_nonhivestyle.zip")
+
+
+# ---------------------------------------------------------------------------
+# decoder unit level
+# ---------------------------------------------------------------------------
+class TestLanceFileDecoder:
+    def _newest_file(self, table_path: str) -> str:
+        files = [
+            p
+            for p in glob.glob(table_path + "/**/*.lance", recursive=True)
+            if ".hoodie" not in p
+        ]
+        assert files, "fixture has no lance files"
+        # newest commit ts is the suffix before .lance
+        return max(files, key=lambda p: p.rsplit("_", 1)[-1])
+
+    def test_schema_and_rows(self, lance_cow_nonpartitioned):
+        import pyarrow as pa
+
+        from hudi_rs_spark.lance.reader import LanceFile
+
+        path = self._newest_file(lance_cow_nonpartitioned)
+        lf = LanceFile.from_path(path)
+        schema = lf.arrow_schema()
+        assert schema.names == [
+            "_hoodie_commit_time",
+            "_hoodie_commit_seqno",
+            "_hoodie_record_key",
+            "_hoodie_partition_path",
+            "_hoodie_file_name",
+            "id",
+            "name",
+            "category",
+            "score",
+            "tags",
+            "updated_at",
+        ]
+        assert schema.field("score").type == pa.float64()
+        assert pa.types.is_list(schema.field("tags").type)
+        tbl = lf.to_table()
+        assert tbl.num_rows == lf.num_rows
+
+    def test_nested_list_values(self, lance_cow_nonpartitioned):
+        from hudi_rs_spark.lance.reader import LanceFile
+
+        # the newest file of file group fc1774fb holds the final insert
+        files = glob.glob(lance_cow_nonpartitioned + "/fc1774fb*.lance")
+        assert len(files) == 1
+        tbl = LanceFile.from_path(files[0]).to_table()
+        d = tbl.to_pydict()
+        assert d["id"] == [9, 10]
+        assert d["tags"] == [
+            ["clip", "contrastive"],
+            ["sam", "segmentation", "foundation"],
+        ]
+
+    def test_projection_and_count_only(self, lance_cow_nonpartitioned):
+        from hudi_rs_spark.lance.reader import LanceFile
+
+        lf = LanceFile.from_path(self._newest_file(lance_cow_nonpartitioned))
+        proj = lf.to_table(columns=["score", "id"])
+        assert proj.column_names == ["score", "id"]  # caller order
+        # ADVICE r6: empty projection must keep num_rows (count-only scans)
+        empty = lf.to_table(columns=[])
+        assert empty.num_columns == 0
+        assert empty.num_rows == lf.num_rows
+
+    def test_rejects_non_lance_bytes(self):
+        from hudi_rs_spark.lance.reader import LanceFile
+
+        with pytest.raises(ValueError, match="magic"):
+            LanceFile(b"PAR1" + b"\x00" * 64)
+
+
+# ---------------------------------------------------------------------------
+# table level — eager scan, pinned to the reference's expected snapshots
+# ---------------------------------------------------------------------------
+class TestLanceCowSnapshot:
+    def test_nonpartitioned_updates_deletes_inserts(
+        self, spark, lance_cow_nonpartitioned
+    ):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = HudiTable(lance_cow_nonpartitioned, spark)
+        rows = {
+            r.id: r
+            for r in t.read().select("id", "name", "score", "tags", "updated_at").collect()
+        }
+        assert sorted(rows) == [1, 2, 3, 5, 6, 7, 8, 9, 10]  # id 4 deleted
+        assert rows[1].score == pytest.approx(0.96)
+        assert rows[1].updated_at == 1700100000000
+        assert rows[2].score == pytest.approx(0.93)
+        assert rows[2].tags == ["bert", "transformer", "finetuned"]
+        assert rows[9].name == "feature-set-iota"
+        assert rows[10].name == "feature-set-kappa"
+
+    def test_txns_simple_partitioned(self, spark, lance_cow_txns_simple):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = HudiTable(lance_cow_txns_simple, spark)
+        rows = {
+            r.txn_id: r
+            for r in t.read().select("txn_id", "txn_type", "txn_ts", "region").collect()
+        }
+        assert sorted(rows) == [
+            "TXN-001", "TXN-003", "TXN-004", "TXN-006", "TXN-007", "TXN-008",
+            "TXN-009", "TXN-010", "TXN-011", "TXN-012", "TXN-013", "TXN-014",
+            "TXN-015", "TXN-016",
+        ]
+        assert rows["TXN-001"].txn_type == "reversal"
+        assert rows["TXN-001"].txn_ts == 1700100000001
+        assert rows["TXN-007"].txn_ts == 1700300000007
+        assert rows["TXN-016"].txn_type == "debit"
+        assert rows["TXN-001"].region == "us"
+        assert rows["TXN-004"].region == "eu"
+        assert rows["TXN-007"].region == "apac"
+
+    def test_trips_cow(self, spark, lance_cow_trips):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = HudiTable(lance_cow_trips, spark)
+        rows = {
+            r.rider: r for r in t.read().select("rider", "driver", "fare", "ts").collect()
+        }
+        assert sorted(rows) == [
+            "rider-A", "rider-C", "rider-D", "rider-E", "rider-G", "rider-I",
+            "rider-J", "rider-K", "rider-L", "rider-M", "rider-N",
+        ]  # rider-F deleted
+        assert rows["rider-A"].fare == pytest.approx(0.0)
+        assert rows["rider-A"].ts == 1695200000000
+        assert rows["rider-G"].fare == pytest.approx(0.0)
+        assert rows["rider-K"].driver == "driver-U"
+        assert rows["rider-N"].driver == "driver-X"
+
+    def test_filter_projection_limit(self, spark, lance_cow_nonpartitioned):
+        from hudi_rs_spark.sources.hudi import HudiReadOptions, HudiTable
+
+        t = HudiTable(lance_cow_nonpartitioned, spark)
+        df = t.read(
+            HudiReadOptions(
+                filters=[("category", "=", "vision")],
+                projection=["id", "category"],
+            )
+        )
+        assert df.columns == ["id", "category"]
+        got = sorted(r.id for r in df.collect())
+        assert got == [1, 3, 7, 10]
+
+    def test_table_stats(self, spark, lance_cow_nonpartitioned):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = HudiTable(lance_cow_nonpartitioned, spark)
+        rows, size = t.compute_table_stats(exact=True)
+        assert rows == 9  # current snapshot slices
+        assert size > 0
+        est_rows, est_size = t.compute_table_stats(exact=False)
+        assert est_size == size
+        assert est_rows > 0
+
+
+class TestLanceMorSnapshot:
+    def test_trips_mor_avro_log_merge(self, spark, lance_mor_trips):
+        from hudi_rs_spark.sources.hudi import HudiReadOptions, HudiTable
+
+        t = HudiTable(lance_mor_trips, spark)
+        rows = {
+            r.rider: r for r in t.read().select("rider", "driver", "fare", "ts").collect()
+        }
+        assert sorted(rows) == [
+            "rider-A", "rider-C", "rider-D", "rider-E", "rider-F", "rider-G",
+            "rider-I", "rider-J", "rider-M", "rider-N", "rider-O", "rider-P",
+        ]
+        # rider-A's update IS in a log file; rider-G's update commit
+        # recorded no files, so G stays at the insert fare (the reference
+        # test pins exactly this "available log" semantic)
+        assert rows["rider-A"].fare == pytest.approx(0.0)
+        assert rows["rider-A"].ts == 1695200000000
+        assert rows["rider-C"].fare == pytest.approx(27.70)
+        assert rows["rider-G"].fare == pytest.approx(43.40)
+        assert rows["rider-O"].driver == "driver-Y"
+        assert rows["rider-P"].driver == "driver-Z"
+        # read-optimized: base-only, rider-A at pre-update fare
+        ro = {
+            r.rider: r
+            for r in t.read(HudiReadOptions(use_read_optimized_mode=True))
+            .select("rider", "fare")
+            .collect()
+        }
+        assert ro["rider-A"].fare == pytest.approx(19.10)
+
+    def test_nonhivestyle_mor(self, spark, lance_mor_nonhivestyle):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = HudiTable(lance_mor_nonhivestyle, spark)
+        rows = {
+            r.event_id: r
+            for r in t.read()
+            .select("event_id", "user_id", "payload", "event_ts", "event_date")
+            .collect()
+        }
+        assert sorted(rows) == [f"evt-{i:03d}" for i in range(1, 15)]
+        assert rows["evt-001"].payload == '{"page": "/home", "session": "sess-abc123"}'
+        assert rows["evt-001"].event_ts == 1700000000001
+        # evt-002's update commit wrote no log file -> original payload
+        assert rows["evt-002"].payload == '{"button": "signup"}'
+        assert rows["evt-013"].user_id == "user-100"
+        assert rows["evt-014"].user_id == "user-101"
+        # non-hive-style partition paths resolved
+        assert rows["evt-001"].event_date == "2023-11-14"
+        assert rows["evt-013"].event_date == "2023-11-17"
+
+
+# ---------------------------------------------------------------------------
+# connector parity — the Python Data Source must read lance bases too
+# ---------------------------------------------------------------------------
+class TestLanceConnector:
+    def _register(self, spark):
+        from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+        spark.dataSource.register(HudiPyDataSource)
+
+    def test_connector_equals_eager_cow(self, spark, lance_cow_nonpartitioned):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        self._register(spark)
+        con = (
+            spark.read.format("hudi_py")
+            .option("path", lance_cow_nonpartitioned)
+            .load()
+        )
+        eager = HudiTable(lance_cow_nonpartitioned, spark).read()
+        cols = ["id", "name", "category", "score", "tags", "updated_at"]
+        got = sorted((tuple(r) for r in con.select(*cols).collect()))
+        want = sorted((tuple(r) for r in eager.select(*cols).collect()))
+        assert got == want and len(got) == 9
+
+    def test_connector_equals_eager_mor(self, spark, lance_mor_trips):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        self._register(spark)
+        con = spark.read.format("hudi_py").option("path", lance_mor_trips).load()
+        eager = HudiTable(lance_mor_trips, spark).read()
+        cols = ["uuid", "rider", "driver", "fare", "ts", "city"]
+        got = sorted((tuple(r) for r in con.select(*cols).collect()))
+        want = sorted((tuple(r) for r in eager.select(*cols).collect()))
+        assert got == want and len(got) == 12
+
+    def test_per_slice_read(self, spark, lance_cow_nonpartitioned):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = HudiTable(lance_cow_nonpartitioned, spark)
+        slices = t.get_file_slices()
+        total = 0
+        for s in slices:
+            total += t.read_file_slice(s).count()
+        assert total == 9
