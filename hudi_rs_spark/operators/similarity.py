@@ -96,14 +96,20 @@ def _plane(seed: str, dim: int, j: int) -> list[float]:
 
 
 def lsh_bucket_signature(
-    vec: Column, dim: int, n_planes: int = 8, seed: str = "hudi-rs-spark"
+    vec: Column,
+    dim: int,
+    n_planes: int = 8,
+    seed: str = "hudi-rs-spark",
+    plane_offset: int = 0,
 ) -> Column:
     """Sign-of-projection signature: n_planes bits packed into an int.
     Vectors in the same bucket are likely neighbors (random hyperplane
-    LSH for cosine similarity)."""
+    LSH for cosine similarity). ``plane_offset`` selects which planes of
+    the global md5-derived sequence this signature uses — banded LSH
+    gives each band its own disjoint plane range."""
     sig = F.lit(0)
     for j in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _plane(seed, dim, j)])
+        plane = F.array(*[F.lit(v) for v in _plane(seed, dim, plane_offset + j)])
         proj = dot(vec, plane)
         sig = sig + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return sig
@@ -246,31 +252,111 @@ def ivf_topk(
     )
 
 
+def _band_signature_udf(dim: int, n_bands: int, planes_per_band: int, seed: str):
+    """Arrow-batched band signatures: ONE (batch x dim) @ (dim x planes)
+    matmul yields every plane projection, then sign bits pack into one
+    long per band. Returns a pandas UDF producing array<long> of length
+    ``n_bands`` (band index = array position). Plane numbering matches
+    ``lsh_bucket_signature(plane_offset=band*planes_per_band)`` exactly,
+    so the two implementations are interchangeable."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            _plane(seed, dim, b * planes_per_band + j)
+            for b in range(n_bands)
+            for j in range(planes_per_band)
+        ],
+        dtype=np.float64,
+    )
+    mat = planes.T.copy()  # dim x (n_bands * planes_per_band)
+    weights = (np.int64(1) << np.arange(planes_per_band, dtype=np.int64))
+
+    def band_sigs(col):
+        if not len(col):
+            return pd.Series([], dtype=object)
+        x = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in col], dtype=np.float64
+        )
+        bits = (x @ mat) >= 0
+        sigs = bits.reshape(len(x), n_bands, planes_per_band) @ weights
+        return pd.Series(list(sigs))
+
+    # real annotation objects (module uses `from __future__ import
+    # annotations`, and string hints can't resolve a local `pd`)
+    band_sigs.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf("array<long>")(band_sigs)
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
     dim: int = 64,
-    n_planes: int = 6,
+    n_bands: int = 4,
+    planes_per_band: int = 8,
+    seed: str = "hudi-rs-spark",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-blocked then exact.
+    """Embedding-cosine near-duplicate pairs — BANDED (multi-table)
+    hyperplane LSH candidate generation, then exact cosine on the
+    deduplicated candidate set.
 
-    Returns (id_a, id_b) with cosine >= threshold, id_a < id_b.
+    Band ``b`` hashes the disjoint plane range
+    ``[b*planes_per_band, (b+1)*planes_per_band)``; a pair is a
+    candidate iff it collides in AT LEAST ONE band (OR over bands — the
+    MinHash banding construction applied to sign-random-projection LSH,
+    same shape as ``operators/dedup.py::minhash_lsh_pairs``). Per-band
+    bucket population is ~n/2**planes_per_band, so raising
+    ``planes_per_band`` with corpus size keeps within-bucket candidate
+    sets bounded (a single fixed-width signature has a CONSTANT bucket
+    count and degenerates to O(n^2) within-bucket pairs at scale), while
+    adding bands buys the lost recall back.
+
+    The candidate join carries IDS ONLY (the exploded (band, sig) keys),
+    so the shuffle is 3 longs per (row, band); vectors re-join by id for
+    the exact check afterwards — never replicated per band. All
+    ``n_bands * planes_per_band`` plane projections are computed in ONE
+    Arrow-batched numpy matmul per input batch (a per-plane
+    higher-order-function dot is interpreted per element and dominates
+    runtime past ~8 planes — dense linear algebra is the case where a
+    vectorized pandas UDF beats the built-ins). Returns (id_a, id_b)
+    with cosine >= threshold, id_a < id_b.
     """
-    sig = df.select(
+    sig_udf = _band_signature_udf(dim, n_bands, planes_per_band, seed)
+    keys = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col)).alias("vnorm"),
-        lsh_bucket_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+        F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig"),
     )
-    a = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("vnorm").alias("na"), "bucket")
-    b = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("vnorm").alias("nb"), "bucket")
-    return (
-        a.join(b, "bucket")
+    cand = (
+        keys.select(F.col("id").alias("id_a"), "band", "sig")
+        .join(keys.select(F.col("id").alias("id_b"), "band", "sig"), ["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"))
-        .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
         .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("vn"),
+    )
+    return (
+        cand.join(
+            vecs.select(
+                F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("vn").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("vn").alias("nb")
+            ),
+            "id_b",
+        )
+        .filter(
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))) >= threshold
+        )
+        .select("id_a", "id_b")
     )

@@ -67,10 +67,12 @@ def _sql_plane_literal(seed: str, j: int) -> str:
     return "[" + ", ".join(repr(v) for v in vals) + "]"
 
 
-def _sql_bucket(vec: str, n_planes: int, seed: str = "hudi-rs-spark") -> str:
+def _sql_bucket(
+    vec: str, n_planes: int, seed: str = "hudi-rs-spark", plane_offset: int = 0
+) -> str:
     terms = []
     for j in range(n_planes):
-        plane = _sql_plane_literal(seed, j)
+        plane = _sql_plane_literal(seed, plane_offset + j)
         dotj = SQL_DOT.format(dim=DIM, a=vec, b=f"CAST({plane} AS DOUBLE[])")
         terms.append(f"CASE WHEN {dotj} >= 0 THEN {1 << j} ELSE 0 END")
     return "(" + " + ".join(terms) + ")"
@@ -170,25 +172,52 @@ FROM ranked WHERE rank <= {TOPK}
 ORDER BY query_id, rank
 """
 
-N_PLANES_DEDUP = 4
+N_BANDS_DEDUP = 4
+PLANES_PER_BAND_DEDUP = 8
 DUP_THRESHOLD = 0.9
 
 
 def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded multi-table hyperplane LSH (OR of 4 bands x 8 planes) —
+    per-band bucket population ~n/256 scales with the corpus, unlike the
+    r6 single fixed-width signature (constant bucket count -> O(n^2)
+    within-bucket pairs at scale)."""
     emb = load(spark, sf_dir, "embeddings")
     return S.embedding_near_dups(
-        emb, "embedding", "vec_id", threshold=DUP_THRESHOLD, dim=DIM, n_planes=N_PLANES_DEDUP
+        emb, "embedding", "vec_id", threshold=DUP_THRESHOLD, dim=DIM,
+        n_bands=N_BANDS_DEDUP, planes_per_band=PLANES_PER_BAND_DEDUP,
     ).orderBy("id_a", "id_b")
 
 
+def _near_dup_band_keys() -> str:
+    """UNION ALL of one (vec_id, band, sig) projection per band, each
+    band hashing its own disjoint plane range — the oracle mirror of the
+    exploded (band, sig) keys."""
+    selects = [
+        f"SELECT vec_id, {b} AS band, "
+        + _sql_bucket(
+            "embedding", PLANES_PER_BAND_DEDUP,
+            plane_offset=b * PLANES_PER_BAND_DEDUP,
+        )
+        + " AS sig FROM embeddings"
+        for b in range(N_BANDS_DEDUP)
+    ]
+    return "\n  UNION ALL\n  ".join(selects)
+
+
 NEAR_DUP_SQL = f"""
-WITH sigs AS (
-  SELECT vec_id, embedding, {_sql_bucket("embedding", N_PLANES_DEDUP)} AS bucket
-  FROM embeddings
+WITH keys AS (
+  {_near_dup_band_keys()}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keys a JOIN keys b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
 )
-SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_sql_cosine("a.embedding", "b.embedding")} >= {DUP_THRESHOLD}
+SELECT id_a, id_b
+FROM cand
+JOIN embeddings ea ON ea.vec_id = cand.id_a
+JOIN embeddings eb ON eb.vec_id = cand.id_b
+WHERE {_sql_cosine("ea.embedding", "eb.embedding")} >= {DUP_THRESHOLD}
 ORDER BY id_a, id_b
 """
 
