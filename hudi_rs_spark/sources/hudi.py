@@ -414,6 +414,47 @@ class HudiTable:
             FileSlice(base, part, logs, log_anchor_timestamp=anchor), options
         )
 
+    def read_file_slice_stream(
+        self,
+        file_slice: FileSlice,
+        options: HudiReadOptions | None = None,
+        batch_size: int | None = None,
+    ):
+        """``FileGroupReader::read_file_slice_stream`` analog
+        (file_group/reader.rs:317-547, python/hudi/_internal.pyi:140-153):
+        ONE slice as an iterator of Arrow RecordBatches of exactly
+        ``batch_size`` rows (last batch may be short). Same plan as the
+        eager ``read_file_slice``; batching reuses the table-level
+        streaming re-chunker, so data crosses the JVM boundary once as
+        Arrow buffers."""
+        from hudi_rs_spark.streaming.batches import iter_batches
+
+        options = options or HudiReadOptions()
+        df = self.read_file_slice(file_slice, options)
+        return iter_batches(
+            df, options.batch_size if batch_size is None else batch_size
+        )
+
+    def read_file_slice_from_paths_stream(
+        self,
+        base_file_relative_path: str | None,
+        log_file_relative_paths: list[str] | None = None,
+        options: HudiReadOptions | None = None,
+        batch_size: int | None = None,
+    ):
+        """``FileGroupReader::read_file_slice_from_paths_stream`` analog
+        (python/hudi/_internal.pyi:155-165): the path-based slice read as
+        a stream of Arrow RecordBatches."""
+        from hudi_rs_spark.streaming.batches import iter_batches
+
+        options = options or HudiReadOptions()
+        df = self.read_file_slice_from_paths(
+            base_file_relative_path, log_file_relative_paths, options
+        )
+        return iter_batches(
+            df, options.batch_size if batch_size is None else batch_size
+        )
+
     def _scan_base_files(
         self, slices, resolved: T.StructType, with_source: bool = False
     ) -> DataFrame:
@@ -963,6 +1004,8 @@ class HudiTable:
         self,
         start_timestamp: str | None,
         end_timestamp: str | None = None,
+        max_commits: int = 256,
+        checkpoint_every: int = 16,
     ) -> DataFrame:
         """Change feed for tables WITHOUT CDC log blocks: derive op /
         before / after by diffing consecutive commit snapshots. Neither
@@ -979,7 +1022,13 @@ class HudiTable:
 
         Scale: cost ∝ commits-in-window × touched-group bytes, each diff
         one key-shuffle join; the CDC-block path (read_changes) stays the
-        cheap primary when the writer records change blocks."""
+        cheap primary when the writer records change blocks. Two bounds
+        keep the driver-built plan sane on long windows: the window is
+        capped at ``max_commits`` per call (loud error — page through
+        sub-windows instead of building one thousand-join plan), and the
+        accumulating union is lineage-truncated with a lazy
+        localCheckpoint every ``checkpoint_every`` commits so plan depth
+        stays O(checkpoint_every) no matter the window length."""
         from hudi_rs_spark.timeline.timestamps import to_hudi_timestamp
 
         if start_timestamp is not None:
@@ -999,6 +1048,13 @@ class HudiTable:
         window = self.timeline.instants_in_range(start_timestamp, end)
         if not window:
             return self.spark.createDataFrame([], schema)
+        if len(window) > max_commits:
+            raise ValueError(
+                f"derived change feed window spans {len(window)} commits, "
+                f"over the max_commits={max_commits} bound — page through "
+                "smaller (start, end] sub-windows (each commit's diff is "
+                "independent, so results concatenate), or raise max_commits"
+            )
         all_commits = [i.timestamp for i in self.timeline.instants_as_of(end)]
         options = HudiReadOptions()
         if self.config.populates_meta_fields:
@@ -1048,11 +1104,32 @@ class HudiTable:
             old_df = _snap(prev_ts, touched | replaced)
             if new_df is None and old_df is None:
                 continue  # e.g. delete_partition of never-written groups
-            ref_df = new_df if new_df is not None else old_df
+            # image columns = union of BOTH sides' data columns; a side
+            # missing a column (schema evolved between prev_ts and this
+            # instant) null-fills it instead of raising AnalysisException
             data_cols = sorted(
-                c for c in ref_df.columns if not c.startswith("_hoodie_")
+                {
+                    c
+                    for df in (new_df, old_df)
+                    if df is not None
+                    for c in df.columns
+                    if not c.startswith("_hoodie_")
+                }
             )
-            img = F.to_json(F.struct(*[F.col(c) for c in data_cols]))
+
+            def _img(df):
+                return F.to_json(
+                    F.struct(
+                        *[
+                            (
+                                F.col(c)
+                                if c in df.columns
+                                else F.lit(None).cast("string")
+                            ).alias(c)
+                            for c in data_cols
+                        ]
+                    )
+                )
 
             def _side(df, alias):
                 if df is None:
@@ -1066,7 +1143,7 @@ class HudiTable:
                         ),
                     )
                 return df.filter(F.col(key).isNotNull()).select(
-                    F.col(key).alias("__k"), img.alias(alias)
+                    F.col(key).alias("__k"), _img(df).alias(alias)
                 )
 
             n = _side(new_df, "after")
@@ -1093,8 +1170,15 @@ class HudiTable:
         if not parts:
             return self.spark.createDataFrame([], schema)
         out = parts[0]
+        since_checkpoint = 0
         for p in parts[1:]:
             out = out.unionByName(p)
+            since_checkpoint += 1
+            if since_checkpoint >= checkpoint_every:
+                # lazy: truncates the accumulated union's lineage without
+                # forcing a job now — plan depth stays O(checkpoint_every)
+                out = out.localCheckpoint(eager=False)
+                since_checkpoint = 0
         return out
 
     # -- physical plan builders ---------------------------------------

@@ -240,3 +240,80 @@ class TestDerivedChangeFeed:
                              .read_changes_derived(None, C1))
         assert [(c, o, a["id"]) for c, o, _b, a in derived] == [
             (C1, "i", "k1"), (C1, "i", "k2")]
+
+    # -- r7: bounded plan growth + schema evolution (VERDICT r6 #2,
+    # ADVICE r6 low) -------------------------------------------------
+    def _many_commit_table(self, tmp_path, n: int):
+        t = SynthTable(os.path.join(tmp_path, "many"))
+        commits = [f"2024010100000{i:04d}" for i in range(n)]
+        for i, c in enumerate(commits):
+            t.write_base(
+                f"g{i}-0", c,
+                {"id": [f"k{i}"], "ts": [1], "val": [f"v{i}"]},
+                [f"k{i}"],
+            )
+            t.commit(c)
+        return t, commits
+
+    def test_many_commit_window_checkpoints_bound_plan_depth(
+        self, spark, tmp_path
+    ):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        n = 20
+        t, commits = self._many_commit_table(str(tmp_path), n)
+        table = HudiTable(t.base_path, spark)
+        df = table.read_changes_derived(None, None, checkpoint_every=4)
+        rows = self._norm(df)
+        # content: one insert per commit, unchanged by checkpointing
+        assert [(c, o, a["id"]) for c, o, _b, a in rows] == [
+            (c, "i", f"k{i}") for i, c in enumerate(commits)
+        ]
+        # the analyzed plan must NOT contain one union arm per commit:
+        # lineage is truncated every 4 commits, so Union fan-in stays
+        # bounded while the unbounded variant scales with the window
+        plan = df._jdf.queryExecution().analyzed().toString()
+        unbounded = table.read_changes_derived(
+            None, None, checkpoint_every=10**9
+        )
+        plan_unbounded = (
+            unbounded._jdf.queryExecution().analyzed().toString()
+        )
+        assert plan_unbounded.count("Project") >= n  # sanity: arms visible
+        assert plan.count("Project") <= plan_unbounded.count("Project") // 2
+        assert "LogicalRDD" in plan or "ExistingRDD" in plan  # checkpoints
+
+    def test_window_over_max_commits_raises(self, spark, tmp_path):
+        import pytest
+
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t, _ = self._many_commit_table(str(tmp_path), 6)
+        table = HudiTable(t.base_path, spark)
+        with pytest.raises(ValueError, match="max_commits"):
+            table.read_changes_derived(None, None, max_commits=5)
+
+    def test_schema_evolution_null_fills_before_image(self, spark, tmp_path):
+        """A column added between prev_ts and the instant must NOT make
+        the before-image scan raise: the old side lacks 'extra' (its
+        footer schema predates it) and null-fills instead."""
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = SynthTable(os.path.join(str(tmp_path), "evolve"))
+        t.write_base("g1-0", C1, {"id": ["k1"], "ts": [1], "val": ["a"]}, ["k1"])
+        t.commit(C1)
+        # C2 rewrites the group with a NEW column
+        t.write_base(
+            "g1-0", C2,
+            {"id": ["k1"], "ts": [2], "val": ["a2"], "extra": ["x"]},
+            ["k1"],
+        )
+        t.commit(C2)
+        derived = self._norm(
+            HudiTable(t.base_path, spark).read_changes_derived(C1, C2)
+        )
+        assert len(derived) == 1
+        commit, op, before, after = derived[0]
+        assert (commit, op) == (C2, "u")
+        assert after["extra"] == "x" and after["val"] == "a2"
+        assert before["val"] == "a" and before.get("extra") is None

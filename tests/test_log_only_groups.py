@@ -184,3 +184,86 @@ class TestConnectorLogOnly:
             .load()
         )
         assert _vals(conn) == {"a1": "base"}
+
+
+class TestPerSliceStream:
+    """``read_file_slice_stream(_from_paths)`` analog of the reference's
+    FileGroupReader streaming API (python/hudi/_internal.pyi:140-165,
+    file_group/reader.rs:317-547): a slice as an iterator of Arrow
+    RecordBatches of exactly ``batch_size`` rows."""
+
+    def _wide_mor_table(self, tmp_path) -> SynthTable:
+        """One MOR file group: 10-key base at C1, log update at C2."""
+        t = SynthTable(os.path.join(str(tmp_path), "wide"))
+        keys = [f"k{i:02d}" for i in range(10)]
+        t.write_base(
+            "g1-0", C1,
+            {"id": keys, "ts": [1] * 10, "val": [f"v{i}" for i in range(10)]},
+            keys,
+        )
+        t.commit(C1, schema=SCHEMA)
+        rows = t.log_rows(
+            C2, {"id": ["k03"], "ts": [2], "val": ["upd"]}, ["k03"], "log"
+        )
+        t.append_log("g1-0", C1, parquet_data_block(C2, rows), stats_instant=C2)
+        t.commit(C2, schema=SCHEMA)
+        return t
+
+    def test_stream_equals_eager_slice_read(self, spark, tmp_path):
+        import pyarrow as pa
+
+        t = HudiTable(self._wide_mor_table(tmp_path).base_path, spark)
+        [sl] = t.get_file_slices()
+        assert sl.has_log_files  # the hard (merge) path
+        batches = list(t.read_file_slice_stream(sl, batch_size=3))
+        streamed = pa.Table.from_batches(batches)
+        got = dict(zip(
+            streamed.column("id").to_pylist(), streamed.column("val").to_pylist()
+        ))
+        assert got == _vals(t.read_file_slice(sl))
+        assert got["k03"] == "upd"  # merged, not base, contents
+
+    def test_batch_sizes_honored(self, spark, tmp_path):
+        t = HudiTable(self._wide_mor_table(tmp_path).base_path, spark)
+        [sl] = t.get_file_slices()
+        sizes = [b.num_rows for b in t.read_file_slice_stream(sl, batch_size=3)]
+        assert sum(sizes) == 10
+        assert all(s == 3 for s in sizes[:-1]) and sizes[-1] <= 3
+
+    def test_from_paths_stream_matches_slice_stream(self, spark, tmp_path):
+        import pyarrow as pa
+
+        t = HudiTable(self._wide_mor_table(tmp_path).base_path, spark)
+        [sl] = t.get_file_slices()
+        via_paths = pa.Table.from_batches(list(
+            t.read_file_slice_from_paths_stream(
+                sl.base_file_relative_path(),
+                sl.log_file_relative_paths(),
+                batch_size=4,
+            )
+        ))
+        via_slice = pa.Table.from_batches(
+            list(t.read_file_slice_stream(sl, batch_size=4))
+        )
+        key = lambda tbl: sorted(zip(
+            tbl.column("id").to_pylist(), tbl.column("val").to_pylist()
+        ))
+        assert key(via_paths) == key(via_slice)
+
+    def test_log_only_slice_streams(self, spark, tmp_path):
+        import pyarrow as pa
+
+        t = HudiTable(_log_only_table(tmp_path).base_path, spark)
+        [sl] = t.get_file_slices()
+        assert sl.base_file is None
+        tbl = pa.Table.from_batches(list(t.read_file_slice_stream(sl, batch_size=1)))
+        got = dict(zip(tbl.column("id").to_pylist(), tbl.column("val").to_pylist()))
+        assert got == {"k1": "x2", "k2": "y"}
+
+    def test_zero_batch_size_errors(self, spark, tmp_path):
+        import pytest
+
+        t = HudiTable(self._wide_mor_table(tmp_path).base_path, spark)
+        [sl] = t.get_file_slices()
+        with pytest.raises(ValueError, match="batch_size"):
+            list(t.read_file_slice_stream(sl, batch_size=0))
