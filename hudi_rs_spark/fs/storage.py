@@ -143,12 +143,25 @@ class ArrowFSStorage(Storage):
     single FileSystem handle (connection pool, credentials) serves every
     call for that bucket/namenode."""
 
-    def __init__(self, scheme: str, authority: str, options: dict | None = None):
+    def __init__(
+        self,
+        scheme: str,
+        authority: str,
+        options: dict | None = None,
+        filesystem=None,
+        inner_prefix: str | None = None,
+    ):
         from pyarrow import fs as pafs
 
         self._scheme = scheme
         self._uri_prefix = f"{scheme}://{authority}"
-        if options:
+        if filesystem is not None:
+            # caller-supplied pyarrow FileSystem (SubTreeFileSystem,
+            # PyFileSystem(FSSpecHandler(...)), ...) — register with
+            # ``register_storage`` so storage_for() resolves it
+            self.fs = filesystem
+            self._inner_prefix = inner_prefix or ""
+        elif options:
             cls = {
                 "s3": pafs.S3FileSystem,
                 "s3a": pafs.S3FileSystem,
@@ -312,36 +325,66 @@ class MemoryStorage(Storage):
 
 
 # ---------------------------------------------------------------------------
-_cache: dict[tuple[str, str], tuple[Storage, dict | None]] = {}
+# (scheme, authority, options-key) -> Storage; the default map remembers
+# which full key an options-less lookup should resolve to (the most
+# recently primed credential set for that bucket)
+_cache: dict[tuple, Storage] = {}
+_default: dict[tuple[str, str], tuple] = {}
 _cache_lock = threading.Lock()
 _LOCAL = LocalStorage()
+
+
+def _options_key(options: dict | None):
+    if not options:
+        return None
+    return tuple(sorted((str(k), str(v)) for k, v in options.items()))
 
 
 def storage_for(path: str, options: dict | None = None) -> Storage:
     """Backend for ``path``, selected by URL scheme (the reference's
     parse_url_opts). Plain paths and file:// -> local. Cached per
-    (scheme, authority); passing ``options`` primes that cache entry, and
-    the backend is rebuilt only when the options actually DIFFER from the
-    cached entry's — repeated priming calls (one per scan task /
-    streaming trigger) reuse the existing filesystem handle instead of
-    paying credential/TLS setup every time."""
+    (scheme, authority, options) so two tables on the same bucket with
+    DIFFERENT credentials each keep their own filesystem handle —
+    alternating priming calls reuse both instead of rebuilding
+    (credential/TLS setup) every flip. An options-less lookup resolves
+    to the most recently primed entry for that (scheme, authority)."""
     if "://" not in path:
         return _LOCAL
     parts = urlsplit(path)
     scheme = parts.scheme.lower()
     if scheme == "file":
         return _LOCAL
-    key = (scheme, parts.netloc)
+    base = (scheme, parts.netloc)
+    okey = _options_key(options)
     with _cache_lock:
-        hit = _cache.get(key)
-        if hit is not None and (options is None or options == hit[1]):
-            return hit[0]
-        if scheme == "memory":
-            st: Storage = MemoryStorage(parts.netloc)
-        else:
-            st = ArrowFSStorage(scheme, parts.netloc, options)
-        _cache[key] = (st, options)
+        full = _default.get(base, base + (None,)) if okey is None else base + (okey,)
+        st = _cache.get(full)
+        if st is None:
+            if scheme == "memory":
+                st = MemoryStorage(parts.netloc)
+            else:
+                st = ArrowFSStorage(scheme, parts.netloc, options)
+            _cache[full] = st
+        if okey is not None:
+            _default[base] = full
         return st
+
+
+def register_storage(
+    scheme: str, authority: str, storage: Storage, options: dict | None = None
+) -> None:
+    """Bind a pre-built Storage (e.g. ``ArrowFSStorage`` wrapping a
+    caller-constructed pyarrow FileSystem) to ``scheme://authority`` so
+    subsequent ``storage_for`` lookups resolve to it — the injection
+    point for filesystems ``FileSystem.from_uri`` can't build (custom
+    fsspec handlers, SubTreeFileSystem test rigs). Driver-process scope
+    only: executor workers resolve their own backends from shipped
+    options."""
+    base = (scheme.lower(), authority)
+    full = base + (_options_key(options),)
+    with _cache_lock:
+        _cache[full] = storage
+        _default[base] = full
 
 
 def as_local_path(path: str) -> str | None:
