@@ -163,6 +163,21 @@ class TestLanceCowSnapshot:
         assert rows["TXN-004"].region == "eu"
         assert rows["TXN-007"].region == "apac"
 
+    def test_txns_nonpart(self, spark):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        path = extract_fixture("sample_table/cow/v9_lance_txns_nonpart.zip")
+        t = HudiTable(path, spark)
+        rows = {
+            r.txn_id: r
+            for r in t.read().select("txn_id", "txn_type", "txn_ts").collect()
+        }
+        assert len(rows) == 14
+        assert "TXN-002" not in rows and "TXN-005" not in rows
+        assert rows["TXN-001"].txn_type == "reversal"
+        assert rows["TXN-001"].txn_ts == 1700100000001
+        assert rows["TXN-016"].txn_type == "debit"
+
     def test_trips_cow(self, spark, lance_cow_trips):
         from hudi_rs_spark.sources.hudi import HudiTable
 
