@@ -77,6 +77,13 @@ class FileSlice:
     # slice key for a log-only slice: requested ts of the deltacommit
     # that created the group (unused when base_file is set)
     log_anchor_timestamp: str | None = None
+    # populated ONLY when stats pruning loaded this slice's statistics
+    # (MDT column_stats or a base-file footer read) — the reference
+    # attaches these the same way ("only populated when data-column
+    # filters trigger footer-based pruning", _internal.pyi:211-223):
+    # {column: (min, max)} and the base file's record count
+    column_stats: dict | None = field(default=None, compare=False)
+    num_records: int | None = field(default=None, compare=False)
 
     @property
     def commit_timestamp(self) -> str:

@@ -27,6 +27,12 @@ from hudi_rs_spark.plans.partition_pruner import Filter
 
 def parquet_column_stats(path: str) -> dict[str, tuple]:
     """{column: (min, max)} from the footer; absent entries mean no stats."""
+    return parquet_footer_stats(path)[0]
+
+
+def parquet_footer_stats(path: str) -> tuple[dict[str, tuple], int]:
+    """({column: (min, max)}, num_rows) from one footer read — the row
+    count rides along so pruning can attach it to the slice for free."""
     import pyarrow.parquet as pq
 
     from hudi_rs_spark.fs.storage import storage_for
@@ -51,7 +57,10 @@ def parquet_column_stats(path: str) -> dict[str, tuple]:
             else:
                 cur[0] = min(cur[0], st.min)
                 cur[1] = max(cur[1], st.max)
-    return {k: (v[0], v[1]) for k, v in acc.items() if v is not None}
+    return (
+        {k: (v[0], v[1]) for k, v in acc.items() if v is not None},
+        md.num_rows,
+    )
 
 
 def _coerce_to(value: str, exemplar):

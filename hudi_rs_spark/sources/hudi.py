@@ -99,6 +99,73 @@ class HudiTable:
         return s
 
     # ------------------------------------------------------------------
+    # convenience surface (reference python/hudi/_internal.pyi HudiTable
+    # properties :275-376)
+    # ------------------------------------------------------------------
+    @property
+    def base_url(self) -> str:
+        return self.base_path
+
+    @property
+    def table_name(self) -> str:
+        return self.config.table_name
+
+    @property
+    def table_type(self) -> str:
+        return self.config.table_type.value
+
+    @property
+    def is_mor(self) -> bool:
+        return self.config.table_type == TableType.MERGE_ON_READ
+
+    @property
+    def timezone(self) -> str:
+        return self.config.timezone
+
+    def hudi_options(self) -> dict[str, str]:
+        """All hoodie.* configs (hoodie.properties view)."""
+        return dict(self.config.props)
+
+    def get_timeline(self) -> Timeline:
+        return self.timeline
+
+    def get_schema_in_avro_str(self) -> str:
+        """Latest writer avro schema as a JSON string (resolver priority:
+        commit metadata, then hoodie.table.create.schema)."""
+        sj = self.schema_json()
+        if sj is None:
+            raise ValueError("table has no recorded avro schema")
+        return json.dumps(sj)
+
+    def get_schema_in_avro_str_with_meta_fields(self) -> str:
+        """Avro schema with the 5 Hudi meta fields prepended (reference
+        meta_field.rs:72-88 static schema + data fields)."""
+        sj = self.schema_json()
+        if sj is None:
+            raise ValueError("table has no recorded avro schema")
+        fields = [f for f in sj.get("fields", [])]
+        existing = {f.get("name") for f in fields}
+        meta = [
+            {"name": m, "type": ["null", "string"], "default": None}
+            for m in META_FIELDS
+            if m not in existing
+        ]
+        return json.dumps({**sj, "fields": meta + fields})
+
+    def create_file_group_reader_with_options(
+        self,
+        read_options: "HudiReadOptions | None" = None,
+        extra_storage_overrides: dict | None = None,
+    ) -> "HudiFileGroupReader":
+        """Reference ``HudiTable.create_file_group_reader_with_options``
+        (_internal.pyi:395-410): a per-slice reader bound to this table's
+        configs, with optional read defaults and storage overrides
+        (last-writer-wins over the table's own storage options)."""
+        storage = dict(self.storage_options or {})
+        storage.update(extra_storage_overrides or {})
+        return HudiFileGroupReader(self, read_options, storage or None)
+
+    # ------------------------------------------------------------------
     # schema resolution (resolver.rs:41-114 priority order)
     # ------------------------------------------------------------------
     def schema_json(self) -> dict | None:
@@ -733,12 +800,18 @@ class HudiTable:
                 continue
             stats = mdt_stats.get(s.base_file.file_name)
             if stats is None:
+                from hudi_rs_spark.plans.file_pruner import parquet_footer_stats
+
                 path = os.path.join(self.base_path, s.base_file_relative_path())
                 try:
-                    stats = parquet_column_stats(path)
+                    stats, s.num_records = parquet_footer_stats(path)
                 except Exception:
                     out.append(s)  # unreadable stats -> keep
                     continue
+            # attach the loaded stats to the slice (reference parity:
+            # HudiFileSlice.base_file_column_stats is populated exactly
+            # when pruning loaded statistics, _internal.pyi:211-223)
+            s.column_stats = stats
             if should_include_file(stats, filters):
                 out.append(s)
         return out
@@ -1438,3 +1511,91 @@ class HudiTable:
 
 
 
+
+class HudiFileGroupReader:
+    """Per-slice reader bound to one table's configs — the reference's
+    ``HudiFileGroupReader`` (python/hudi/_internal.pyi:102-170,
+    crates/core/src/file_group/reader.rs). Construct directly from a base
+    URI, or via ``HudiTable.create_file_group_reader_with_options``.
+
+    ``default_options`` apply to every read unless a call passes its own;
+    ``storage_options`` override the table's storage settings."""
+
+    def __init__(
+        self,
+        table_or_uri,
+        default_options: "HudiReadOptions | None" = None,
+        storage_options: dict | None = None,
+    ):
+        if isinstance(table_or_uri, HudiTable):
+            self.table = table_or_uri
+            if storage_options:
+                # rebind: overridden credentials must win for this reader
+                self.table = HudiTable(
+                    table_or_uri.base_path,
+                    table_or_uri._spark,
+                    listing=table_or_uri.listing,
+                    storage_options=storage_options,
+                )
+        else:
+            self.table = HudiTable(
+                str(table_or_uri), storage_options=storage_options
+            )
+        self.default_options = default_options
+
+    @property
+    def is_metadata_table(self) -> bool:
+        """Reference ``is_metadata_table`` (_internal.pyi:166-170): base
+        path points at a table's nested ``.hoodie/metadata``."""
+        return self.table.base_path.rstrip("/").endswith(".hoodie/metadata")
+
+    def _opts(self, options):
+        return options or self.default_options
+
+    def read_file_slice(self, file_slice, options=None) -> DataFrame:
+        return self.table.read_file_slice(file_slice, self._opts(options))
+
+    def read_file_slice_from_paths(
+        self, base_file_path, log_file_paths=None, options=None
+    ) -> DataFrame:
+        return self.table.read_file_slice_from_paths(
+            base_file_path, log_file_paths, self._opts(options)
+        )
+
+    def read_file_slice_stream(self, file_slice, options=None, batch_size=None):
+        return self.table.read_file_slice_stream(
+            file_slice, self._opts(options), batch_size
+        )
+
+    def read_file_slice_from_paths_stream(
+        self, base_file_path, log_file_paths=None, options=None, batch_size=None
+    ):
+        return self.table.read_file_slice_from_paths_stream(
+            base_file_path, log_file_paths, self._opts(options), batch_size
+        )
+
+
+def build_hudi_table(
+    base_uri: str,
+    hudi_options: dict | None = None,
+    storage_options: dict | None = None,
+    options: dict | None = None,
+    spark: SparkSession | None = None,
+) -> HudiTable:
+    """Reference ``build_hudi_table`` (_internal.pyi:452-470): construct
+    a table from a base URI plus mixed options — ``options`` entries are
+    split by key prefix (``hoodie.`` -> hudi config overrides, everything
+    else -> storage backend settings), then merged under the explicit
+    dicts. Hudi overrides are applied on top of ``hoodie.properties``
+    (last-writer-wins, the reference's register_hudi_options)."""
+    hudi = dict(hudi_options or {})
+    storage = dict(storage_options or {})
+    for k, v in (options or {}).items():
+        if k.startswith("hoodie."):
+            hudi.setdefault(k, v)
+        else:
+            storage.setdefault(k, v)
+    t = HudiTable(base_uri, spark, storage_options=storage or None)
+    if hudi:
+        t.config.props.update(hudi)
+    return t

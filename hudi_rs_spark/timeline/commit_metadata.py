@@ -27,6 +27,7 @@ class CommitMetadata:
     replaced_file_ids: dict[str, list[str]] = field(default_factory=dict)  # partition -> ids
     schema_json: str | None = None  # writer schema from "extraMetadata.schema"
     operation_type: str | None = None
+    raw: dict = field(default_factory=dict)  # full parsed metadata document
 
     @property
     def is_insert_overwrite(self) -> bool:
@@ -56,6 +57,7 @@ def _from_dict(d: dict) -> CommitMetadata:
     extra = d.get("extraMetadata") or {}
     out.schema_json = extra.get("schema") or None
     out.operation_type = d.get("operationType")
+    out.raw = d
     return out
 
 

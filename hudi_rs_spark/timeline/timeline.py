@@ -197,6 +197,51 @@ class Timeline:
     def completed_commits(self) -> list[Instant]:
         return list(self.instants)
 
+    # -- action-filtered accessors (timeline/mod.rs:155-217, surfaced in
+    # python/hudi/_internal.pyi HudiTimeline) --------------------------
+    def _completed_by_action(self, action, desc: bool) -> list[Instant]:
+        out = [i for i in self.instants if i.action == action]
+        return list(reversed(out)) if desc else out
+
+    def get_completed_commits(self, desc: bool = False) -> list[Instant]:
+        from hudi_rs_spark.timeline.instant import Action
+
+        return self._completed_by_action(Action.COMMIT, desc)
+
+    def get_completed_deltacommits(self, desc: bool = False) -> list[Instant]:
+        from hudi_rs_spark.timeline.instant import Action
+
+        return self._completed_by_action(Action.DELTA_COMMIT, desc)
+
+    def get_completed_replacecommits(self, desc: bool = False) -> list[Instant]:
+        from hudi_rs_spark.timeline.instant import Action
+
+        return self._completed_by_action(Action.REPLACE_COMMIT, desc)
+
+    def get_completed_clustering_commits(self, desc: bool = False) -> list[Instant]:
+        """Replacecommits whose metadata records operationType 'cluster'
+        (timeline/mod.rs:196-217)."""
+        return [
+            i
+            for i in self.get_completed_replacecommits(desc)
+            if (self.metadata_for(i).operation_type or "") == "cluster"
+        ]
+
+    def get_instant_metadata_in_json(self, instant: Instant) -> str:
+        """Full commit-metadata document as a JSON string
+        (timeline/mod.rs:226-231 analog; layout-2 avro documents are
+        rendered from the parsed record)."""
+        import json as _json
+
+        return _json.dumps(
+            self.metadata_for(instant).raw,
+            default=lambda o: (
+                o.decode("utf-8", "replace")
+                if isinstance(o, (bytes, bytearray))
+                else str(o)
+            ),
+        )
+
     def latest_commit_timestamp(self) -> str | None:
         return self.instants[-1].timestamp if self.instants else None
 

@@ -47,6 +47,7 @@ class HudiTableWriter:
         ordering: str = "ts",
         extra_props: dict[str, str] | None = None,
         table_version: int = 6,
+        table_type: str = "MERGE_ON_READ",
     ):
         self.base_path = base_path
         self.ordering = ordering
@@ -54,7 +55,7 @@ class HudiTableWriter:
         os.makedirs(hoodie, exist_ok=True)
         props = {
             "hoodie.table.name": "synth",
-            "hoodie.table.type": "MERGE_ON_READ",
+            "hoodie.table.type": table_type,
             "hoodie.table.version": str(table_version),
             "hoodie.timeline.layout.version": "1" if table_version < 8 else "2",
             "hoodie.table.recordkey.fields": record_key,
@@ -137,10 +138,11 @@ class HudiTableWriter:
         instant: str,
         schema: dict | None = None,
         replaced: dict[str, list[str]] | None = None,
+        operation: str = "UPSERT",
     ) -> bytes:
         meta = {
             "partitionToWriteStats": {"": self._write_stats.get(instant, [])},
-            "operationType": "UPSERT",
+            "operationType": operation,
         }
         if replaced is not None:
             meta["partitionToReplaceFileIds"] = replaced
