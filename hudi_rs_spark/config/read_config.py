@@ -32,3 +32,37 @@ class HudiReadOptions:
         if self.query_type == "snapshot" and (self.start_timestamp or self.end_timestamp):
             # reference strips irrelevant timestamps (read_options.rs:247-262)
             pass
+
+    # -- fluent builders (reference HudiReadOptions.with_*,
+    # python/hudi/_internal.pyi:67-79) — each returns a COPY so a base
+    # options object can be reused across queries
+    def _with(self, **kw) -> "HudiReadOptions":
+        from dataclasses import replace
+
+        return replace(self, **kw)
+
+    def with_query_type(self, query_type: str) -> "HudiReadOptions":
+        return self._with(query_type=query_type)
+
+    def with_as_of_timestamp(self, timestamp: str) -> "HudiReadOptions":
+        return self._with(as_of_timestamp=timestamp)
+
+    def with_start_timestamp(self, timestamp: str) -> "HudiReadOptions":
+        return self._with(start_timestamp=timestamp)
+
+    def with_end_timestamp(self, timestamp: str) -> "HudiReadOptions":
+        return self._with(end_timestamp=timestamp)
+
+    def with_batch_size(self, size: int) -> "HudiReadOptions":
+        return self._with(batch_size=size)
+
+    def with_filters(
+        self, filters: list[tuple[str, str, str]]
+    ) -> "HudiReadOptions":
+        return self._with(filters=list(filters))
+
+    def with_projection(self, columns: list[str]) -> "HudiReadOptions":
+        return self._with(projection=list(columns))
+
+    def with_limit(self, limit: int) -> "HudiReadOptions":
+        return self._with(limit=limit)

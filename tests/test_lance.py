@@ -195,6 +195,41 @@ class TestLanceCowSnapshot:
         assert rows["rider-K"].driver == "driver-U"
         assert rows["rider-N"].driver == "driver-X"
 
+    def test_partition_pruning_on_lance_table(self, spark, lance_cow_trips):
+        """Partition pruning is format-agnostic: a city filter must cut
+        the planned slice set BEFORE any lance file is decoded."""
+        from hudi_rs_spark.plans.partition_pruner import Filter
+        from hudi_rs_spark.sources.hudi import HudiReadOptions, HudiTable
+
+        t = HudiTable(lance_cow_trips, spark)
+        all_slices = t.get_file_slices()
+        pruned = t.get_file_slices(
+            filters=[Filter("city", "=", "san_francisco")]
+        )
+        assert len(pruned) < len(all_slices)
+        assert all("san_francisco" in s.partition_path for s in pruned)
+        got = t.read(
+            HudiReadOptions(filters=[("city", "=", "san_francisco")])
+        ).select("rider").collect()
+        assert sorted(r.rider for r in got) == [
+            "rider-A", "rider-C", "rider-D", "rider-E", "rider-M", "rider-N",
+        ]
+
+    def test_fluent_read_options(self, spark, lance_cow_nonpartitioned):
+        """Reference with_* builder parity (_internal.pyi:67-79)."""
+        from hudi_rs_spark.sources.hudi import HudiReadOptions, HudiTable
+
+        base = HudiReadOptions()
+        opts = (
+            base.with_filters([("category", "=", "vision")])
+            .with_projection(["id"])
+            .with_limit(2)
+        )
+        assert base.filters == [] and base.projection is None  # copies
+        t = HudiTable(lance_cow_nonpartitioned, spark)
+        df = t.read(opts)
+        assert df.columns == ["id"] and df.count() == 2
+
     def test_filter_projection_limit(self, spark, lance_cow_nonpartitioned):
         from hudi_rs_spark.sources.hudi import HudiReadOptions, HudiTable
 
