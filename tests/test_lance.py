@@ -343,6 +343,43 @@ class TestLanceConnector:
         want = sorted((tuple(r) for r in eager.select(*cols).collect()))
         assert got == want and len(got) == 12
 
+    def test_extension_fallback_without_format_config(self, spark, tmp_path):
+        """Reference table_read_tests.rs:2663: discovery and read must
+        work purely from the .lance extension when
+        hoodie.table.base.file.format is absent from the config."""
+        import shutil
+
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        src = extract_fixture("sample_table/cow/v9_lance_nonpartitioned.zip")
+        table = os.path.join(str(tmp_path), "nofmt")
+        shutil.copytree(src, table)
+        props = os.path.join(table, ".hoodie", "hoodie.properties")
+        with open(props) as f:
+            lines = [
+                ln for ln in f.read().splitlines()
+                if not ln.startswith("hoodie.table.base.file.format=")
+            ]
+        with open(props, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        t = HudiTable(table, spark)
+        slices = t.get_file_slices()
+        assert any(
+            (s.base_file_relative_path() or "").endswith(".lance")
+            for s in slices
+        )
+        assert t.read().select("id").count() == 9
+
+    def test_point_lookup_via_record_index(self, spark, lance_cow_nonpartitioned):
+        """The v9 lance fixtures write the MDT record index; a point
+        lookup must resolve keys through it and decode only the target
+        lance slices."""
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = HudiTable(lance_cow_nonpartitioned, spark)
+        got = {r.id: r.name for r in t.point_lookup(["9", "2"]).collect()}
+        assert got == {9: "feature-set-iota", 2: "feature-set-beta"}
+
     def test_per_slice_read(self, spark, lance_cow_nonpartitioned):
         from hudi_rs_spark.sources.hudi import HudiTable
 
