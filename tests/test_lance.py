@@ -311,6 +311,83 @@ class TestLanceMorSnapshot:
 # ---------------------------------------------------------------------------
 # connector parity — the Python Data Source must read lance bases too
 # ---------------------------------------------------------------------------
+class TestLanceTimeTravel:
+    def test_as_of_first_commit(self, spark, lance_cow_nonpartitioned):
+        """Time travel to the insert commit: all 8 originals, pre-update
+        scores, id 4 still present."""
+        from hudi_rs_spark.sources.hudi import HudiReadOptions, HudiTable
+
+        t = HudiTable(lance_cow_nonpartitioned, spark)
+        first = t.get_timeline().instants[0].timestamp
+        rows = {
+            r.id: r
+            for r in t.read(HudiReadOptions(as_of_timestamp=first))
+            .select("id", "score")
+            .collect()
+        }
+        assert sorted(rows) == [1, 2, 3, 4, 5, 6, 7, 8]
+        assert rows[1].score == pytest.approx(0.92)  # pre-update
+        assert rows[4].score == pytest.approx(0.78)  # pre-delete
+
+    def test_incremental_window(self, spark, lance_cow_nonpartitioned):
+        """Incremental (first, latest]: only rows written after the
+        insert commit — the updates and the final inserts."""
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = HudiTable(lance_cow_nonpartitioned, spark)
+        first = t.get_timeline().instants[0].timestamp
+        rows = {
+            r.id: r.score
+            for r in t.read_incremental(first).select("id", "score").collect()
+        }
+        assert sorted(rows) == [1, 2, 9, 10]
+        assert rows[1] == pytest.approx(0.96)
+        assert rows[2] == pytest.approx(0.93)
+
+
+class TestLanceStreaming:
+    def test_readstream_over_lance_mor(self, spark, tmp_path, lance_mor_trips):
+        """Connector streaming source over a Lance MOR table: the
+        availableNow run must deliver every commit's rows, landing at
+        the merged snapshot state."""
+        import time
+
+        from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+        spark.dataSource.register(HudiPyDataSource)
+        out = os.path.join(str(tmp_path), "out")
+        ckpt = os.path.join(str(tmp_path), "ckpt")
+        df = spark.readStream.format("hudi_py").option("path", lance_mor_trips).load()
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = time.time() + 240
+        while q.isActive and time.time() < deadline:
+            time.sleep(2)
+        assert not q.isActive and q.exception() is None
+        got = spark.read.parquet(out)
+        # latest version per key across the streamed batches == snapshot
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy("uuid").orderBy(
+            F.desc("ts"), F.desc("_hoodie_commit_time")
+        )
+        latest = (
+            got.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+        )
+        fares = {r.rider: r.fare for r in latest.select("rider", "fare").collect()}
+        assert fares["rider-A"] == pytest.approx(0.0)
+        assert fares["rider-G"] == pytest.approx(43.40)
+        assert len(fares) == 12
+
+
 class TestLanceConnector:
     def _register(self, spark):
         from hudi_rs_spark.sources.pyds import HudiPyDataSource
