@@ -36,8 +36,10 @@ class Filter:
         out, buf, i = [], [], 0
         v = self.value
         while i < len(v):
-            if v[i] == "\\" and i + 1 < len(v) and v[i + 1] == ",":
-                buf.append(",")
+            # reader-spec §3: '\,' is a literal comma, '\\' a literal
+            # backslash — so r'a\\,b' splits into ['a\', 'b']
+            if v[i] == "\\" and i + 1 < len(v) and v[i + 1] in (",", "\\"):
+                buf.append(v[i + 1])
                 i += 2
                 continue
             if v[i] == ",":

@@ -389,7 +389,7 @@ class HudiTable:
     # execution
     # ------------------------------------------------------------------
     def read(self, options: HudiReadOptions | None = None) -> DataFrame:
-        options = options or HudiReadOptions()
+        options = (options or HudiReadOptions()).resolve()
         options.validate()
         if options.query_type == "incremental":
             return self.read_incremental(
@@ -428,7 +428,7 @@ class HudiTable:
         docs/reader-spec.md:131-139): base + merged logs, with the
         options' filters/projection applied and an as-of timestamp
         resolved into the log-scan bound."""
-        options = options or HudiReadOptions()
+        options = (options or HudiReadOptions()).resolve()
         filters = [Filter(*f) for f in options.filters]
         as_of = options.as_of_timestamp
         if as_of is not None:

@@ -174,3 +174,65 @@ class TestSliceStatsAttachment:
         assert s.num_records == 1
         assert s.column_stats["ts"] == (9, 9)
         assert s.column_stats["val"] == ("y", "y")
+
+
+class TestHudiOptionsBag:
+    """reader-spec §2: the hudi_options bag is the per-read override
+    layer; builders and bag resolve to the same read."""
+
+    def test_bag_overlays_typed_fields(self):
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+
+        o = HudiReadOptions().with_hudi_options(
+            {
+                "hoodie.read.query.type": "incremental",
+                "hoodie.read.start.timestamp": C1,
+                "hoodie.read.end.timestamp": C2,
+                "hoodie.read.as.of.timestamp": C3,  # stripped: incremental
+                "hoodie.read.stream.batch_size": "7",
+                "hoodie.read.use.read_optimized.mode": "true",
+            }
+        )
+        r = o.resolve()
+        assert r.query_type == "incremental"
+        assert r.start_timestamp == C1 and r.end_timestamp == C2
+        assert r.as_of_timestamp is None
+        assert r.batch_size == 7
+        assert r.use_read_optimized_mode is True
+        # original untouched (copies)
+        assert o.query_type == "snapshot" and o.batch_size == 1024
+
+    def test_snapshot_strips_incremental_timestamps(self):
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+
+        r = (
+            HudiReadOptions(start_timestamp=C1, end_timestamp=C2)
+            .with_as_of_timestamp(C3)
+            .resolve()
+        )
+        assert r.start_timestamp is None and r.end_timestamp is None
+        assert r.as_of_timestamp == C3
+
+    def test_bag_read_equals_typed_read(self, spark, tmp_path):
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+
+        t = HudiTable(_mixed_actions_table(tmp_path).base_path, spark)
+        typed = t.read(HudiReadOptions(use_read_optimized_mode=True))
+        bagged = t.read(
+            HudiReadOptions().with_hudi_option(
+                "hoodie.read.use.read_optimized.mode", "true"
+            )
+        )
+        assert sorted(map(tuple, bagged.collect())) == sorted(
+            map(tuple, typed.collect())
+        )
+
+
+class TestInValueEscaping:
+    def test_escaped_commas_and_backslashes(self):
+        from hudi_rs_spark.plans.partition_pruner import Filter
+
+        f = Filter("name", "IN", r"Smith\, John,Jane")
+        assert f.values() == ["Smith, John", "Jane"]
+        f2 = Filter("name", "IN", "a\\\\,b")
+        assert f2.values() == ["a\\", "b"]
