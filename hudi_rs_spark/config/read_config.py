@@ -94,7 +94,6 @@ class HudiReadOptions:
         ),
         "hoodie.read.input.partitions": ("input_partitions", int),
         "hoodie.read.log.decode": ("log_decode", str),  # repo extension
-        "hoodie.read.listing.mode": (None, str),  # consumed by callers
     }
 
     def resolve(self) -> "HudiReadOptions":
@@ -107,8 +106,8 @@ class HudiReadOptions:
         overlay = {}
         for key, val in self.hudi_options.items():
             spec = self._BAG_KEYS.get(key)
-            if spec is None or spec[0] is None:
-                continue
+            if spec is None:
+                continue  # unrecognized keys pass through untouched
             field_name, parse = spec
             overlay[field_name] = parse(val)
         out = self._with(**overlay) if overlay else self

@@ -327,8 +327,13 @@ class MemoryStorage(Storage):
 # ---------------------------------------------------------------------------
 # (scheme, authority, options-key) -> Storage; the default map remembers
 # which full key an options-less lookup should resolve to (the most
-# recently primed credential set for that bucket)
-_cache: dict[tuple, Storage] = {}
+# recently primed credential set for that bucket). At most
+# _MAX_VARIANTS_PER_BASE option-variants are retained per (scheme,
+# authority) — rotating credentials (STS session tokens in the options)
+# would otherwise accumulate one filesystem handle per token forever;
+# the oldest variant is evicted instead.
+_MAX_VARIANTS_PER_BASE = 4
+_cache: dict[tuple, Storage] = {}  # insertion-ordered (py3.7+ dict)
 _default: dict[tuple[str, str], tuple] = {}
 _cache_lock = threading.Lock()
 _LOCAL = LocalStorage()
@@ -365,6 +370,17 @@ def storage_for(path: str, options: dict | None = None) -> Storage:
             else:
                 st = ArrowFSStorage(scheme, parts.netloc, options)
             _cache[full] = st
+            variants = [k for k in _cache if k[:2] == base]
+            while len(variants) > _MAX_VARIANTS_PER_BASE:
+                evicted = variants.pop(0)  # oldest-inserted variant
+                if evicted == full:
+                    continue  # never evict what we just built
+                _cache.pop(evicted, None)
+                if _default.get(base) == evicted:
+                    # drop the stale alias too — an options-less lookup
+                    # must not silently rebuild under the evicted
+                    # credentials' key with no credentials at all
+                    _default.pop(base, None)
         if okey is not None:
             _default[base] = full
         return st

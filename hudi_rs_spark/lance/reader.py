@@ -235,6 +235,35 @@ class LanceFile:
 
         return cls(storage_for(path, storage_options).read_bytes(path))
 
+    @staticmethod
+    def num_rows_from_path(path: str, storage_options: dict | None = None) -> int:
+        """Row count from THREE small ranged reads (footer, column-0
+        metadata offset entry, column-0 metadata) — never the whole
+        object. Table-stats estimation uses this the way the parquet
+        path reads only the footer; a full-file GET for num_rows would
+        be a multi-GB download at scale."""
+        from hudi_rs_spark.fs.storage import storage_for
+
+        st = storage_for(path, storage_options)
+        with st.open_seekable(path) as f:
+            f.seek(-40, 2)
+            footer = f.read(40)
+            if footer[-4:] != MAGIC:
+                raise ValueError("not a lance file (bad magic)")
+            _cm, cmo_start, _gbo = struct.unpack("<QQQ", footer[:24])
+            _ngb, ncol, major, minor = struct.unpack("<IIHH", footer[24:36])
+            if (major, minor) != (0, 3):
+                raise ValueError(
+                    f"unsupported lance file version {major}.{minor}"
+                )
+            if ncol == 0:
+                return 0
+            f.seek(cmo_start)
+            pos, size = struct.unpack("<QQ", f.read(16))
+            f.seek(pos)
+            cm = _fields(f.read(size))
+        return sum(_first(_fields(pb), 3, 0) for pb in cm.get(2, []))
+
     # ------------------------------------------------------------------
     def arrow_schema(self) -> pa.Schema:
         return pa.schema(

@@ -277,12 +277,25 @@ def _band_signature_udf(dim: int, n_bands: int, planes_per_band: int, seed: str)
     def band_sigs(col):
         if not len(col):
             return pd.Series([], dtype=object)
-        x = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in col], dtype=np.float64
-        )
-        bits = (x @ mat) >= 0
-        sigs = bits.reshape(len(x), n_bands, planes_per_band) @ weights
-        return pd.Series(list(sigs))
+        # null / wrong-dimension vectors can't be hashed: emit a null
+        # signature array (posexplode then yields no candidate rows for
+        # them, so they simply never pair — the pre-r7 expression path
+        # dropped them at the exact-cosine filter the same way)
+        vals = list(col)
+        valid = [
+            i for i, v in enumerate(vals) if v is not None and len(v) == dim
+        ]
+        out = [None] * len(vals)
+        if valid:
+            x = np.asarray(
+                [np.asarray(vals[i], dtype=np.float64) for i in valid],
+                dtype=np.float64,
+            )
+            bits = (x @ mat) >= 0
+            sigs = bits.reshape(len(valid), n_bands, planes_per_band) @ weights
+            for j, i in enumerate(valid):
+                out[i] = sigs[j]
+        return pd.Series(out, dtype=object)
 
     # real annotation objects (module uses `from __future__ import
     # annotations`, and string hints can't resolve a local `pd`)

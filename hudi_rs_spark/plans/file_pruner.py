@@ -126,7 +126,7 @@ def estimate_table_stats(paths: list[str]) -> tuple[int, int]:
         if p.endswith(".lance"):
             from hudi_rs_spark.lance.reader import LanceFile
 
-            rows += LanceFile(st.read_bytes(p)).num_rows
+            rows += LanceFile.num_rows_from_path(p)
         else:
             with st.open_seekable(p) as f:
                 rows += pq.ParquetFile(f).metadata.num_rows

@@ -58,6 +58,7 @@ class HudiTable:
         spark: SparkSession | None = None,
         listing: str = "auto",
         storage_options: dict | None = None,
+        hudi_overrides: dict | None = None,
     ):
         """``listing``: "auto" uses the metadata-table files partition
         when present (O(partitions) planning instead of O(files) storage
@@ -85,6 +86,12 @@ class HudiTable:
         self.storage_options = dict(storage_options) if storage_options else None
         self.storage = storage_for(self.base_path, storage_options)
         self.config = HudiTableConfig.from_base_path(self.base_path)
+        if hudi_overrides:
+            # BEFORE timeline load: overrides that steer discovery
+            # (hoodie.timeline.path, layout version, archive folder)
+            # must be visible to it — the reference's register_hudi_options
+            # applies overrides at construction the same way
+            self.config.props.update(hudi_overrides)
         self.timeline = Timeline.load(self.base_path, self.config)
         if listing not in ("auto", "direct", "mdt"):
             raise ValueError(f"bad listing mode: {listing}")
@@ -163,6 +170,10 @@ class HudiTable:
         (last-writer-wins over the table's own storage options)."""
         storage = dict(self.storage_options or {})
         storage.update(extra_storage_overrides or {})
+        if storage == (self.storage_options or {}):
+            # no effective change: bind the existing table — no reason to
+            # re-read hoodie.properties / re-list the timeline remotely
+            return HudiFileGroupReader(self, read_options, None)
         return HudiFileGroupReader(self, read_options, storage or None)
 
     # ------------------------------------------------------------------
@@ -496,7 +507,7 @@ class HudiTable:
         Arrow buffers."""
         from hudi_rs_spark.streaming.batches import iter_batches
 
-        options = options or HudiReadOptions()
+        options = (options or HudiReadOptions()).resolve()
         df = self.read_file_slice(file_slice, options)
         return iter_batches(
             df, options.batch_size if batch_size is None else batch_size
@@ -514,7 +525,7 @@ class HudiTable:
         a stream of Arrow RecordBatches."""
         from hudi_rs_spark.streaming.batches import iter_batches
 
-        options = options or HudiReadOptions()
+        options = (options or HudiReadOptions()).resolve()
         df = self.read_file_slice_from_paths(
             base_file_relative_path, log_file_relative_paths, options
         )
@@ -774,10 +785,7 @@ class HudiTable:
         )
         if not base_only:
             return slices
-        from hudi_rs_spark.plans.file_pruner import (
-            parquet_column_stats,
-            should_include_file,
-        )
+        from hudi_rs_spark.plans.file_pruner import should_include_file
 
         mdt_stats: dict[str, dict[str, tuple]] = {}
         if self.listing != "direct":
@@ -846,9 +854,9 @@ class HudiTable:
         if sample_path.endswith(".lance"):
             from hudi_rs_spark.lance.reader import LanceFile
 
-            sample_rows = LanceFile.from_path(
+            sample_rows = LanceFile.num_rows_from_path(
                 sample_path, self.storage_options
-            ).num_rows
+            )
         else:
             with self.storage.open_seekable(sample_path) as f:
                 sample_rows = pq.ParquetFile(f).metadata.num_rows
@@ -1595,7 +1603,9 @@ def build_hudi_table(
             hudi.setdefault(k, v)
         else:
             storage.setdefault(k, v)
-    t = HudiTable(base_uri, spark, storage_options=storage or None)
-    if hudi:
-        t.config.props.update(hudi)
-    return t
+    return HudiTable(
+        base_uri,
+        spark,
+        storage_options=storage or None,
+        hudi_overrides=hudi or None,
+    )

@@ -129,7 +129,14 @@ def _ensure_mor_table(sf_dir: str) -> str:
     try:
         os.rename(scratch, base)
     except OSError:
-        pass  # concurrent builder won the rename; both contents identical
+        # only a concurrent builder winning the rename is benign (both
+        # builds are byte-identical) — anything else (EXDEV, EACCES)
+        # must surface, not turn into a later FileNotFoundError
+        if not os.path.isdir(os.path.join(base, ".hoodie")):
+            raise
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
     return base
 
 

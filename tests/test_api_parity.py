@@ -129,6 +129,32 @@ class TestFileGroupReader:
 
 
 class TestBuildHudiTable:
+    def test_overrides_apply_before_timeline_load(self, spark, tmp_path):
+        """hoodie.* overrides that steer timeline discovery must be
+        visible to it (review fix r7): point a v6 table at a custom
+        timeline dir via overrides; without early application the table
+        would silently plan against the default (empty) location."""
+        import shutil
+
+        t = _mixed_actions_table(tmp_path)
+        hoodie = os.path.join(t.base_path, ".hoodie")
+        custom = os.path.join(hoodie, "custom_tl")
+        os.makedirs(custom)
+        for name in list(os.listdir(hoodie)):
+            if "." in name and not name.startswith("hoodie"):
+                shutil.move(os.path.join(hoodie, name), custom)
+        # without the override: no instants found
+        assert HudiTable(t.base_path, spark).timeline.instants == []
+        moved = build_hudi_table(
+            t.base_path,
+            hudi_options={
+                "hoodie.timeline.layout.version": "2",
+                "hoodie.timeline.path": "custom_tl",
+            },
+            spark=spark,
+        )
+        assert [i.timestamp for i in moved.timeline.instants] == [C1, C2, C3]
+
     def test_mixed_option_split(self, spark, tmp_path):
         base = _mixed_actions_table(tmp_path).base_path
         t = build_hudi_table(

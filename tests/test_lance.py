@@ -113,6 +113,14 @@ class TestLanceFileDecoder:
         assert empty.num_columns == 0
         assert empty.num_rows == lf.num_rows
 
+    def test_footer_only_num_rows(self, lance_cow_nonpartitioned):
+        """num_rows_from_path must agree with the full decode while
+        reading only footer-adjacent ranges (review fix r7)."""
+        from hudi_rs_spark.lance.reader import LanceFile
+
+        for p in glob.glob(lance_cow_nonpartitioned + "/*.lance"):
+            assert LanceFile.num_rows_from_path(p) == LanceFile.from_path(p).num_rows
+
     def test_rejects_non_lance_bytes(self):
         from hudi_rs_spark.lance.reader import LanceFile
 

@@ -182,7 +182,10 @@ class TestListingEquality:
         def no_footers(path):
             raise AssertionError(f"footer read attempted: {path}")
 
+        # _stats_prune's footer fallback goes through parquet_footer_stats
+        # (r7); patch BOTH entry points so any footer read trips the guard
         monkeypatch.setattr(fp, "parquet_column_stats", no_footers)
+        monkeypatch.setattr(fp, "parquet_footer_stats", no_footers)
         ro = HudiReadOptions(use_read_optimized_mode=True)
         # a value outside every file's [min,max] prunes everything
         none_left = t._stats_prune(slices, [Filter("driver", "=", "driver-ZZZ")], ro)

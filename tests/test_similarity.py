@@ -128,6 +128,30 @@ class TestBandedNearDups:
         all_pairs = n * (n - 1) // 2
         assert cand < all_pairs * 0.1, (cand, all_pairs)
 
+    def test_null_and_ragged_vectors_skipped(self, spark):
+        """A null or wrong-dimension embedding must not crash the
+        Arrow-batched signature UDF — such rows simply produce no
+        candidates (review fix r7)."""
+        from hudi_rs_spark.operators.similarity import embedding_near_dups
+
+        dim = 8
+        base = _vec("pair", dim)
+        rows = [
+            (1, base),
+            (2, _perturb(base, 0.001, "p")),
+            (3, None),
+            (4, base[: dim // 2]),  # wrong dimension
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dups(
+                df, "embedding", "vec_id", threshold=0.99, dim=dim,
+                n_bands=2, planes_per_band=4,
+            ).collect()
+        }
+        assert got == {(1, 2)}
+
     def test_wider_bands_shrink_buckets(self, spark, corpus):
         """Raising planes_per_band (the 100 TB knob) strictly tightens
         the expected bucket population — the property that makes the
