@@ -19,7 +19,12 @@ Public API (mirrors /root/reference/docs/reader-spec.md):
 
 from hudi_rs_spark.config.table_config import HudiTableConfig, TableType
 from hudi_rs_spark.config.read_config import HudiReadOptions
-from hudi_rs_spark.sources.hudi import HudiTable
+from hudi_rs_spark.sources.hudi import (
+    HudiFileGroupReader,
+    HudiTable,
+    build_hudi_table,
+)
+from hudi_rs_spark.util import split_into_chunks
 
 __version__ = "0.1.0"
 
@@ -27,5 +32,8 @@ __all__ = [
     "HudiTable",
     "HudiReadOptions",
     "HudiTableConfig",
+    "HudiFileGroupReader",
     "TableType",
+    "build_hudi_table",
+    "split_into_chunks",
 ]

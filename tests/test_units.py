@@ -179,3 +179,27 @@ class TestConformTypeEvolution:
         assert conform_value(True, T.StringType()) == "true"
         assert conform_value("already", T.StringType()) == "already"
         assert conform_value(None, T.StringType()) is None
+
+
+class TestSplitIntoChunks:
+    """Reference util/collection.rs:56-90 test cases."""
+
+    def test_zero_splits_clamps_to_one(self):
+        from hudi_rs_spark.util import split_into_chunks
+
+        assert split_into_chunks([1, 2, 3], 0) == [[1, 2, 3]]
+
+    def test_empty_input(self):
+        from hudi_rs_spark.util import split_into_chunks
+
+        assert split_into_chunks([], 2) == []
+
+    def test_more_splits_than_items(self):
+        from hudi_rs_spark.util import split_into_chunks
+
+        assert split_into_chunks([1, 2], 5) == [[1], [2]]
+
+    def test_normal_case(self):
+        from hudi_rs_spark.util import split_into_chunks
+
+        assert split_into_chunks([1, 2, 3, 4, 5], 2) == [[1, 2, 3], [4, 5]]
