@@ -133,6 +133,23 @@ class HudiTable:
         """All hoodie.* configs (hoodie.properties view)."""
         return dict(self.config.props)
 
+    def is_metadata_table_enabled(self) -> bool:
+        """Reference semantics (metadata/table/mod.rs:80-108): v8+ table
+        that is not itself a metadata table, with either an explicit
+        hoodie.metadata.enable=true or the files partition configured
+        (implicit enablement)."""
+        from hudi_rs_spark.metadata import files_partition as mdt
+
+        if self.config.table_version < 8:
+            return False
+        if self.base_path.rstrip("/").endswith(".hoodie/metadata"):
+            return False
+        explicit = (
+            self.config.props.get("hoodie.metadata.enable", "").lower()
+            == "true"
+        )
+        return explicit or mdt.has_files_partition(self.config)
+
     def get_timeline(self) -> Timeline:
         return self.timeline
 

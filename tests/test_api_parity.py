@@ -82,6 +82,18 @@ class TestTableProperties:
         assert t.timezone == "UTC"
         assert t.hudi_options()["hoodie.table.recordkey.fields"] == "id"
 
+    def test_is_metadata_table_enabled(self, spark, tmp_path, v8_trips_table):
+        # v6 synth table: always false (reference drops MDT below v8)
+        t = HudiTable(_mixed_actions_table(tmp_path).base_path, spark)
+        assert t.is_metadata_table_enabled() is False
+        # v8 trips fixture configures the files partition
+        t8 = HudiTable(v8_trips_table, spark)
+        assert t8.is_metadata_table_enabled() is True
+        # the nested metadata table itself must report False
+        mdt = os.path.join(v8_trips_table, ".hoodie", "metadata")
+        if os.path.isdir(mdt):
+            assert HudiTable(mdt, spark).is_metadata_table_enabled() is False
+
     def test_avro_schema_strings(self, spark, tmp_path):
         import json
 
