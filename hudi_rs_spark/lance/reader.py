@@ -173,6 +173,7 @@ class LanceFile:
                 f"unsupported lance file version {major}.{minor} (only 2.0)"
             )
         self._data = data
+        self._mv = memoryview(data)  # zero-copy buffer views for fast path
         self._ncol = ncol
         # global buffer 0: FileDescriptor{1: Schema}
         pos, size = struct.unpack("<QQ", data[gbo_start : gbo_start + 16])
@@ -348,10 +349,11 @@ class LanceFile:
                 return None
         if bits != expect:
             return None
-        pos, size = page.buffers[_first(_fields(_first(flat_msg, 2, b"")), 1, 0)]
-        buf = pa.py_buffer(self._data[pos : pos + size])
         return pa.Array.from_buffers(
-            typ, page.rows, [validity, buf], null_count=-1 if validity else 0
+            typ,
+            page.rows,
+            [validity, self._pa_buffer(page, flat_msg)],
+            null_count=-1 if validity else 0,
         )
 
     def _validity_buffer(self, page: _Page, enc: dict):
@@ -361,8 +363,7 @@ class LanceFile:
         flat = self._unwrap_to_flat(enc)
         if _first(flat, 1, 0) != 1:
             return None
-        pos, size = page.buffers[_first(_fields(_first(flat, 2, b"")), 1, 0)]
-        return pa.py_buffer(self._data[pos : pos + size])
+        return self._pa_buffer(page, flat)
 
     def _page_array(self, f: _Field, page: _Page, typ):
         enc = page.encoding
@@ -396,25 +397,21 @@ class LanceFile:
     def _binary_array(self, f: _Field, page: _Page, m: dict, typ):
         import numpy as np
 
-        ends, nulls = self._offsets(
+        ends, nulls = self._offsets_np(
             page, _fields(_first(m, 1, b"")), page.rows, _first(m, 3, 0)
         )
-        data_flat = self._unwrap_to_flat(_fields(_first(m, 2, b"")))
-        pos, size = page.buffers[_first(_fields(_first(data_flat, 2, b"")), 1, 0)]
-        data = pa.py_buffer(self._data[pos : pos + size])
+        data = self._pa_buffer(
+            page, self._unwrap_to_flat(_fields(_first(m, 2, b"")))
+        )
         offsets = np.empty(page.rows + 1, dtype=np.int64)
         offsets[0] = 0
-        offsets[1:] = np.asarray(ends, dtype=np.int64)
+        offsets[1:] = ends
         validity = None
         null_count = 0
-        if any(nulls):
-            import numpy as _np
-
-            bits = _np.packbits(
-                ~_np.asarray(nulls, dtype=bool), bitorder="little"
-            )
+        if nulls.any():
+            bits = np.packbits(~nulls, bitorder="little")
             validity = pa.py_buffer(bits.tobytes())
-            null_count = int(sum(nulls))
+            null_count = int(nulls.sum())
         large = pa.Array.from_buffers(
             pa.large_string() if typ == pa.string() else pa.large_binary(),
             page.rows,
@@ -536,11 +533,20 @@ class LanceFile:
             return [v if ok else None for ok, v in zip(bits, vals)]
         raise ValueError("unknown nullable variant")
 
-    def _buffer(self, page: _Page, flat_msg: dict) -> bytes:
+    def _buffer_span(self, page: _Page, flat_msg: dict) -> tuple[int, int]:
+        """(pos, size) of the flat encoding's data buffer."""
         buf_msg = _fields(_first(flat_msg, 2, b""))
-        idx = _first(buf_msg, 1, 0)
-        pos, size = page.buffers[idx]
+        return page.buffers[_first(buf_msg, 1, 0)]
+
+    def _buffer(self, page: _Page, flat_msg: dict) -> bytes:
+        pos, size = self._buffer_span(page, flat_msg)
         return self._data[pos : pos + size]
+
+    def _pa_buffer(self, page: _Page, flat_msg: dict):
+        """Zero-copy pyarrow buffer over the file bytes (a bytes slice
+        would copy; the memoryview wraps in place)."""
+        pos, size = self._buffer_span(page, flat_msg)
+        return pa.py_buffer(self._mv[pos : pos + size])
 
     def _decode_flat_raw(self, bits: int, flat_msg: dict, page: _Page, rows: int):
         raw = self._buffer(page, flat_msg)
@@ -582,25 +588,35 @@ class LanceFile:
             return out
         raise ValueError(f"unsupported flat decode: {bits} bits as {lt!r}")
 
-    def _offsets(self, page: _Page, enc: dict, rows: int, adjustment: int):
-        """Cumulative end offsets + null flags from a (possibly
-        nullable-wrapped) flat u64/u32 index/offsets ArrayEncoding — the
-        ONE offset decoder shared by binary and list pages. A null row's
-        stored offset has ``adjustment`` added; modulo recovers the real
-        end (lance-encodings binary decoder semantics)."""
+    def _offsets_np(self, page: _Page, enc: dict, rows: int, adjustment: int):
+        """Cumulative end offsets + null flags (numpy arrays) from a
+        (possibly nullable-wrapped) flat u64/u32 index/offsets
+        ArrayEncoding — the ONE offset decoder shared by binary and list
+        pages. A null row's stored offset has ``adjustment`` added;
+        modulo recovers the real end (lance-encodings binary decoder
+        semantics)."""
+        import numpy as np
+
         flat = self._unwrap_to_flat(enc)
         bits = _first(flat, 1, 0)
-        raw = self._buffer(page, flat)
+        pos, _size = self._buffer_span(page, flat)
         if bits == 64:
-            ends = list(struct.unpack(f"<{rows}Q", raw[: 8 * rows]))
+            ends = np.frombuffer(self._mv[pos : pos + 8 * rows], dtype="<u8")
         elif bits == 32:
-            ends = list(struct.unpack(f"<{rows}I", raw[: 4 * rows]))
+            ends = np.frombuffer(self._mv[pos : pos + 4 * rows], dtype="<u4")
         else:
             raise ValueError(f"unsupported offset width {bits}")
-        nulls = [adjustment > 0 and e >= adjustment for e in ends]
         if adjustment > 0:
-            ends = [e % adjustment for e in ends]
-        return ends, nulls
+            nulls = ends >= adjustment
+            ends = ends % adjustment
+        else:
+            nulls = np.zeros(rows, dtype=bool)
+        return ends.astype(np.int64), nulls
+
+    def _offsets(self, page: _Page, enc: dict, rows: int, adjustment: int):
+        """List-typed view of ``_offsets_np`` for the python fallback."""
+        ends, nulls = self._offsets_np(page, enc, rows, adjustment)
+        return ends.tolist(), nulls.tolist()
 
     def _unwrap_to_flat(self, enc: dict) -> dict:
         """ArrayEncoding -> flat message, seeing through nullable."""

@@ -133,6 +133,12 @@ class HudiTable:
         """All hoodie.* configs (hoodie.properties view)."""
         return dict(self.config.props)
 
+    @property
+    def is_metadata_table(self) -> bool:
+        """This table IS a nested metadata table (base path under a data
+        table's ``.hoodie/metadata``)."""
+        return self.base_path.rstrip("/").endswith(".hoodie/metadata")
+
     def is_metadata_table_enabled(self) -> bool:
         """Reference semantics (metadata/table/mod.rs:80-108): v8+ table
         that is not itself a metadata table, with either an explicit
@@ -142,7 +148,7 @@ class HudiTable:
 
         if self.config.table_version < 8:
             return False
-        if self.base_path.rstrip("/").endswith(".hoodie/metadata"):
+        if self.is_metadata_table:
             return False
         explicit = (
             self.config.props.get("hoodie.metadata.enable", "").lower()
@@ -1570,9 +1576,8 @@ class HudiFileGroupReader:
 
     @property
     def is_metadata_table(self) -> bool:
-        """Reference ``is_metadata_table`` (_internal.pyi:166-170): base
-        path points at a table's nested ``.hoodie/metadata``."""
-        return self.table.base_path.rstrip("/").endswith(".hoodie/metadata")
+        """Reference ``is_metadata_table`` (_internal.pyi:166-170)."""
+        return self.table.is_metadata_table
 
     def _opts(self, options):
         return options or self.default_options
