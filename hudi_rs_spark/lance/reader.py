@@ -381,13 +381,13 @@ class LanceFile:
             if 3 in m:  # some_nulls { 1: validity, 2: values }
                 sm = _fields(m[3][0])
                 validity = self._validity_buffer(
-                    page, _fields(_first(_fields(_first(sm, 1, b"")), 1, b""))
+                    page, _fields(_first(sm, 1, b""))
                 )
-                values = _fields(_first(_fields(_first(sm, 2, b"")), 1, b""))
-                if validity is None or 1 not in values:
+                values_enc = _fields(_first(sm, 2, b""))
+                if validity is None or 1 not in values_enc:
                     return None
                 return self._flat_array(
-                    f, page, _fields(values[1][0]), typ, validity=validity
+                    f, page, _fields(values_enc[1][0]), typ, validity=validity
                 )
             return None
         if 6 in enc:  # binary / string
