@@ -17,6 +17,13 @@ Public API (mirrors /root/reference/docs/reader-spec.md):
     df = table.read_incremental("t1", "t2")      # (t1, t2] changed rows
 """
 
+from hudi_rs_spark.builder import HudiTableBuilder
+from hudi_rs_spark.config import keys as config_keys
+from hudi_rs_spark.config.keys import (
+    HudiPlanConfig,
+    HudiReadConfig,
+)
+from hudi_rs_spark.config.keys import HudiTableConfig as HudiTableConfigKey
 from hudi_rs_spark.config.table_config import HudiTableConfig, TableType
 from hudi_rs_spark.config.read_config import HudiReadOptions
 from hudi_rs_spark.sources.hudi import (
@@ -30,10 +37,15 @@ __version__ = "0.1.0"
 
 __all__ = [
     "HudiTable",
+    "HudiTableBuilder",
     "HudiReadOptions",
-    "HudiTableConfig",
+    "HudiTableConfig",  # typed hoodie.properties view
+    "HudiTableConfigKey",  # reference-style config-key enum
+    "HudiReadConfig",
+    "HudiPlanConfig",
     "HudiFileGroupReader",
     "TableType",
     "build_hudi_table",
+    "config_keys",
     "split_into_chunks",
 ]

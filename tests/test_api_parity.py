@@ -274,3 +274,33 @@ class TestInValueEscaping:
         assert f.values() == ["Smith, John", "Jane"]
         f2 = Filter("name", "IN", "a\\\\,b")
         assert f2.values() == ["a\\", "b"]
+
+
+class TestTableBuilder:
+    """Reference HudiTableBuilder (python/hudi/table/builder.py):
+    fluent hudi/storage/mixed option accumulation, enum or string keys."""
+
+    def test_builder_builds_with_enum_keys(self, spark, tmp_path):
+        from hudi_rs_spark import HudiReadConfig, HudiTableBuilder
+        from hudi_rs_spark.config.keys import HudiTableConfig as K
+
+        base = _mixed_actions_table(tmp_path).base_path
+        t = (
+            HudiTableBuilder.from_base_uri(base)
+            .with_hudi_option(K.TimelineTimezone, "UTC")
+            .with_option("hoodie.custom.flag", "on")
+            .with_options({HudiReadConfig.InputPartitions: "2"})
+            .build(spark)
+        )
+        assert t.config.props["hoodie.custom.flag"] == "on"
+        assert t.config.props["hoodie.read.input.partitions"] == "2"
+        assert {r["id"] for r in t.read().collect()} == {"k1"}
+
+    def test_config_key_enums_are_strings(self):
+        from hudi_rs_spark import HudiPlanConfig, HudiReadConfig
+        from hudi_rs_spark.config.keys import HudiTableConfig as K
+
+        assert K.TableName == "hoodie.table.name"
+        assert HudiReadConfig.QueryType == "hoodie.read.query.type"
+        assert HudiPlanConfig.ListingParallelism == "hoodie.plan.listing.parallelism"
+        assert isinstance(HudiReadConfig.QueryType.value, str)
