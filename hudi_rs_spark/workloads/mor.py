@@ -50,8 +50,12 @@ def _ensure_mor_table(sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "documents.parquet")
     n_rows = pq.read_metadata(src).num_rows
+    # fingerprint includes the source size: a regenerated documents.parquet
+    # with the same row count but different content must not hit a stale
+    # cached table (its oracle would mismatch)
     name = (
-        f"docs_{os.path.basename(os.path.normpath(sf_dir))}_{n_rows}_{_LAYOUT_V}"
+        f"docs_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{n_rows}_{os.path.getsize(src)}_{_LAYOUT_V}"
     )
     base = os.path.join(_REPO_CACHE, name)
     if os.path.isdir(os.path.join(base, ".hoodie")):
