@@ -144,10 +144,16 @@ def _ensure_mor_table(sf_dir: str) -> str:
     return base
 
 
+_REGISTERED_SESSIONS: set[int] = set()
+
+
 def _connector_df(spark: SparkSession, sf_dir: str, **options) -> DataFrame:
     from hudi_rs_spark.sources.pyds import HudiPyDataSource
 
-    spark.dataSource.register(HudiPyDataSource)
+    if id(spark) not in _REGISTERED_SESSIONS:  # once per session: avoids
+        # a "replaced a previously registered data source" warning per call
+        spark.dataSource.register(HudiPyDataSource)
+        _REGISTERED_SESSIONS.add(id(spark))
     reader = spark.read.format("hudi_py").option("path", _ensure_mor_table(sf_dir))
     for k, v in options.items():
         reader = reader.option(k, v)
