@@ -28,7 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 # else in stable order.
 _SURFACE_FIRST = [
     # brand-new r7 queries (no driver row yet): the real-Hudi MOR path
+    # and the temperature-mix / shuffle-shard sampling operators
     "mor_snapshot_merge", "mor_incremental_refresh",
+    "sample_temperature_mix", "sample_shuffle_shard",
     "merge_latest_state", "merge_incremental_window", "merge_asof_snapshot",
     "merge_delete_aware", "merge_append_only",
     "dedup_exact", "dedup_normalized", "dedup_ngram_jaccard",

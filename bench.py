@@ -85,6 +85,9 @@ HEADLINE = [
     # round-7 real-Hudi MOR path (connector log-decode + merge)
     "mor_snapshot_merge",
     "mor_incremental_refresh",
+    # round-7 sampling additions
+    "sample_temperature_mix",
+    "sample_shuffle_shard",
 ]
 
 

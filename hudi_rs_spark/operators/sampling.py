@@ -60,6 +60,88 @@ def stratified_sample(
     return df.filter(hash_u32(F.col(id_col), salt) < thresh)
 
 
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    alpha: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based resampling across strata (downsample-only).
+
+    Multilingual / multi-source pretraining mixes are usually drawn with
+    *temperature sampling*: target share ``p_s ∝ cnt_s^alpha`` with
+    ``alpha < 1`` flattening the distribution toward uniform (alpha=1 is
+    proportional, alpha=0 is uniform).  The largest mix achieving those
+    shares without oversampling any stratum thins stratum ``s`` at
+
+        rate_s = min_t(cnt_t / p_t) * p_s / cnt_s
+               = (min_cnt / cnt_s) ^ (1 - alpha)
+
+    — the normalizing constant cancels, so no cross-stratum SUM is ever
+    computed.  That matters for oracle portability: a float sum's value
+    depends on accumulation order, but this closed form is only
+    ``sqrt``/``power``, division and ``min`` — all correctly-rounded IEEE
+    ops both Spark and DuckDB evaluate bit-identically (for alpha=0.5 the
+    power is ``sqrt``, which IEEE 754 requires exactly rounded).
+
+    Plan shape: one tiny groupBy over the strata, a single-row min
+    broadcast back, a broadcast rate join, then the map-side md5 filter —
+    identical scale profile to :func:`proportional_mix`.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("cnt"))
+    one_minus = 1.0 - float(alpha)
+
+    def _pow(c: Column) -> Column:
+        # sqrt is IEEE-exact; pow(x, y) may differ in the last ulp
+        # across libm implementations, so prefer sqrt when alpha=0.5.
+        if one_minus == 0.5:
+            return F.sqrt(c)
+        return F.pow(c, F.lit(one_minus))
+
+    min_cnt = counts.agg(F.min("cnt").alias("min_cnt"))
+    rates = counts.crossJoin(F.broadcast(min_cnt)).select(
+        stratum_col,
+        F.floor(
+            _pow(F.col("min_cnt").cast("double"))
+            / _pow(F.col("cnt").cast("double"))
+            * F.lit(_U32)
+        ).alias("u32_thresh"),
+    )
+    return df.join(F.broadcast(rates), stratum_col).filter(
+        hash_u32(F.col(id_col), salt) < F.col("u32_thresh")
+    )
+
+
+def shuffle_shard(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards.
+
+    Training runs need the corpus in a reproducible pseudo-random order,
+    materialized as ``n_shards`` shard files each internally shuffled.
+    Rows get ``shard = u32(id) % n_shards`` and ``pos`` = their rank
+    within the shard by ``(u32, id)`` — the id tie-break makes the order
+    total, so identical inputs yield identical (shard, pos) everywhere.
+
+    Scale: the only shuffle is the window's hash-partition on ``shard``;
+    each shard sorts independently (per-shard data ≈ N/n_shards — pick
+    n_shards ≥ cluster parallelism, as a real shard-writing job would).
+    No driver-side state, no RNG.
+    """
+    from pyspark.sql import Window
+
+    u = hash_u32(F.col(id_col), salt)
+    with_shard = df.withColumn("__u", u).withColumn(
+        "shard", (F.col("__u") % F.lit(int(n_shards))).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("__u", id_col)
+    return with_shard.withColumn("pos", F.row_number().over(w)).drop("__u")
+
+
 def proportional_mix(
     df: DataFrame,
     id_col: str,

@@ -85,8 +85,72 @@ ORDER BY d.doc_id
 """
 
 
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        S.temperature_mix(d, "doc_id", "lang", alpha=0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# Rate arithmetic mirrors operators/sampling.py::temperature_mix:
+# floor(sqrt(min_cnt) / sqrt(cnt) * 2^32) in the same op order; sqrt is
+# IEEE-correctly-rounded so Spark and DuckDB agree bitwise.
+TEMP_MIX_SQL = f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang
+),
+m AS (SELECT min(cnt) AS min_cnt FROM counts),
+rates AS (
+  SELECT c.lang,
+         CAST(floor(sqrt(CAST(m.min_cnt AS DOUBLE)) / sqrt(CAST(c.cnt AS DOUBLE))
+              * 4294967296.0) AS BIGINT) AS u32_thresh
+  FROM counts c CROSS JOIN m
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates ON d.lang = rates.lang
+WHERE {_u32_sql("temp").replace("doc_id", "d.doc_id")} < rates.u32_thresh
+ORDER BY d.doc_id
+"""
+
+
+def sample_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        S.shuffle_shard(d, "doc_id", n_shards=8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    )
+
+
+SHUFFLE_SHARD_SQL = f"""
+WITH u AS (
+  SELECT doc_id, {_u32_sql("shuf")} AS uval FROM documents
+)
+SELECT doc_id,
+       CAST(uval % 8 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY uval % 8 ORDER BY uval, doc_id)
+            AS INTEGER) AS pos
+FROM u
+ORDER BY doc_id
+"""
+
+
 for _n, _f, _s, _d in [
     ("sample_stratified", sample_stratified, STRATIFIED_SQL, "per-stratum hash sample"),
     ("sample_weighted_mix", sample_weighted_mix, MIX_SQL, "proportional source mixing"),
+    (
+        "sample_temperature_mix",
+        sample_temperature_mix,
+        TEMP_MIX_SQL,
+        "alpha-temperature source resampling (downsample-only closed form)",
+    ),
+    (
+        "sample_shuffle_shard",
+        sample_shuffle_shard,
+        SHUFFLE_SHARD_SQL,
+        "deterministic global shuffle into training shards",
+    ),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("sampling",), doc=_d))

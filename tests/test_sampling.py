@@ -105,3 +105,66 @@ class TestPackSequences:
         # each stream starts at offset 0
         assert out[1]["start_offset"] == 0 and out[2]["start_offset"] == 0
         assert out[3]["shard"] == 0 and out[3]["start_offset"] == 400
+
+
+class TestTemperatureMix:
+    def test_smallest_stratum_kept_whole(self, spark):
+        d = _docs(spark)
+        base = {r["lang"]: r["cnt"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        out = S.temperature_mix(d, "doc_id", "lang", alpha=0.5)
+        got = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        smallest = min(base, key=base.get)
+        assert got[smallest] == base[smallest]
+
+    def test_rates_match_closed_form(self, spark):
+        import math
+
+        d = _docs(spark)
+        base = {r["lang"]: r["cnt"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        got = {r["lang"]: r["cnt"] for r in S.temperature_mix(d, "doc_id", "lang", alpha=0.5).groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        mn = min(base.values())
+        for lang, cnt in base.items():
+            expect = math.sqrt(mn / cnt) * cnt
+            # md5-threshold sampling: binomial noise around the exact rate
+            assert abs(got.get(lang, 0) - expect) < 4 * math.sqrt(expect) + 5, lang
+
+    def test_alpha_one_is_identity(self, spark):
+        d = _docs(spark)
+        # alpha=1 -> rate = (min/cnt)^0 = 1 for every stratum
+        assert S.temperature_mix(d, "doc_id", "lang", alpha=1.0).count() == d.count()
+
+    def test_flattens_toward_uniform(self, spark):
+        d = _docs(spark)
+        base = {r["lang"]: r["cnt"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        got = {r["lang"]: r["cnt"] for r in S.temperature_mix(d, "doc_id", "lang", alpha=0.5).groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        # spread (max/min ratio) must strictly shrink
+        spread = lambda m: max(m.values()) / max(1, min(m.values()))
+        assert spread(got) < spread(base)
+
+
+class TestShuffleShard:
+    def test_positions_dense_and_deterministic(self, spark):
+        d = _docs(spark)
+        out = S.shuffle_shard(d, "doc_id", n_shards=8)
+        rows = out.select("doc_id", "shard", "pos").collect()
+        assert len(rows) == d.count()
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        assert set(by_shard) <= set(range(8))
+        for shard, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+        again = S.shuffle_shard(d, "doc_id", n_shards=8).select("doc_id", "shard", "pos").collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    def test_order_is_scrambled_not_sorted(self, spark):
+        d = _docs(spark)
+        out = S.shuffle_shard(d, "doc_id", n_shards=2)
+        ids_in_order = [r["doc_id"] for r in out.orderBy("shard", "pos").collect()]
+        assert ids_in_order != sorted(ids_in_order)
+
+    def test_single_exchange_plan(self, spark):
+        d = _docs(spark)
+        plan = S.shuffle_shard(d, "doc_id", 8)._jdf.queryExecution().executedPlan().toString()
+        # one hash-partition exchange on shard for the window; nothing else
+        assert plan.count("Exchange") == 1
