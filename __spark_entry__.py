@@ -30,7 +30,7 @@ _SURFACE_FIRST = [
     # brand-new r7 queries (no driver row yet): the real-Hudi MOR path
     # and the temperature-mix / shuffle-shard sampling operators
     "mor_snapshot_merge", "mor_incremental_refresh",
-    "sample_temperature_mix", "sample_shuffle_shard",
+    "sample_temperature_mix", "sample_shuffle_shard", "text_interdup_score",
     "merge_latest_state", "merge_incremental_window", "merge_asof_snapshot",
     "merge_delete_aware", "merge_append_only",
     "dedup_exact", "dedup_normalized", "dedup_ngram_jaccard",

@@ -88,6 +88,7 @@ HEADLINE = [
     # round-7 sampling additions
     "sample_temperature_mix",
     "sample_shuffle_shard",
+    "text_interdup_score",
 ]
 
 

@@ -86,3 +86,52 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct("gram").alias("n_shared"))
     )
+
+
+def interdup_score(
+    df: DataFrame, text_col: str, id_col: str, n: int = 13
+) -> DataFrame:
+    """Within-corpus duplication score: for each document, how much of it
+    appears verbatim elsewhere in the SAME corpus.
+
+    Web-scale curation pipelines (RefinedWeb, Dolma) track this as a
+    quality signal distinct from pairwise near-dup detection: a page can
+    be 40% boilerplate shared with thousands of other pages without any
+    single page being a near-duplicate of it.  Per document we report
+
+        n_grams  = distinct character n-grams of the normalized text
+        n_shared = how many of those occur in >= 2 documents
+        dup_frac = n_shared / n_grams
+
+    Plan shape (all keyed aggregations — never all-pairs):
+    explode grams once -> distinct (id, gram) -> gram-keyed doc count
+    (map-side partial combine) -> join back on gram (both sides arrive
+    hash-partitioned by gram, so the join reuses the exchange) ->
+    id-keyed final aggregate.  Shuffled bytes are corpus-linear in the
+    gram stream; at 100 TB, hash grams to 64-bit keys first (8 bytes vs
+    ~13) — kept as raw strings here for bit-exact oracle parity.
+
+    Documents with no n-gram (normalized length < n) produce no row.
+    ``dup_frac`` is a double computed as exactly one IEEE division of
+    two integer-valued casts, portable bit-for-bit across engines.
+    """
+    grams = char_ngrams(df, text_col, id_col, n).distinct()
+    gram_docs = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        grams.join(gram_docs, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double") / F.col("n_grams").cast("double")
+            ).alias("dup_frac"),
+        )
+    )

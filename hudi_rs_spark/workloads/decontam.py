@@ -68,3 +68,54 @@ register(
         doc="eval-set 13-gram overlap contamination report",
     )
 )
+
+
+def text_interdup_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document within-corpus 13-gram duplication profile."""
+    from hudi_rs_spark.operators.decontam import interdup_score
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return interdup_score(d, "text", "doc_id", n=_N).orderBy("doc_id")
+
+
+# Same normalization + gram expansion as DECONTAM_SQL; n_docs counted over
+# distinct (doc_id, gram), then each doc's distinct grams scored against it.
+# dup_frac is one IEEE double division of integer-valued casts (bit-portable).
+INTERDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, substring(norm, CAST(i AS INTEGER), {_N}) AS gram
+  FROM (
+    SELECT doc_id, norm,
+           unnest(generate_series(1, length(norm) - {_N - 1})) AS i
+    FROM d
+    WHERE length(norm) >= {_N}
+  )
+),
+gd AS (
+  SELECT gram, count(*) AS n_docs FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_frac
+FROM g JOIN gd USING (gram)
+GROUP BY g.doc_id
+ORDER BY doc_id
+"""
+
+
+register(
+    QuerySpec(
+        name="text_interdup_score",
+        build=text_interdup_score,
+        oracle=INTERDUP_SQL,
+        tags=("text", "decontam"),
+        doc="within-corpus 13-gram duplication fraction per document",
+    )
+)

@@ -127,3 +127,34 @@ class TestDecontaminate:
         out = decontaminate(df, "text", "doc_id", F.col("doc_id") % 97 == 0, n=13)
         got = {r["doc_id"]: r["n_shared"] for r in out.collect()}
         assert got == {1: 1}
+
+
+class TestInterdupScore:
+    def test_hand_computed_fractions(self, spark):
+        from hudi_rs_spark.operators.decontam import interdup_score
+
+        rows = [
+            (1, "abcdefgh"),   # grams: abcd bcde cdef defg efgh
+            (2, "abcdzzzz"),   # grams: abcd bcdz cdzz dzzz zzzz -> shares abcd
+            (3, "qqqqqq"),     # grams: qqqq(x3 distinct->1): qqqq only
+            (4, "wxyz"),       # gram: wxyz (unique)
+            (5, "qqqq"),       # gram: qqqq -> shared with doc 3
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in interdup_score(df, "text", "doc_id", n=4).collect()
+        }
+        assert out[1]["n_grams"] == 5 and out[1]["n_shared"] == 1
+        assert out[1]["dup_frac"] == 1 / 5
+        assert out[2]["n_grams"] == 5 and out[2]["n_shared"] == 1
+        assert out[3] == {"doc_id": 3, "n_grams": 1, "n_shared": 1, "dup_frac": 1.0}
+        assert out[4]["n_shared"] == 0 and out[4]["dup_frac"] == 0.0
+        assert out[5]["n_shared"] == 1
+
+    def test_doc_below_gram_length_absent(self, spark):
+        from hudi_rs_spark.operators.decontam import interdup_score
+
+        df = spark.createDataFrame([(1, "ab"), (2, "abcdef")], ["doc_id", "text"])
+        out = interdup_score(df, "text", "doc_id", n=4)
+        assert [r["doc_id"] for r in out.collect()] == [2]
