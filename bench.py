@@ -89,6 +89,7 @@ HEADLINE = [
     "sample_temperature_mix",
     "sample_shuffle_shard",
     "text_interdup_score",
+    "sim_semdedup",
 ]
 
 

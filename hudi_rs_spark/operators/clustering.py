@@ -116,3 +116,47 @@ def _assign(q: DataFrame, centroids: DataFrame, keep_dist: bool = False) -> Data
     if keep_dist:
         cols.append(F.col("b.dist2").alias("dist2"))
     return best.select(*cols)
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup = k-means blocking,
+    then exact-cosine near-dup pruning *within* each cluster.
+
+    Returns (id, cluster, kept, dist2): ``kept`` is False iff some
+    lower-id member of the same cluster is cosine-similar above
+    ``threshold`` — the deterministic min-id survivor rule, so the
+    output is reproducible on any partitioning.
+
+    Scale: the within-cluster candidate set is the SemDeDup blocking
+    contract — ``k`` is the blocking parameter and must grow with the
+    corpus (the paper runs 50k clusters over LAION) so cluster
+    population ``n/k`` stays bounded; pair work is then
+    ``O(k * (n/k)^2) = O(n^2 / k)`` with a constant per-cluster bound.
+    The pair join is an equi-join on cluster id (one shuffle), exact
+    cosine runs JVM-side on the joined rows, and the final kept-flag is
+    a broadcast-size anti-ish left join of dropped ids.
+    """
+    from hudi_rs_spark.operators.similarity import cosine
+
+    assigned = kmeans_assign(df, id_col, vec_col, k, iterations)
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    withv = assigned.select("id", "cid").join(vecs, "id")
+    a = withv.select("cid", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = withv.select("cid", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= F.lit(float(threshold)))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("__drop", F.lit(True)), "id", "left"
+    ).select("id", "cid", F.col("__drop").isNull().alias("kept"), "dist2")

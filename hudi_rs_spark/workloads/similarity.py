@@ -300,3 +300,63 @@ for _n, _f, _s, _d in [
     ("sim_kmeans_clusters", sim_kmeans_clusters, KMEANS_SQL, "deterministic integer k-means"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("similarity",), doc=_d))
+
+
+def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means blocking + within-cluster cosine pruning with
+    the deterministic min-id survivor rule."""
+    from hudi_rs_spark.operators.clustering import semdedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = semdedup(
+        emb, "vec_id", "embedding",
+        k=KMEANS_K, iterations=KMEANS_ITERS, threshold=DUP_THRESHOLD,
+    )
+    return out.select(
+        F.col("id").alias("vec_id"), F.col("cid").alias("cluster"), "kept"
+    ).orderBy("vec_id")
+
+
+# The k-means CTE chain is identical to KMEANS_SQL (same init, same two
+# update rounds); dropped = ids with a lower-id same-cluster member at
+# cosine >= threshold, mirroring the min-id survivor rule.
+SEMDEDUP_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+seeded AS (SELECT id, q, md5(CAST(id AS VARCHAR)) AS seed FROM q),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY seed, id) AS INTEGER) AS cid, q AS cq
+  FROM (SELECT * FROM seeded ORDER BY seed, id LIMIT {KMEANS_K})
+),
+{_km_assign_cte("a1", "init")},
+{_km_update_cte("a1", "cells1", "c1")},
+{_km_assign_cte("a2", "c1")},
+{_km_update_cte("a2", "cells2", "c2")},
+{_km_assign_cte("a3", "c2")},
+dropped AS (
+  SELECT DISTINCT b.id
+  FROM a3 a
+  JOIN a3 b ON a.cid = b.cid AND a.id < b.id
+  JOIN embeddings ea ON ea.vec_id = a.id
+  JOIN embeddings eb ON eb.vec_id = b.id
+  WHERE {_sql_cosine("ea.embedding", "eb.embedding")} >= {DUP_THRESHOLD}
+)
+SELECT a3.id AS vec_id, a3.cid AS cluster, (d.id IS NULL) AS kept
+FROM a3 LEFT JOIN dropped d ON a3.id = d.id
+ORDER BY vec_id
+"""
+
+
+register(
+    QuerySpec(
+        name="sim_semdedup",
+        build=sim_semdedup,
+        oracle=SEMDEDUP_SQL,
+        tags=("similarity",),
+        doc="SemDeDup: k-means blocking + within-cluster cosine pruning",
+    )
+)

@@ -168,3 +168,52 @@ class TestBandedNearDups:
 
         # 2 planes -> 4 buckets; 8 planes -> 256; monotone improvement
         assert max_bucket(8) < max_bucket(2)
+
+
+class TestSemDedup:
+    def _corpus(self, spark):
+        # two planted duplicate groups + unrelated vectors
+        import random
+
+        rnd = random.Random(7)
+        rows = []
+        base1 = [rnd.uniform(-1, 1) for _ in range(64)]
+        base2 = [rnd.uniform(-1, 1) for _ in range(64)]
+        for i in range(3):  # ids 1..3 near-identical to base1
+            rows.append((i + 1, [v + rnd.uniform(-1e-4, 1e-4) for v in base1]))
+        for i in range(2):  # ids 11..12 near-identical to base2
+            rows.append((i + 11, [v + rnd.uniform(-1e-4, 1e-4) for v in base2]))
+        for i in range(20, 40):  # singletons
+            rows.append((i, [rnd.uniform(-1, 1) for _ in range(64)]))
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id bigint, embedding array<float>",
+        )
+
+    def test_min_id_survivor_per_dup_group(self, spark):
+        from hudi_rs_spark.operators.clustering import semdedup
+
+        df = self._corpus(spark)
+        out = {r["id"]: r.asDict() for r in semdedup(
+            df, "vec_id", "embedding", k=4, iterations=2, threshold=0.99
+        ).collect()}
+        assert len(out) == df.count()
+        # group members beyond the min id are dropped iff co-clustered;
+        # the min id of every group always survives
+        assert out[1]["kept"] is True
+        assert out[11]["kept"] is True
+        for gid, members in ((1, [2, 3]), (11, [12])):
+            for m in members:
+                if out[m]["cid"] == out[gid]["cid"]:
+                    assert out[m]["kept"] is False, m
+        # singletons all kept
+        for i in range(20, 40):
+            assert out[i]["kept"] is True, i
+
+    def test_deterministic(self, spark):
+        from hudi_rs_spark.operators.clustering import semdedup
+
+        df = self._corpus(spark)
+        a = sorted(map(tuple, semdedup(df, "vec_id", "embedding", k=4).collect()))
+        b = sorted(map(tuple, semdedup(df, "vec_id", "embedding", k=4).collect()))
+        assert a == b
