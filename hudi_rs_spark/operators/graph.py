@@ -43,6 +43,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 20,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Resolve undirected ``edges`` into components.
 
@@ -53,6 +54,13 @@ def connected_components(
 
     Runs at most ``max_rounds`` label-propagation rounds, stopping as
     soon as a round changes no label (for LSH dup clusters: 2-3 rounds).
+
+    ``assume_distinct``: pass True when the input is already a distinct
+    canonical pair set with ``src < dst`` per row (every ``*_pairs``
+    detector in ``operators/dedup.py`` / ``operators/similarity.py``
+    guarantees this) — the symmetrized union then cannot contain
+    duplicates and the dedup shuffle is skipped. Duplicate edges would
+    only waste work (min is idempotent), never change the result.
     """
     # Materialize the incoming edge plan FIRST: both branches of the
     # symmetrize union would otherwise re-execute it (for LSH pairs that
@@ -64,7 +72,9 @@ def connected_components(
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # The edge set is static and small relative to the corpus (near-dup
     # pairs), so persist the symmetric form once and reuse it each round.
-    sym = sym.distinct().persist()
+    if not assume_distinct:
+        sym = sym.distinct()
+    sym = sym.persist()
 
     # Round 0 fused: label(u) = min(u, min neighbor).
     labels = (
@@ -106,9 +116,14 @@ def connected_components(
                 "u", "label", (F.col("label") < F.col("prev")).alias("changed")
             )
         ).localCheckpoint(eager=True)
-        n_changed = updated.filter(F.col("changed")).count()
+        # Convergence probe on the materialized round: isEmpty is a
+        # take(1) — it stops at the first changed row instead of
+        # scanning every partition the way count() does. Converging
+        # rounds (the common case until the last) get cheaper; the
+        # final all-partitions scan happens once.
+        converged = updated.filter(F.col("changed")).isEmpty()
         labels = updated.drop("changed")
-        if n_changed == 0:
+        if converged:
             break
     else:
         sym.unpersist()

@@ -163,7 +163,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(d, "text", "doc_id")
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, assume_distinct=True)
     labeled = d.select("doc_id").join(
         comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
     )

@@ -39,7 +39,7 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality") >= QUALITY_MIN
     )
     pairs = D.minhash_lsh_pairs(kept, "text", "doc_id")
-    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    comp = connected_components(pairs, assume_distinct=True).withColumnRenamed("node", "doc_id")
     survivors = (
         kept.join(comp, "doc_id", "left")
         .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
