@@ -217,3 +217,26 @@ class TestSemDedup:
         a = sorted(map(tuple, semdedup(df, "vec_id", "embedding", k=4).collect()))
         b = sorted(map(tuple, semdedup(df, "vec_id", "embedding", k=4).collect()))
         assert a == b
+
+    def test_k_is_the_blocking_knob(self, spark):
+        """The SemDeDup scale contract: within-cluster candidate work is
+        sum_c C(n_c, 2), and growing k shrinks it (clusters get smaller)
+        — k must scale with the corpus, exactly like IVF's cell count."""
+        from hudi_rs_spark.operators.clustering import kmeans_assign
+        from hudi_rs_spark.workloads.tables import load
+        from pyspark.sql import functions as F
+
+        emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+        n = emb.count()
+        work = {}
+        for k in (4, 16):
+            sizes = (
+                kmeans_assign(emb, "vec_id", "embedding", k=k, iterations=1)
+                .groupBy("cid")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            work[k] = sum(r["n"] * (r["n"] - 1) // 2 for r in sizes)
+        all_pairs = n * (n - 1) // 2
+        assert work[4] < all_pairs
+        assert work[16] < work[4]
