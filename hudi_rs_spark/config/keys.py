@@ -59,3 +59,14 @@ class HudiPlanConfig(str, Enum):
     """Configurations for query planning in Hudi."""
 
     ListingParallelism = "hoodie.plan.listing.parallelism"
+
+
+def _config_keys() -> dict[str, list[tuple[str, str]]]:
+    """(variant_name, key_string) pairs per enum — the reference's
+    ``hudi._internal._config_keys()`` (python/src/internal.rs), which its
+    ``hudi._config`` uses to build these enums dynamically. Provided for
+    drop-in parity; here the enums above are the source of truth."""
+    return {
+        cls.__name__: [(m.name, m.value) for m in cls]
+        for cls in (HudiTableConfig, HudiReadConfig, HudiPlanConfig)
+    }

@@ -304,3 +304,24 @@ class TestTableBuilder:
         assert HudiReadConfig.QueryType == "hoodie.read.query.type"
         assert HudiPlanConfig.ListingParallelism == "hoodie.plan.listing.parallelism"
         assert isinstance(HudiReadConfig.QueryType.value, str)
+
+
+class TestConfigKeysFunction:
+    def test_shape_and_dynamic_enum_construction(self):
+        """Reference python/hudi/_config.py builds its enums from
+        _config_keys(); the same pattern must work here."""
+        from enum import Enum
+
+        from hudi_rs_spark.config.keys import (
+            HudiReadConfig,
+            _config_keys,
+        )
+
+        d = _config_keys()
+        assert set(d) == {"HudiTableConfig", "HudiReadConfig", "HudiPlanConfig"}
+        for pairs in d.values():
+            assert pairs and all(
+                isinstance(n, str) and v.startswith("hoodie.") for n, v in pairs
+            )
+        dyn = Enum("HudiReadConfig", d["HudiReadConfig"], type=str)
+        assert dyn.QueryType.value == HudiReadConfig.QueryType.value
