@@ -31,7 +31,7 @@ _SURFACE_FIRST = [
     # and the temperature-mix / shuffle-shard sampling operators
     "mor_snapshot_merge", "mor_incremental_refresh",
     "sample_temperature_mix", "sample_shuffle_shard", "text_interdup_score",
-    "sim_semdedup",
+    "sim_semdedup", "sample_split_leakfree",
     "merge_latest_state", "merge_incremental_window", "merge_asof_snapshot",
     "merge_delete_aware", "merge_append_only",
     "dedup_exact", "dedup_normalized", "dedup_ngram_jaccard",

@@ -90,6 +90,7 @@ HEADLINE = [
     "sample_shuffle_shard",
     "text_interdup_score",
     "sim_semdedup",
+    "sample_split_leakfree",
 ]
 
 

@@ -182,3 +182,42 @@ def proportional_mix(
     return df.join(F.broadcast(rates), stratum_col).filter(
         hash_u32(F.col(id_col), salt) < F.col("u32_thresh")
     )
+
+
+def leakage_free_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    frac_train: float = 0.8,
+    salt: str = "split",
+) -> DataFrame:
+    """Cluster-atomic train/validation split.
+
+    A hash split over document ids leaks: near-duplicates land on both
+    sides and the validation loss measures memorization.  Here the
+    candidate near-dup ``pairs`` (id_a, id_b — any detector from
+    ``operators/dedup.py``) are contracted into clusters first, and the
+    md5-threshold coin flip is taken on the cluster's canonical (min) id
+    — so an entire duplicate cluster moves together, by construction.
+
+    Returns ``df`` plus (canon_id, split) with split in
+    {'train', 'val'}.  Scale: the contraction runs on the pair set (tiny
+    vs the corpus); the corpus-side work is one id-keyed left join plus
+    a map-side hash filter — no extra corpus shuffle beyond the join.
+    """
+    from hudi_rs_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs, assume_distinct=True).withColumnRenamed(
+        "node", id_col
+    )
+    thresh = F.floor(F.lit(float(frac_train)) * F.lit(_U32))
+    return (
+        df.join(comp, id_col, "left")
+        .withColumn("canon_id", F.coalesce("component", F.col(id_col)))
+        .drop("component")
+        .withColumn(
+            "split",
+            F.when(hash_u32(F.col("canon_id"), salt) < thresh, F.lit("train"))
+            .otherwise(F.lit("val")),
+        )
+    )

@@ -154,3 +154,59 @@ for _n, _f, _s, _d in [
     ),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("sampling",), doc=_d))
+
+
+def sample_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-atomic 80/20 split: MinHash-LSH pairs contracted
+    into clusters, split decided on the canonical id."""
+    from hudi_rs_spark.operators import dedup as D
+
+    d = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id")
+    out = S.leakage_free_split(d.select("doc_id"), "doc_id", pairs, frac_train=0.8)
+    return out.select("doc_id", "canon_id", "split").orderBy("doc_id")
+
+
+def _split_leakfree_sql() -> str:
+    # canonical-id closure identical to CLUSTER_SQL (recursive CTE), then
+    # the same md5-threshold coin flip as hash_sample — taken on canon_id.
+    from hudi_rs_spark.workloads.dedup import MINHASH_CTE
+
+    u32_canon = (
+        "('0x' || substr(md5(CAST(canon_id AS VARCHAR) || '|' || 'split'), 1, 8))::BIGINT"
+    )
+    return MINHASH_CTE.replace("WITH docs", "WITH RECURSIVE docs", 1) + f""",
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION
+  SELECT id_b, id_a FROM cand
+),
+walk(u, r) AS (
+  SELECT u, v AS r FROM edges
+  UNION
+  SELECT w.u, e.v AS r FROM walk w JOIN edges e ON e.u = w.r
+),
+roots AS (
+  SELECT u, least(u, min(r)) AS component FROM walk GROUP BY u
+),
+canon AS (
+  SELECT d.doc_id, coalesce(roots.component, d.doc_id) AS canon_id
+  FROM documents d LEFT JOIN roots ON roots.u = d.doc_id
+)
+SELECT doc_id, canon_id,
+       CASE WHEN {u32_canon} < CAST(floor(0.8 * 4294967296.0) AS BIGINT)
+            THEN 'train' ELSE 'val' END AS split
+FROM canon
+ORDER BY doc_id
+"""
+
+
+register(
+    QuerySpec(
+        name="sample_split_leakfree",
+        build=sample_split_leakfree,
+        oracle=_split_leakfree_sql(),
+        tags=("sampling", "dedup"),
+        doc="near-dup-cluster-atomic train/val split (no leakage across splits)",
+    )
+)

@@ -168,3 +168,32 @@ class TestShuffleShard:
         plan = S.shuffle_shard(d, "doc_id", 8)._jdf.queryExecution().executedPlan().toString()
         # one hash-partition exchange on shard for the window; nothing else
         assert plan.count("Exchange") == 1
+
+
+class TestLeakageFreeSplit:
+    def test_clusters_never_straddle(self, spark):
+        # chain 1-2-3 plus pair (10,11): whole clusters must share a split
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+        )
+        docs = spark.createDataFrame([(i,) for i in range(1, 21)], ["doc_id"])
+        out = {r["doc_id"]: r.asDict() for r in S.leakage_free_split(
+            docs, "doc_id", pairs, frac_train=0.5
+        ).collect()}
+        assert len(out) == 20
+        assert out[1]["canon_id"] == out[2]["canon_id"] == out[3]["canon_id"] == 1
+        assert out[1]["split"] == out[2]["split"] == out[3]["split"]
+        assert out[10]["split"] == out[11]["split"]
+        # singletons are their own canon
+        assert out[7]["canon_id"] == 7
+        # both splits actually populated at frac=0.5 over 20 docs
+        splits = {v["split"] for v in out.values()}
+        assert splits == {"train", "val"}
+
+    def test_split_rate_tracks_fraction(self, spark):
+        docs = _docs(spark)
+        pairs = docs.sparkSession.createDataFrame([], "id_a long, id_b long")
+        out = S.leakage_free_split(docs.select("doc_id"), "doc_id", pairs, 0.8)
+        n = docs.count()
+        n_train = out.filter(F.col("split") == "train").count()
+        assert abs(n_train / n - 0.8) < 0.08
