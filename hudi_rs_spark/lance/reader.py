@@ -437,11 +437,16 @@ class LanceFile:
                 page, _fields(_first(m, 1, b"")), page.rows, _first(m, 2, 0)
             )
             n_items = ends[-1] if ends else 0
-            # offsets with None marking null list rows (pa interprets a
-            # null offset entry as a null list)
-            offs = [0] + [
-                None if null else e for e, null in zip(ends, nulls)
-            ]
+            # pa.ListArray.from_arrays marks null the element STARTING at
+            # a null offset, so nulls flag row i's start offset
+            # (ends[i-1]); a null row consumes no child items, so its
+            # neighbors' extents stay correct. Flagging the END offset
+            # instead shifts every null one row later — caught by the
+            # synthetic multi-page list test.
+            starts = [0] + ends[:-1]
+            offs = [
+                None if null else s for s, null in zip(starts, nulls)
+            ] + [n_items]
             chunk = pa.ListArray.from_arrays(
                 pa.array(offs, type=pa.int32()),
                 child_comb.slice(base, n_items),

@@ -155,3 +155,13 @@ def build_lance_file(
     out.extend(struct.pack("<IIHH", 1, len(fields), 0, 3))
     out.extend(b"LANC")
     return bytes(out)
+
+
+def list_enc(offsets_enc: bytes, adjustment: int, num_items: int) -> bytes:
+    """ArrayEncoding variant 4 (list): page-local cumulative end offsets
+    + null adjustment + the page's child-item count."""
+    body = _len_field(1, offsets_enc)
+    if adjustment:
+        body += _int_field(2, adjustment)
+    body += _int_field(3, num_items)
+    return _len_field(4, body)

@@ -589,3 +589,72 @@ class TestSyntheticNullablePages:
             fast = lf._field_array(fld, i)
             assert fast is not None, fld.name
             assert fast.combine_chunks() == slow, fld.name
+
+
+class TestSyntheticMultiPageList:
+    """ADVICE r6 pinned: a list column spanning >1 page must slice the
+    child at a RUNNING base offset (page-local offsets + per-page
+    num_items), and the child may itself span multiple pages."""
+
+    def _build(self, bad_num_items: bool = False):
+        import struct
+
+        from tests.synth_lance import build_lance_file, flat_enc, list_enc
+
+        fields = [("L", "list", True), (">item", "int64", True)]
+        # page 1: [1,2], [], [3,4,5]      ends 2,2,5  num_items 5
+        # page 2: [6], NULL, [7,8]        ends 1,101,3 (adj=100) num_items 3
+        pages = [
+            [
+                {
+                    "rows": 3,
+                    "buffers": [struct.pack("<3Q", 2, 2, 5)],
+                    "encoding": list_enc(flat_enc(64, 0), 0, 5),
+                },
+                {
+                    "rows": 3,
+                    "buffers": [struct.pack("<3Q", 1, 101, 3)],
+                    "encoding": list_enc(
+                        flat_enc(64, 0), 100, 4 if bad_num_items else 3
+                    ),
+                },
+            ],
+            [
+                {"rows": 5, "buffers": [struct.pack("<5q", 1, 2, 3, 4, 5)],
+                 "encoding": flat_enc(64, 0)},
+                {"rows": 3, "buffers": [struct.pack("<3q", 6, 7, 8)],
+                 "encoding": flat_enc(64, 0)},
+            ],
+        ]
+        return build_lance_file(fields, pages)
+
+    EXPECT = [[1, 2], [], [3, 4, 5], [6], None, [7, 8]]
+
+    def test_cross_page_slicing(self):
+        from hudi_rs_spark.lance.reader import LanceFile
+
+        lf = LanceFile(self._build())
+        assert lf.num_rows == 6
+        assert lf.to_table().to_pydict()["L"] == self.EXPECT
+
+    def test_both_decode_paths_agree(self):
+        import pyarrow as pa
+
+        from hudi_rs_spark.lance.reader import LanceFile, _arrow_type
+
+        lf = LanceFile(self._build())
+        fld = lf.fields[0]
+        slow = pa.array(lf._field_values(fld, 0), type=_arrow_type(fld))
+        fast = lf._field_array(fld, 0)
+        assert fast is not None
+        assert fast.combine_chunks() == slow
+        assert slow.to_pylist() == self.EXPECT
+
+    def test_num_items_mismatch_raises(self):
+        import pytest
+
+        from hudi_rs_spark.lance.reader import LanceFile
+
+        lf = LanceFile(self._build(bad_num_items=True))
+        with pytest.raises(ValueError, match="num_items|consumed"):
+            lf.to_table()
