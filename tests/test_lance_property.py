@@ -111,3 +111,61 @@ class TestStringRoundTrip:
         )
         slow, fast = _decode_both(data)
         assert slow == values and fast == values
+
+
+def _list_pages(values: list[list[int] | None], n_pages: int) -> tuple[list, list]:
+    """Split a list<int64> column into n list pages + matching child
+    pages (page-local end offsets, null adjustment, per-page num_items)."""
+    from tests.synth_lance import list_enc
+
+    size = max(1, len(values) // n_pages)
+    list_pages, child_pages = [], []
+    for i in range(0, len(values), size):
+        chunk = values[i : i + size]
+        items: list[int] = []
+        ends, cum = [], 0
+        for v in chunk:
+            if v is not None:
+                items.extend(v)
+                cum += len(v)
+            ends.append(cum)
+        adjustment = cum + 1 if any(v is None for v in chunk) else 0
+        stored = [
+            e + adjustment if v is None else e for e, v in zip(ends, chunk)
+        ]
+        list_pages.append({
+            "rows": len(chunk),
+            "buffers": [struct.pack(f"<{len(chunk)}Q", *stored)],
+            "encoding": list_enc(flat_enc(64, 0), adjustment, cum),
+        })
+        if items:
+            child_pages.append({
+                "rows": len(items),
+                "buffers": [struct.pack(f"<{len(items)}q", *items)],
+                "encoding": flat_enc(64, 0),
+            })
+    if not child_pages:  # child column must exist even if empty
+        child_pages.append({
+            "rows": 0, "buffers": [b""], "encoding": flat_enc(64, 0)
+        })
+    return list_pages, child_pages
+
+
+class TestListRoundTrip:
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(st.none(), st.lists(I64, max_size=5)),
+            min_size=1,
+            max_size=24,
+        ),
+        st.integers(min_value=1, max_value=3),
+    )
+    def test_roundtrip_with_page_splits(self, values, n_pages):
+        list_pages, child_pages = _list_pages(values, n_pages)
+        data = build_lance_file(
+            [("L", "list", True), (">item", "int64", False)],
+            [list_pages, child_pages],
+        )
+        slow, fast = _decode_both(data)
+        assert slow == values and fast == values
