@@ -90,7 +90,9 @@ HEADLINE = [
     "sample_shuffle_shard",
     "text_interdup_score",
     "sim_semdedup",
-    "sample_split_leakfree",
+    # sample_split_leakfree stays registry/oracle-only: its plan is the
+    # dedup_cluster_canonical LSH+CC (already benched twice via
+    # pipeline_curate) plus a map-side coin flip.
 ]
 
 

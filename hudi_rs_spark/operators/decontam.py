@@ -103,10 +103,10 @@ def interdup_score(
         n_shared = how many of those occur in >= 2 documents
         dup_frac = n_shared / n_grams
 
-    Plan shape (all keyed aggregations — never all-pairs):
-    explode grams once -> distinct (id, gram) -> gram-keyed doc count
-    (map-side partial combine) -> join back on gram (both sides arrive
-    hash-partitioned by gram, so the join reuses the exchange) ->
+    Plan shape (all keyed aggregations — never all-pairs): explode grams
+    ONCE -> distinct (id, gram) -> count-over-window partitioned by gram
+    (one shuffle; a groupBy+self-join would put the whole explode
+    subtree on both join sides and execute it twice — measured 2x) ->
     id-keyed final aggregate.  Shuffled bytes are corpus-linear in the
     gram stream; at 100 TB, hash grams to 64-bit keys first (8 bytes vs
     ~13) — kept as raw strings here for bit-exact oracle parity.
@@ -115,10 +115,12 @@ def interdup_score(
     ``dup_frac`` is a double computed as exactly one IEEE division of
     two integer-valued casts, portable bit-for-bit across engines.
     """
+    from pyspark.sql import Window
+
     grams = char_ngrams(df, text_col, id_col, n).distinct()
-    gram_docs = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("gram")
     return (
-        grams.join(gram_docs, "gram")
+        grams.withColumn("n_docs", F.count(F.lit(1)).over(w))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
