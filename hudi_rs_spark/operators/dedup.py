@@ -231,6 +231,14 @@ def minhash_lsh_pairs(
     buckets = mh.select(
         "id", F.explode(F.array(*band_cols)).alias("bucket")
     ).distinct()
+    # Materialize the bucket index before the self-join: Spark does not
+    # reuse the exchange across the two join sides (verified NO
+    # ReusedExchange in the physical plan), so without this the whole
+    # shingle->md5->minhash subtree executes twice — at scale, two full
+    # corpus scans. The checkpointed frame is the LSH index itself
+    # (bands rows per doc, two small columns), far smaller than the
+    # corpus it indexes.
+    buckets = buckets.localCheckpoint(eager=True)
     a = buckets.select(F.col("id").alias("id_a"), "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "bucket")
     return (

@@ -343,6 +343,11 @@ def embedding_near_dups(
         F.col(id_col).alias("id"),
         F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig"),
     )
+    # Materialize the (id, band, sig) index before the self-join — the
+    # exchange is not reused across join sides, so the signature UDF
+    # (the expensive matmul pass over every vector) would otherwise run
+    # twice. The index is 3 small columns per (row, band).
+    keys = keys.localCheckpoint(eager=True)
     cand = (
         keys.select(F.col("id").alias("id_a"), "band", "sig")
         .join(keys.select(F.col("id").alias("id_b"), "band", "sig"), ["band", "sig"])
