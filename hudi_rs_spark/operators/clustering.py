@@ -100,6 +100,14 @@ def kmeans_assign(
                     "transform(array_sort(collect_list(struct(pos, m))), c -> c.m)"
                 ).alias("cq")
             )
+            # Truncate the iterative lineage: each round's centroid plan
+            # otherwise EMBEDS the previous round's full assignment plan
+            # (and _assign references centroids twice), so the final
+            # plan replicates the corpus scan ~2^iterations times
+            # (measured: 20 source scans at iterations=2 when composed
+            # downstream). The checkpoint is k rows — one centroid per
+            # cluster — materialized immediately.
+            .localCheckpoint(eager=True)
         )
 
     return _assign(q, centroids, keep_dist=True)
@@ -145,7 +153,12 @@ def semdedup(
     """
     from hudi_rs_spark.operators.similarity import cosine
 
-    assigned = kmeans_assign(df, id_col, vec_col, k, iterations)
+    # The assignment feeds three plan branches (both pair-join sides and
+    # the final kept-flag join); materialize it once — (id, cid, dist2)
+    # rows, corpus-sized but narrow — instead of clustering three times.
+    assigned = kmeans_assign(df, id_col, vec_col, k, iterations).localCheckpoint(
+        eager=True
+    )
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     withv = assigned.select("id", "cid").join(vecs, "id")
     a = withv.select("cid", F.col("id").alias("id_a"), F.col("v").alias("va"))

@@ -83,6 +83,10 @@ def ngram_jaccard_pairs(
         *block_cols,
         char_shingles(F.col("__norm"), k).alias("shingles"),
     )
+    # Materialize before the self-join (no cross-side exchange reuse):
+    # the normalize+shingle pass runs once; the join shuffles these same
+    # arrays regardless, so no extra data volume is introduced.
+    sh = sh.localCheckpoint(eager=True)
     a = sh.select(
         F.col("id").alias("id_a"),
         *[F.col(c).alias(f"ba_{c}") for c in block_cols],
@@ -336,6 +340,10 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("id", "sim", "c.chunk_idx", "c.chunk")
+    # Materialize before the self-join (no cross-side exchange reuse):
+    # otherwise the token-hash + bit-vote pipeline runs twice. 4 small
+    # rows per doc.
+    chunks = chunks.localCheckpoint(eager=True)
     a = chunks.select(
         F.col("id").alias("id_a"), F.col("sim").alias("sim_a"), "chunk_idx", "chunk"
     )

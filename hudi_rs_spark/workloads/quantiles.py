@@ -97,6 +97,9 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_chars") / 50).cast("bigint").alias("bucket"),
         F.substring(normalized(F.col("text")), 1, _PREFIX_LEN).alias("prefix"),
     )
+    # Materialize before the self-join (no cross-side exchange reuse):
+    # one normalization pass instead of two.
+    d = d.localCheckpoint(eager=True)
     a = d.select(
         F.col("doc_id").alias("id_a"), "lang", "bucket", F.col("prefix").alias("pa")
     )
