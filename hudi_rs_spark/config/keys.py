@@ -61,12 +61,26 @@ class HudiPlanConfig(str, Enum):
     ListingParallelism = "hoodie.plan.listing.parallelism"
 
 
+def _pascal_to_screaming_snake(name: str) -> str:
+    """'UseReadOptimizedMode' -> 'USE_READ_OPTIMIZED_MODE' — the same
+    transform the reference applies to its Rust variant names
+    (python/src/internal.rs pascal_to_screaming_snake)."""
+    out = []
+    for i, ch in enumerate(name):
+        if ch.isupper() and i > 0 and not name[i - 1].isupper():
+            out.append("_")
+        out.append(ch.upper())
+    return "".join(out)
+
+
 def _config_keys() -> dict[str, list[tuple[str, str]]]:
     """(variant_name, key_string) pairs per enum — the reference's
     ``hudi._internal._config_keys()`` (python/src/internal.rs), which its
-    ``hudi._config`` uses to build these enums dynamically. Provided for
-    drop-in parity; here the enums above are the source of truth."""
+    ``hudi._config`` uses to build these enums dynamically. Variant names
+    are SCREAMING_SNAKE exactly as the reference emits them (e.g.
+    ``('TABLE_NAME', 'hoodie.table.name')``); the PascalCase enums above
+    remain this repo's source of truth."""
     return {
-        cls.__name__: [(m.name, m.value) for m in cls]
+        cls.__name__: [(_pascal_to_screaming_snake(m.name), m.value) for m in cls]
         for cls in (HudiTableConfig, HudiReadConfig, HudiPlanConfig)
     }

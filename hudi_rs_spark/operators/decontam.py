@@ -104,9 +104,12 @@ def interdup_score(
         dup_frac = n_shared / n_grams
 
     Plan shape (all keyed aggregations — never all-pairs): explode grams
-    ONCE -> distinct (id, gram) -> count-over-window partitioned by gram
-    (one shuffle; a groupBy+self-join would put the whole explode
-    subtree on both join sides and execute it twice — measured 2x) ->
+    ONCE -> distinct (id, gram), materialized with an eager
+    localCheckpoint so both consumers below read the shuffle output
+    instead of re-running the explode subtree -> per-gram doc counts via
+    groupBy('gram') (map-side partial aggregation, so a boilerplate gram
+    shared by millions of docs combines per-partition instead of
+    buffering one giant window partition) -> join back on gram ->
     id-keyed final aggregate.  Shuffled bytes are corpus-linear in the
     gram stream; at 100 TB, hash grams to 64-bit keys first (8 bytes vs
     ~13) — kept as raw strings here for bit-exact oracle parity.
@@ -115,12 +118,10 @@ def interdup_score(
     ``dup_frac`` is a double computed as exactly one IEEE division of
     two integer-valued casts, portable bit-for-bit across engines.
     """
-    from pyspark.sql import Window
-
-    grams = char_ngrams(df, text_col, id_col, n).distinct()
-    w = Window.partitionBy("gram")
+    grams = char_ngrams(df, text_col, id_col, n).distinct().localCheckpoint(eager=True)
+    gram_docs = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        grams.withColumn("n_docs", F.count(F.lit(1)).over(w))
+        grams.join(gram_docs, "gram")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -89,6 +89,11 @@ def temperature_mix(
     broadcast back, a broadcast rate join, then the map-side md5 filter —
     identical scale profile to :func:`proportional_mix`.
     """
+    if not 0.0 <= float(alpha) <= 1.0:
+        raise ValueError(
+            f"temperature_mix is downsample-only: alpha must be in [0, 1], got {alpha}"
+            " (alpha > 1 would silently keep every row; alpha < 0 over-flattens)"
+        )
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("cnt"))
     one_minus = 1.0 - float(alpha)
 

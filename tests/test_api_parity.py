@@ -323,5 +323,13 @@ class TestConfigKeysFunction:
             assert pairs and all(
                 isinstance(n, str) and v.startswith("hoodie.") for n, v in pairs
             )
+        # member names are SCREAMING_SNAKE, exactly the reference's
+        # pascal_to_screaming_snake output (python/src/internal.rs) —
+        # code keying on e.g. 'TABLE_NAME' must work unchanged
+        assert ("TABLE_NAME", "hoodie.table.name") in d["HudiTableConfig"]
         dyn = Enum("HudiReadConfig", d["HudiReadConfig"], type=str)
-        assert dyn.QueryType.value == HudiReadConfig.QueryType.value
+        assert dyn.QUERY_TYPE.value == HudiReadConfig.QueryType.value
+        assert (
+            dyn.USE_READ_OPTIMIZED_MODE.value
+            == HudiReadConfig.UseReadOptimizedMode.value
+        )

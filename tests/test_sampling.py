@@ -133,6 +133,17 @@ class TestTemperatureMix:
         # alpha=1 -> rate = (min/cnt)^0 = 1 for every stratum
         assert S.temperature_mix(d, "doc_id", "lang", alpha=1.0).count() == d.count()
 
+    def test_alpha_out_of_range_rejected(self, spark):
+        import pytest
+
+        d = _docs(spark)
+        # alpha > 1 would make every threshold exceed 2^32 (silent no-op
+        # instead of upsampling); alpha < 0 over-flattens silently
+        with pytest.raises(ValueError, match="alpha"):
+            S.temperature_mix(d, "doc_id", "lang", alpha=1.5)
+        with pytest.raises(ValueError, match="alpha"):
+            S.temperature_mix(d, "doc_id", "lang", alpha=-0.1)
+
     def test_flattens_toward_uniform(self, spark):
         d = _docs(spark)
         base = {r["lang"]: r["cnt"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
