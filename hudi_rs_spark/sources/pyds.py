@@ -163,6 +163,18 @@ class HudiPyDataSource(DataSource):
     def streamReader(self, schema: T.StructType) -> "HudiPyStreamReader":
         return HudiPyStreamReader(dict(self.options))
 
+    def writer(self, schema: T.StructType, overwrite: bool):
+        """``df.write.format("hudi_py")`` — see write/writer.py."""
+        from hudi_rs_spark.write.writer import HudiPyBatchWriter
+
+        return HudiPyBatchWriter(dict(self.options), schema, overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        """``df.writeStream.format("hudi_py")`` — see write/stream.py."""
+        from hudi_rs_spark.write.stream import HudiPyStreamWriter
+
+        return HudiPyStreamWriter(dict(self.options), schema)
+
 
 class HudiPyReader(DataSourceReader):
     def __init__(self, table, options: dict, schema: T.StructType):

@@ -1,0 +1,169 @@
+"""Write-path configuration: ``df.write.format("hudi_py")`` options.
+
+Option names follow the public Hudi Spark datasource surface
+(``hoodie.datasource.write.*`` with short aliases); the table-level
+properties they initialize are exactly the keys the read side's
+``HudiTableConfig`` (config/table_config.py) consumes, so a table
+written here is planned/merged by the same rules as the reference's
+golden fixtures. The reference itself is read-only (hudi-rs has no
+writer); this surface is the write-side dual of its reader contract.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+META_COLS = (
+    "_hoodie_commit_time",
+    "_hoodie_commit_seqno",
+    "_hoodie_record_key",
+    "_hoodie_partition_path",
+    "_hoodie_file_name",
+)
+
+# upsert routing columns attached by write/upsert.py's tagging join;
+# stripped from the stored data columns by the task writer
+TARGET_FILE_COL = "__hoodie_target_file_id"
+TARGET_INSTANT_COL = "__hoodie_target_base_instant"
+LOG_VERSION_COL = "__hoodie_log_version"
+DELETE_COL = "_hoodie_is_deleted"  # public Hudi soft-delete marker field
+
+INTERNAL_COLS = (TARGET_FILE_COL, TARGET_INSTANT_COL, LOG_VERSION_COL)
+
+OP_INSERT = "insert"
+OP_UPSERT = "upsert"
+OP_INSERT_OVERWRITE = "insert_overwrite_table"
+OPERATIONS = (OP_INSERT, OP_UPSERT, OP_INSERT_OVERWRITE, "bulk_insert")
+
+
+def new_instant() -> str:
+    """17-digit Hudi commit timestamp (yyyyMMddHHmmssSSS, UTC)."""
+    now = datetime.now(timezone.utc)
+    return now.strftime("%Y%m%d%H%M%S") + f"{now.microsecond // 1000:03d}"
+
+
+def _opt(options: dict, *names, default=None):
+    """Case-insensitive option lookup across aliases."""
+    lowered = {str(k).lower(): v for k, v in options.items()}
+    for n in names:
+        if n.lower() in lowered:
+            return lowered[n.lower()]
+    return default
+
+
+@dataclass
+class WriteConfig:
+    """Resolved, serializable write configuration (driver builds it once;
+    executors receive it inside the writer instance)."""
+
+    path: str
+    table_name: str = "table"
+    record_key_fields: tuple[str, ...] = ("id",)
+    precombine_field: str | None = None
+    partition_fields: tuple[str, ...] = ()
+    hive_style: bool = True
+    table_type: str = "COPY_ON_WRITE"
+    table_version: int = 6
+    operation: str = OP_INSERT
+    instant: str = field(default_factory=new_instant)
+    max_rows_per_file: int = 1 << 22  # ~4M rows: ~128MB at ~32B/row
+    emit_metadata: bool = False
+
+    def __post_init__(self):
+        if self.operation not in OPERATIONS:
+            raise ValueError(
+                f"unsupported write operation {self.operation!r}; one of {OPERATIONS}"
+            )
+        if self.table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+            raise ValueError(f"bad table type {self.table_type!r}")
+        if self.table_version not in (6, 8):
+            raise ValueError(f"unsupported table version {self.table_version}")
+        if self.emit_metadata and self.table_version < 8:
+            raise ValueError(
+                "metadata-table emission requires table version 8 "
+                "(the read side only enables the MDT fast path on v8+)"
+            )
+
+    @property
+    def action(self) -> str:
+        if self.operation == OP_INSERT_OVERWRITE:
+            return "replacecommit"
+        return "deltacommit" if self.table_type == "MERGE_ON_READ" else "commit"
+
+    def table_properties(self) -> dict[str, str]:
+        props = {
+            "hoodie.table.name": self.table_name,
+            "hoodie.table.type": self.table_type,
+            "hoodie.table.version": str(self.table_version),
+            "hoodie.timeline.layout.version": "1" if self.table_version < 8 else "2",
+            "hoodie.table.recordkey.fields": ",".join(self.record_key_fields),
+            "hoodie.populate.meta.fields": "true",
+        }
+        if self.table_version >= 8:
+            props["hoodie.timeline.path"] = "timeline"
+        if self.precombine_field:
+            props["hoodie.table.precombine.field"] = self.precombine_field
+        if self.partition_fields:
+            props["hoodie.table.partition.fields"] = ",".join(self.partition_fields)
+            props["hoodie.datasource.write.hive_style_partitioning"] = (
+                "true" if self.hive_style else "false"
+            )
+        if self.emit_metadata:
+            props["hoodie.table.metadata.partitions"] = "files"
+            props["hoodie.metadata.enable"] = "true"
+        return props
+
+    @classmethod
+    def from_options(cls, options: dict, overwrite: bool = False) -> "WriteConfig":
+        path = _opt(options, "path")
+        if not path:
+            raise ValueError("hudi_py write requires option 'path'")
+
+        def fields_of(*names) -> tuple[str, ...]:
+            v = _opt(options, *names, default="")
+            return tuple(f.strip() for f in str(v).split(",") if f.strip())
+
+        operation = str(
+            _opt(options, "hoodie.datasource.write.operation", "operation",
+                 default=OP_INSERT)
+        ).lower()
+        if overwrite:
+            operation = OP_INSERT_OVERWRITE
+        keys = fields_of(
+            "hoodie.datasource.write.recordkey.field", "recordkey.field"
+        ) or ("id",)
+        return cls(
+            path=str(path),
+            table_name=str(_opt(options, "hoodie.table.name", "table.name",
+                                default="table")),
+            record_key_fields=keys,
+            precombine_field=_opt(
+                options, "hoodie.datasource.write.precombine.field",
+                "precombine.field",
+            ),
+            partition_fields=fields_of(
+                "hoodie.datasource.write.partitionpath.field",
+                "partitionpath.field",
+            ),
+            hive_style=str(
+                _opt(options, "hoodie.datasource.write.hive_style_partitioning",
+                     "hive_style_partitioning", default="true")
+            ).lower() == "true",
+            table_type=str(
+                _opt(options, "hoodie.datasource.write.table.type", "table.type",
+                     default="COPY_ON_WRITE")
+            ).upper(),
+            table_version=int(
+                _opt(options, "hoodie.table.version", "table.version", default="6")
+            ),
+            operation=operation,
+            instant=str(_opt(options, "instant", default="") or new_instant()),
+            max_rows_per_file=int(
+                _opt(options, "max.rows.per.file", default=str(1 << 22))
+            ),
+            emit_metadata=str(
+                _opt(options, "hoodie.metadata.enable", "metadata.enable",
+                     default="false")
+            ).lower() == "true",
+        )

@@ -1,0 +1,577 @@
+"""Spark DataFrame writer for Hudi tables: ``df.write.format("hudi_py")``.
+
+The write-side dual of the connector's reader (sources/pyds.py), built
+on Spark 4's Python Data Source write API:
+
+    df.write.format("hudi_py").option("path", p) \\
+        .option("recordkey.field", "id").option("precombine.field", "ts") \\
+        .mode("append").save()
+
+Division of labor (the only scalable split):
+- EXECUTORS (``HudiPyBatchWriter.write``, one call per task, Arrow
+  batches in): key/partition-path extraction, meta-column synthesis,
+  parquet base-file encode (insert path) or log-block encode (upsert
+  path, routed by the tagging columns ``write/upsert.py`` attaches) —
+  all pyarrow-vectorized, file-size-rolled, zero driver involvement.
+- DRIVER (``commit``): collects per-task write stats and atomically
+  publishes ONE timeline instant (hoodie.properties on first commit,
+  then ``{instant}.{action}`` / v8 ``{instant}_{completion}.{action}``)
+  with partition-grouped stats + the avro writer schema. Readers ignore
+  files not reachable from a completed instant, so a failed job leaves
+  the table unchanged (commit-file atomicity = Hudi's own guarantee).
+
+Scale: a 1000-executor insert writes 1000-way parallel with no shuffle
+(tasks write their partitions' files independently; Hudi tolerates many
+files per partition per commit); the driver handles O(files) stat dicts
+only. Upsert adds exactly one hash shuffle on the target file id (see
+write/upsert.py). Local/file:// storage only — object stores would
+plug in at ``_write_bytes``.
+
+The reference is read-only (crates/core has no write path); this module
+targets the reader contract its fixtures pin: base-file naming
+``{file_id}_{token}_{instant}.parquet`` (file_group/base_file/mod.rs:96),
+log naming ``.{file_id}_{instant}.log.{version}_{token}``
+(log_file/mod.rs:77-123), commit metadata shape
+(timeline/commit_metadata.py), meta columns (table/mod.rs fixtures).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
+
+from hudi_rs_spark.write.config import (
+    DELETE_COL,
+    INTERNAL_COLS,
+    LOG_VERSION_COL,
+    META_COLS,
+    OP_INSERT_OVERWRITE,
+    OP_UPSERT,
+    TARGET_FILE_COL,
+    TARGET_INSTANT_COL,
+    WriteConfig,
+)
+
+_FILE_ID_NS = uuid.UUID("00000000-0000-0000-0000-00000000aced")
+
+
+@dataclass
+class HudiWriteMessage(WriterCommitMessage):
+    stats: list = field(default_factory=list)  # per-file stat dicts
+
+
+# ---------------------------------------------------------------------------
+# executor side
+# ---------------------------------------------------------------------------
+def _local(path: str) -> str:
+    from hudi_rs_spark.fs.storage import as_local_path
+
+    p = as_local_path(path)
+    if p is None:
+        raise NotImplementedError(
+            f"hudi_py writes support local/file:// paths only, got {path}"
+        )
+    return p
+
+
+def _key_array(tbl: pa.Table, key_fields: tuple[str, ...]) -> pa.Array:
+    """Record key per row: str(value) for a single key field, the
+    ComplexAvroKeyGenerator's ``f1:v1,f2:v2`` for composite keys."""
+    cols = []
+    for f in key_fields:
+        if f not in tbl.column_names:
+            raise ValueError(f"record key field {f!r} missing from data")
+        arr = pc.cast(tbl[f], pa.string())
+        if pc.any(pc.is_null(arr)).as_py():
+            raise ValueError(f"record key field {f!r} contains nulls")
+        cols.append(arr.combine_chunks())
+    if len(cols) == 1:
+        return cols[0]
+    out_parts: list = [pa.scalar(f"{key_fields[0]}:"), cols[0]]
+    for f, arr in zip(key_fields[1:], cols[1:]):
+        out_parts.append(pa.scalar(f",{f}:"))
+        out_parts.append(arr)
+    out_parts.append("")
+    return pc.binary_join_element_wise(*out_parts)
+
+
+def _partition_array(tbl: pa.Table, cfg: WriteConfig) -> pa.Array | None:
+    """Relative partition dir per row (hive style ``f=v`` joined by "/");
+    null/empty values map to Hudi's ``default`` bucket. None when the
+    table is non-partitioned (every row in the table root)."""
+    if not cfg.partition_fields:
+        return None
+    parts: list = []
+    for i, f in enumerate(cfg.partition_fields):
+        if f not in tbl.column_names:
+            raise ValueError(f"partition field {f!r} missing from data")
+        v = pc.cast(tbl[f], pa.string()).combine_chunks()
+        v = pc.if_else(
+            pc.or_(pc.is_null(v), pc.equal(v, pa.scalar(""))),
+            pa.scalar("default"),
+            v,
+        )
+        if i:
+            parts.append(pa.scalar("/"))
+        if cfg.hive_style:
+            parts.append(pa.scalar(f"{f}="))
+        parts.append(v)
+    parts.append("")
+    if len(parts) == 2:  # single raw column + separator
+        return parts[0]
+    return pc.binary_join_element_wise(*parts)
+
+
+class _TaskWriter:
+    """Per-task buffering encoder: routes rows to per-partition base-file
+    buffers (inserts) or per-file-group log buffers (tagged upserts),
+    rolls base files at ``max_rows_per_file``, and emits stat dicts."""
+
+    def __init__(self, cfg: WriteConfig, task_id: int, token: str):
+        self.cfg = cfg
+        self.task_id = task_id
+        self.token = token
+        self.base = _local(cfg.path)
+        self.seq = 0  # rows numbered within the task (commit seqno)
+        self.file_seq = 0
+        self.buffers: dict[str, list[pa.Table]] = {}
+        self.buffered_rows: dict[str, int] = {}
+        # (partition, file_id) -> {"instant": ..., "version": int,
+        #                          "tables": [...], "deletes": [...]}
+        self.log_groups: dict[tuple[str, str], dict] = {}
+        self.stats: list[dict] = []
+
+    # -- routing ----------------------------------------------------------
+    def consume(self, batch: pa.RecordBatch) -> None:
+        tbl = pa.Table.from_batches([batch])
+        keys = _key_array(tbl, self.cfg.record_key_fields)
+        part = _partition_array(tbl, self.cfg)
+        tagged = TARGET_FILE_COL in tbl.column_names
+        if not tagged:
+            self._route_inserts(tbl, keys, part, None)
+            return
+        target = tbl[TARGET_FILE_COL].combine_chunks()
+        is_tagged = pc.is_valid(target)
+        n_tagged = pc.sum(pc.cast(is_tagged, pa.int64())).as_py() or 0
+        if n_tagged < len(tbl):
+            mask = pc.invert(is_tagged)
+            self._route_inserts(
+                tbl.filter(mask), keys.filter(mask),
+                part.filter(mask) if part is not None else None, None,
+            )
+        if n_tagged:
+            sub = tbl.filter(is_tagged)
+            self._route_updates(
+                sub, keys.filter(is_tagged),
+                part.filter(is_tagged) if part is not None else None,
+            )
+
+    def _partition_masks(self, part: pa.Array | None, n: int):
+        if part is None:
+            yield "", None
+            return
+        for pv in pc.unique(part):
+            yield pv.as_py(), pc.equal(part, pv)
+
+    def _route_inserts(self, tbl, keys, part, _unused) -> None:
+        if DELETE_COL in tbl.column_names:
+            # deletes for keys that don't exist anywhere: no-ops
+            live = pc.fill_null(pc.invert(pc.cast(tbl[DELETE_COL], pa.bool_())), True)
+            live = live.combine_chunks()
+            tbl, keys = tbl.filter(live), keys.filter(live)
+            part = part.filter(live) if part is not None else None
+        if not len(tbl):
+            return
+        for pv, mask in self._partition_masks(part, len(tbl)):
+            sub = tbl if mask is None else tbl.filter(mask)
+            sub_keys = keys if mask is None else keys.filter(mask)
+            if not len(sub):
+                continue
+            sub = sub.append_column("__hoodie_key", sub_keys)
+            self.buffers.setdefault(pv, []).append(sub)
+            self.buffered_rows[pv] = self.buffered_rows.get(pv, 0) + len(sub)
+            if self.buffered_rows[pv] >= self.cfg.max_rows_per_file:
+                self._flush_partition(pv)
+
+    def _route_updates(self, tbl, keys, part) -> None:
+        target = tbl[TARGET_FILE_COL].combine_chunks()
+        for fid_s in pc.unique(target):
+            fid = fid_s.as_py()
+            mask = pc.equal(target, fid_s)
+            sub = tbl.filter(mask)
+            sub_keys = keys.filter(mask)
+            pv = part.filter(mask)[0].as_py() if part is not None else ""
+            g = self.log_groups.setdefault(
+                (pv, fid),
+                {
+                    "instant": sub[TARGET_INSTANT_COL][0].as_py(),
+                    "version": int(sub[LOG_VERSION_COL][0].as_py() or 1),
+                    "tables": [],
+                    "deletes": [],
+                },
+            )
+            if DELETE_COL in sub.column_names:
+                dmask = pc.fill_null(
+                    pc.cast(sub[DELETE_COL], pa.bool_()), False
+                ).combine_chunks()
+                dels, dkeys = sub.filter(dmask), sub_keys.filter(dmask)
+                if len(dels):
+                    ordv = (
+                        dels[self.cfg.precombine_field].to_pylist()
+                        if self.cfg.precombine_field in dels.column_names
+                        else [0] * len(dels)
+                    )
+                    g["deletes"].extend(
+                        (k, pv, o) for k, o in zip(dkeys.to_pylist(), ordv)
+                    )
+                live = pc.invert(dmask)
+                sub, sub_keys = sub.filter(live), sub_keys.filter(live)
+            if len(sub):
+                g["tables"].append(sub.append_column("__hoodie_key", sub_keys))
+
+    # -- encode + flush ---------------------------------------------------
+    def _data_columns(self, tbl: pa.Table) -> pa.Table:
+        drop = [
+            c for c in tbl.column_names
+            if c in META_COLS or c in INTERNAL_COLS
+            or c in (DELETE_COL, "__hoodie_key")
+        ]
+        return tbl.drop_columns(drop) if drop else tbl
+
+    def _with_meta(self, tbl: pa.Table, keys: pa.Array, pv: str, file_name: str) -> pa.Table:
+        n = len(tbl)
+        instant = self.cfg.instant
+        seqno = [f"{instant}_{self.task_id}_{self.seq + i}" for i in range(n)]
+        self.seq += n
+        meta = pa.table(
+            {
+                "_hoodie_commit_time": pa.array([instant] * n, pa.string()),
+                "_hoodie_commit_seqno": pa.array(seqno, pa.string()),
+                "_hoodie_record_key": keys,
+                "_hoodie_partition_path": pa.array([pv] * n, pa.string()),
+                "_hoodie_file_name": pa.array([file_name] * n, pa.string()),
+            }
+        )
+        out = meta
+        for name, col in zip(tbl.column_names, tbl.columns):
+            out = out.append_column(name, col)
+        return out
+
+    def _new_file_id(self, pv: str) -> str:
+        fid = uuid.uuid5(
+            _FILE_ID_NS,
+            f"{self.cfg.instant}:{self.task_id}:{pv}:{self.file_seq}",
+        )
+        self.file_seq += 1
+        return f"{fid}-0"
+
+    def _flush_partition(self, pv: str) -> None:
+        tables = self.buffers.pop(pv, [])
+        self.buffered_rows.pop(pv, None)
+        if not tables:
+            return
+        merged = pa.concat_tables(tables, promote_options="default")
+        keys = merged["__hoodie_key"].combine_chunks()
+        data = self._data_columns(merged)
+        file_id = self._new_file_id(pv)
+        name = f"{file_id}_{self.token}_{self.cfg.instant}.parquet"
+        rel = f"{pv}/{name}" if pv else name
+        full = os.path.join(self.base, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pq.write_table(self._with_meta(data, keys, pv, name), full)
+        self.stats.append(
+            {
+                "fileId": file_id,
+                "path": rel,
+                "partitionPath": pv,
+                "numWrites": len(merged),
+                "numInserts": len(merged),
+                "fileSizeInBytes": os.path.getsize(full),
+                "totalWriteBytes": os.path.getsize(full),
+            }
+        )
+
+    def _flush_log_group(self, pv: str, fid: str, g: dict) -> None:
+        from hudi_rs_spark.write.logblocks import delete_block, parquet_data_block
+
+        name = f".{fid}_{g['instant']}.log.{g['version']}_{self.token}"
+        rel = f"{pv}/{name}" if pv else name
+        payload = b""
+        n_upd = 0
+        if g["tables"]:
+            merged = pa.concat_tables(g["tables"], promote_options="default")
+            keys = merged["__hoodie_key"].combine_chunks()
+            data = self._with_meta(self._data_columns(merged), keys, pv, name)
+            payload += parquet_data_block(
+                self.cfg.instant,
+                {c: data[c].to_pylist() for c in data.column_names},
+            )
+            n_upd = len(merged)
+        if g["deletes"]:
+            payload += delete_block(self.cfg.instant, g["deletes"])
+        if not payload:
+            return
+        full = os.path.join(self.base, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        mode = "ab" if os.path.exists(full) else "wb"
+        with open(full, mode) as f:
+            f.write(payload)
+        self.stats.append(
+            {
+                "fileId": fid,
+                "path": rel,
+                "partitionPath": pv,
+                "numWrites": n_upd,
+                "numUpdateWrites": n_upd,
+                "numDeletes": len(g["deletes"]),
+                "fileSizeInBytes": os.path.getsize(full),
+                "totalWriteBytes": len(payload),
+            }
+        )
+
+    def finish(self) -> list[dict]:
+        for pv in list(self.buffers):
+            self._flush_partition(pv)
+        for (pv, fid), g in self.log_groups.items():
+            self._flush_log_group(pv, fid, g)
+        return self.stats
+
+
+def write_task(cfg: WriteConfig, iterator) -> HudiWriteMessage:
+    """One executor task: consume Arrow batches, emit files + stats."""
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    tpid = tc.partitionId() if tc else 0
+    attempt = tc.attemptNumber() if tc else 0
+    stage = tc.stageId() if tc else 0
+    tw = _TaskWriter(cfg, tpid, token=f"{tpid}-{stage}-{attempt}")
+    for batch in iterator:
+        tw.consume(batch)
+    return HudiWriteMessage(stats=tw.finish())
+
+
+# ---------------------------------------------------------------------------
+# driver side: commit protocol
+# ---------------------------------------------------------------------------
+def _spark_to_avro(dt, name: str = "rec"):
+    """Spark type -> avro schema (reverse of avro/spark_schema.py; same
+    public mapping table, SURVEY.md §1.3)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": ["null", _spark_to_avro(f.dataType, f.name)]
+                    if f.nullable
+                    else _spark_to_avro(f.dataType, f.name),
+                    **({"default": None} if f.nullable else {}),
+                }
+                for f in dt.fields
+            ],
+        }
+    if isinstance(dt, T.ArrayType):
+        item = _spark_to_avro(dt.elementType, name + "_item")
+        return {"type": "array", "items": ["null", item] if dt.containsNull else item}
+    if isinstance(dt, T.MapType):
+        val = _spark_to_avro(dt.valueType, name + "_value")
+        return {"type": "map", "values": ["null", val] if dt.valueContainsNull else val}
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes", "logicalType": "decimal",
+            "precision": dt.precision, "scale": dt.scale,
+        }
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    simple = {
+        T.BooleanType: "boolean", T.IntegerType: "int", T.ShortType: "int",
+        T.ByteType: "int", T.LongType: "long", T.FloatType: "float",
+        T.DoubleType: "double", T.StringType: "string", T.BinaryType: "bytes",
+    }
+    for cls, avro in simple.items():
+        if isinstance(dt, cls):
+            return avro
+    raise ValueError(f"no avro mapping for spark type {dt}")
+
+
+def data_avro_schema(spark_schema, table_name: str) -> dict:
+    from pyspark.sql import types as T
+
+    fields = [
+        f for f in spark_schema.fields
+        if f.name not in META_COLS and f.name not in INTERNAL_COLS
+        and f.name != DELETE_COL
+    ]
+    return _spark_to_avro(T.StructType(fields), table_name + "_record")
+
+
+def init_table(cfg: WriteConfig) -> bool:
+    """Create ``.hoodie/hoodie.properties`` if absent. Returns True when
+    this call created the table. Validates key configs on existing
+    tables so an append can't silently change table identity."""
+    base = _local(cfg.path)
+    props_path = os.path.join(base, ".hoodie", "hoodie.properties")
+    if os.path.exists(props_path):
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+
+        existing = HudiTableConfig.from_base_path(base)
+        if tuple(existing.record_key_fields) != cfg.record_key_fields:
+            raise ValueError(
+                f"record key mismatch: table has {existing.record_key_fields}, "
+                f"write requested {list(cfg.record_key_fields)}"
+            )
+        if existing.table_type.value != cfg.table_type:
+            raise ValueError(
+                f"table type mismatch: table is {existing.table_type.value}, "
+                f"write requested {cfg.table_type}"
+            )
+        if tuple(existing.partition_fields) != cfg.partition_fields:
+            raise ValueError(
+                f"partition fields mismatch: table has "
+                f"{existing.partition_fields}, write requested "
+                f"{list(cfg.partition_fields)}"
+            )
+        return False
+    os.makedirs(os.path.dirname(props_path), exist_ok=True)
+    props = cfg.table_properties()
+    with open(props_path, "w") as f:
+        f.write("\n".join(f"{k}={v}" for k, v in sorted(props.items())) + "\n")
+    return True
+
+
+def timeline_dir(cfg: WriteConfig) -> str:
+    base = _local(cfg.path)
+    if cfg.table_version >= 8:
+        return os.path.join(base, ".hoodie", "timeline")
+    return os.path.join(base, ".hoodie")
+
+
+def commit_instant(
+    cfg: WriteConfig,
+    stats: list[dict],
+    schema_json: dict | None,
+    replaced: dict[str, list[str]] | None = None,
+    extra_metadata: dict[str, str] | None = None,
+    action: str | None = None,
+    instant: str | None = None,
+) -> str:
+    """Publish one completed instant; returns the commit file path."""
+    from hudi_rs_spark.write.config import new_instant
+
+    instant = instant or cfg.instant
+    action = action or cfg.action
+    by_partition: dict[str, list[dict]] = {}
+    for s in stats:
+        by_partition.setdefault(s.get("partitionPath", ""), []).append(s)
+    meta: dict = {
+        "partitionToWriteStats": by_partition,
+        "operationType": cfg.operation.upper(),
+    }
+    if replaced is not None:
+        meta["partitionToReplaceFileIds"] = replaced
+    extra = dict(extra_metadata or {})
+    if schema_json is not None:
+        extra["schema"] = json.dumps(schema_json)
+    if extra:
+        meta["extraMetadata"] = extra
+    tdir = timeline_dir(cfg)
+    os.makedirs(tdir, exist_ok=True)
+    if cfg.table_version >= 8:
+        completion = max(new_instant(), instant)  # monotonic completion ts
+        name = f"{instant}_{completion}.{action}"
+    else:
+        name = f"{instant}.{action}"
+    path = os.path.join(tdir, name)
+    tmp = path + ".inflight.tmp"
+    with open(tmp, "wb") as f:
+        f.write(json.dumps(meta).encode())
+    os.replace(tmp, path)  # atomic publish
+    return path
+
+
+def existing_file_group_ids(cfg: WriteConfig) -> dict[str, list[str]]:
+    """partition -> live file group ids (for insert_overwrite_table's
+    replacecommit). Empty when the table doesn't exist yet."""
+    base = _local(cfg.path)
+    if not os.path.exists(os.path.join(base, ".hoodie", "hoodie.properties")):
+        return {}
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    out: dict[str, list[str]] = {}
+    for sl in HudiTable(base, spark=None, listing="direct").get_file_slices():
+        out.setdefault(sl.partition_path, []).append(sl.file_id)
+    for k in out:
+        out[k] = sorted(set(out[k]))
+    return out
+
+
+class HudiPyBatchWriter(DataSourceArrowWriter):
+    """Batch writer behind ``df.write.format("hudi_py")``.
+
+    mode("append")   -> insert (new file groups) or, with the tagging
+                        columns present, upsert log blocks (MOR)
+    mode("overwrite")-> insert_overwrite_table: new file groups plus a
+                        replacecommit excluding every prior file group
+    """
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self.cfg = WriteConfig.from_options(options, overwrite=overwrite)
+        self.schema = schema
+        if self.cfg.operation == OP_UPSERT and self.cfg.table_type != "MERGE_ON_READ":
+            raise ValueError(
+                "operation=upsert requires a MERGE_ON_READ table "
+                "(COW updates go through write.compact or mode('overwrite'))"
+            )
+        # capture the pre-write live file groups NOW (driver, plan time):
+        # these are what an overwrite's replacecommit excludes
+        self._replaced = (
+            existing_file_group_ids(self.cfg)
+            if self.cfg.operation == OP_INSERT_OVERWRITE
+            else None
+        )
+
+    def write(self, iterator):
+        return write_task(self.cfg, iterator)
+
+    def commit(self, messages):
+        stats = [s for m in messages if m is not None for s in m.stats]
+        init_table(self.cfg)
+        schema_json = data_avro_schema(self.schema, self.cfg.table_name)
+        commit_instant(
+            self.cfg, stats, schema_json,
+            replaced=self._replaced,
+        )
+        if self.cfg.emit_metadata:
+            from hudi_rs_spark.write.mdt import apply_commit_to_mdt
+
+            apply_commit_to_mdt(self.cfg, stats)
+
+    def abort(self, messages):
+        """Best-effort cleanup: files from successful tasks are invisible
+        without a commit file, but delete them to avoid orphans."""
+        base = _local(self.cfg.path)
+        for m in messages:
+            if m is None:
+                continue
+            for s in m.stats:
+                try:
+                    os.remove(os.path.join(base, s["path"]))
+                except OSError:
+                    pass
