@@ -1,0 +1,131 @@
+"""MOR compaction: merge each file slice's base+logs into a new base
+file and publish one ``commit`` — the table's read amplification resets
+while time travel still reaches every pre-compaction slice (the old
+base and logs stay on storage under earlier instants; reference
+lifecycle semantics per crates/test/src/v9_verification.rs:33-41's
+clustering/overwrite handling of superseded slices).
+
+Spark-first split:
+- DRIVER plans: current snapshot slices via the same planner the
+  connector reader uses (``HudiPyReader.partitions()`` — timeline,
+  as-of selection, schema resolution), keeping only slices that have
+  log files.
+- EXECUTORS merge: each task runs the connector's slice reader
+  (``pyds._read_slice`` — identical block validity/ordering/delete
+  semantics as every read) and writes the merged result as the file
+  group's new base file at the compaction instant. Per-slice map over
+  an RDD of slice descriptors — the one place imperative per-partition
+  logic is the right tool (a slice is exactly the merge scope; there is
+  nothing to shuffle).
+- DRIVER commits: one ``commit`` instant with the new base-file stats.
+
+Scale: parallelism = number of dirty slices (a 100 TB table compacts
+thousands of slices concurrently); bytes touched = dirty slices only;
+no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from hudi_rs_spark.write.config import WriteConfig, new_instant
+
+
+def _compact_one(args):
+    """Executor: merge one slice -> new base file; returns a stat dict."""
+    base_path, instant, partition = args
+    from hudi_rs_spark.fs.file_group import BaseFile
+    from hudi_rs_spark.sources.pyds import _read_slice
+
+    bf = BaseFile.parse(os.path.basename(partition.base_file))
+    d = os.path.dirname(os.path.relpath(partition.base_file, base_path))
+    rel_dir = "" if d == "." else d
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    token = f"{tc.partitionId()}-{tc.stageId()}-{tc.attemptNumber()}" if tc else "0-0-0"
+    name = f"{bf.file_id}_{token}_{instant}.parquet"
+    rel = f"{rel_dir}/{name}" if rel_dir else name
+
+    batches = list(_read_slice(partition))
+    if batches:
+        merged = pa.Table.from_batches(batches)
+    else:
+        import json
+
+        from pyspark.sql import types as T
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        merged = to_arrow_schema(
+            T.StructType.fromJson(json.loads(partition.schema_json))
+        ).empty_table()
+    if "_hoodie_file_name" in merged.column_names:
+        i = merged.column_names.index("_hoodie_file_name")
+        merged = merged.set_column(
+            i, "_hoodie_file_name", pa.array([name] * len(merged), pa.string())
+        )
+    full = os.path.join(base_path, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    pq.write_table(merged, full)
+    return {
+        "fileId": bf.file_id,
+        "path": rel,
+        "partitionPath": rel_dir,
+        "numWrites": len(merged),
+        "fileSizeInBytes": os.path.getsize(full),
+        "totalWriteBytes": os.path.getsize(full),
+    }
+
+
+def compact(spark, path: str, instant: str | None = None) -> int:
+    """Compact every file slice that has log files; returns the number
+    of slices compacted (0 = nothing to do, no instant published)."""
+    from pyspark.sql import types as T
+
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.sources.hudi import HudiTable
+    from hudi_rs_spark.sources.pyds import HudiPyReader, _as_nullable
+    from hudi_rs_spark.write.writer import commit_instant
+
+    tc = HudiTableConfig.from_base_path(path)
+    table = HudiTable(path, spark, listing="direct")
+    reader = HudiPyReader(
+        HudiTable(path, spark=None, listing="direct"),
+        {"path": path},
+        _as_nullable(table.get_schema()),
+    )
+    dirty = [p for p in reader.partitions() if p.log_files and p.base_file]
+    if not dirty:
+        return 0
+    instant = instant or new_instant()
+    work = [(path, instant, p) for p in dirty]
+    stats = (
+        spark.sparkContext.parallelize(work, len(work)).map(_compact_one).collect()
+    )
+    cfg = WriteConfig(
+        path=path,
+        table_name=tc.table_name,
+        record_key_fields=tuple(tc.record_key_fields) or ("id",),
+        precombine_field=(tc.ordering_fields or [None])[0],
+        partition_fields=tuple(tc.partition_fields),
+        table_type=tc.table_type.value,
+        table_version=tc.table_version,
+        instant=instant,
+        operation="compact",
+    )
+    schema_json = None
+    sj = table.schema_json()
+    if sj is not None:
+        schema_json = sj
+    commit_instant(
+        cfg, stats, schema_json, action="commit", instant=instant,
+    )
+    meta_parts = tc.props.get("hoodie.table.metadata.partitions", "")
+    if "files" in meta_parts:
+        from hudi_rs_spark.write.mdt import apply_commit_to_mdt
+
+        apply_commit_to_mdt(cfg, stats)
+    return len(dirty)
