@@ -101,7 +101,7 @@ def _union_branch_matches(value, bname: str) -> bool:
     if isinstance(value, (bytes, bytearray)):
         return bname == "bytes"
     if isinstance(value, dict):
-        return bname == "record"
+        return bname in ("record", "map")
     if isinstance(value, (list, tuple)):
         return bname == "array"
     return False
@@ -150,6 +150,14 @@ def encode_datum(value, schema) -> bytes:
         out = _zigzag(len(value))
         for item in value:
             out += encode_datum(item, schema["items"])
+        return out + _zigzag(0)
+    if stype == "map":
+        if not value:
+            return _zigzag(0)
+        out = _zigzag(len(value))
+        for k, v in value.items():
+            kb = k.encode("utf-8")
+            out += _zigzag(len(kb)) + kb + encode_datum(v, schema["values"])
         return out + _zigzag(0)
     raise ValueError(f"unsupported avro type for encoder: {stype}")
 

@@ -1,0 +1,206 @@
+"""Metadata-table ``files`` partition WRITER — keeps the O(partitions)
+listing fast path live on repo-written tables.
+
+The dual of metadata/files_partition.py's reader: after every data
+commit, append one HFile-payload log block (block type 4) to the MDT's
+single ``files`` file group and publish a matching MDT deltacommit.
+Record shape is the public HoodieMetadataRecord: key = data partition
+path ("." when non-partitioned, "__all_partitions__" for the partition
+list), value.filesystemMetadata maps file name -> {size, isDeleted};
+the reader's merge (base∪logs, max-size wins for live entries) then
+reconstructs the full listing without walking the data tree.
+
+Driver-side and O(files written this commit) — the MDT is itself a tiny
+MOR Hudi table, which is the whole point: a 100 TB table's planner
+reads ONE small file group instead of 10^6 storage paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from hudi_rs_spark.logfile.reader import BLOCK_HFILE_DATA, KEY_INSTANT_TIME
+from hudi_rs_spark.metadata.files_partition import (
+    ALL_PARTITIONS_KEY,
+    NON_PARTITIONED_NAME,
+)
+from hudi_rs_spark.write.config import WriteConfig, new_instant
+from hudi_rs_spark.write.writer import _local
+
+MDT_FILE_ID = "files-0000"
+
+# public HoodieMetadataRecord shape, restricted to the fields the files
+# partition uses (metadata/table/records.rs:238-330 decodes the same)
+MDT_RECORD_SCHEMA = {
+    "type": "record",
+    "name": "HoodieMetadataRecord",
+    "namespace": "org.apache.hudi.avro.model",
+    "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "type", "type": "int"},
+        {
+            "name": "filesystemMetadata",
+            "type": [
+                "null",
+                {
+                    "type": "map",
+                    "values": {
+                        "type": "record",
+                        "name": "HoodieMetadataFileInfo",
+                        "fields": [
+                            {"name": "size", "type": "long"},
+                            {"name": "isDeleted", "type": "boolean"},
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+        },
+    ],
+}
+
+
+def _mdt_base(cfg: WriteConfig) -> str:
+    return os.path.join(_local(cfg.path), ".hoodie", "metadata")
+
+
+def _init_mdt(mdt: str) -> None:
+    props_path = os.path.join(mdt, ".hoodie", "hoodie.properties")
+    if os.path.exists(props_path):
+        return
+    os.makedirs(os.path.dirname(props_path), exist_ok=True)
+    props = {
+        "hoodie.table.name": "metadata_table",
+        "hoodie.table.type": "MERGE_ON_READ",
+        "hoodie.table.version": "8",
+        "hoodie.timeline.layout.version": "2",
+        "hoodie.timeline.path": "timeline",
+        "hoodie.table.recordkey.fields": "key",
+        "hoodie.populate.meta.fields": "false",
+    }
+    with open(props_path, "w") as f:
+        f.write("\n".join(f"{k}={v}" for k, v in sorted(props.items())) + "\n")
+
+
+def _ensure_data_props_flag(cfg: WriteConfig) -> None:
+    """Flip the data table's hoodie.properties to advertise the files
+    partition (the read side's ``has_files_partition`` gate)."""
+    props_path = os.path.join(_local(cfg.path), ".hoodie", "hoodie.properties")
+    with open(props_path) as f:
+        text = f.read()
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    have = dict(ln.split("=", 1) for ln in lines if "=" in ln)
+    changed = False
+    if "files" not in have.get("hoodie.table.metadata.partitions", ""):
+        have["hoodie.table.metadata.partitions"] = "files"
+        changed = True
+    if have.get("hoodie.metadata.enable", "").lower() != "true":
+        have["hoodie.metadata.enable"] = "true"
+        changed = True
+    if changed:
+        tmp = props_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(f"{k}={v}" for k, v in sorted(have.items())) + "\n")
+        os.replace(tmp, props_path)
+
+
+def _next_log_state(files_dir: str) -> tuple[str | None, int]:
+    """(anchor instant from existing MDT log names, next version)."""
+    if not os.path.isdir(files_dir):
+        return None, 1
+    from hudi_rs_spark.fs.file_group import LogFile
+
+    best = 0
+    anchor = None
+    for name in os.listdir(files_dir):
+        if not name.startswith(f".{MDT_FILE_ID}_"):
+            continue
+        lf = LogFile.parse(name)
+        anchor = lf.timestamp
+        best = max(best, lf.version)
+    return anchor, best + 1
+
+
+def apply_commit_to_mdt(cfg: WriteConfig, stats: list[dict]) -> None:
+    """Record one data commit's files in the MDT files partition."""
+    from hudi_rs_spark.hfile.writer import build_hfile
+    from hudi_rs_spark.write.logblocks import encode_datum, frame_block
+
+    mdt = _mdt_base(cfg)
+    _init_mdt(mdt)
+    _ensure_data_props_flag(cfg)
+
+    by_partition: dict[str, dict[str, int]] = {}
+    for s in stats:
+        part = s.get("partitionPath", "") or ""
+        name = os.path.basename(s["path"])
+        size = int(s.get("fileSizeInBytes") or 0)
+        cur = by_partition.setdefault(part, {})
+        cur[name] = max(cur.get(name, 0), size)
+
+    records: list[tuple[bytes, bytes]] = []
+    part_names = {}
+    for part, files in by_partition.items():
+        key = part if part else NON_PARTITIONED_NAME
+        part_names[key] = {"size": 0, "isDeleted": False}
+        value = {
+            "key": key,
+            "type": 2,
+            "filesystemMetadata": {
+                n: {"size": sz, "isDeleted": False} for n, sz in files.items()
+            },
+        }
+        records.append(
+            (key.encode(), encode_datum(value, MDT_RECORD_SCHEMA))
+        )
+    records.append(
+        (
+            ALL_PARTITIONS_KEY.encode(),
+            encode_datum(
+                {"key": ALL_PARTITIONS_KEY, "type": 1,
+                 "filesystemMetadata": part_names},
+                MDT_RECORD_SCHEMA,
+            ),
+        )
+    )
+
+    hfile_bytes = build_hfile(
+        records, {"schema": json.dumps(MDT_RECORD_SCHEMA).encode()}
+    )
+    instant = cfg.instant
+    files_dir = os.path.join(mdt, "files")
+    os.makedirs(files_dir, exist_ok=True)
+    anchor, version = _next_log_state(files_dir)
+    anchor = anchor or instant
+    log_name = f".{MDT_FILE_ID}_{anchor}.log.{version}_0-0-0"
+    payload = frame_block(
+        BLOCK_HFILE_DATA, {KEY_INSTANT_TIME: instant}, hfile_bytes
+    )
+    log_path = os.path.join(files_dir, log_name)
+    mode = "ab" if os.path.exists(log_path) else "wb"
+    with open(log_path, mode) as f:
+        f.write(payload)
+
+    # MDT deltacommit (v8 layout 2): instant mirrors the data commit
+    tdir = os.path.join(mdt, ".hoodie", "timeline")
+    os.makedirs(tdir, exist_ok=True)
+    completion = max(new_instant(), instant)
+    meta = {
+        "partitionToWriteStats": {
+            "files": [
+                {
+                    "fileId": MDT_FILE_ID,
+                    "path": f"files/{log_name}",
+                    "partitionPath": "files",
+                    "fileSizeInBytes": os.path.getsize(log_path),
+                }
+            ]
+        },
+        "operationType": "UPSERT",
+    }
+    name = f"{instant}_{completion}.deltacommit"
+    tmp = os.path.join(tdir, name + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(json.dumps(meta).encode())
+    os.replace(tmp, os.path.join(tdir, name))

@@ -142,12 +142,15 @@ class HudiPyStreamWriter(DataSourceStreamArrowWriter):
                 except OSError:
                     pass
             return
+        from hudi_rs_spark.write.writer import mdt_enabled
+
+        emit_mdt = mdt_enabled(cfg)
         commit_instant(
             cfg, stats,
             data_avro_schema(self.schema, cfg.table_name),
             extra_metadata={BATCH_ID_KEY: str(batchId)},
         )
-        if cfg.emit_metadata:
+        if emit_mdt:
             from hudi_rs_spark.write.mdt import apply_commit_to_mdt
 
             apply_commit_to_mdt(cfg, stats)

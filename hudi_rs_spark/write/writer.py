@@ -422,6 +422,21 @@ def data_avro_schema(spark_schema, table_name: str) -> dict:
     return _spark_to_avro(T.StructType(fields), table_name + "_record")
 
 
+def mdt_enabled(cfg: WriteConfig) -> bool:
+    """Maintain the MDT when the write asked for it OR the existing
+    table already advertises a files partition (appends must not let
+    the MDT go stale once it exists)."""
+    if cfg.emit_metadata:
+        return True
+    props_path = os.path.join(_local(cfg.path), ".hoodie", "hoodie.properties")
+    if not os.path.exists(props_path):
+        return False
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.metadata.files_partition import has_files_partition
+
+    return has_files_partition(HudiTableConfig.from_base_path(_local(cfg.path)))
+
+
 def init_table(cfg: WriteConfig) -> bool:
     """Create ``.hoodie/hoodie.properties`` if absent. Returns True when
     this call created the table. Validates key configs on existing
@@ -552,13 +567,14 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
 
     def commit(self, messages):
         stats = [s for m in messages if m is not None for s in m.stats]
+        emit_mdt = mdt_enabled(self.cfg)
         init_table(self.cfg)
         schema_json = data_avro_schema(self.schema, self.cfg.table_name)
         commit_instant(
             self.cfg, stats, schema_json,
             replaced=self._replaced,
         )
-        if self.cfg.emit_metadata:
+        if emit_mdt:
             from hudi_rs_spark.write.mdt import apply_commit_to_mdt
 
             apply_commit_to_mdt(self.cfg, stats)
