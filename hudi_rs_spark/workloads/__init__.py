@@ -50,5 +50,6 @@ def load_all() -> dict[str, QuerySpec]:
     from hudi_rs_spark.workloads import temporal  # noqa: F401
     from hudi_rs_spark.workloads import decontam  # noqa: F401
     from hudi_rs_spark.workloads import mor  # noqa: F401
+    from hudi_rs_spark.workloads import write_path  # noqa: F401
 
     return REGISTRY

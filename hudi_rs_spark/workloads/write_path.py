@@ -1,0 +1,212 @@
+"""Write-path workloads: the DataFrame writer / upsert / compaction
+lifecycle as oracle-checked registry rows.
+
+Where workloads/mor.py synthesizes its table with the low-level fixture
+writer, these rows exercise the REAL user surface —
+``df.write.format("hudi_py")`` + ``write.upsert`` + ``write.compact`` —
+end-to-end from the driver's ``documents`` parquet, so the DuckDB
+oracle can state the expected post-lifecycle table in pure SQL over
+``documents``:
+
+- ``write_cow_roundtrip``: fresh COW write (partitioned by ``lang``)
+  then a connector read-back aggregate — every bench run pays the full
+  distributed write, making this the writer-throughput row.
+- ``write_upsert_roundtrip``: cached MOR table seeded via the writer,
+  then ``upsert`` (text suffix for ``doc_id%9==0``, tombstones for
+  ``doc_id%11==0``) — read through the connector's merge.
+- ``write_compacted_snapshot``: same lifecycle plus ``compact``; the
+  merged snapshot must be IDENTICAL to the uncompacted oracle (the
+  compaction-transparency invariant), now served base-file-only.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_rs_spark.workloads import QuerySpec, register
+from hudi_rs_spark.workloads.mor import _REPO_CACHE as _MOR_CACHE
+
+_CACHE = os.path.join(os.path.dirname(_MOR_CACHE), "write_bench")
+_LAYOUT_V = "v1"
+
+_REGISTERED: set[int] = set()
+
+
+def _register(spark: SparkSession) -> None:
+    from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+    if id(spark) not in _REGISTERED:
+        spark.dataSource.register(HudiPyDataSource)
+        _REGISTERED.add(id(spark))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text", "lang", F.lit(1).alias("ts"))
+    )
+
+
+def _seed_options() -> dict:
+    return {
+        "recordkey.field": "doc_id",
+        "precombine.field": "ts",
+        "partitionpath.field": "lang",
+        "table.type": "MERGE_ON_READ",
+        "hoodie.table.name": "docs_w",
+    }
+
+
+def _fingerprint(sf_dir: str) -> str:
+    src = os.path.join(sf_dir, "documents.parquet")
+    import pyarrow.parquet as pq
+
+    return (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{pq.read_metadata(src).num_rows}_{os.path.getsize(src)}_{_LAYOUT_V}"
+    )
+
+
+def _apply_upserts(spark: SparkSession, sf_dir: str, path: str) -> None:
+    from hudi_rs_spark.write.upsert import delete, upsert
+
+    docs = _docs(spark, sf_dir)
+    upsert(
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit("#u")))
+        .withColumn("ts", F.lit(2)),
+        path,
+    )
+    delete(
+        docs.filter(F.col("doc_id") % 11 == 0).withColumn("ts", F.lit(3)),
+        path,
+    )
+
+
+def _ensure_lifecycle_table(spark: SparkSession, sf_dir: str, compacted: bool) -> str:
+    """Build (once per sf fingerprint) the seeded+upserted[+compacted]
+    MOR table through the real writer surface; scratch-then-rename keeps
+    concurrent builders safe (same pattern as workloads/mor.py)."""
+    name = f"docs_{'c' if compacted else 'u'}_{_fingerprint(sf_dir)}"
+    base = os.path.join(_CACHE, name)
+    if os.path.isdir(os.path.join(base, ".hoodie")):
+        return base
+    _register(spark)
+    os.makedirs(_CACHE, exist_ok=True)
+    scratch = base + ".tmp"
+    if os.path.isdir(scratch):
+        shutil.rmtree(scratch)
+    w = _docs(spark, sf_dir).write.format("hudi_py").option("path", scratch)
+    for k, v in _seed_options().items():
+        w = w.option(k, v)
+    w.mode("append").save()
+    _apply_upserts(spark, sf_dir, scratch)
+    if compacted:
+        from hudi_rs_spark.write.compact import compact
+
+        compact(spark, scratch)
+    try:
+        os.rename(scratch, base)
+    except OSError:
+        if not os.path.isdir(os.path.join(base, ".hoodie")):
+            raise
+        shutil.rmtree(scratch, ignore_errors=True)
+    return base
+
+
+LIFECYCLE_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 9 = 0 THEN text || '#u' ELSE text END AS text,
+       lang
+FROM documents
+WHERE doc_id % 11 <> 0
+ORDER BY doc_id
+"""
+
+
+def write_cow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fresh distributed COW write into a scratch dir, then a read-back
+    aggregate through the connector. The write happens on EVERY call —
+    this row prices the writer itself (executor-side encode, hive
+    partitioning, commit publish), not a cached artifact."""
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_cow_bench_")
+    path = os.path.join(tmp, "t")
+    w = (
+        _docs(spark, sf_dir)
+        .write.format("hudi_py")
+        .option("path", path)
+        .option("recordkey.field", "doc_id")
+        .option("precombine.field", "ts")
+        .option("partitionpath.field", "lang")
+        .option("hoodie.table.name", "docs_cow")
+    )
+    w.mode("append").save()
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+    # materialize before the scratch table vanishes: the registry
+    # contract returns a DataFrame the driver may collect later
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+WRITE_COW_SQL = """
+SELECT lang,
+       count(*) AS n_docs,
+       sum(length(text))::BIGINT AS total_chars,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def write_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot of the writer-seeded, upserted+deleted MOR table —
+    the connector merges the writer's own log blocks."""
+    _register(spark)
+    path = _ensure_lifecycle_table(spark, sf_dir, compacted=False)
+    return (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def write_compacted_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same lifecycle + compaction: identical rows, zero log files —
+    compaction transparency as an oracle-checked equality."""
+    _register(spark)
+    path = _ensure_lifecycle_table(spark, sf_dir, compacted=True)
+    return (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+
+
+for _n, _f, _s, _d in [
+    ("write_cow_roundtrip", write_cow_roundtrip, WRITE_COW_SQL,
+     "df.write COW round trip: fresh distributed write + read-back aggregate"),
+    ("write_upsert_roundtrip", write_upsert_roundtrip, LIFECYCLE_SQL,
+     "writer-seeded MOR + upsert/delete lifecycle, merged snapshot"),
+    ("write_compacted_snapshot", write_compacted_snapshot, LIFECYCLE_SQL,
+     "post-compaction snapshot equals the uncompacted oracle"),
+]:
+    register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("write", "hudi"), doc=_d))
