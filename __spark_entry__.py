@@ -19,29 +19,29 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Driver-row freshness rotation (all 73 queries pass the identical
-# local DuckDB oracle in tests/test_oracle_diff.py): lead with the 23
-# queries ABSENT from r6's 50-row sample — their newest driver evidence
-# is r4/r5 — so a prefix-sampling driver refreshes them this round;
-# sim_embedding_near_dups follows (its blocking changed to banded LSH in
-# r7, so a fresh row re-proves the new oracle pairing); then everything
-# else in stable order.
+# Driver-row freshness rotation (all 83 queries pass the identical
+# local DuckDB oracle in tests/test_oracle_diff.py): lead with the 33
+# queries ABSENT from r7's 50-row sample — the 3 brand-new write-path
+# lifecycle rows (df.write -> upsert/compact -> read, new in r8), then
+# the 30 whose newest driver evidence is r6 — so a prefix-sampling
+# driver refreshes them this round; everything else follows in stable
+# order (their r7 rows are green).
 _SURFACE_FIRST = [
-    # brand-new r7 queries (no driver row yet): the real-Hudi MOR path
-    # and the temperature-mix / shuffle-shard sampling operators
-    "mor_snapshot_merge", "mor_incremental_refresh",
-    "sample_temperature_mix", "sample_shuffle_shard", "text_interdup_score",
-    "sim_semdedup", "sample_split_leakfree",
-    "merge_latest_state", "merge_incremental_window", "merge_asof_snapshot",
-    "merge_delete_aware", "merge_append_only",
-    "dedup_exact", "dedup_normalized", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_cluster_canonical", "dedup_simhash",
-    "dedup_incremental",
-    "text_token_stats", "text_quality", "text_lang_id",
-    "text_fingerprint_groups", "text_pii_scrub", "text_repetition",
-    "cube_revenue", "distinct_counts", "intersect_loyal_customers",
-    "salted_revenue_by_status", "grouping_sets_revenue",
-    "sim_embedding_near_dups",
+    # new r8: the DataFrame-writer lifecycle (no driver row yet)
+    "write_cow_roundtrip", "write_upsert_roundtrip", "write_compacted_snapshot",
+    # rotated out of r7's sample (newest green row = r6)
+    "q8_market_share", "q13_order_distribution", "q20_heavy_suppliers",
+    "q21_late_suppliers", "json_props_stats",
+    "win_top3_events_per_user", "win_running_total", "win_lag_delta",
+    "win_user_rank", "win_sessionize",
+    "text_tfidf_topterms", "text_length_outliers", "text_rarity_score",
+    "sim_brute_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_kmeans_clusters",
+    "q_price_percentiles", "dedup_fuzzy_levenshtein",
+    "sample_stratified", "sample_weighted_mix", "pack_token_shards",
+    "pipeline_curate",
+    "mm_image_features", "mm_audio_features", "mm_resize_features",
+    "mm_frame_sample",
+    "ops_asof_join", "ops_range_join", "text_decontaminate",
 ]
 
 
