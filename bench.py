@@ -90,6 +90,12 @@ HEADLINE = [
     "sample_shuffle_shard",
     "text_interdup_score",
     "sim_semdedup",
+    # round-8 write path: a FRESH distributed COW write per run (writer
+    # throughput row), plus merged reads of the writer-built
+    # upsert/compaction lifecycle tables
+    "write_cow_roundtrip",
+    "write_upsert_roundtrip",
+    "write_compacted_snapshot",
     # sample_split_leakfree stays registry/oracle-only: its plan is the
     # dedup_cluster_canonical LSH+CC (already benched twice via
     # pipeline_curate) plus a map-side coin flip.
@@ -122,6 +128,13 @@ def main() -> None:
     from hudi_rs_spark.workloads.mor import _connector_df
 
     _connector_df(spark, sf_dir).count()
+    # likewise pre-build the writer-lifecycle tables (their rows measure
+    # the merged READ; write_cow_roundtrip pays its write every run by
+    # design — that one IS the writer benchmark)
+    from hudi_rs_spark.workloads.write_path import _ensure_lifecycle_table
+
+    _ensure_lifecycle_table(spark, sf_dir, compacted=False)
+    _ensure_lifecycle_table(spark, sf_dir, compacted=True)
 
     # best-of-N per query: single runs at fixed-overhead scale are noisy
     # (r2 flagged 15% run-to-run swings on sub-3s queries); min over N
