@@ -126,6 +126,78 @@ def _assign(q: DataFrame, centroids: DataFrame, keep_dist: bool = False) -> Data
     return best.select(*cols)
 
 
+def _within_cluster_pairs_exact(withv: DataFrame) -> DataFrame:
+    """All (cid, id_a, va, id_b, vb) pairs within each cluster, id_a <
+    id_b — the exact SemDeDup candidate set, O(population^2) per
+    cluster."""
+    a = withv.select("cid", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = withv.select("cid", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return a.join(b, "cid").filter(F.col("id_a") < F.col("id_b"))
+
+
+def _within_cluster_pairs_lsh(
+    withv: DataFrame,
+    dim: int,
+    n_bands: int,
+    planes_per_band: int,
+) -> DataFrame:
+    """Banded hyperplane-LSH candidate pairs WITHIN each cluster:
+    (cid, id_a, va, id_b, vb), id_a < id_b, restricted to rows whose
+    signatures collide in at least one band.
+
+    Same construction as ``similarity.embedding_near_dups`` (its
+    scale-contract comments apply), but the bucket key is
+    ``(cid, band, sig)`` — cluster id participates in the join so pairs
+    never cross clusters and the per-bucket population is further
+    divided by the cluster blocking. The candidate self-join carries ids
+    only; vectors re-join by id afterwards.
+    """
+    from hudi_rs_spark.operators.similarity import _band_signature_udf
+
+    sig_udf = _band_signature_udf(dim, n_bands, planes_per_band, "semdedup")
+    keys = withv.select(
+        "cid", "id", F.posexplode(sig_udf(F.col("v"))).alias("band", "sig")
+    )
+    # Materialized for the same reason as embedding_near_dups: the
+    # signature matmul must not run once per self-join side.
+    keys = keys.localCheckpoint(eager=True)
+    cand = (
+        keys.select("cid", F.col("id").alias("id_a"), "band", "sig")
+        .join(
+            keys.select("cid", F.col("id").alias("id_b"), "band", "sig"),
+            ["cid", "band", "sig"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cid", "id_a", "id_b")
+        .distinct()
+    )
+    vecs = withv.select(F.col("id").alias("vid"), "v")
+    return cand.join(
+        vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb")), "id_b")
+
+
+def semdedup_candidates(
+    withv: DataFrame,
+    exact_max_cluster: int | None,
+    dim: int,
+    lsh_bands: int,
+    lsh_planes: int,
+) -> DataFrame:
+    """Candidate pair frame for :func:`semdedup` — split by cluster
+    population when the large-cluster guard is armed. Exposed so tests
+    can count candidate pairs directly."""
+    if exact_max_cluster is None:
+        return _within_cluster_pairs_exact(withv)
+    sizes = withv.groupBy("cid").agg(F.count("*").alias("__csize"))
+    sized = withv.join(F.broadcast(sizes), "cid")
+    small = sized.filter(F.col("__csize") <= exact_max_cluster).drop("__csize")
+    large = sized.filter(F.col("__csize") > exact_max_cluster).drop("__csize")
+    return _within_cluster_pairs_exact(small).unionByName(
+        _within_cluster_pairs_lsh(large, dim, lsh_bands, lsh_planes)
+    )
+
+
 def semdedup(
     df: DataFrame,
     id_col: str,
@@ -133,6 +205,10 @@ def semdedup(
     k: int = 8,
     iterations: int = 2,
     threshold: float = 0.9,
+    exact_max_cluster: int | None = None,
+    dim: int = 64,
+    lsh_bands: int = 16,
+    lsh_planes: int = 4,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup = k-means blocking,
     then exact-cosine near-dup pruning *within* each cluster.
@@ -150,6 +226,19 @@ def semdedup(
     The pair join is an equi-join on cluster id (one shuffle), exact
     cosine runs JVM-side on the joined rows, and the final kept-flag is
     a broadcast-size anti-ish left join of dropped ids.
+
+    Large-cluster guard: real corpora are not uniform over clusters —
+    one mega-cluster (boilerplate, near-constant embeddings) makes the
+    exact within-cluster join quadratic in ITS population no matter how
+    large ``k`` is. With ``exact_max_cluster`` set, clusters whose
+    population exceeds it generate candidates via banded hyperplane LSH
+    (``lsh_bands`` x ``lsh_planes``, bucket key ``(cid, band, sig)``)
+    instead of all-pairs, bounding pair work per bucket; the exact
+    cosine filter and min-id survivor rule are unchanged, so the only
+    deviation from exact SemDeDup is LSH recall on the oversized
+    clusters (tune bands up / planes down to push recall toward 1; the
+    defaults give >0.999 at threshold 0.9). ``None`` (default) keeps
+    the exact contract everywhere.
     """
     from hudi_rs_spark.operators.similarity import cosine
 
@@ -161,12 +250,11 @@ def semdedup(
     )
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     withv = assigned.select("id", "cid").join(vecs, "id")
-    a = withv.select("cid", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = withv.select("cid", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = semdedup_candidates(
+        withv, exact_max_cluster, dim, lsh_bands, lsh_planes
+    )
     dropped = (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= F.lit(float(threshold)))
+        pairs.filter(cosine(F.col("va"), F.col("vb")) >= F.lit(float(threshold)))
         .select(F.col("id_b").alias("id"))
         .distinct()
     )

@@ -218,6 +218,40 @@ class TestSemDedup:
         b = sorted(map(tuple, semdedup(df, "vec_id", "embedding", k=4).collect()))
         assert a == b
 
+    def test_large_cluster_guard_equal_output(self, spark):
+        """Guard on vs off: identical output on a corpus whose
+        above-threshold pairs are near-identical vectors (sign
+        projections agree on every hyperplane, so banded LSH cannot
+        miss them) — exercises the LSH path on EVERY multi-member
+        cluster via exact_max_cluster=1."""
+        from hudi_rs_spark.operators.clustering import semdedup
+
+        df = self._corpus(spark)
+        exact = sorted(map(tuple, semdedup(
+            df, "vec_id", "embedding", k=4, threshold=0.99
+        ).collect()))
+        guarded = sorted(map(tuple, semdedup(
+            df, "vec_id", "embedding", k=4, threshold=0.99,
+            exact_max_cluster=1, dim=64, lsh_bands=16, lsh_planes=4,
+        ).collect()))
+        assert exact == guarded
+
+    def test_large_cluster_guard_bounds_pair_work(self, spark):
+        """Skewed corpus: ONE giant cluster. Exact within-cluster
+        candidates are C(n,2); the guard's banded-LSH candidate set
+        must be a small fraction of that."""
+        from hudi_rs_spark.operators.clustering import semdedup_candidates
+
+        n, dim = 400, 64
+        rows = [(i, 1, _vec(f"g{i}", dim)) for i in range(n)]
+        withv = spark.createDataFrame(
+            rows, "id bigint, cid int, v array<double>"
+        )
+        exact = semdedup_candidates(withv, None, dim, 4, 8).count()
+        assert exact == n * (n - 1) // 2
+        guarded = semdedup_candidates(withv, 50, dim, 4, 8).count()
+        assert guarded < 0.05 * exact, (guarded, exact)
+
     def test_k_is_the_blocking_knob(self, spark):
         """The SemDeDup scale contract: within-cluster candidate work is
         sum_c C(n_c, 2), and growing k shrinks it (clusters get smaller)
