@@ -1,0 +1,240 @@
+"""Scale-check for the dedup / clustering family (VERDICT r7 watch item).
+
+The sf0.1 bench pays deliberate materialization costs (localCheckpointed
+LSH bucket indexes, per-iteration k-means centroid checkpoints) that are
+claimed to amortize at scale. This tool settles the claim empirically:
+it synthesizes a MULT-x corpus from the sf0.1 documents/embeddings and
+times the family at both scales, emitting a side JSON the judge can read
+next to BENCH_r{N}.json.
+
+Corpus synthesis (deterministic, cached under .cache/):
+
+- ``documents``: MULT copies with ids shifted by copy*10^9; copy i>0
+  text is Caesar-rotated by i letters, so shingle sets are DISJOINT
+  across copies — each copy keeps the original's internal duplicate
+  rate instead of turning every doc into (MULT-1) cross-copy near-dups,
+  which would inflate LSH pair work far beyond a real MULT-x corpus.
+- ``embeddings``: MULT copies with ids shifted; copy i>0 vectors are
+  np.roll'ed by i dims — distinct vectors, identical norm/distribution,
+  per-copy planted-dup structure preserved.
+
+Two measurement groups:
+
+- fixed-knob: the registry callables exactly as benched (minhash LSH,
+  connected-components canonicalization, k-means, pipeline) — these
+  must scale ~linearly with no knob help.
+- scaled-knob: semdedup (k grows MULT-x: the documented SemDeDup
+  blocking contract) and embedding_near_dups (planes_per_band grows
+  ~log2(MULT): the documented banded-LSH bucket-population contract),
+  run at BOTH parameterizations at MULT-x so the JSON shows the knob
+  working, not just asserts it.
+
+Usage: ``python tools/scalecheck.py`` (env: SCALECHECK_MULT=5,
+SCALECHECK_RUNS=1, SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1); writes
+SCALECHECK_r08.json in the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+MULT = int(os.environ.get("SCALECHECK_MULT", "5"))
+RUNS = int(os.environ.get("SCALECHECK_RUNS", "1"))
+OUT = os.path.join(_REPO, os.environ.get("SCALECHECK_OUT", "SCALECHECK_r08.json"))
+ID_STRIDE = 10**9
+
+
+def _caesar(text_arr: pa.ChunkedArray, shift: int) -> pa.Array:
+    """Letter-rotate every string by ``shift`` (deterministic copy
+    perturbation giving disjoint shingle sets)."""
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    table = str.maketrans(
+        lower + upper,
+        lower[shift:] + lower[:shift] + upper[shift:] + upper[:shift],
+    )
+    return pa.array(
+        [None if v is None else v.translate(table)
+         for v in text_arr.to_pylist()],
+        type=pa.string(),
+    )
+
+
+def _build_scaled(cache: str) -> None:
+    os.makedirs(cache, exist_ok=True)
+    docs_out = os.path.join(cache, "documents.parquet")
+    emb_out = os.path.join(cache, "embeddings.parquet")
+    if os.path.exists(docs_out) and os.path.exists(emb_out):
+        return
+    docs = pq.read_table(os.path.join(BASE_DIR, "documents.parquet"))
+    copies = []
+    for i in range(MULT):
+        ids = pc.add(docs["doc_id"], i * ID_STRIDE)
+        text = docs["text"] if i == 0 else _caesar(docs["text"], i % 25 + (i >= 25))
+        copies.append(
+            pa.table(
+                {
+                    "doc_id": ids,
+                    "text": text,
+                    "lang": docs["lang"],
+                    "source": docs["source"],
+                    "n_chars": docs["n_chars"],
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(copies), docs_out)
+
+    emb = pq.read_table(os.path.join(BASE_DIR, "embeddings.parquet"))
+    n = emb.num_rows
+    flat = np.asarray(
+        emb["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False),
+        dtype=np.float32,
+    )
+    dim = flat.size // n
+    mat = flat.reshape(n, dim)
+    ecopies = []
+    for i in range(MULT):
+        ids = pc.add(emb["vec_id"], i * ID_STRIDE)
+        rolled = np.roll(mat, i % dim, axis=1) if i else mat
+        vecs = pa.FixedSizeListArray.from_arrays(
+            pa.array(rolled.ravel(), type=pa.float32()), dim
+        ).cast(pa.list_(pa.float32()))
+        ecopies.append(
+            pa.table({"vec_id": ids, "embedding": vecs, "label": emb["label"]})
+        )
+    pq.write_table(pa.concat_tables(ecopies), emb_out)
+
+
+def _measure(spark, fn, sf_dir: str, runs: int) -> tuple[float, int]:
+    best, rows = None, 0
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 3), rows
+
+
+def main() -> None:
+    cache = os.path.join(_REPO, ".cache", f"scalecheck_x{MULT}")
+    _build_scaled(cache)
+
+    from hudi_rs_spark.session import get_spark
+    from hudi_rs_spark.workloads import load_all
+    from hudi_rs_spark.workloads.similarity import (
+        DIM,
+        DUP_THRESHOLD,
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+    from hudi_rs_spark.workloads.tables import load
+    from hudi_rs_spark.operators.clustering import semdedup
+    from hudi_rs_spark.operators.similarity import embedding_near_dups
+
+    spark = get_spark("hudi-rs-spark-scalecheck")
+    specs = load_all()
+
+    fixed = [
+        "dedup_exact",  # linear control
+        "dedup_minhash_lsh",
+        "dedup_cluster_canonical",
+        "sim_kmeans_clusters",
+        "pipeline_curate",
+    ]
+
+    def semdedup_at(k: int):
+        def run(spark, sf_dir):
+            emb = load(spark, sf_dir, "embeddings")
+            return semdedup(
+                emb, "vec_id", "embedding",
+                k=k, iterations=KMEANS_ITERS, threshold=DUP_THRESHOLD,
+            )
+        return run
+
+    def near_dups_at(n_bands: int, planes: int):
+        def run(spark, sf_dir):
+            emb = load(spark, sf_dir, "embeddings")
+            return embedding_near_dups(
+                emb, "embedding", "vec_id", threshold=0.95, dim=DIM,
+                n_bands=n_bands, planes_per_band=planes,
+            )
+        return run
+
+    report: dict = {
+        "mult": MULT,
+        "base_dir": BASE_DIR,
+        "scaled_rows": {
+            "documents": pq.read_metadata(
+                os.path.join(cache, "documents.parquet")).num_rows,
+            "embeddings": pq.read_metadata(
+                os.path.join(cache, "embeddings.parquet")).num_rows,
+        },
+        "queries": {},
+    }
+
+    for sf_dir, tag in ((BASE_DIR, "base"), (cache, "scaled")):
+        for t in ("documents", "embeddings"):
+            load(spark, sf_dir, t).count()  # warm FS/codegen
+        for name in fixed:
+            s, rows = _measure(spark, specs[name].build, sf_dir, RUNS)
+            q = report["queries"].setdefault(name, {"group": "fixed-knob"})
+            q[tag] = {"sec": s, "rows": rows}
+            print(f"# {name}@{tag}: {s}s {rows} rows", file=sys.stderr)
+        knob_mult = MULT if tag == "scaled" else 1
+        planes_extra = max(0, (MULT - 1).bit_length()) if tag == "scaled" else 0
+        for name, fn in (
+            (f"sim_semdedup[k={KMEANS_K}]", semdedup_at(KMEANS_K)),
+            (
+                f"sim_semdedup[k={KMEANS_K}*mult]" if tag == "scaled"
+                else None,
+                semdedup_at(KMEANS_K * knob_mult),
+            ),
+            ("sim_embedding_near_dups[4x8]", near_dups_at(4, 8)),
+            (
+                f"sim_embedding_near_dups[6x{8 + planes_extra}]" if tag == "scaled"
+                else None,
+                near_dups_at(6, 8 + planes_extra),
+            ),
+        ):
+            if name is None:
+                continue
+            s, rows = _measure(spark, fn, sf_dir, RUNS)
+            q = report["queries"].setdefault(name, {"group": "scaled-knob"})
+            q[tag] = {"sec": s, "rows": rows}
+            print(f"# {name}@{tag}: {s}s {rows} rows", file=sys.stderr)
+
+    # knob-scaled variants have no base-scale run of their own — their
+    # honest comparison point is the DEFAULT knob at base scale (corpus
+    # grew MULT-x, knob grew with it, per the operator's scale contract)
+    borrow = {
+        f"sim_semdedup[k={KMEANS_K}*mult]": f"sim_semdedup[k={KMEANS_K}]",
+        f"sim_embedding_near_dups[6x{8 + max(0, (MULT - 1).bit_length())}]":
+            "sim_embedding_near_dups[4x8]",
+    }
+    for name, q in report["queries"].items():
+        base = q.get("base") or report["queries"].get(borrow.get(name, ""), {}).get("base")
+        if base and "scaled" in q:
+            if "base" not in q:
+                q["base_borrowed_from"] = borrow[name]
+            q["time_ratio"] = round(q["scaled"]["sec"] / max(base["sec"], 1e-9), 2)
+            q["sublinear_vs_mult"] = q["time_ratio"] < MULT
+
+    with open(OUT, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({"out": OUT, "queries": len(report["queries"])}))
+
+
+if __name__ == "__main__":
+    main()
