@@ -1,16 +1,31 @@
-"""EXPERIMENTAL write-side API: synthesize Hudi tables file-by-file.
+"""Write-side API: Hudi tables from Spark DataFrames, plus table
+services.
 
 The reference is read-only (hudi-rs has no writer; its fixtures come
-from Spark/Hudi jobs). This package is the repo's own minimal writer —
-promoted from the test fixture generator once it became the de-facto
-way to build tables for round-trip verification (write -> read ->
-oracle): log-block framing and avro encoding per the public Hudi spec
-as re-expressed in ``logfile/reader.py``, timeline file naming per
-``timeline/instant.py``.
+from Spark/Hudi jobs), so everything here is beyond-reference capability
+built on the same format knowledge as the readers: log-block framing and
+avro encoding per the public Hudi spec as re-expressed in
+``logfile/reader.py``, timeline file naming per ``timeline/instant.py``.
 
-Scope: driver-side, local-filesystem, MOR tables at versions 6 and 8 —
-fixture generation and round-trip testing, NOT a production ingest
-path (no concurrency control, no marker files, no MDT maintenance).
+Surfaces:
+
+- ``df.write.format("hudi_py")`` — COW/MOR insert, append/overwrite
+  (``writer.HudiPyBatchWriter``; executor-side Arrow encode per task);
+- ``upsert.upsert`` / ``upsert.delete`` — MOR log-block upserts routed
+  to existing file groups via a distributed location index;
+- ``compact.compact`` — per-slice base+log merge, one ``commit``;
+- ``cluster.cluster`` — small-file rewrite (optionally sort-ordered),
+  one ``replacecommit``;
+- ``stream.HudiPyStreamWriter`` — ``writeStream.format("hudi_py")``,
+  one commit per micro-batch, exactly-once across restarts;
+- ``mdt.apply_commit_to_mdt`` — metadata-table files partition kept in
+  step with every commit (HFile v3 + MDT log blocks);
+- ``table.HudiTableWriter`` — low-level file-by-file fixture writer
+  (v6 layout-1, v8 layout-2) the services grew out of.
+
+Scope: local/posix-path storage; single-writer (no lock provider /
+concurrency control, no marker reconciliation) — the ingest semantics a
+single Spark job needs, not multi-writer OCC.
 """
 
 from hudi_rs_spark.write.logblocks import (  # noqa: F401
@@ -28,4 +43,7 @@ from hudi_rs_spark.write.logblocks import (  # noqa: F401
     rollback_block,
     write_lsm_history,
 )
+from hudi_rs_spark.write.cluster import cluster  # noqa: F401
+from hudi_rs_spark.write.compact import compact  # noqa: F401
 from hudi_rs_spark.write.table import META_COLS, HudiTableWriter  # noqa: F401
+from hudi_rs_spark.write.upsert import delete, upsert  # noqa: F401

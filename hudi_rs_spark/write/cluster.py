@@ -1,0 +1,181 @@
+"""Clustering table service: rewrite small/fragmented file groups into
+fewer (optionally sort-ordered) base files and publish ONE
+``replacecommit`` — the write-side dual of the replace-commit exclusion
+the readers already honor (timeline.replaced_file_group_ids_as_of;
+reference lifecycle: crates/test/src/v9_verification.rs:33-41 treats
+clustering exactly like INSERT_OVERWRITE — superseded file groups stay
+on storage, excluded from snapshots at/after the instant, still
+reachable by time travel before it).
+
+Spark-first split (same shape as write/compact.py):
+
+- DRIVER plans clustering groups: current snapshot slices via the
+  connector's planner, grouped per partition, bucketed into groups of
+  at most ``max_group_slices`` with the reference's
+  ``split_into_chunks`` parity util (util/collection.rs:37-49 — the
+  same bucketing the read side uses for parallel scans).
+- EXECUTORS rewrite: one task per clustering group reads its slices
+  through ``pyds._read_slice`` (identical merge/delete semantics as
+  every read — MOR log files are absorbed for free), concatenates,
+  optionally sorts by ``sort_columns`` (pyarrow sort — the classic
+  Hudi z-order/linear-sort clustering payoff: downstream min/max
+  pruning on the sort key), and writes ONE new base file per group.
+- DRIVER publishes the ``replacecommit`` naming every input file group
+  in ``partitionToReplaceFileIds``.
+
+Scale: parallelism = clustering groups; bytes touched = the groups'
+slices only; no shuffle (a group is the rewrite scope). Group size is
+bounded by ``max_group_slices`` so a million-file-group partition maps
+to many bounded tasks, never one giant task.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from hudi_rs_spark.write.config import WriteConfig, new_instant
+
+
+def _slice_identity(base_path: str, p) -> tuple[str, str]:
+    """(relative partition dir, file id) of a slice descriptor — from
+    the base file when present, else the first log file (log-only
+    slice)."""
+    from hudi_rs_spark.fs.file_group import BaseFile, LogFile
+
+    ref = p.base_file or p.log_files[0]
+    d = os.path.dirname(os.path.relpath(ref, base_path))
+    rel_dir = "" if d == "." else d
+    name = os.path.basename(ref)
+    if p.base_file:
+        return rel_dir, BaseFile.parse(name).file_id
+    return rel_dir, LogFile.parse(name).file_id
+
+
+def _cluster_one(args):
+    """Executor: rewrite one clustering group -> one new base file."""
+    base_path, instant, rel_dir, group_idx, slices, sort_columns = args
+    import uuid
+
+    from pyspark import TaskContext
+
+    from hudi_rs_spark.sources.pyds import _read_slice
+
+    batches = []
+    for p in slices:
+        batches.extend(_read_slice(p))
+    if batches:
+        merged = pa.Table.from_batches(batches)
+    else:
+        import json
+
+        from pyspark.sql import types as T
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        merged = to_arrow_schema(
+            T.StructType.fromJson(json.loads(slices[0].schema_json))
+        ).empty_table()
+    if sort_columns:
+        merged = merged.sort_by([(c, "ascending") for c in sort_columns])
+
+    tc = TaskContext.get()
+    token = f"{tc.partitionId()}-{tc.stageId()}-{tc.attemptNumber()}" if tc else "0-0-0"
+    fid = f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{instant}:{rel_dir}:{group_idx}')}-0"
+    name = f"{fid}_{token}_{instant}.parquet"
+    rel = f"{rel_dir}/{name}" if rel_dir else name
+    if "_hoodie_file_name" in merged.column_names:
+        i = merged.column_names.index("_hoodie_file_name")
+        merged = merged.set_column(
+            i, "_hoodie_file_name", pa.array([name] * len(merged), pa.string())
+        )
+    full = os.path.join(base_path, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    pq.write_table(merged, full)
+    return {
+        "fileId": fid,
+        "path": rel,
+        "partitionPath": rel_dir,
+        "numWrites": len(merged),
+        "fileSizeInBytes": os.path.getsize(full),
+        "totalWriteBytes": os.path.getsize(full),
+    }
+
+
+def cluster(
+    spark,
+    path: str,
+    sort_columns: tuple[str, ...] = (),
+    max_group_slices: int = 32,
+    min_group_slices: int = 2,
+    instant: str | None = None,
+) -> int:
+    """Cluster the table's current snapshot: every partition whose live
+    file-group count is at least ``min_group_slices`` has its groups
+    bucketed into clustering groups of at most ``max_group_slices`` and
+    rewritten (sorted by ``sort_columns`` when given) into one new base
+    file per group, published as a single ``replacecommit``.
+
+    Returns the number of file groups replaced (0 = nothing to do, no
+    instant published). Snapshot content is invariant (clustering
+    transparency); time travel before the instant still reads the old
+    groups.
+    """
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.sources.hudi import HudiTable
+    from hudi_rs_spark.sources.pyds import HudiPyReader, _as_nullable
+    from hudi_rs_spark.util import split_into_chunks
+    from hudi_rs_spark.write.writer import commit_instant
+
+    tc = HudiTableConfig.from_base_path(path)
+    table = HudiTable(path, spark, listing="direct")
+    reader = HudiPyReader(
+        HudiTable(path, spark=None, listing="direct"),
+        {"path": path},
+        _as_nullable(table.get_schema()),
+    )
+    by_partition: dict[str, list] = {}
+    fids: dict[str, list[str]] = {}
+    for p in reader.partitions():
+        rel_dir, fid = _slice_identity(path, p)
+        by_partition.setdefault(rel_dir, []).append(p)
+        fids.setdefault(rel_dir, []).append(fid)
+
+    instant = instant or new_instant()
+    work = []
+    replaced: dict[str, list[str]] = {}
+    for rel_dir, slices in sorted(by_partition.items()):
+        if len(slices) < min_group_slices:
+            continue
+        n_groups = -(-len(slices) // max(1, max_group_slices))  # ceil
+        for gi, chunk in enumerate(split_into_chunks(slices, n_groups)):
+            work.append((path, instant, rel_dir, gi, list(chunk), tuple(sort_columns)))
+        replaced[rel_dir] = sorted(set(fids[rel_dir]))
+    if not work:
+        return 0
+
+    stats = (
+        spark.sparkContext.parallelize(work, len(work)).map(_cluster_one).collect()
+    )
+    cfg = WriteConfig(
+        path=path,
+        table_name=tc.table_name,
+        record_key_fields=tuple(tc.record_key_fields) or ("id",),
+        precombine_field=(tc.ordering_fields or [None])[0],
+        partition_fields=tuple(tc.partition_fields),
+        table_type=tc.table_type.value,
+        table_version=tc.table_version,
+        instant=instant,
+        operation="cluster",
+    )
+    commit_instant(
+        cfg, stats, table.schema_json(), replaced=replaced,
+        action="replacecommit", instant=instant,
+    )
+    meta_parts = tc.props.get("hoodie.table.metadata.partitions", "")
+    if "files" in meta_parts:
+        from hudi_rs_spark.write.mdt import apply_commit_to_mdt
+
+        apply_commit_to_mdt(cfg, stats)
+    return sum(len(v) for v in replaced.values())

@@ -34,7 +34,9 @@ INTERNAL_COLS = (TARGET_FILE_COL, TARGET_INSTANT_COL, LOG_VERSION_COL)
 OP_INSERT = "insert"
 OP_UPSERT = "upsert"
 OP_INSERT_OVERWRITE = "insert_overwrite_table"
-OPERATIONS = (OP_INSERT, OP_UPSERT, OP_INSERT_OVERWRITE, "bulk_insert", "compact")
+OPERATIONS = (
+    OP_INSERT, OP_UPSERT, OP_INSERT_OVERWRITE, "bulk_insert", "compact", "cluster",
+)
 
 
 def new_instant() -> str:

@@ -270,6 +270,128 @@ class TestCompaction:
         assert by_upsert[1] == "v2"
 
 
+class TestClustering:
+    _OPTS = {"recordkey.field": "id", "precombine.field": "ts"}
+
+    def _fragmented(self, spark, tdir, appends=3, rows=20):
+        """COW table with ``appends`` separate commits -> many small
+        file groups."""
+        for a in range(appends):
+            df = spark.createDataFrame(
+                [(a * rows + i, f"n{a * rows + i}", ["a", "b"][i % 2], 1)
+                 for i in range(rows)],
+                "id long, name string, city string, ts long",
+            )
+            _write(df.repartition(2), tdir, **self._OPTS)
+
+    def test_snapshot_invariant_and_groups_shrink(self, spark, tdir):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.cluster import cluster
+
+        _register(spark)
+        self._fragmented(spark, tdir)
+        pre_slices = HudiTable(tdir, spark).get_file_slices()
+        pre = sorted(map(tuple, _load(spark, tdir).select("id", "name").collect()))
+        replaced = cluster(spark, tdir, sort_columns=("id",))
+        assert replaced == len(pre_slices)
+        post = sorted(map(tuple, _load(spark, tdir).select("id", "name").collect()))
+        assert post == pre
+        post_slices = HudiTable(tdir, spark).get_file_slices()
+        # one clustering group (output file) per partition dir
+        assert len(post_slices) == len({s.partition_path for s in pre_slices})
+        assert len(post_slices) < len(pre_slices)
+        # idempotent: single group per partition -> nothing to do
+        assert cluster(spark, tdir) == 0
+
+    def test_sorted_output_enables_minmax_pruning(self, spark, tdir):
+        import pyarrow.parquet as pq
+
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.cluster import cluster
+
+        _register(spark)
+        self._fragmented(spark, tdir)
+        cluster(spark, tdir, sort_columns=("id",))
+        for s in HudiTable(tdir, spark).get_file_slices():
+            col = pq.read_table(
+                os.path.join(tdir, s.base_file_relative_path()), columns=["id"]
+            )["id"].to_pylist()
+            assert col == sorted(col)
+
+    def test_time_travel_before_clustering_sees_old_groups(self, spark, tdir):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.cluster import cluster
+
+        _register(spark)
+        self._fragmented(spark, tdir, appends=2)
+        t = HudiTable(tdir, spark)
+        pre_instants = [i.timestamp for i in t.get_timeline().instants]
+        pre_files = {s.file_id for s in t.get_file_slices()}
+        cluster(spark, tdir)
+        at_pre = HudiTable(tdir, spark).get_file_slices(
+            as_of_timestamp=pre_instants[-1]
+        )
+        assert {s.file_id for s in at_pre} == pre_files
+        rows = _load(spark, tdir, asOf=pre_instants[0]).count()
+        assert rows == 20  # first append only
+
+    def test_mor_logs_absorbed_and_groups_bounded(self, spark, tdir):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.cluster import cluster
+        from hudi_rs_spark.write.upsert import upsert
+
+        _register(spark)
+        for a in range(2):
+            df = spark.createDataFrame(
+                [(a * 20 + i, f"n{a * 20 + i}", "a", 1) for i in range(20)],
+                "id long, name string, city string, ts long",
+            )
+            _write(df.repartition(2), tdir, **{
+                **self._OPTS, "table.type": "MERGE_ON_READ",
+            })
+        upsert(
+            spark.createDataFrame(
+                [(i, f"u{i}", "a", 2) for i in range(0, 40, 5)],
+                "id long, name string, city string, ts long",
+            ),
+            tdir,
+        )
+        pre = sorted(map(tuple, _load(spark, tdir).select("id", "name").collect()))
+        # max_group_slices=2 with 4 file groups in one partition -> 2 groups
+        replaced = cluster(spark, tdir, max_group_slices=2)
+        assert replaced == 4
+        post_slices = HudiTable(tdir, spark).get_file_slices()
+        assert len(post_slices) == 2
+        assert all(not s.has_log_files for s in post_slices)
+        post = sorted(map(tuple, _load(spark, tdir).select("id", "name").collect()))
+        assert post == pre
+
+    def test_mdt_listing_tracks_clustering(self, spark, tdir):
+        """direct vs MDT listing equality after a replacecommit — the
+        same invariant TestWriterMdt pins for insert/upsert/compact."""
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.cluster import cluster
+
+        _register(spark)
+        for a in range(2):
+            df = spark.createDataFrame(
+                [(a * 10 + i, f"n{a * 10 + i}", "a", 1) for i in range(10)],
+                "id long, name string, city string, ts long",
+            )
+            _write(df.repartition(1), tdir, **{
+                **self._OPTS, "table.version": "8", "metadata.enable": "true",
+            })
+        assert cluster(spark, tdir) == 2
+
+        def key(sl):
+            return (sl.partition_path, sl.file_id, sl.commit_timestamp)
+
+        direct = HudiTable(tdir, spark, listing="direct").get_file_slices()
+        mdt = HudiTable(tdir, spark, listing="mdt").get_file_slices()
+        assert sorted(map(key, direct)) == sorted(map(key, mdt))
+        assert len(direct) == 1
+
+
 class TestStreamingSink:
     def _sources(self, spark, tmp_path, batches=3, rows=10):
         srcdir = str(tmp_path / "src")
