@@ -96,6 +96,7 @@ HEADLINE = [
     "write_cow_roundtrip",
     "write_upsert_roundtrip",
     "write_compacted_snapshot",
+    "write_clustered_snapshot",
     # sample_split_leakfree stays registry/oracle-only: its plan is the
     # dedup_cluster_canonical LSH+CC (already benched twice via
     # pipeline_curate) plus a map-side coin flip.
@@ -135,6 +136,7 @@ def main() -> None:
 
     _ensure_lifecycle_table(spark, sf_dir, compacted=False)
     _ensure_lifecycle_table(spark, sf_dir, compacted=True)
+    _ensure_lifecycle_table(spark, sf_dir, compacted=False, clustered=True)
 
     # best-of-N per query: single runs at fixed-overhead scale are noisy
     # (r2 flagged 15% run-to-run swings on sub-3s queries); min over N

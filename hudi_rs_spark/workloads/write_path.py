@@ -88,11 +88,15 @@ def _apply_upserts(spark: SparkSession, sf_dir: str, path: str) -> None:
     )
 
 
-def _ensure_lifecycle_table(spark: SparkSession, sf_dir: str, compacted: bool) -> str:
-    """Build (once per sf fingerprint) the seeded+upserted[+compacted]
-    MOR table through the real writer surface; scratch-then-rename keeps
-    concurrent builders safe (same pattern as workloads/mor.py)."""
-    name = f"docs_{'c' if compacted else 'u'}_{_fingerprint(sf_dir)}"
+def _ensure_lifecycle_table(
+    spark: SparkSession, sf_dir: str, compacted: bool, clustered: bool = False
+) -> str:
+    """Build (once per sf fingerprint) the seeded+upserted[+compacted|
+    +clustered] MOR table through the real writer surface;
+    scratch-then-rename keeps concurrent builders safe (same pattern as
+    workloads/mor.py)."""
+    stage = "l" if clustered else ("c" if compacted else "u")
+    name = f"docs_{stage}_{_fingerprint(sf_dir)}"
     base = os.path.join(_CACHE, name)
     if os.path.isdir(os.path.join(base, ".hoodie")):
         return base
@@ -110,6 +114,10 @@ def _ensure_lifecycle_table(spark: SparkSession, sf_dir: str, compacted: bool) -
         from hudi_rs_spark.write.compact import compact
 
         compact(spark, scratch)
+    if clustered:
+        from hudi_rs_spark.write.cluster import cluster
+
+        cluster(spark, scratch, sort_columns=("doc_id",), min_group_slices=1)
     try:
         os.rename(scratch, base)
     except OSError:
@@ -201,6 +209,20 @@ def write_compacted_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_clustered_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same lifecycle + clustering (sorted small-file rewrite into one
+    replacecommit): identical rows served from fewer, doc_id-sorted
+    base files — clustering transparency as an oracle-checked
+    equality."""
+    _register(spark)
+    path = _ensure_lifecycle_table(spark, sf_dir, compacted=False, clustered=True)
+    return (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+
+
 for _n, _f, _s, _d in [
     ("write_cow_roundtrip", write_cow_roundtrip, WRITE_COW_SQL,
      "df.write COW round trip: fresh distributed write + read-back aggregate"),
@@ -208,5 +230,7 @@ for _n, _f, _s, _d in [
      "writer-seeded MOR + upsert/delete lifecycle, merged snapshot"),
     ("write_compacted_snapshot", write_compacted_snapshot, LIFECYCLE_SQL,
      "post-compaction snapshot equals the uncompacted oracle"),
+    ("write_clustered_snapshot", write_clustered_snapshot, LIFECYCLE_SQL,
+     "post-clustering snapshot equals the unclustered oracle"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("write", "hudi"), doc=_d))
