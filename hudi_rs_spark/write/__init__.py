@@ -16,6 +16,11 @@ Surfaces:
 - ``compact.compact`` — per-slice base+log merge, one ``commit``;
 - ``cluster.cluster`` — small-file rewrite (optionally sort-ordered),
   one ``replacecommit``;
+- ``clean.clean`` — KEEP_LATEST_COMMITS storage reclamation, one
+  ``.clean`` instant;
+- ``rollback.rollback_failed_writes`` — orphan cleanup after a crashed
+  write (delete orphan bases / void orphan log blocks), one
+  ``.rollback`` instant;
 - ``stream.HudiPyStreamWriter`` — ``writeStream.format("hudi_py")``,
   one commit per micro-batch, exactly-once across restarts;
 - ``mdt.apply_commit_to_mdt`` — metadata-table files partition kept in
@@ -43,7 +48,9 @@ from hudi_rs_spark.write.logblocks import (  # noqa: F401
     rollback_block,
     write_lsm_history,
 )
+from hudi_rs_spark.write.clean import clean  # noqa: F401
 from hudi_rs_spark.write.cluster import cluster  # noqa: F401
 from hudi_rs_spark.write.compact import compact  # noqa: F401
+from hudi_rs_spark.write.rollback import rollback_failed_writes  # noqa: F401
 from hudi_rs_spark.write.table import META_COLS, HudiTableWriter  # noqa: F401
 from hudi_rs_spark.write.upsert import delete, upsert  # noqa: F401

@@ -1,0 +1,134 @@
+"""Clean table service: delete file slices no retained snapshot can
+reach — the storage-reclamation dual of compaction/clustering, which
+both leave superseded slices on disk for time travel.
+
+KEEP_LATEST_COMMITS semantics (the Hudi default cleaner policy):
+
+- the retention boundary is the ``retain_commits``-th newest completed
+  data instant; every snapshot as-of an instant >= boundary must stay
+  byte-identical after cleaning;
+- per file group, the latest slice at or before the boundary still
+  serves ``as_of == boundary`` reads and is KEPT; strictly older slices
+  (and their absorbed log files) are deleted;
+- file groups replaced by a replacecommit <= boundary are invisible to
+  every retained snapshot: ALL their slices are deleted;
+- slices at pending instants are never touched (an in-flight writer may
+  still complete them); slices at unknown instants (orphans from
+  crashed writes) are rollback's job, not clean's.
+
+Time travel earlier than the boundary is undefined after a clean — the
+standard Hudi caveat; the boundary is recorded in the ``.clean``
+instant's metadata (``earliestCommitToRetain``) so readers/operators
+can check. The readers' timeline parser skips ``.clean`` instants (non-
+data action), so published clean instants never perturb scans.
+
+Scale note: the work is metadata-sized — one listing (MDT fast path
+when enabled) + an O(slices) sweep; deletions are issued through the
+storage abstraction on the driver. At 100 TB the deletion fan-out could
+be distributed, but the decision set (file names) always fits driver
+memory — it is bounded by file COUNT, not data bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from hudi_rs_spark.write.config import WriteConfig, new_instant
+
+
+def clean(path: str, retain_commits: int = 10, instant: str | None = None) -> int:
+    """Apply KEEP_LATEST_COMMITS cleaning; returns the number of files
+    deleted (0 = nothing to clean, no instant published)."""
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.fs.fs_view import build_file_groups
+    from hudi_rs_spark.sources.hudi import HudiTable
+    from hudi_rs_spark.write.writer import timeline_dir
+
+    table = HudiTable(path, spark=None, listing="direct")
+    timeline = table.timeline
+    completed = sorted(timeline.instants, key=lambda i: i.sort_key())
+    if len(completed) <= retain_commits:
+        return 0
+    boundary = completed[-retain_commits].timestamp
+    completed_ts = {i.timestamp for i in completed}
+    pending_ts = set(timeline.pending_timestamps)
+    replaced_fids = timeline.replaced_file_group_ids_as_of(boundary)
+
+    groups = build_file_groups(path, table._completion_times())
+    deleted: dict[str, list[str]] = {}
+    to_remove: list[str] = []
+    for (partition, fid), group in groups.items():
+        slices = sorted(group.slices.items())  # by commit ts ascending
+        if fid in replaced_fids:
+            victims = [s for _, s in slices]
+        else:
+            eligible = [
+                (ts, s) for ts, s in slices
+                if ts <= boundary and ts in completed_ts
+            ]
+            # the newest at-or-before-boundary slice serves
+            # as_of == boundary; everything older is unreachable
+            victims = [s for _, s in eligible[:-1]]
+        for s in victims:
+            if s.commit_timestamp in pending_ts:
+                continue
+            rels = []
+            if s.base_file is not None:
+                rels.append(s.base_file_relative_path())
+            rels.extend(s.log_file_relative_paths())
+            for rel in rels:
+                to_remove.append(rel)
+                deleted.setdefault(partition, []).append(os.path.basename(rel))
+    if not to_remove:
+        return 0
+
+    # the write package is local/posix-path scope (see package
+    # docstring); the read-side Storage contract has no delete
+    for rel in to_remove:
+        try:
+            os.remove(os.path.join(path, rel))
+        except OSError:
+            pass
+
+    config = HudiTableConfig.from_base_path(path)
+    instant = instant or new_instant()
+    cfg = WriteConfig(
+        path=path,
+        table_name=config.table_name,
+        record_key_fields=tuple(config.record_key_fields) or ("id",),
+        precombine_field=(config.ordering_fields or [None])[0],
+        partition_fields=tuple(config.partition_fields),
+        table_type=config.table_type.value,
+        table_version=config.table_version,
+        instant=instant,
+        operation="clean",
+    )
+    # .clean instant: earliestCommitToRetain + per-partition deletions
+    # (the readers' timeline parser skips the action; this is operator
+    # metadata, mirroring Hudi's HoodieCleanMetadata essentials)
+    tdir = timeline_dir(cfg)
+    os.makedirs(tdir, exist_ok=True)
+    if cfg.table_version >= 8:
+        name = f"{instant}_{max(new_instant(), instant)}.clean"
+    else:
+        name = f"{instant}.clean"
+    meta = {
+        "earliestCommitToRetain": boundary,
+        "totalFilesDeleted": len(to_remove),
+        "partitionMetadata": {
+            part: {"deletePathPatterns": names}
+            for part, names in sorted(deleted.items())
+        },
+    }
+    tmp = os.path.join(tdir, name + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(json.dumps(meta).encode())
+    os.replace(tmp, os.path.join(tdir, name))
+
+    meta_parts = config.props.get("hoodie.table.metadata.partitions", "")
+    if "files" in meta_parts:
+        from hudi_rs_spark.write.mdt import apply_deletions_to_mdt
+
+        apply_deletions_to_mdt(cfg, deleted)
+    return len(to_remove)

@@ -35,7 +35,8 @@ OP_INSERT = "insert"
 OP_UPSERT = "upsert"
 OP_INSERT_OVERWRITE = "insert_overwrite_table"
 OPERATIONS = (
-    OP_INSERT, OP_UPSERT, OP_INSERT_OVERWRITE, "bulk_insert", "compact", "cluster",
+    OP_INSERT, OP_UPSERT, OP_INSERT_OVERWRITE, "bulk_insert", "compact",
+    "cluster", "clean", "rollback",
 )
 
 

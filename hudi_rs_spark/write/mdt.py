@@ -164,6 +164,40 @@ def apply_commit_to_mdt(cfg: WriteConfig, stats: list[dict]) -> None:
             ),
         )
     )
+    _append_mdt_records(cfg, mdt, records)
+
+
+def apply_deletions_to_mdt(cfg: WriteConfig, deleted: dict[str, list[str]]) -> None:
+    """Record a clean's file deletions as isDeleted tombstones — the
+    reader's merge (merger.rs semantics in files_partition._merge_into)
+    drops tombstoned names, so the MDT listing stays equal to the
+    post-clean direct listing."""
+    from hudi_rs_spark.write.logblocks import encode_datum
+
+    mdt = _mdt_base(cfg)
+    _init_mdt(mdt)
+    records: list[tuple[bytes, bytes]] = []
+    for part, names in sorted(deleted.items()):
+        key = part if part else NON_PARTITIONED_NAME
+        value = {
+            "key": key,
+            "type": 2,
+            "filesystemMetadata": {
+                n: {"size": 0, "isDeleted": True} for n in sorted(set(names))
+            },
+        }
+        records.append((key.encode(), encode_datum(value, MDT_RECORD_SCHEMA)))
+    if records:
+        _append_mdt_records(cfg, mdt, records)
+
+
+def _append_mdt_records(
+    cfg: WriteConfig, mdt: str, records: list[tuple[bytes, bytes]]
+) -> None:
+    """Append one HFile-payload log block carrying ``records`` to the
+    MDT files file group and publish the matching MDT deltacommit."""
+    from hudi_rs_spark.hfile.writer import build_hfile
+    from hudi_rs_spark.write.logblocks import frame_block
 
     hfile_bytes = build_hfile(
         records, {"schema": json.dumps(MDT_RECORD_SCHEMA).encode()}

@@ -1,0 +1,149 @@
+"""Rollback service: clean up a crashed write.
+
+The batch writer publishes its completed instant atomically AFTER all
+data files land, so a crash leaves ORPHANS — base files / log blocks
+stamped with an instant the timeline never completed. Readers already
+ignore them (file-slice selection keeps only completed instants;
+``logfile/reader.valid_blocks`` drops blocks at unknown instants), so
+rollback is reclamation plus making the invisibility durable:
+
+- orphan BASE files are deleted outright;
+- a log file whose every data/delete block belongs to orphan instants
+  is deleted;
+- a log file MIXING live and orphan blocks gets a rollback COMMAND
+  block appended per orphan instant (``logblocks.rollback_block`` —
+  block type 2, command type 0), the reference's own voiding mechanism
+  (its read side aggregates targets across all of a slice's log files:
+  log_file/reader.rs rollback handling, pinned by the repo's MOR
+  rollback fixtures) — so the orphan blocks stay dead even for readers
+  that cannot see this table's timeline (e.g. after archival);
+- stale ``*.tmp`` droppings from an interrupted commit publish are
+  removed from the timeline dir;
+- one ``{ts}.rollback`` instant records ``commitsRollback`` (readers
+  skip non-data actions).
+
+SAFETY: single-writer scope (package docstring) — an instant absent
+from the timeline is only provably dead when no writer is running.
+Hudi proper needs markers + heartbeats to make this safe under
+concurrency; this repo's writer does not claim multi-writer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from hudi_rs_spark.write.config import WriteConfig, new_instant
+
+
+def rollback_failed_writes(path: str, instant: str | None = None) -> list[str]:
+    """Remove/void every orphan instant's data; returns the sorted list
+    of rolled-back instants ([] = table was clean, nothing published)."""
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.fs.file_group import BaseFile, LogFile
+    from hudi_rs_spark.fs.fs_view import list_data_files
+    from hudi_rs_spark.logfile.reader import (
+        BLOCK_COMMAND,
+        BLOCK_CORRUPTED,
+        BLOCK_HFILE_DATA,
+        read_log_file,
+        rollback_targets,
+    )
+    from hudi_rs_spark.sources.hudi import HudiTable
+    from hudi_rs_spark.write.logblocks import rollback_block
+    from hudi_rs_spark.write.writer import timeline_dir
+
+    table = HudiTable(path, spark=None, listing="direct")
+    timeline = table.timeline
+    known = {i.timestamp for i in timeline.instants} | set(
+        timeline.pending_timestamps
+    )
+    known |= set(timeline.archived_completed_timestamps() or ())
+
+    rolled: set[str] = set()
+    files_deleted = 0
+    for partition, name, _size in list(list_data_files(path)):
+        rel = f"{partition}/{name}" if partition else name
+        full = os.path.join(path, rel)
+        if name.startswith("."):
+            if ".log." not in name:
+                continue
+            try:
+                LogFile.parse(name)
+            except ValueError:
+                continue
+            try:
+                blocks = read_log_file(full)
+            except (ValueError, OSError):
+                continue  # corrupt tail = crashed append; leave for manual ops
+            data_instants = {
+                b.instant_time
+                for b in blocks
+                if b.block_type not in (BLOCK_COMMAND, BLOCK_CORRUPTED,
+                                        BLOCK_HFILE_DATA)
+                and b.instant_time
+            }
+            # instants already voided by an earlier rollback command
+            # block are settled — never re-rolled (idempotence)
+            voided = rollback_targets(blocks)
+            dead = {ts for ts in data_instants if ts not in known}
+            orphans = dead - voided
+            if not orphans:
+                continue
+            rolled |= orphans
+            if dead == data_instants:  # no live data block in the file
+                os.remove(full)
+                files_deleted += 1
+            else:
+                void_instant = instant or new_instant()
+                with open(full, "ab") as f:
+                    for ts in sorted(orphans):
+                        f.write(rollback_block(void_instant, ts))
+        else:
+            try:
+                bf = BaseFile.parse(name)
+            except ValueError:
+                continue
+            if bf.commit_timestamp not in known:
+                rolled.add(bf.commit_timestamp)
+                os.remove(full)
+                files_deleted += 1
+
+    config = HudiTableConfig.from_base_path(path)
+    tdir_probe = timeline_dir(
+        WriteConfig(
+            path=path, table_name=config.table_name,
+            record_key_fields=tuple(config.record_key_fields) or ("id",),
+            precombine_field=(config.ordering_fields or [None])[0],
+            partition_fields=tuple(config.partition_fields),
+            table_type=config.table_type.value,
+            table_version=config.table_version,
+            instant=instant or new_instant(), operation="rollback",
+        )
+    )
+    if os.path.isdir(tdir_probe):
+        for n in os.listdir(tdir_probe):
+            if n.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(tdir_probe, n))
+                except OSError:
+                    pass
+    if not rolled:
+        return []
+
+    ts = instant or new_instant()
+    os.makedirs(tdir_probe, exist_ok=True)
+    if config.table_version >= 8:
+        name = f"{ts}_{max(new_instant(), ts)}.rollback"
+    else:
+        name = f"{ts}.rollback"
+    meta = {
+        "commitsRollback": sorted(rolled),
+        "totalFilesDeleted": files_deleted,
+        "startRollbackTime": ts,
+    }
+    tmp = os.path.join(tdir_probe, name + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(json.dumps(meta).encode())
+    os.replace(tmp, os.path.join(tdir_probe, name))
+    return sorted(rolled)

@@ -392,6 +392,193 @@ class TestClustering:
         assert len(direct) == 1
 
 
+class TestCleanService:
+    _MOR = {
+        "recordkey.field": "id", "precombine.field": "ts",
+        "table.type": "MERGE_ON_READ",
+    }
+
+    def _lifecycle(self, spark, tdir, mdt=False):
+        """seed -> upsert (logs) -> compact: the seed slice becomes
+        cleanable once the boundary passes the compaction."""
+        from hudi_rs_spark.write.compact import compact
+        from hudi_rs_spark.write.upsert import upsert
+
+        opts = dict(self._MOR)
+        if mdt:
+            opts.update({"table.version": "8", "metadata.enable": "true"})
+        _write(_people(spark, 30).repartition(2), tdir, **opts)
+        upsert(
+            spark.createDataFrame(
+                [(i, f"u{i}", "a", 2) for i in range(0, 30, 3)],
+                "id long, name string, city string, ts long",
+            ),
+            tdir,
+        )
+        compact(spark, tdir)
+
+    def test_old_slices_reclaimed_snapshot_invariant(self, spark, tdir):
+        import glob
+
+        from hudi_rs_spark.write.clean import clean
+
+        _register(spark)
+        self._lifecycle(spark, tdir)
+        pre = sorted(map(tuple, _load(spark, tdir).select("id", "name").collect()))
+        files_before = len(glob.glob(os.path.join(tdir, "**", "*"), recursive=True))
+        n = clean(tdir, retain_commits=1)
+        assert n > 0
+        files_after = len([
+            p for p in glob.glob(os.path.join(tdir, "**", "*"), recursive=True)
+            if "/.hoodie/" not in p and os.path.isfile(p)
+        ])
+        post = sorted(map(tuple, _load(spark, tdir).select("id", "name").collect()))
+        assert post == pre
+        assert files_after < files_before
+        # idempotent + retention respected
+        assert clean(tdir, retain_commits=1) == 0
+        assert clean(tdir, retain_commits=10) == 0
+
+    def test_replaced_groups_fully_reclaimed(self, spark, tdir):
+        import glob
+
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.clean import clean
+        from hudi_rs_spark.write.cluster import cluster
+
+        _register(spark)
+        for a in range(2):
+            df = spark.createDataFrame(
+                [(a * 20 + i, f"n{a * 20 + i}", "a", 1) for i in range(20)],
+                "id long, name string, city string, ts long",
+            )
+            _write(df.repartition(1), tdir, **{
+                "recordkey.field": "id", "precombine.field": "ts",
+            })
+        old_fids = {s.file_id for s in HudiTable(tdir, spark).get_file_slices()}
+        cluster(spark, tdir)
+        pre = _load(spark, tdir).count()
+        assert clean(tdir, retain_commits=1) > 0
+        live = {
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True)
+            if "/.hoodie/" not in p
+        }
+        for fid in old_fids:
+            assert not any(f.startswith(fid) for f in live)
+        assert _load(spark, tdir).count() == pre
+
+    def test_mdt_listing_tracks_clean(self, spark, tdir):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.clean import clean
+
+        _register(spark)
+        self._lifecycle(spark, tdir, mdt=True)
+        assert clean(tdir, retain_commits=1) > 0
+
+        def key(sl):
+            return (
+                sl.partition_path, sl.file_id, sl.commit_timestamp,
+                tuple(sorted(lf.file_name for lf in sl.log_files)),
+            )
+
+        direct = HudiTable(tdir, spark, listing="direct").get_file_slices()
+        mdt = HudiTable(tdir, spark, listing="mdt").get_file_slices()
+        assert sorted(map(key, direct)) == sorted(map(key, mdt))
+
+
+class TestRollbackService:
+    def test_orphan_base_file_removed(self, spark, tdir):
+        import shutil as sh
+
+        from hudi_rs_spark.write.rollback import rollback_failed_writes
+
+        _register(spark)
+        _write(_people(spark, 20), tdir, **{"recordkey.field": "id"})
+        pre = sorted(map(tuple, _load(spark, tdir).select("id", "name").collect()))
+        # simulate a crashed write: a base file at an instant the
+        # timeline never completed
+        base = next(
+            p for p in os.listdir(tdir)
+            if p.endswith(".parquet") and not p.startswith(".")
+        )
+        fid = base.split("_")[0]
+        orphan = f"{fid}_99-0-9_99990101000000000.parquet"
+        sh.copy(os.path.join(tdir, base), os.path.join(tdir, orphan))
+        assert sorted(
+            map(tuple, _load(spark, tdir).select("id", "name").collect())
+        ) == pre  # invisible before rollback
+        rolled = rollback_failed_writes(tdir)
+        assert rolled == ["99990101000000000"]
+        assert not os.path.exists(os.path.join(tdir, orphan))
+        assert rollback_failed_writes(tdir) == []
+        assert sorted(
+            map(tuple, _load(spark, tdir).select("id", "name").collect())
+        ) == pre
+
+    def test_orphan_log_blocks_voided_not_deleted(self, spark, tdir):
+        import glob
+
+        from hudi_rs_spark.write.logblocks import parquet_data_block
+        from hudi_rs_spark.write.rollback import rollback_failed_writes
+        from hudi_rs_spark.write.upsert import upsert
+
+        _register(spark)
+        _write(_people(spark, 20), tdir, **{
+            "recordkey.field": "id", "precombine.field": "ts",
+            "table.type": "MERGE_ON_READ",
+        })
+        upsert(
+            spark.createDataFrame(
+                [(1, "u1", "b", 2)], "id long, name string, city string, ts long"
+            ),
+            tdir,
+        )
+        pre = sorted(map(tuple, _load(spark, tdir).select("id", "name").collect()))
+        logs = [
+            p for p in glob.glob(os.path.join(tdir, "**", ".*.log.*"), recursive=True)
+            if "/.hoodie/" not in p
+        ]
+        assert logs
+        # crashed upsert: an orphan parquet data block appended to a
+        # live log file
+        orphan_ts = "99990101000000001"
+        with open(logs[0], "ab") as f:
+            f.write(parquet_data_block(orphan_ts, {
+                "_hoodie_commit_time": [orphan_ts],
+                "_hoodie_record_key": ["1"],
+                "id": [1], "name": ["GHOST"], "city": ["b"], "ts": [9],
+            }))
+        rolled = rollback_failed_writes(tdir)
+        assert rolled == [orphan_ts]
+        assert os.path.exists(logs[0])  # mixed file kept, blocks voided
+        post = sorted(map(tuple, _load(spark, tdir).select("id", "name").collect()))
+        assert post == pre
+        assert rollback_failed_writes(tdir) == []  # voided = settled
+
+    def test_tmp_droppings_cleared(self, spark, tdir):
+        from hudi_rs_spark.write.rollback import rollback_failed_writes
+        from hudi_rs_spark.write.writer import timeline_dir
+        from hudi_rs_spark.write.config import WriteConfig
+
+        _register(spark)
+        _write(_people(spark, 10), tdir, **{"recordkey.field": "id"})
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+
+        tc = HudiTableConfig.from_base_path(tdir)
+        tdir_timeline = timeline_dir(WriteConfig(
+            path=tdir, table_name=tc.table_name,
+            record_key_fields=("id",), precombine_field=None,
+            partition_fields=(), table_type=tc.table_type.value,
+            table_version=tc.table_version, instant="x", operation="insert",
+        ))
+        dropping = os.path.join(tdir_timeline, "crashed.commit.inflight.tmp")
+        with open(dropping, "w") as f:
+            f.write("{}")
+        assert rollback_failed_writes(tdir) == []
+        assert not os.path.exists(dropping)
+
+
 class TestStreamingSink:
     def _sources(self, spark, tmp_path, batches=3, rows=10):
         srcdir = str(tmp_path / "src")
