@@ -56,7 +56,7 @@ def _slice_identity(base_path: str, p) -> tuple[str, str]:
 
 def _cluster_one(args):
     """Executor: rewrite one clustering group -> one new base file."""
-    base_path, instant, rel_dir, group_idx, slices, sort_columns = args
+    base_path, instant, rel_dir, group_idx, slices, sort_columns, with_stats = args
     import uuid
 
     from pyspark import TaskContext
@@ -93,7 +93,7 @@ def _cluster_one(args):
     full = os.path.join(base_path, rel)
     os.makedirs(os.path.dirname(full), exist_ok=True)
     pq.write_table(merged, full)
-    return {
+    stat = {
         "fileId": fid,
         "path": rel,
         "partitionPath": rel_dir,
@@ -101,6 +101,11 @@ def _cluster_one(args):
         "fileSizeInBytes": os.path.getsize(full),
         "totalWriteBytes": os.path.getsize(full),
     }
+    if with_stats:
+        from hudi_rs_spark.write.mdt_stats import compute_column_stats
+
+        stat["columnStats"] = compute_column_stats(merged)
+    return stat
 
 
 def cluster(
@@ -143,6 +148,9 @@ def cluster(
         fids.setdefault(rel_dir, []).append(fid)
 
     instant = instant or new_instant()
+    with_stats = "column_stats" in tc.props.get(
+        "hoodie.table.metadata.partitions", ""
+    )
     work = []
     replaced: dict[str, list[str]] = {}
     for rel_dir, slices in sorted(by_partition.items()):
@@ -150,7 +158,10 @@ def cluster(
             continue
         n_groups = -(-len(slices) // max(1, max_group_slices))  # ceil
         for gi, chunk in enumerate(split_into_chunks(slices, n_groups)):
-            work.append((path, instant, rel_dir, gi, list(chunk), tuple(sort_columns)))
+            work.append((
+                path, instant, rel_dir, gi, list(chunk),
+                tuple(sort_columns), with_stats,
+            ))
         replaced[rel_dir] = sorted(set(fids[rel_dir]))
     if not work:
         return 0

@@ -36,7 +36,7 @@ from hudi_rs_spark.write.config import WriteConfig, new_instant
 
 def _compact_one(args):
     """Executor: merge one slice -> new base file; returns a stat dict."""
-    base_path, instant, partition = args
+    base_path, instant, partition, with_stats = args
     from hudi_rs_spark.fs.file_group import BaseFile
     from hudi_rs_spark.sources.pyds import _read_slice
 
@@ -70,7 +70,7 @@ def _compact_one(args):
     full = os.path.join(base_path, rel)
     os.makedirs(os.path.dirname(full), exist_ok=True)
     pq.write_table(merged, full)
-    return {
+    stat = {
         "fileId": bf.file_id,
         "path": rel,
         "partitionPath": rel_dir,
@@ -78,6 +78,11 @@ def _compact_one(args):
         "fileSizeInBytes": os.path.getsize(full),
         "totalWriteBytes": os.path.getsize(full),
     }
+    if with_stats:
+        from hudi_rs_spark.write.mdt_stats import compute_column_stats
+
+        stat["columnStats"] = compute_column_stats(merged)
+    return stat
 
 
 def compact(spark, path: str, instant: str | None = None) -> int:
@@ -101,7 +106,10 @@ def compact(spark, path: str, instant: str | None = None) -> int:
     if not dirty:
         return 0
     instant = instant or new_instant()
-    work = [(path, instant, p) for p in dirty]
+    with_stats = "column_stats" in tc.props.get(
+        "hoodie.table.metadata.partitions", ""
+    )
+    work = [(path, instant, p, with_stats) for p in dirty]
     stats = (
         spark.sparkContext.parallelize(work, len(work)).map(_compact_one).collect()
     )

@@ -72,6 +72,7 @@ class WriteConfig:
     instant: str = field(default_factory=new_instant)
     max_rows_per_file: int = 1 << 22  # ~4M rows: ~128MB at ~32B/row
     emit_metadata: bool = False
+    emit_column_stats: bool = False
 
     def __post_init__(self):
         if self.operation not in OPERATIONS:
@@ -86,6 +87,11 @@ class WriteConfig:
             raise ValueError(
                 "metadata-table emission requires table version 8 "
                 "(the read side only enables the MDT fast path on v8+)"
+            )
+        if self.emit_column_stats and not self.emit_metadata:
+            raise ValueError(
+                "column-stats emission rides in the metadata table; "
+                "enable metadata.enable too"
             )
 
     @property
@@ -113,7 +119,10 @@ class WriteConfig:
                 "true" if self.hive_style else "false"
             )
         if self.emit_metadata:
-            props["hoodie.table.metadata.partitions"] = "files"
+            parts = ["files"]
+            if self.emit_column_stats:
+                parts = ["column_stats", "files", "partition_stats"]
+            props["hoodie.table.metadata.partitions"] = ",".join(parts)
             props["hoodie.metadata.enable"] = "true"
         return props
 
@@ -165,6 +174,10 @@ class WriteConfig:
             max_rows_per_file=int(
                 _opt(options, "max.rows.per.file", default=str(1 << 22))
             ),
+            emit_column_stats=str(
+                _opt(options, "hoodie.metadata.index.column.stats.enable",
+                     "metadata.columnstats.enable", default="false")
+            ).lower() == "true",
             emit_metadata=str(
                 _opt(options, "hoodie.metadata.enable", "metadata.enable",
                      default="false")

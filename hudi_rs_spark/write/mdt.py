@@ -29,6 +29,8 @@ from hudi_rs_spark.write.config import WriteConfig, new_instant
 from hudi_rs_spark.write.writer import _local
 
 MDT_FILE_ID = "files-0000"
+COL_STATS_FILE_ID = "col-stats-0000"
+PART_STATS_FILE_ID = "partition-stats-0000"
 
 # public HoodieMetadataRecord shape, restricted to the fields the files
 # partition uses (metadata/table/records.rs:238-330 decodes the same)
@@ -92,8 +94,18 @@ def _ensure_data_props_flag(cfg: WriteConfig) -> None:
     lines = [ln for ln in text.splitlines() if ln.strip()]
     have = dict(ln.split("=", 1) for ln in lines if "=" in ln)
     changed = False
-    if "files" not in have.get("hoodie.table.metadata.partitions", ""):
-        have["hoodie.table.metadata.partitions"] = "files"
+    parts = [
+        p.strip()
+        for p in have.get("hoodie.table.metadata.partitions", "").split(",")
+        if p.strip()
+    ]
+    want = {"files"}
+    if cfg.emit_column_stats:
+        want |= {"column_stats", "partition_stats"}
+    if not want <= set(parts):
+        have["hoodie.table.metadata.partitions"] = ",".join(
+            sorted(set(parts) | want)
+        )
         changed = True
     if have.get("hoodie.metadata.enable", "").lower() != "true":
         have["hoodie.metadata.enable"] = "true"
@@ -105,7 +117,9 @@ def _ensure_data_props_flag(cfg: WriteConfig) -> None:
         os.replace(tmp, props_path)
 
 
-def _next_log_state(files_dir: str) -> tuple[str | None, int]:
+def _next_log_state(
+    files_dir: str, file_id: str = MDT_FILE_ID
+) -> tuple[str | None, int]:
     """(anchor instant from existing MDT log names, next version)."""
     if not os.path.isdir(files_dir):
         return None, 1
@@ -114,7 +128,7 @@ def _next_log_state(files_dir: str) -> tuple[str | None, int]:
     best = 0
     anchor = None
     for name in os.listdir(files_dir):
-        if not name.startswith(f".{MDT_FILE_ID}_"):
+        if not name.startswith(f".{file_id}_"):
             continue
         lf = LogFile.parse(name)
         anchor = lf.timestamp
@@ -164,7 +178,75 @@ def apply_commit_to_mdt(cfg: WriteConfig, stats: list[dict]) -> None:
             ),
         )
     )
-    _append_mdt_records(cfg, mdt, records)
+    _append_mdt_records(cfg, mdt, records, _stats_partitions(cfg, stats))
+
+
+def column_stats_enabled(cfg: WriteConfig) -> bool:
+    """Stats partitions maintained when the write asked for them OR the
+    table already advertises column_stats (same staleness argument as
+    writer.mdt_enabled)."""
+    if cfg.emit_column_stats:
+        return True
+    props_path = os.path.join(_local(cfg.path), ".hoodie", "hoodie.properties")
+    if not os.path.exists(props_path):
+        return False
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.metadata.column_stats import has_column_stats_partition
+
+    return has_column_stats_partition(HudiTableConfig.from_base_path(_local(cfg.path)))
+
+
+def _stats_partitions(
+    cfg: WriteConfig, stats: list[dict]
+) -> list[tuple[str, str, dict, list]]:
+    """column_stats + partition_stats record batches from the commit's
+    per-file ``columnStats`` (attached by the task writers when stats
+    emission is on). Empty when disabled or no stats were computed."""
+    if not column_stats_enabled(cfg):
+        return []
+    from hudi_rs_spark.write.mdt_stats import (
+        STATS_RECORD_SCHEMA,
+        encode_stats_record,
+    )
+
+    col_records: list[tuple[bytes, bytes]] = []
+    # (partition, column) -> [min, max] union across this commit's files
+    part_bounds: dict[tuple[str, str], list] = {}
+    for s in stats:
+        cstats = s.get("columnStats")
+        if not cstats:
+            continue
+        fname = os.path.basename(s["path"])
+        part = s.get("partitionPath", "") or ""
+        for col, b in cstats.items():
+            col_records.append(
+                encode_stats_record(
+                    f"{col}:{fname}", fname, col, b.get("min"), b.get("max"),
+                    b.get("values"), b.get("nulls"),
+                )
+            )
+            if b.get("min") is None or b.get("max") is None:
+                continue
+            cur = part_bounds.get((part, col))
+            if cur is None:
+                part_bounds[(part, col)] = [b["min"], b["max"]]
+            else:
+                cur[0] = min(cur[0], b["min"])
+                cur[1] = max(cur[1], b["max"])
+    if not col_records:
+        return []
+    part_records = [
+        encode_stats_record(
+            f"{col}:{part or NON_PARTITIONED_NAME}:{cfg.instant}",
+            part, col, mn, mx, None, None, rec_type=6,
+        )
+        for (part, col), (mn, mx) in sorted(part_bounds.items())
+    ]
+    return [
+        ("column_stats", COL_STATS_FILE_ID, STATS_RECORD_SCHEMA, col_records),
+        ("partition_stats", PART_STATS_FILE_ID, STATS_RECORD_SCHEMA,
+         part_records),
+    ]
 
 
 def apply_deletions_to_mdt(cfg: WriteConfig, deleted: dict[str, list[str]]) -> None:
@@ -192,45 +274,60 @@ def apply_deletions_to_mdt(cfg: WriteConfig, deleted: dict[str, list[str]]) -> N
 
 
 def _append_mdt_records(
-    cfg: WriteConfig, mdt: str, records: list[tuple[bytes, bytes]]
+    cfg: WriteConfig,
+    mdt: str,
+    records: list[tuple[bytes, bytes]],
+    extra_partitions: list[tuple[str, str, dict, list]] | None = None,
 ) -> None:
-    """Append one HFile-payload log block carrying ``records`` to the
-    MDT files file group and publish the matching MDT deltacommit."""
+    """Append one HFile-payload log block per MDT partition and publish
+    ONE MDT deltacommit covering them all. ``records`` targets the
+    ``files`` partition; ``extra_partitions`` entries are
+    (partition_dir, file_id, avro_schema, records) — e.g. column_stats /
+    partition_stats. A single deltacommit matters: every MDT write for
+    one data commit must appear atomically at the data commit's
+    instant."""
     from hudi_rs_spark.hfile.writer import build_hfile
     from hudi_rs_spark.write.logblocks import frame_block
 
-    hfile_bytes = build_hfile(
-        records, {"schema": json.dumps(MDT_RECORD_SCHEMA).encode()}
-    )
     instant = cfg.instant
-    files_dir = os.path.join(mdt, "files")
-    os.makedirs(files_dir, exist_ok=True)
-    anchor, version = _next_log_state(files_dir)
-    anchor = anchor or instant
-    log_name = f".{MDT_FILE_ID}_{anchor}.log.{version}_0-0-0"
-    payload = frame_block(
-        BLOCK_HFILE_DATA, {KEY_INSTANT_TIME: instant}, hfile_bytes
-    )
-    log_path = os.path.join(files_dir, log_name)
-    mode = "ab" if os.path.exists(log_path) else "wb"
-    with open(log_path, mode) as f:
-        f.write(payload)
+    work = [("files", MDT_FILE_ID, MDT_RECORD_SCHEMA, records)]
+    work.extend(extra_partitions or [])
+    write_stats: dict[str, list[dict]] = {}
+    for part_dir, file_id, schema, recs in work:
+        if not recs:
+            continue
+        hfile_bytes = build_hfile(
+            recs, {"schema": json.dumps(schema).encode()}
+        )
+        out_dir = os.path.join(mdt, part_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        anchor, version = _next_log_state(out_dir, file_id)
+        anchor = anchor or instant
+        log_name = f".{file_id}_{anchor}.log.{version}_0-0-0"
+        payload = frame_block(
+            BLOCK_HFILE_DATA, {KEY_INSTANT_TIME: instant}, hfile_bytes
+        )
+        log_path = os.path.join(out_dir, log_name)
+        mode = "ab" if os.path.exists(log_path) else "wb"
+        with open(log_path, mode) as f:
+            f.write(payload)
+        write_stats.setdefault(part_dir, []).append(
+            {
+                "fileId": file_id,
+                "path": f"{part_dir}/{log_name}",
+                "partitionPath": part_dir,
+                "fileSizeInBytes": os.path.getsize(log_path),
+            }
+        )
+    if not write_stats:
+        return
 
     # MDT deltacommit (v8 layout 2): instant mirrors the data commit
     tdir = os.path.join(mdt, ".hoodie", "timeline")
     os.makedirs(tdir, exist_ok=True)
     completion = max(new_instant(), instant)
     meta = {
-        "partitionToWriteStats": {
-            "files": [
-                {
-                    "fileId": MDT_FILE_ID,
-                    "path": f"files/{log_name}",
-                    "partitionPath": "files",
-                    "fileSizeInBytes": os.path.getsize(log_path),
-                }
-            ]
-        },
+        "partitionToWriteStats": write_stats,
         "operationType": "UPSERT",
     }
     name = f"{instant}_{completion}.deltacommit"

@@ -290,17 +290,20 @@ class _TaskWriter:
         full = os.path.join(self.base, rel)
         os.makedirs(os.path.dirname(full), exist_ok=True)
         pq.write_table(self._with_meta(data, keys, pv, name), full)
-        self.stats.append(
-            {
-                "fileId": file_id,
-                "path": rel,
-                "partitionPath": pv,
-                "numWrites": len(merged),
-                "numInserts": len(merged),
-                "fileSizeInBytes": os.path.getsize(full),
-                "totalWriteBytes": os.path.getsize(full),
-            }
-        )
+        stat = {
+            "fileId": file_id,
+            "path": rel,
+            "partitionPath": pv,
+            "numWrites": len(merged),
+            "numInserts": len(merged),
+            "fileSizeInBytes": os.path.getsize(full),
+            "totalWriteBytes": os.path.getsize(full),
+        }
+        if self.cfg.emit_column_stats:
+            from hudi_rs_spark.write.mdt_stats import compute_column_stats
+
+            stat["columnStats"] = compute_column_stats(data)
+        self.stats.append(stat)
 
     def _flush_log_group(self, pv: str, fid: str, g: dict) -> None:
         from hudi_rs_spark.write.logblocks import delete_block, parquet_data_block
@@ -327,18 +330,25 @@ class _TaskWriter:
         mode = "ab" if os.path.exists(full) else "wb"
         with open(full, mode) as f:
             f.write(payload)
-        self.stats.append(
-            {
-                "fileId": fid,
-                "path": rel,
-                "partitionPath": pv,
-                "numWrites": n_upd,
-                "numUpdateWrites": n_upd,
-                "numDeletes": len(g["deletes"]),
-                "fileSizeInBytes": os.path.getsize(full),
-                "totalWriteBytes": len(payload),
-            }
-        )
+        stat = {
+            "fileId": fid,
+            "path": rel,
+            "partitionPath": pv,
+            "numWrites": n_upd,
+            "numUpdateWrites": n_upd,
+            "numDeletes": len(g["deletes"]),
+            "fileSizeInBytes": os.path.getsize(full),
+            "totalWriteBytes": len(payload),
+        }
+        if self.cfg.emit_column_stats and g["tables"]:
+            # upserted LOG values must widen the partition_stats union
+            # (deletes never widen ranges, so delete-only blocks skip);
+            # the file-level entry is keyed by the log name — unused by
+            # base-file pruning, load-bearing for the partition union
+            from hudi_rs_spark.write.mdt_stats import compute_column_stats
+
+            stat["columnStats"] = compute_column_stats(data)
+        self.stats.append(stat)
 
     def finish(self) -> list[dict]:
         for pv in list(self.buffers):
@@ -548,6 +558,17 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
 
     def __init__(self, options: dict, schema, overwrite: bool):
         self.cfg = WriteConfig.from_options(options, overwrite=overwrite)
+        # resolve stats emission on the DRIVER against the existing
+        # table: once a table advertises column_stats, every later
+        # append must keep widening the partition_stats union, or
+        # exclusion pruning on the new values would be WRONG (the
+        # file-listing analog, mdt_enabled, is resolved at commit time,
+        # but stats must be computed executor-side, so resolve early)
+        if not self.cfg.emit_column_stats:
+            from hudi_rs_spark.write.mdt import column_stats_enabled
+
+            if column_stats_enabled(self.cfg):
+                self.cfg.emit_column_stats = True
         self.schema = schema
         if self.cfg.operation == OP_UPSERT and self.cfg.table_type != "MERGE_ON_READ":
             raise ValueError(

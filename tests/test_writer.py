@@ -392,6 +392,155 @@ class TestClustering:
         assert len(direct) == 1
 
 
+class TestWriterColumnStats:
+    _OPTS = {
+        "recordkey.field": "id", "precombine.field": "ts",
+        "table.version": "8", "metadata.enable": "true",
+        "metadata.columnstats.enable": "true",
+    }
+
+    def _skewed(self, spark, n=60):
+        """city=a ids 0..n-1, city=b ids 1000..1000+n-1: disjoint ranges
+        so both file- and partition-level pruning have something to cut."""
+        rows = [(i, f"n{i}", "a", 1) for i in range(n)]
+        rows += [(1000 + i, f"n{1000 + i}", "b", 1) for i in range(n)]
+        return spark.createDataFrame(
+            rows, "id long, name string, city string, ts long"
+        )
+
+    def test_stats_match_file_contents(self, spark, tdir):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from hudi_rs_spark.metadata.column_stats import (
+            read_column_stats,
+            read_partition_stats,
+        )
+
+        _register(spark)
+        _write(self._skewed(spark).repartition(4), tdir, **{
+            **self._OPTS, "partitionpath.field": "city",
+        })
+        stats = read_column_stats(tdir)
+        files = [
+            p for p in glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True)
+            if "/.hoodie/" not in p
+        ]
+        assert files
+        for p in files:
+            tbl = pq.read_table(p, columns=["id", "name"])
+            entry = stats[os.path.basename(p)]
+            assert entry["id"] == (
+                min(tbl["id"].to_pylist()), max(tbl["id"].to_pylist())
+            )
+            assert entry["name"] == (
+                min(tbl["name"].to_pylist()), max(tbl["name"].to_pylist())
+            )
+        pstats = read_partition_stats(tdir)
+        assert pstats["city=a"]["id"] == (0, 59)
+        assert pstats["city=b"]["id"] == (1000, 1059)
+
+    def test_written_table_prunes_without_footers(self, spark, tdir, monkeypatch):
+        from hudi_rs_spark import HudiReadOptions
+        from hudi_rs_spark.plans.partition_pruner import Filter
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        _register(spark)
+        _write(
+            self._skewed(spark).repartitionByRange(4, "id"), tdir, **self._OPTS
+        )
+        t = HudiTable(tdir, spark)
+        filters = [Filter("id", ">=", "1000")]
+        slices = t.get_file_slices(filters=filters)
+        # stats come from the MDT: poison footer reads to prove it
+        import pyarrow.parquet as pqmod
+
+        real = pqmod.ParquetFile
+
+        def guard(*a, **k):
+            raise AssertionError("footer fallback used despite MDT stats")
+
+        monkeypatch.setattr(pqmod, "ParquetFile", guard)
+        pruned = t._stats_prune(
+            slices, filters, HudiReadOptions(filters=[("id", ">=", "1000")])
+        )
+        monkeypatch.setattr(pqmod, "ParquetFile", real)
+        assert 0 < len(pruned) < len(slices)
+        got = sorted(
+            r.id for r in _load(spark, tdir).filter(F.col("id") >= 1000).collect()
+        )
+        assert got == [1000 + i for i in range(60)]
+
+    def test_partition_stats_prune_partitions(self, spark, tdir):
+        from hudi_rs_spark.plans.partition_pruner import Filter
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        _register(spark)
+        _write(self._skewed(spark), tdir, **{
+            **self._OPTS, "partitionpath.field": "city",
+        })
+        t = HudiTable(tdir, spark)
+        all_slices = t.get_file_slices()
+        hit = t.get_file_slices(filters=[Filter("id", ">=", "1000")])
+        assert {s.partition_path for s in hit} == {"city=b"}
+        assert len(hit) < len(all_slices)
+
+    def test_upsert_widens_partition_union(self, spark, tdir):
+        from hudi_rs_spark.metadata.column_stats import read_partition_stats
+        from hudi_rs_spark.plans.partition_pruner import Filter
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.upsert import upsert
+
+        _register(spark)
+        _write(self._skewed(spark), tdir, **{
+            **self._OPTS, "partitionpath.field": "city",
+            "table.type": "MERGE_ON_READ",
+        })
+        # upsert pushes city=a ids FAR outside the seeded [0, 59] range
+        upsert(
+            spark.createDataFrame(
+                [(50_000 + i, f"u{i}", "a", 2) for i in range(3)],
+                "id long, name string, city string, ts long",
+            ),
+            tdir,
+        )
+        pstats = read_partition_stats(tdir)
+        assert pstats["city=a"]["id"][1] >= 50_002  # union widened
+        # and the planner must still see city=a for the new range
+        t = HudiTable(tdir, spark)
+        hit = t.get_file_slices(filters=[Filter("id", ">=", "50000")])
+        assert "city=a" in {s.partition_path for s in hit}
+        got = sorted(
+            r.id for r in _load(spark, tdir).filter(F.col("id") >= 50_000).collect()
+        )
+        assert got == [50_000, 50_001, 50_002]
+
+    def test_compaction_and_clustering_emit_stats(self, spark, tdir):
+        from hudi_rs_spark.metadata.column_stats import read_column_stats
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.cluster import cluster
+        from hudi_rs_spark.write.compact import compact
+        from hudi_rs_spark.write.upsert import upsert
+
+        _register(spark)
+        _write(self._skewed(spark).repartition(2), tdir, **{
+            **self._OPTS, "table.type": "MERGE_ON_READ",
+        })
+        upsert(
+            spark.createDataFrame(
+                [(1, "u1", "a", 2)], "id long, name string, city string, ts long"
+            ),
+            tdir,
+        )
+        compact(spark, tdir)
+        cluster(spark, tdir)
+        stats = read_column_stats(tdir)
+        for s in HudiTable(tdir, spark).get_file_slices():
+            name = s.base_file.file_name
+            assert name in stats and "id" in stats[name], name
+
+
 class TestCleanService:
     _MOR = {
         "recordkey.field": "id", "precombine.field": "ts",
