@@ -92,9 +92,13 @@ def has_files_partition(config: HudiTableConfig) -> bool:
     return FILES_PARTITION in [p.strip() for p in parts.split(",") if p.strip()]
 
 
-def iter_partition_hfiles(data_table_base_path: str, partition: str):
-    """Yield (is_base, HFile) for the given MDT partition's single file
-    slice, in merge order: base first, then valid log-block payloads.
+def iter_partition_hfiles(
+    data_table_base_path: str, partition: str, file_id: str | None = None
+):
+    """Yield (is_base, HFile) for the given MDT partition's file
+    slice(s), in merge order: base first, then valid log-block payloads.
+    ``file_id`` restricts to one file group (a record-index SHARD reads
+    only its own slice — the per-shard parallel read path).
 
     Planning of the MDT itself reuses the normal timeline/slice machinery
     (it IS a Hudi MOR table); only the payload format differs."""
@@ -117,6 +121,8 @@ def iter_partition_hfiles(data_table_base_path: str, partition: str):
     if not slices:
         return
     for sl in slices:
+        if file_id is not None and sl.file_id != file_id:
+            continue
         if sl.base_file is not None:
             yield True, HFile.from_path(
                 os.path.join(base, sl.base_file_relative_path())

@@ -41,6 +41,7 @@ def _file_id(ri: dict) -> str | None:
 def read_record_index(
     data_table_base_path: str,
     keys: set[str] | None = None,
+    file_id: str | None = None,
 ) -> dict[str, tuple[str, str]]:
     """{record_key: (partition_path, file_id)}. With ``keys`` given, each
     index HFile answers through its block index (hfile/reader.py
@@ -51,7 +52,7 @@ def read_record_index(
     schema = names = None
     sorted_keys = sorted(keys) if keys is not None else None
     for is_base, hf in iter_partition_hfiles(
-        data_table_base_path, RECORD_INDEX_PARTITION
+        data_table_base_path, RECORD_INDEX_PARTITION, file_id=file_id
     ):
         if schema is None:
             schema = hf.avro_schema()
@@ -67,10 +68,12 @@ def read_record_index(
             if keys is not None and key not in keys:
                 continue
             if not v:
+                out.pop(key, None)  # tombstone: key deleted
                 continue
             d = decode(Reader(v), schema, names)
             ri = d.get("recordIndexMetadata")
             if ri is None:
+                out.pop(key, None)  # null payload = tombstone
                 continue
             fid = _file_id(ri)
             part = ri.get("partitionName") or ""

@@ -56,7 +56,8 @@ def _slice_identity(base_path: str, p) -> tuple[str, str]:
 
 def _cluster_one(args):
     """Executor: rewrite one clustering group -> one new base file."""
-    base_path, instant, rel_dir, group_idx, slices, sort_columns, with_stats = args
+    (base_path, instant, rel_dir, group_idx, slices, sort_columns,
+     with_stats, index_shards) = args
     import uuid
 
     from pyspark import TaskContext
@@ -105,6 +106,17 @@ def _cluster_one(args):
         from hudi_rs_spark.write.mdt_stats import compute_column_stats
 
         stat["columnStats"] = compute_column_stats(merged)
+    if index_shards and "_hoodie_record_key" in merged.column_names:
+        # clustering MOVES records to the new file group: rewrite their
+        # record-index locations (executor-side, like the task writers)
+        from hudi_rs_spark.write.record_index import append_record_index_log
+
+        append_record_index_log(
+            base_path, instant,
+            {k.as_py(): (rel_dir, fid)
+             for k in merged["_hoodie_record_key"].combine_chunks()},
+            index_shards, token,
+        )
     return stat
 
 
@@ -148,9 +160,13 @@ def cluster(
         fids.setdefault(rel_dir, []).append(fid)
 
     instant = instant or new_instant()
-    with_stats = "column_stats" in tc.props.get(
-        "hoodie.table.metadata.partitions", ""
-    )
+    meta_parts_pre = tc.props.get("hoodie.table.metadata.partitions", "")
+    with_stats = "column_stats" in meta_parts_pre
+    index_shards = 0
+    if "record_index" in meta_parts_pre:
+        from hudi_rs_spark.write.record_index import existing_shard_count
+
+        index_shards = existing_shard_count(path)
     work = []
     replaced: dict[str, list[str]] = {}
     for rel_dir, slices in sorted(by_partition.items()):
@@ -160,7 +176,7 @@ def cluster(
         for gi, chunk in enumerate(split_into_chunks(slices, n_groups)):
             work.append((
                 path, instant, rel_dir, gi, list(chunk),
-                tuple(sort_columns), with_stats,
+                tuple(sort_columns), with_stats, index_shards,
             ))
         replaced[rel_dir] = sorted(set(fids[rel_dir]))
     if not work:

@@ -73,6 +73,8 @@ class WriteConfig:
     max_rows_per_file: int = 1 << 22  # ~4M rows: ~128MB at ~32B/row
     emit_metadata: bool = False
     emit_column_stats: bool = False
+    emit_record_index: bool = False
+    record_index_shards: int = 4
 
     def __post_init__(self):
         if self.operation not in OPERATIONS:
@@ -91,6 +93,11 @@ class WriteConfig:
         if self.emit_column_stats and not self.emit_metadata:
             raise ValueError(
                 "column-stats emission rides in the metadata table; "
+                "enable metadata.enable too"
+            )
+        if self.emit_record_index and not self.emit_metadata:
+            raise ValueError(
+                "record-index emission rides in the metadata table; "
                 "enable metadata.enable too"
             )
 
@@ -119,10 +126,12 @@ class WriteConfig:
                 "true" if self.hive_style else "false"
             )
         if self.emit_metadata:
-            parts = ["files"]
+            parts = {"files"}
             if self.emit_column_stats:
-                parts = ["column_stats", "files", "partition_stats"]
-            props["hoodie.table.metadata.partitions"] = ",".join(parts)
+                parts |= {"column_stats", "partition_stats"}
+            if self.emit_record_index:
+                parts |= {"record_index"}
+            props["hoodie.table.metadata.partitions"] = ",".join(sorted(parts))
             props["hoodie.metadata.enable"] = "true"
         return props
 
@@ -178,6 +187,13 @@ class WriteConfig:
                 _opt(options, "hoodie.metadata.index.column.stats.enable",
                      "metadata.columnstats.enable", default="false")
             ).lower() == "true",
+            emit_record_index=str(
+                _opt(options, "hoodie.metadata.record.index.enable",
+                     "metadata.recordindex.enable", default="false")
+            ).lower() == "true",
+            record_index_shards=int(
+                _opt(options, "metadata.recordindex.shards", default="4")
+            ),
             emit_metadata=str(
                 _opt(options, "hoodie.metadata.enable", "metadata.enable",
                      default="false")

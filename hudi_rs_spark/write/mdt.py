@@ -102,6 +102,13 @@ def _ensure_data_props_flag(cfg: WriteConfig) -> None:
     want = {"files"}
     if cfg.emit_column_stats:
         want |= {"column_stats", "partition_stats"}
+    if cfg.emit_record_index:
+        want |= {"record_index"}
+        from hudi_rs_spark.write.record_index import SHARDS_PROP
+
+        if SHARDS_PROP not in have:
+            have[SHARDS_PROP] = str(cfg.record_index_shards)
+            changed = True
     if not want <= set(parts):
         have["hoodie.table.metadata.partitions"] = ",".join(
             sorted(set(parts) | want)

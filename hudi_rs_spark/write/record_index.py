@@ -1,0 +1,177 @@
+"""Metadata-table ``record_index`` partition WRITER — record key ->
+(partition, file group) locations, sharded across file groups and
+appended EXECUTOR-SIDE by the task writers.
+
+The dual of metadata/record_index.py's reader (HoodieMetadataRecord.
+recordIndexMetadata, fileIdEncoding=1 raw-fileId form). Two properties
+matter at 100 TB:
+
+- the index has one record per ROW, so it must never transit the
+  driver: each write task appends its own HFile-payload log blocks to
+  the shard file groups it touched (log-file write tokens keep
+  concurrent task files distinct; the MDT is a MOR table, so any number
+  of log files per shard merge by key at read time);
+- keys hash-shard across ``shards`` file groups (`record-index-NNNN`),
+  so index reads parallelize per shard and a shard slice stays bounded.
+
+Block validity is the same mechanism as every MDT write: blocks carry
+the data commit's instant and become visible only when the driver
+publishes the matching MDT deltacommit at commit time — a crashed task
+leaves invisible blocks, not a corrupt index.
+
+Tombstones: an EMPTY record value marks the key deleted (the reader
+pops it during the merge). Updates never move a record between file
+groups in MOR (that is the point of file groups), so only inserts,
+deletes, and clustering rewrites touch the index.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+RECORD_INDEX_PARTITION = "record_index"
+
+RECORD_INDEX_SCHEMA = {
+    "type": "record",
+    "name": "HoodieMetadataRecord",
+    "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "type", "type": "int"},
+        {
+            "name": "recordIndexMetadata",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "HoodieRecordIndexInfo",
+                    "fields": [
+                        {"name": "partitionName", "type": ["null", "string"],
+                         "default": None},
+                        {"name": "fileIdHighBits", "type": ["null", "long"],
+                         "default": None},
+                        {"name": "fileIdLowBits", "type": ["null", "long"],
+                         "default": None},
+                        {"name": "fileIndex", "type": ["null", "int"],
+                         "default": None},
+                        {"name": "fileId", "type": ["null", "string"],
+                         "default": None},
+                        {"name": "instantTime", "type": ["null", "long"],
+                         "default": None},
+                        {"name": "fileIdEncoding", "type": "int"},
+                    ],
+                },
+            ],
+            "default": None,
+        },
+    ],
+}
+
+
+def shard_of(key: str, shards: int) -> int:
+    """Stable shard assignment (md5, writer/reader-independent)."""
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % max(1, shards)
+
+
+def shard_file_id(shard: int) -> str:
+    return f"record-index-{shard:04d}"
+
+
+def encode_location(key: str, partition: str, file_id: str) -> tuple[bytes, bytes]:
+    from hudi_rs_spark.write.logblocks import encode_datum
+
+    value = {
+        "key": key,
+        "type": 5,
+        "recordIndexMetadata": {
+            "partitionName": partition or None,
+            "fileId": file_id,
+            "fileIdEncoding": 1,
+        },
+    }
+    return key.encode(), encode_datum(value, RECORD_INDEX_SCHEMA)
+
+
+def append_record_index_log(
+    table_base_path: str,
+    instant: str,
+    entries: dict[str, tuple[str, str] | None],
+    shards: int,
+    token: str,
+) -> None:
+    """Append this task's index entries (``None`` value = tombstone) to
+    their shard file groups. Runs on EXECUTORS — one log file per
+    (shard, task token), anchored to the shard's existing log anchor so
+    all files attach to the same MDT file slice."""
+    from hudi_rs_spark.hfile.writer import build_hfile
+    from hudi_rs_spark.logfile.reader import BLOCK_HFILE_DATA, KEY_INSTANT_TIME
+    from hudi_rs_spark.write.logblocks import frame_block
+    from hudi_rs_spark.write.mdt import _next_log_state
+    from hudi_rs_spark.write.writer import _local
+
+    by_shard: dict[int, list[tuple[bytes, bytes]]] = {}
+    for key, loc in entries.items():
+        if loc is None:
+            rec = (key.encode(), b"")  # tombstone
+        else:
+            rec = encode_location(key, loc[0], loc[1])
+        by_shard.setdefault(shard_of(key, shards), []).append(rec)
+
+    base = os.path.join(
+        _local(table_base_path), ".hoodie", "metadata", RECORD_INDEX_PARTITION
+    )
+    for shard, records in sorted(by_shard.items()):
+        fid = shard_file_id(shard)
+        out_dir = base
+        os.makedirs(out_dir, exist_ok=True)
+        anchor, version = _next_log_state(out_dir, fid)
+        anchor = anchor or instant
+        log_name = f".{fid}_{anchor}.log.{version}_{token}"
+        hfile_bytes = build_hfile(
+            records, {"schema": json.dumps(RECORD_INDEX_SCHEMA).encode()}
+        )
+        payload = frame_block(
+            BLOCK_HFILE_DATA, {KEY_INSTANT_TIME: instant}, hfile_bytes
+        )
+        path = os.path.join(out_dir, log_name)
+        mode = "ab" if os.path.exists(path) else "wb"
+        with open(path, mode) as f:
+            f.write(payload)
+
+
+SHARDS_PROP = "hoodie.metadata.record.index.shards"
+
+
+def existing_shard_count(path: str) -> int:
+    """Shard count the table was created with — from the persisted
+    table property (authoritative), else inferred from the shard file
+    ids on disk; 0 when the index has never been written. The count is
+    FIXED for a table's lifetime: md5-sharding the same key into two
+    different shard file groups would break the reader's last-wins
+    merge (shard iteration order is arbitrary)."""
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+
+    props = os.path.join(path, ".hoodie", "hoodie.properties")
+    if os.path.exists(props):
+        v = HudiTableConfig.from_base_path(path).props.get(SHARDS_PROP)
+        if v:
+            return int(v)
+    ri_dir = os.path.join(path, ".hoodie", "metadata", RECORD_INDEX_PARTITION)
+    if not os.path.isdir(ri_dir):
+        return 0
+    shards = set()
+    for name in os.listdir(ri_dir):
+        if name.startswith(".record-index-") and ".log." in name:
+            shards.add(name.split("_", 1)[0].removeprefix(".record-index-"))
+    return (max(int(s) for s in shards) + 1) if shards else 0
+
+
+def record_index_enabled_on_table(path: str) -> bool:
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.metadata.record_index import has_record_index_partition
+
+    props = os.path.join(path, ".hoodie", "hoodie.properties")
+    if not os.path.exists(props):
+        return False
+    return has_record_index_partition(HudiTableConfig.from_base_path(path))

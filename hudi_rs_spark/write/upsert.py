@@ -77,6 +77,53 @@ def _spark_partition_expr(cfg: WriteConfig):
     return parts[0] if len(parts) == 1 else F.concat(*parts)
 
 
+def _index_from_record_index(
+    spark, cfg: WriteConfig, slices
+) -> DataFrame | None:
+    """Tagging index from the MDT record index: each SHARD slice decodes
+    executor-side into (key, partition, file_id) rows — index bytes
+    scanned instead of every base file's meta columns (the O(table) vs
+    O(index) difference at 100 TB). Joining against the live slices
+    both attaches the base instant and drops stale entries (replaced
+    file groups), whose keys then take the insert path. Returns None
+    when the table has no record index."""
+    from hudi_rs_spark.write.record_index import (
+        existing_shard_count,
+        record_index_enabled_on_table,
+        shard_file_id,
+    )
+
+    if not record_index_enabled_on_table(cfg.path):
+        return None
+    n = existing_shard_count(cfg.path)
+    if not n:
+        return None
+    path = cfg.path
+
+    def read_shard(shard: int):
+        from hudi_rs_spark.metadata.record_index import read_record_index
+
+        out = read_record_index(path, file_id=shard_file_id(shard))
+        return [(k, part, fid) for k, (part, fid) in out.items()]
+
+    rows = spark.sparkContext.parallelize(range(n), n).flatMap(read_shard)
+    idx = spark.createDataFrame(
+        rows,
+        "_hoodie_record_key string, _hoodie_partition_path string, "
+        f"{TARGET_FILE_COL} string",
+    )
+    live = spark.createDataFrame(
+        [
+            (sl.file_id, sl.base_file.commit_timestamp)
+            for sl in slices
+            if sl.base_file is not None
+        ]
+        or spark.sparkContext.emptyRDD(),
+        f"{TARGET_FILE_COL} string, {TARGET_INSTANT_COL} string",
+    )
+    return idx.join(F.broadcast(live), TARGET_FILE_COL, "inner")
+
+
 def _location_index(spark, cfg: WriteConfig) -> tuple[DataFrame, dict[str, int]]:
     """(key, partition) -> (file_id, base_instant) over CURRENT slices,
     plus the next log version per file group (from driver planning —
@@ -103,6 +150,9 @@ def _location_index(spark, cfg: WriteConfig) -> tuple[DataFrame, dict[str, int]]
             f"{TARGET_FILE_COL} string, {TARGET_INSTANT_COL} string",
         )
         return empty, next_version
+    via_index = _index_from_record_index(spark, cfg, slices)
+    if via_index is not None:
+        return via_index, next_version
     # meta-columns-only projection: Catalyst prunes to 3 columns at scan
     index = (
         spark.read.parquet(*paths)

@@ -303,6 +303,14 @@ class _TaskWriter:
             from hudi_rs_spark.write.mdt_stats import compute_column_stats
 
             stat["columnStats"] = compute_column_stats(data)
+        if self.cfg.emit_record_index:
+            from hudi_rs_spark.write.record_index import append_record_index_log
+
+            append_record_index_log(
+                self.cfg.path, self.cfg.instant,
+                {k.as_py(): (pv, file_id) for k in keys},
+                self.cfg.record_index_shards, self.token,
+            )
         self.stats.append(stat)
 
     def _flush_log_group(self, pv: str, fid: str, g: dict) -> None:
@@ -348,6 +356,16 @@ class _TaskWriter:
             from hudi_rs_spark.write.mdt_stats import compute_column_stats
 
             stat["columnStats"] = compute_column_stats(data)
+        if self.cfg.emit_record_index and g["deletes"]:
+            # updates never move a record between file groups; deletes
+            # tombstone their index entries
+            from hudi_rs_spark.write.record_index import append_record_index_log
+
+            append_record_index_log(
+                self.cfg.path, self.cfg.instant,
+                {str(k): None for k, _p, _o in g["deletes"]},
+                self.cfg.record_index_shards, self.token,
+            )
         self.stats.append(stat)
 
     def finish(self) -> list[dict]:
@@ -569,6 +587,21 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
 
             if column_stats_enabled(self.cfg):
                 self.cfg.emit_column_stats = True
+        if not self.cfg.emit_record_index:
+            from hudi_rs_spark.write.record_index import (
+                record_index_enabled_on_table,
+            )
+
+            if record_index_enabled_on_table(_local(self.cfg.path)):
+                self.cfg.emit_record_index = True
+        if self.cfg.emit_record_index:
+            # the shard count is fixed at table creation; later writes
+            # must reuse it (cross-shard duplicates break the merge)
+            from hudi_rs_spark.write.record_index import existing_shard_count
+
+            n = existing_shard_count(_local(self.cfg.path))
+            if n:
+                self.cfg.record_index_shards = n
         self.schema = schema
         if self.cfg.operation == OP_UPSERT and self.cfg.table_type != "MERGE_ON_READ":
             raise ValueError(

@@ -541,6 +541,145 @@ class TestWriterColumnStats:
             assert name in stats and "id" in stats[name], name
 
 
+class TestRecordIndexWriter:
+    _OPTS = {
+        "recordkey.field": "id", "precombine.field": "ts",
+        "table.version": "8", "metadata.enable": "true",
+        "metadata.recordindex.enable": "true",
+    }
+
+    def test_insert_indexes_every_key_and_point_lookup(self, spark, tdir):
+        from hudi_rs_spark.metadata.record_index import read_record_index
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        _register(spark)
+        _write(_people(spark, 40).repartition(3), tdir, **{
+            **self._OPTS, "partitionpath.field": "city",
+        })
+        t = HudiTable(tdir, spark)
+        slices = {(s.partition_path, s.file_id) for s in t.get_file_slices()}
+        idx = read_record_index(tdir)
+        assert set(idx) == {str(i) for i in range(40)}
+        assert set(idx.values()) <= slices
+        got = {r.id: r.name for r in t.point_lookup(["7", "23"]).collect()}
+        assert got == {7: "n7", 23: "n23"}
+
+    def test_mor_lifecycle_insert_update_delete(self, spark, tdir):
+        from hudi_rs_spark.metadata.record_index import read_record_index
+        from hudi_rs_spark.write.upsert import delete, upsert
+
+        _register(spark)
+        _write(_people(spark, 20).repartition(2), tdir, **{
+            **self._OPTS, "table.type": "MERGE_ON_READ",
+        })
+        before = read_record_index(tdir)
+        upsert(
+            spark.createDataFrame(
+                # update 3 (stays put), insert 100..102 (new group)
+                [(3, "u3", "a", 2)]
+                + [(100 + i, f"new{i}", "b", 2) for i in range(3)],
+                "id long, name string, city string, ts long",
+            ),
+            tdir,
+        )
+        delete(
+            spark.createDataFrame(
+                [(5, None, None, 3)], "id long, name string, city string, ts long"
+            ),
+            tdir,
+        )
+        after = read_record_index(tdir)
+        assert after["3"] == before["3"]  # update never moves a record
+        assert {"100", "101", "102"} <= set(after)
+        assert "5" not in after  # tombstoned
+        rows = {r.id: r.name for r in _load(spark, tdir).collect()}
+        assert rows[3] == "u3" and 5 not in rows and rows[100] == "new0"
+
+    def test_upsert_tags_via_index_not_base_scan(self, spark, tdir, monkeypatch):
+        """With the record index present, tagging must not scan base
+        files' meta columns: poison spark.read.parquet to prove it."""
+        import importlib
+
+        upsert_mod = importlib.import_module("hudi_rs_spark.write.upsert")
+
+        _register(spark)
+        _write(_people(spark, 20).repartition(2), tdir, **{
+            **self._OPTS, "table.type": "MERGE_ON_READ",
+        })
+
+        called = {"n": 0}
+        orig = upsert_mod._index_from_record_index
+
+        def spy(spark_, cfg, slices):
+            out = orig(spark_, cfg, slices)
+            assert out is not None
+            called["n"] += 1
+            return out
+
+        monkeypatch.setattr(upsert_mod, "_index_from_record_index", spy)
+        real_parquet = type(spark.read).parquet
+
+        def poisoned(self_, *paths, **kw):
+            if any(not p.rstrip("/").endswith(".hoodie") for p in paths):
+                raise AssertionError(f"base-file tag scan used: {paths}")
+            return real_parquet(self_, *paths, **kw)
+
+        monkeypatch.setattr(type(spark.read), "parquet", poisoned)
+        try:
+            upsert_mod.upsert(
+                spark.createDataFrame(
+                    [(1, "via_idx", "a", 2)],
+                    "id long, name string, city string, ts long",
+                ),
+                tdir,
+            )
+        finally:
+            monkeypatch.setattr(type(spark.read), "parquet", real_parquet)
+        assert called["n"] == 1
+        rows = {r.id: r.name for r in _load(spark, tdir).collect()}
+        assert rows[1] == "via_idx"
+
+    def test_clustering_rewrites_locations(self, spark, tdir):
+        from hudi_rs_spark.metadata.record_index import read_record_index
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.cluster import cluster
+
+        _register(spark)
+        for a in range(2):
+            df = spark.createDataFrame(
+                [(a * 10 + i, f"n{a * 10 + i}", "a", 1) for i in range(10)],
+                "id long, name string, city string, ts long",
+            )
+            _write(df.repartition(1), tdir, **self._OPTS)
+        assert cluster(spark, tdir) == 2
+        t = HudiTable(tdir, spark)
+        live = {(s.partition_path, s.file_id) for s in t.get_file_slices()}
+        idx = read_record_index(tdir)
+        assert set(idx) == {str(i) for i in range(20)}
+        assert set(idx.values()) <= live  # moved to the NEW group
+        got = {r.id for r in t.point_lookup(["0", "19"]).collect()}
+        assert got == {0, 19}
+
+    def test_shard_count_pinned_across_appends(self, spark, tdir):
+        from hudi_rs_spark.metadata.record_index import read_record_index
+        from hudi_rs_spark.write.record_index import existing_shard_count
+
+        _register(spark)
+        _write(_people(spark, 10), tdir, **{
+            **self._OPTS, "metadata.recordindex.shards": "2",
+        })
+        assert existing_shard_count(tdir) == 2
+        # append WITHOUT index options: must auto-resolve enable + shards
+        more = spark.createDataFrame(
+            [(100 + i, f"m{i}", "a", 2) for i in range(5)],
+            "id long, name string, city string, ts long",
+        )
+        _write(more, tdir, **{"recordkey.field": "id", "precombine.field": "ts"})
+        assert existing_shard_count(tdir) == 2
+        idx = read_record_index(tdir)
+        assert {str(i) for i in range(10)} | {str(100 + i) for i in range(5)} == set(idx)
+
+
 class TestCleanService:
     _MOR = {
         "recordkey.field": "id", "precombine.field": "ts",
