@@ -953,7 +953,16 @@ class HudiTable:
         keys = sorted({k for ks in idx.values() for k in ks})
         if not keys:
             return self.spark.createDataFrame([], self.get_schema())
-        return self.point_lookup(keys, options)
+        df = self.point_lookup(keys, options)
+        # the index is a pruning structure, not an authority: a
+        # value-changing update leaves the old value's cell behind
+        # (write/secondary_index.py docstring), so re-check the indexed
+        # column on the fetched rows — stale cells then cost extra slice
+        # reads, never wrong rows
+        col = partition.removeprefix(SECONDARY_INDEX_PREFIX)
+        if col in df.columns:
+            df = df.filter(F.col(col).cast("string").isin(list(values)))
+        return df
 
     def read_incremental(
         self,

@@ -75,6 +75,7 @@ class WriteConfig:
     emit_column_stats: bool = False
     emit_record_index: bool = False
     record_index_shards: int = 4
+    secondary_index_columns: tuple[str, ...] = ()
 
     def __post_init__(self):
         if self.operation not in OPERATIONS:
@@ -99,6 +100,11 @@ class WriteConfig:
             raise ValueError(
                 "record-index emission rides in the metadata table; "
                 "enable metadata.enable too"
+            )
+        if self.secondary_index_columns and not self.emit_record_index:
+            raise ValueError(
+                "secondary indexes resolve through the record index; "
+                "enable metadata.recordindex.enable too"
             )
 
     @property
@@ -131,6 +137,8 @@ class WriteConfig:
                 parts |= {"column_stats", "partition_stats"}
             if self.emit_record_index:
                 parts |= {"record_index"}
+            for col in self.secondary_index_columns:
+                parts.add(f"secondary_index_{col}")
             props["hoodie.table.metadata.partitions"] = ",".join(sorted(parts))
             props["hoodie.metadata.enable"] = "true"
         return props
@@ -193,6 +201,10 @@ class WriteConfig:
             ).lower() == "true",
             record_index_shards=int(
                 _opt(options, "metadata.recordindex.shards", default="4")
+            ),
+            secondary_index_columns=fields_of(
+                "hoodie.metadata.index.secondary.columns",
+                "metadata.secondaryindex.columns",
             ),
             emit_metadata=str(
                 _opt(options, "hoodie.metadata.enable", "metadata.enable",

@@ -109,6 +109,8 @@ def _ensure_data_props_flag(cfg: WriteConfig) -> None:
         if SHARDS_PROP not in have:
             have[SHARDS_PROP] = str(cfg.record_index_shards)
             changed = True
+    for col in cfg.secondary_index_columns:
+        want.add(f"secondary_index_{col}")
     if not want <= set(parts):
         have["hoodie.table.metadata.partitions"] = ",".join(
             sorted(set(parts) | want)

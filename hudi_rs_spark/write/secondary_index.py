@@ -1,0 +1,126 @@
+"""Metadata-table secondary-index WRITER: one ``secondary_index_{col}``
+partition per indexed column, cells ``{escaped_value}${escaped_key}``
+with a SecondaryIndexMetadata {isDeleted} payload — the dual of
+metadata/secondary_index.py's reader, appended executor-side by the
+task writers like write/record_index.py (same sharding-free single file
+group per index: a value-prefixed sorted HFile probes by prefix, so the
+read is O(matching blocks) regardless of group count).
+
+The index is a PRUNING structure, not an authority: deletes and
+value-changing updates leave stale cells behind (the delete path only
+knows record keys, not old values), and the read path compensates —
+``HudiTable.lookup_by_secondary_key`` post-filters the fetched rows on
+the indexed column, so stale cells cost wasted slice reads, never wrong
+results. New values are always written at insert/update time, so false
+NEGATIVES cannot happen; that asymmetry (complete, not precise) is what
+lets the writer stay O(rows written this commit) with no read-modify-
+write of old values.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from hudi_rs_spark.metadata.secondary_index import (
+    SECONDARY_INDEX_PREFIX,
+    _escape,
+)
+
+SECONDARY_INDEX_SCHEMA = {
+    "type": "record",
+    "name": "HoodieMetadataRecord",
+    "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "type", "type": "int"},
+        {
+            "name": "SecondaryIndexMetadata",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "HoodieSecondaryIndexInfo",
+                    "fields": [{"name": "isDeleted", "type": "boolean"}],
+                },
+            ],
+            "default": None,
+        },
+    ],
+}
+
+
+def cell_key(value: str, record_key: str) -> str:
+    return f"{_escape(value)}${_escape(record_key)}"
+
+
+def encode_cell(
+    value: str, record_key: str, deleted: bool = False
+) -> tuple[bytes, bytes]:
+    from hudi_rs_spark.write.logblocks import encode_datum
+
+    raw = cell_key(value, record_key)
+    payload = {
+        "key": raw,
+        "type": 7,
+        "SecondaryIndexMetadata": {"isDeleted": deleted},
+    }
+    return raw.encode(), encode_datum(payload, SECONDARY_INDEX_SCHEMA)
+
+
+def index_file_id(column: str) -> str:
+    return f"secondary-index-{column}-0000"
+
+
+def append_secondary_index_log(
+    table_base_path: str,
+    instant: str,
+    column: str,
+    cells: list[tuple[str, str]],
+    token: str,
+) -> None:
+    """Append (value, record_key) cells for one indexed column; runs on
+    EXECUTORS with the same visibility contract as the record index
+    (blocks valid only once the driver publishes the MDT deltacommit)."""
+    from hudi_rs_spark.hfile.writer import build_hfile
+    from hudi_rs_spark.logfile.reader import BLOCK_HFILE_DATA, KEY_INSTANT_TIME
+    from hudi_rs_spark.write.logblocks import frame_block
+    from hudi_rs_spark.write.mdt import _next_log_state
+    from hudi_rs_spark.write.writer import _local
+
+    if not cells:
+        return
+    records = [encode_cell(v, k) for v, k in cells]
+    fid = index_file_id(column)
+    out_dir = os.path.join(
+        _local(table_base_path), ".hoodie", "metadata",
+        SECONDARY_INDEX_PREFIX + column,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    anchor, version = _next_log_state(out_dir, fid)
+    anchor = anchor or instant
+    log_name = f".{fid}_{anchor}.log.{version}_{token}"
+    hfile_bytes = build_hfile(
+        records, {"schema": json.dumps(SECONDARY_INDEX_SCHEMA).encode()}
+    )
+    payload = frame_block(
+        BLOCK_HFILE_DATA, {KEY_INSTANT_TIME: instant}, hfile_bytes
+    )
+    path = os.path.join(out_dir, log_name)
+    mode = "ab" if os.path.exists(path) else "wb"
+    with open(path, mode) as f:
+        f.write(payload)
+
+
+def indexed_columns_on_table(path: str) -> tuple[str, ...]:
+    """Columns with a secondary_index_* partition advertised in the
+    table's properties (empty when none)."""
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.metadata.secondary_index import list_secondary_indexes
+
+    props = os.path.join(path, ".hoodie", "hoodie.properties")
+    if not os.path.exists(props):
+        return ()
+    return tuple(
+        p.removeprefix(SECONDARY_INDEX_PREFIX)
+        for p in list_secondary_indexes(HudiTableConfig.from_base_path(path))
+    )

@@ -268,6 +268,28 @@ class _TaskWriter:
             out = out.append_column(name, col)
         return out
 
+    def _emit_secondary_cells(self, data: pa.Table, keys: pa.Array) -> None:
+        """Append (value, record_key) secondary-index cells for every
+        indexed column present in this flush (nulls unindexed)."""
+        if not self.cfg.secondary_index_columns:
+            return
+        from hudi_rs_spark.write.secondary_index import (
+            append_secondary_index_log,
+        )
+
+        key_list = [k.as_py() for k in keys]
+        for col in self.cfg.secondary_index_columns:
+            if col not in data.column_names:
+                continue
+            cells = [
+                (str(v), k)
+                for v, k in zip(data[col].to_pylist(), key_list)
+                if v is not None
+            ]
+            append_secondary_index_log(
+                self.cfg.path, self.cfg.instant, col, cells, self.token
+            )
+
     def _new_file_id(self, pv: str) -> str:
         fid = uuid.uuid5(
             _FILE_ID_NS,
@@ -311,6 +333,7 @@ class _TaskWriter:
                 {k.as_py(): (pv, file_id) for k in keys},
                 self.cfg.record_index_shards, self.token,
             )
+        self._emit_secondary_cells(data, keys)
         self.stats.append(stat)
 
     def _flush_log_group(self, pv: str, fid: str, g: dict) -> None:
@@ -356,6 +379,8 @@ class _TaskWriter:
             from hudi_rs_spark.write.mdt_stats import compute_column_stats
 
             stat["columnStats"] = compute_column_stats(data)
+        if self.cfg.secondary_index_columns and g["tables"]:
+            self._emit_secondary_cells(data, keys)
         if self.cfg.emit_record_index and g["deletes"]:
             # updates never move a record between file groups; deletes
             # tombstone their index entries
@@ -602,6 +627,14 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
             n = existing_shard_count(_local(self.cfg.path))
             if n:
                 self.cfg.record_index_shards = n
+        if not self.cfg.secondary_index_columns:
+            from hudi_rs_spark.write.secondary_index import (
+                indexed_columns_on_table,
+            )
+
+            cols = indexed_columns_on_table(_local(self.cfg.path))
+            if cols:
+                self.cfg.secondary_index_columns = cols
         self.schema = schema
         if self.cfg.operation == OP_UPSERT and self.cfg.table_type != "MERGE_ON_READ":
             raise ValueError(

@@ -680,6 +680,80 @@ class TestRecordIndexWriter:
         assert {str(i) for i in range(10)} | {str(100 + i) for i in range(5)} == set(idx)
 
 
+class TestSecondaryIndexWriter:
+    _OPTS = {
+        "recordkey.field": "id", "precombine.field": "ts",
+        "table.version": "8", "metadata.enable": "true",
+        "metadata.recordindex.enable": "true",
+        "metadata.secondaryindex.columns": "city",
+    }
+
+    def test_insert_and_lookup(self, spark, tdir):
+        from hudi_rs_spark.metadata.secondary_index import read_secondary_index
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        _register(spark)
+        _write(_people(spark, 30).repartition(2), tdir, **self._OPTS)
+        idx = read_secondary_index(tdir, "secondary_index_city")
+        assert set(idx) == {"a", "b", "c"}
+        assert idx["b"] == {str(i) for i in range(30) if i % 3 == 1}
+        got = {r.id for r in HudiTable(tdir, spark)
+               .lookup_by_secondary_key("city", ["b"]).collect()}
+        assert got == {i for i in range(30) if i % 3 == 1}
+
+    def test_value_change_never_returns_stale_rows(self, spark, tdir):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.upsert import upsert
+
+        _register(spark)
+        _write(_people(spark, 12).repartition(2), tdir, **{
+            **self._OPTS, "table.type": "MERGE_ON_READ",
+        })
+        upsert(
+            spark.createDataFrame(
+                [(1, "moved", "zz", 2)],
+                "id long, name string, city string, ts long",
+            ),
+            tdir,
+        )
+        t = HudiTable(tdir, spark)
+        assert {r.id for r in t.lookup_by_secondary_key("city", ["zz"]).collect()} == {1}
+        # the stale (b, 1) cell must not surface id=1 under its OLD value
+        old = {r.id for r in t.lookup_by_secondary_key("city", ["b"]).collect()}
+        assert 1 not in old
+        assert old == {i for i in range(12) if i % 3 == 1 and i != 1}
+
+    def test_deleted_rows_drop_out(self, spark, tdir):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.upsert import delete
+
+        _register(spark)
+        _write(_people(spark, 12).repartition(2), tdir, **{
+            **self._OPTS, "table.type": "MERGE_ON_READ",
+        })
+        delete(
+            spark.createDataFrame(
+                [(4, None, None, 3)], "id long, name string, city string, ts long"
+            ),
+            tdir,
+        )
+        got = {r.id for r in HudiTable(tdir, spark)
+               .lookup_by_secondary_key("city", ["b"]).collect()}
+        assert got == {1, 7, 10}
+
+    def test_append_auto_resolves_indexed_columns(self, spark, tdir):
+        from hudi_rs_spark.metadata.secondary_index import read_secondary_index
+
+        _register(spark)
+        _write(_people(spark, 6), tdir, **self._OPTS)
+        more = spark.createDataFrame(
+            [(100, "m", "qq", 2)], "id long, name string, city string, ts long"
+        )
+        _write(more, tdir, **{"recordkey.field": "id", "precombine.field": "ts"})
+        idx = read_secondary_index(tdir, "secondary_index_city")
+        assert idx.get("qq") == {"100"}
+
+
 class TestCleanService:
     _MOR = {
         "recordkey.field": "id", "precombine.field": "ts",
