@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 _SURFACE_FIRST = [
     # new r8: the DataFrame-writer lifecycle (no driver row yet)
     "write_cow_roundtrip", "write_upsert_roundtrip", "write_compacted_snapshot",
-    "write_clustered_snapshot",
+    "write_clustered_snapshot", "write_point_lookup", "write_secondary_lookup",
     # rotated out of r7's sample (newest green row = r6)
     "q8_market_share", "q13_order_distribution", "q20_heavy_suppliers",
     "q21_late_suppliers", "json_props_stats",

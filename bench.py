@@ -97,6 +97,8 @@ HEADLINE = [
     "write_upsert_roundtrip",
     "write_compacted_snapshot",
     "write_clustered_snapshot",
+    "write_point_lookup",
+    "write_secondary_lookup",
     # sample_split_leakfree stays registry/oracle-only: its plan is the
     # dedup_cluster_canonical LSH+CC (already benched twice via
     # pipeline_curate) plus a map-side coin flip.

@@ -32,7 +32,7 @@ from hudi_rs_spark.workloads import QuerySpec, register
 from hudi_rs_spark.workloads.mor import _REPO_CACHE as _MOR_CACHE
 
 _CACHE = os.path.join(os.path.dirname(_MOR_CACHE), "write_bench")
-_LAYOUT_V = "v1"
+_LAYOUT_V = "v2"
 
 _REGISTERED: set[int] = set()
 
@@ -48,17 +48,25 @@ def _register(spark: SparkSession) -> None:
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        .select("doc_id", "text", "lang", F.lit(1).alias("ts"))
+        .select("doc_id", "text", "lang", "source", F.lit(1).alias("ts"))
     )
 
 
 def _seed_options() -> dict:
+    """v8 + full index family: the lifecycle rows then exercise MDT
+    listing, record-index upsert tagging, column/partition stats and
+    the secondary index on every bench run."""
     return {
         "recordkey.field": "doc_id",
         "precombine.field": "ts",
         "partitionpath.field": "lang",
         "table.type": "MERGE_ON_READ",
         "hoodie.table.name": "docs_w",
+        "table.version": "8",
+        "metadata.enable": "true",
+        "metadata.columnstats.enable": "true",
+        "metadata.recordindex.enable": "true",
+        "metadata.secondaryindex.columns": "source",
     }
 
 
@@ -209,6 +217,65 @@ def write_compacted_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+POINT_LOOKUP_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 9 = 0 THEN text || '#u' ELSE text END AS text,
+       lang
+FROM documents
+WHERE doc_id % 11 <> 0 AND doc_id % 23 = 0
+ORDER BY doc_id
+"""
+
+
+def write_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-index point lookup on the writer-built table: keys resolve
+    through the MDT record index to exactly their file slices (deleted
+    keys resolve to tombstones and vanish). Oracle = the lifecycle
+    truth restricted to the looked-up keys."""
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    _register(spark)
+    path = _ensure_lifecycle_table(spark, sf_dir, compacted=False)
+    n_docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).count()
+    keys = [str(i) for i in range(0, n_docs, 23)]
+    return (
+        HudiTable(path, spark).point_lookup(keys)
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+
+
+SECONDARY_LOOKUP_SQL = """
+SELECT doc_id, source
+FROM documents
+WHERE doc_id % 11 <> 0
+  AND source = (SELECT min(source) FROM documents)
+ORDER BY doc_id
+"""
+
+
+def write_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-index lookup (source column) composing with the record
+    index: value -> record keys -> file slices, post-filtered on the
+    indexed column so stale cells never surface."""
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    _register(spark)
+    path = _ensure_lifecycle_table(spark, sf_dir, compacted=False)
+    min_source = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .agg(F.min("source").alias("m")).collect()[0].m
+    )
+    return (
+        HudiTable(path, spark)
+        .lookup_by_secondary_key("source", [str(min_source)])
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def write_clustered_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same lifecycle + clustering (sorted small-file rewrite into one
     replacecommit): identical rows served from fewer, doc_id-sorted
@@ -232,5 +299,9 @@ for _n, _f, _s, _d in [
      "post-compaction snapshot equals the uncompacted oracle"),
     ("write_clustered_snapshot", write_clustered_snapshot, LIFECYCLE_SQL,
      "post-clustering snapshot equals the unclustered oracle"),
+    ("write_point_lookup", write_point_lookup, POINT_LOOKUP_SQL,
+     "MDT record-index point lookup on a writer-built table"),
+    ("write_secondary_lookup", write_secondary_lookup, SECONDARY_LOOKUP_SQL,
+     "secondary-index + record-index lookup, stale-cell-safe"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("write", "hudi"), doc=_d))
