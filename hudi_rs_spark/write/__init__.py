@@ -21,6 +21,8 @@ Surfaces:
 - ``rollback.rollback_failed_writes`` — orphan cleanup after a crashed
   write (delete orphan bases / void orphan log blocks), one
   ``.rollback`` instant;
+- ``savepoint.savepoint`` / ``savepoint.restore`` — pin an instant
+  against cleaning; destructively rewind the table to a pinned instant;
 - ``stream.HudiPyStreamWriter`` — ``writeStream.format("hudi_py")``,
   one commit per micro-batch, exactly-once across restarts;
 - ``mdt.apply_commit_to_mdt`` — metadata-table files partition kept in
@@ -52,5 +54,6 @@ from hudi_rs_spark.write.clean import clean  # noqa: F401
 from hudi_rs_spark.write.cluster import cluster  # noqa: F401
 from hudi_rs_spark.write.compact import compact  # noqa: F401
 from hudi_rs_spark.write.rollback import rollback_failed_writes  # noqa: F401
+from hudi_rs_spark.write.savepoint import restore, savepoint  # noqa: F401
 from hudi_rs_spark.write.table import META_COLS, HudiTableWriter  # noqa: F401
 from hudi_rs_spark.write.upsert import delete, upsert  # noqa: F401

@@ -53,7 +53,15 @@ def clean(path: str, retain_commits: int = 10, instant: str | None = None) -> in
     boundary = completed[-retain_commits].timestamp
     completed_ts = {i.timestamp for i in completed}
     pending_ts = set(timeline.pending_timestamps)
-    replaced_fids = timeline.replaced_file_group_ids_as_of(boundary)
+    # savepoints pin additional retention points: every snapshot as-of a
+    # pinned instant must survive cleaning (write/savepoint.py)
+    from hudi_rs_spark.write.savepoint import savepointed_instants
+
+    retention = {boundary} | {
+        ts for ts in savepointed_instants(path) if ts <= boundary
+    }
+    min_retention = min(retention)
+    replaced_fids = timeline.replaced_file_group_ids_as_of(min_retention)
 
     groups = build_file_groups(path, table._completion_times())
     deleted: dict[str, list[str]] = {}
@@ -67,9 +75,15 @@ def clean(path: str, retain_commits: int = 10, instant: str | None = None) -> in
                 (ts, s) for ts, s in slices
                 if ts <= boundary and ts in completed_ts
             ]
-            # the newest at-or-before-boundary slice serves
-            # as_of == boundary; everything older is unreachable
-            victims = [s for _, s in eligible[:-1]]
+            # each retention point (boundary + savepoints) is served by
+            # its newest at-or-before slice; everything else older than
+            # the boundary is unreachable
+            keep = set()
+            for point in retention:
+                at = [ts for ts, _ in eligible if ts <= point]
+                if at:
+                    keep.add(max(at))
+            victims = [s for ts, s in eligible if ts not in keep]
         for s in victims:
             if s.commit_timestamp in pending_ts:
                 continue

@@ -1,0 +1,159 @@
+"""Savepoint + restore services — the last two Hudi maintenance verbs.
+
+- ``savepoint(path, instant)`` pins a completed instant: the cleaner
+  (write/clean.py) keeps every file slice needed to serve
+  ``as_of == instant`` no matter how far the retention boundary moves.
+  Published as a ``{ts}.savepoint`` instant whose metadata names the
+  pinned commit (readers skip non-data actions).
+- ``restore(path, instant)`` destructively rewinds the table to the
+  pinned instant: completed data instants AFTER it are removed from the
+  timeline (and their MDT deltacommits with them), which instantly
+  makes their base files and log blocks invisible to every reader;
+  the now-orphaned bytes are then reclaimed with the SAME mechanism as
+  crashed-write cleanup (write/rollback.py) — delete orphan bases and
+  orphan-only log files, void mixed log files with rollback command
+  blocks. Replacecommits after the savepoint disappear too, so file
+  groups they had superseded become visible again — exactly the
+  rewind semantics.
+
+SAFETY: single-writer scope (package docstring). Restore is the one
+operation here that destroys committed history — it refuses to run
+without an existing savepoint at the target instant unless
+``force=True``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from hudi_rs_spark.write.config import WriteConfig, new_instant
+
+SAVEPOINT_ACTION = "savepoint"
+
+
+def _cfg_for(path: str, operation: str) -> WriteConfig:
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+
+    tc = HudiTableConfig.from_base_path(path)
+    return WriteConfig(
+        path=path, table_name=tc.table_name,
+        record_key_fields=tuple(tc.record_key_fields) or ("id",),
+        precombine_field=(tc.ordering_fields or [None])[0],
+        partition_fields=tuple(tc.partition_fields),
+        table_type=tc.table_type.value, table_version=tc.table_version,
+        instant=new_instant(), operation=operation,
+    )
+
+
+def _timeline_dir(path: str) -> str:
+    from hudi_rs_spark.write.writer import timeline_dir
+
+    return timeline_dir(_cfg_for(path, "rollback"))
+
+
+def savepointed_instants(path: str) -> set[str]:
+    """Requested timestamps pinned by savepoint instants."""
+    tdir = _timeline_dir(path)
+    out: set[str] = set()
+    if not os.path.isdir(tdir):
+        return out
+    for name in os.listdir(tdir):
+        if not name.endswith(f".{SAVEPOINT_ACTION}"):
+            continue
+        try:
+            with open(os.path.join(tdir, name)) as f:
+                meta = json.load(f)
+            ts = meta.get("savepointedInstant")
+            if ts:
+                out.add(ts)
+        except (OSError, ValueError):
+            continue
+    return out
+
+
+def savepoint(path: str, instant: str | None = None) -> str:
+    """Pin ``instant`` (default: the latest completed data instant);
+    returns the pinned timestamp."""
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    timeline = HudiTable(path, spark=None, listing="direct").timeline
+    completed = sorted(i.timestamp for i in timeline.instants)
+    if not completed:
+        raise ValueError("cannot savepoint an empty table")
+    target = instant or completed[-1]
+    if target not in completed:
+        raise ValueError(f"no completed instant {target!r} to savepoint")
+    cfg = _cfg_for(path, "rollback")  # reuse a maintenance op slot
+    tdir = _timeline_dir(path)
+    os.makedirs(tdir, exist_ok=True)
+    ts = new_instant()
+    if cfg.table_version >= 8:
+        name = f"{ts}_{max(new_instant(), ts)}.{SAVEPOINT_ACTION}"
+    else:
+        name = f"{ts}.{SAVEPOINT_ACTION}"
+    meta = {"savepointedInstant": target, "savepointTime": ts}
+    tmp = os.path.join(tdir, name + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(json.dumps(meta).encode())
+    os.replace(tmp, os.path.join(tdir, name))
+    return target
+
+
+def restore(path: str, instant: str, force: bool = False) -> list[str]:
+    """Rewind the table to ``instant``: drop every completed data
+    instant after it (timeline + MDT deltacommits), then reclaim the
+    orphaned bytes via the rollback machinery. Returns the removed
+    instants (sorted). Refuses without a savepoint at ``instant``
+    unless ``force``."""
+    from hudi_rs_spark.sources.hudi import HudiTable
+    from hudi_rs_spark.timeline.timeline import _completed_file_name
+    from hudi_rs_spark.write.rollback import rollback_failed_writes
+
+    if not force and instant not in savepointed_instants(path):
+        raise ValueError(
+            f"no savepoint at {instant!r}; pass force=True to restore to "
+            "an unpinned instant (destroys committed history)"
+        )
+    timeline = HudiTable(path, spark=None, listing="direct").timeline
+    doomed = [i for i in timeline.instants if i.timestamp > instant]
+    if instant not in {i.timestamp for i in timeline.instants}:
+        raise ValueError(f"no completed instant {instant!r} to restore to")
+    tdir = _timeline_dir(path)
+    removed = []
+    for i in doomed:
+        p = os.path.join(tdir, _completed_file_name(i))
+        try:
+            os.remove(p)
+            removed.append(i.timestamp)
+        except OSError:
+            pass
+
+    # MDT: drop the mirrored deltacommits so index/listing blocks at the
+    # removed instants turn invisible the same way
+    mdt_tl = os.path.join(path, ".hoodie", "metadata", ".hoodie", "timeline")
+    if os.path.isdir(mdt_tl):
+        for name in os.listdir(mdt_tl):
+            ts = name.split("_", 1)[0].split(".", 1)[0]
+            if ts and ts > instant:
+                try:
+                    os.remove(os.path.join(mdt_tl, name))
+                except OSError:
+                    pass
+
+    # physical reclamation: everything stamped after `instant` is now an
+    # orphan — same cleanup path as a crashed write
+    rollback_failed_writes(path)
+
+    ts = new_instant()
+    cfg = _cfg_for(path, "rollback")
+    if cfg.table_version >= 8:
+        name = f"{ts}_{max(new_instant(), ts)}.restore"
+    else:
+        name = f"{ts}.restore"
+    meta = {"restoredToInstant": instant, "commitsRemoved": sorted(removed)}
+    tmp = os.path.join(tdir, name + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(json.dumps(meta).encode())
+    os.replace(tmp, os.path.join(tdir, name))
+    return sorted(removed)

@@ -849,6 +849,115 @@ class TestCleanService:
         assert sorted(map(key, direct)) == sorted(map(key, mdt))
 
 
+class TestSavepointRestore:
+    _MOR = {
+        "recordkey.field": "id", "precombine.field": "ts",
+        "table.type": "MERGE_ON_READ",
+    }
+
+    def _lifecycle(self, spark, tdir):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.compact import compact
+        from hudi_rs_spark.write.upsert import upsert
+
+        _write(_people(spark, 20).repartition(2), tdir, **self._MOR)
+        upsert(
+            spark.createDataFrame(
+                [(1, "v2", "a", 2)], "id long, name string, city string, ts long"
+            ),
+            tdir,
+        )
+        compact(spark, tdir)
+        return [i.timestamp for i in HudiTable(tdir, spark).get_timeline().instants]
+
+    def test_savepoint_survives_clean(self, spark, tdir):
+        from hudi_rs_spark.write.clean import clean
+        from hudi_rs_spark.write.savepoint import savepoint
+
+        _register(spark)
+        instants = self._lifecycle(spark, tdir)
+        savepoint(tdir, instants[0])
+        assert clean(tdir, retain_commits=1) == 0  # seed slice pinned
+        by_seed = {r.id: r.name for r in _load(spark, tdir, asOf=instants[0]).collect()}
+        assert by_seed[1] == "n1"  # pre-upsert state still served
+
+    def test_clean_without_savepoint_reclaims(self, spark, tdir):
+        from hudi_rs_spark.write.clean import clean
+
+        _register(spark)
+        self._lifecycle(spark, tdir)
+        assert clean(tdir, retain_commits=1) > 0
+
+    def test_restore_rewinds_and_reclaims(self, spark, tdir):
+        import glob
+
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.savepoint import restore, savepoint
+
+        _register(spark)
+        instants = self._lifecycle(spark, tdir)
+        savepoint(tdir, instants[1])  # post-upsert, pre-compaction
+        pre = sorted(map(tuple, _load(spark, tdir).select("id", "name").collect()))
+        removed = restore(tdir, instants[1])
+        assert removed == [instants[2]]  # the compaction instant
+        post = sorted(map(tuple, _load(spark, tdir).select("id", "name").collect()))
+        assert post == pre  # compaction was transparent; rewind is too
+        t = HudiTable(tdir, spark)
+        assert [i.timestamp for i in t.get_timeline().instants] == instants[:2]
+        # compaction's base files physically reclaimed
+        names = [
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(tdir, "*.parquet"))
+        ]
+        assert not any(instants[2] in n for n in names)
+        # and the slices are log-backed again
+        assert any(s.has_log_files for s in t.get_file_slices())
+
+    def test_restore_refuses_without_savepoint(self, spark, tdir):
+        from hudi_rs_spark.write.savepoint import restore
+
+        _register(spark)
+        instants = self._lifecycle(spark, tdir)
+        with pytest.raises(ValueError, match="no savepoint"):
+            restore(tdir, instants[0])
+        # force path works and drops both later commits
+        removed = restore(tdir, instants[0], force=True)
+        assert removed == instants[1:]
+        assert _load(spark, tdir).count() == 20
+        assert {r.name for r in _load(spark, tdir).filter(F.col("id") == 1).collect()} == {"n1"}
+
+    def test_restore_mdt_consistent(self, spark, tdir):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.savepoint import restore, savepoint
+        from hudi_rs_spark.write.upsert import upsert
+
+        _register(spark)
+        _write(_people(spark, 20).repartition(2), tdir, **{
+            **self._MOR, "table.version": "8", "metadata.enable": "true",
+        })
+        t = HudiTable(tdir, spark)
+        first = t.get_timeline().instants[0].timestamp
+        upsert(
+            spark.createDataFrame(
+                [(2, "v2", "a", 2)], "id long, name string, city string, ts long"
+            ),
+            tdir,
+        )
+        savepoint(tdir, first)
+        restore(tdir, first)
+
+        def key(sl):
+            return (
+                sl.partition_path, sl.file_id, sl.commit_timestamp,
+                tuple(sorted(lf.file_name for lf in sl.log_files)),
+            )
+
+        direct = HudiTable(tdir, spark, listing="direct").get_file_slices()
+        mdt = HudiTable(tdir, spark, listing="mdt").get_file_slices()
+        assert sorted(map(key, direct)) == sorted(map(key, mdt))
+        assert {r.name for r in _load(spark, tdir).filter(F.col("id") == 2).collect()} == {"n2"}
+
+
 class TestRollbackService:
     def test_orphan_base_file_removed(self, spark, tdir):
         import shutil as sh
