@@ -108,7 +108,13 @@ def committed_batch_ids(cfg: WriteConfig) -> set[int]:
 
 class HudiPyStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options: dict, schema):
+        from hudi_rs_spark.write.writer import resolve_index_flags
+
         self.cfg = WriteConfig.from_options(options)
+        # a stream into a stats/index-advertising table must keep those
+        # partitions widening, exactly like a batch append (stale
+        # partition_stats would make exclusion pruning WRONG)
+        resolve_index_flags(self.cfg)
         self.schema = schema
 
     def _batch_cfg(self, batch_id: int) -> WriteConfig:

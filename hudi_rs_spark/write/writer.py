@@ -475,6 +475,66 @@ def data_avro_schema(spark_schema, table_name: str) -> dict:
     return _spark_to_avro(T.StructType(fields), table_name + "_record")
 
 
+def resolve_index_flags(cfg: WriteConfig) -> None:
+    """Resolve layout + stats/index emission on the DRIVER against the
+    existing table, mutating ``cfg`` in place — called by BOTH the
+    batch and streaming writers before cfg ships to executors.
+
+    - ``table_version`` is AUTHORITATIVE from the existing table: a v8
+      table appended to with default options would otherwise get a
+      layout-1 commit written into ``.hoodie/`` instead of
+      ``.hoodie/timeline/`` — an invisible commit (identity fields like
+      record key / table type stay validated loudly by ``init_table``
+      instead of silently synced).
+    - once a table advertises column_stats, every later write must keep
+      widening the partition_stats union or exclusion pruning on new
+      values would be WRONG (the file-listing analog, mdt_enabled,
+      resolves at commit time, but stats/index entries are computed
+      executor-side, so these flags must resolve early); the
+      record-index shard count is likewise fixed at table creation
+      (cross-shard duplicates break the reader's last-wins merge).
+    """
+    props_path = os.path.join(_local(cfg.path), ".hoodie", "hoodie.properties")
+    if os.path.exists(props_path):
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+        from hudi_rs_spark.metadata.files_partition import has_files_partition
+
+        existing = HudiTableConfig.from_base_path(_local(cfg.path))
+        cfg.table_version = existing.table_version
+        if has_files_partition(existing):
+            cfg.emit_metadata = True
+    if not cfg.emit_column_stats:
+        from hudi_rs_spark.write.mdt import column_stats_enabled
+
+        if column_stats_enabled(cfg):
+            cfg.emit_column_stats = True
+    if cfg.emit_column_stats:
+        cfg.emit_metadata = True
+    if not cfg.emit_record_index:
+        from hudi_rs_spark.write.record_index import (
+            record_index_enabled_on_table,
+        )
+
+        if record_index_enabled_on_table(_local(cfg.path)):
+            cfg.emit_record_index = True
+    if cfg.emit_record_index:
+        cfg.emit_metadata = True
+    if cfg.emit_record_index:
+        from hudi_rs_spark.write.record_index import existing_shard_count
+
+        n = existing_shard_count(_local(cfg.path))
+        if n:
+            cfg.record_index_shards = n
+    if not cfg.secondary_index_columns:
+        from hudi_rs_spark.write.secondary_index import (
+            indexed_columns_on_table,
+        )
+
+        cols = indexed_columns_on_table(_local(cfg.path))
+        if cols:
+            cfg.secondary_index_columns = cols
+
+
 def mdt_enabled(cfg: WriteConfig) -> bool:
     """Maintain the MDT when the write asked for it OR the existing
     table already advertises a files partition (appends must not let
@@ -601,40 +661,7 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
 
     def __init__(self, options: dict, schema, overwrite: bool):
         self.cfg = WriteConfig.from_options(options, overwrite=overwrite)
-        # resolve stats emission on the DRIVER against the existing
-        # table: once a table advertises column_stats, every later
-        # append must keep widening the partition_stats union, or
-        # exclusion pruning on the new values would be WRONG (the
-        # file-listing analog, mdt_enabled, is resolved at commit time,
-        # but stats must be computed executor-side, so resolve early)
-        if not self.cfg.emit_column_stats:
-            from hudi_rs_spark.write.mdt import column_stats_enabled
-
-            if column_stats_enabled(self.cfg):
-                self.cfg.emit_column_stats = True
-        if not self.cfg.emit_record_index:
-            from hudi_rs_spark.write.record_index import (
-                record_index_enabled_on_table,
-            )
-
-            if record_index_enabled_on_table(_local(self.cfg.path)):
-                self.cfg.emit_record_index = True
-        if self.cfg.emit_record_index:
-            # the shard count is fixed at table creation; later writes
-            # must reuse it (cross-shard duplicates break the merge)
-            from hudi_rs_spark.write.record_index import existing_shard_count
-
-            n = existing_shard_count(_local(self.cfg.path))
-            if n:
-                self.cfg.record_index_shards = n
-        if not self.cfg.secondary_index_columns:
-            from hudi_rs_spark.write.secondary_index import (
-                indexed_columns_on_table,
-            )
-
-            cols = indexed_columns_on_table(_local(self.cfg.path))
-            if cols:
-                self.cfg.secondary_index_columns = cols
+        resolve_index_flags(self.cfg)
         self.schema = schema
         if self.cfg.operation == OP_UPSERT and self.cfg.table_type != "MERGE_ON_READ":
             raise ValueError(

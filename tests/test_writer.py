@@ -678,6 +678,10 @@ class TestRecordIndexWriter:
         assert existing_shard_count(tdir) == 2
         idx = read_record_index(tdir)
         assert {str(i) for i in range(10)} | {str(100 + i) for i in range(5)} == set(idx)
+        # the appended DATA must be visible too — regression: a default
+        # (v6) cfg on this v8 table would publish the commit into
+        # .hoodie/ instead of .hoodie/timeline/ (invisible append)
+        assert _load(spark, tdir).count() == 15
 
 
 class TestSecondaryIndexWriter:
@@ -1051,6 +1055,45 @@ class TestRollbackService:
 
 
 class TestStreamingSink:
+    def test_stream_keeps_indexes_widening(self, spark, tdir, tmp_path):
+        """A stream into a stats/index-advertising table must resolve
+        the emission flags like a batch append — otherwise the
+        partition_stats union goes stale and exclusion pruning on the
+        streamed values would be WRONG."""
+        from hudi_rs_spark.metadata.column_stats import read_partition_stats
+        from hudi_rs_spark.metadata.record_index import read_record_index
+
+        _register(spark)
+        _write(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(5)], "id long, val string"
+            ),
+            tdir,
+            **{
+                "recordkey.field": "id", "table.version": "8",
+                "metadata.enable": "true",
+                "metadata.columnstats.enable": "true",
+                "metadata.recordindex.enable": "true",
+            },
+        )
+        srcdir = str(tmp_path / "src")
+        os.makedirs(srcdir, exist_ok=True)
+        spark.createDataFrame(
+            [(9000 + i, f"s{i}") for i in range(3)], "id long, val string"
+        ).coalesce(1).write.mode("append").parquet(srcdir)
+        stream = spark.readStream.schema("id long, val string").parquet(srcdir)
+        q = (
+            stream.writeStream.format("hudi_py")
+            .option("path", tdir).option("recordkey.field", "id")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        idx = read_record_index(tdir)
+        assert {"9000", "9001", "9002"} <= set(idx)
+        pstats = read_partition_stats(tdir)
+        assert pstats[""]["id"][1] >= 9002  # union widened by the stream
+
     def _sources(self, spark, tmp_path, batches=3, rows=10):
         srcdir = str(tmp_path / "src")
         os.makedirs(srcdir, exist_ok=True)
