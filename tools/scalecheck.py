@@ -152,6 +152,9 @@ def main() -> None:
         "dedup_cluster_canonical",
         "sim_kmeans_clusters",
         "pipeline_curate",
+        # writer throughput: a fresh distributed COW write of the corpus
+        # per run (workloads/write_path.py) — pins write-path scaling
+        "write_cow_roundtrip",
     ]
 
     def semdedup_at(k: int):
@@ -231,6 +234,20 @@ def main() -> None:
             q["time_ratio"] = round(q["scaled"]["sec"] / max(base["sec"], 1e-9), 2)
             q["sublinear_vs_mult"] = q["time_ratio"] < MULT
 
+    report["notes"] = [
+        "Sub-linear time_ratio (< mult) for every fixed-knob query is the "
+        "claim under test: r7's localCheckpoint materialization costs must "
+        "amortize with corpus size and no benched path may grow "
+        "superlinearly.",
+        "sim_semdedup[k*mult] documents the SemDeDup k-scaling contract; at "
+        "small corpora the O(n*k) assignment can still dominate the "
+        "O(n^2/k) pair-work savings (crossover needs n >> k^2) — the "
+        "banded-LSH large-cluster guard (semdedup exact_max_cluster) is the "
+        "bounded-pair-work path that needs no k increase.",
+        "sim_embedding_near_dups[wider bands] shows the documented "
+        "bucket-population contract: planes_per_band grows ~log2(mult) to "
+        "keep within-bucket candidate sets bounded.",
+    ]
     with open(OUT, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({"out": OUT, "queries": len(report["queries"])}))
