@@ -34,9 +34,10 @@ INTERNAL_COLS = (TARGET_FILE_COL, TARGET_INSTANT_COL, LOG_VERSION_COL)
 OP_INSERT = "insert"
 OP_UPSERT = "upsert"
 OP_INSERT_OVERWRITE = "insert_overwrite_table"
+OP_INSERT_OVERWRITE_PARTITION = "insert_overwrite"  # dynamic: touched partitions only
 OPERATIONS = (
-    OP_INSERT, OP_UPSERT, OP_INSERT_OVERWRITE, "bulk_insert", "compact",
-    "cluster", "clean", "rollback",
+    OP_INSERT, OP_UPSERT, OP_INSERT_OVERWRITE, OP_INSERT_OVERWRITE_PARTITION,
+    "bulk_insert", "compact", "cluster", "clean", "rollback",
 )
 
 
@@ -109,7 +110,7 @@ class WriteConfig:
 
     @property
     def action(self) -> str:
-        if self.operation == OP_INSERT_OVERWRITE:
+        if self.operation in (OP_INSERT_OVERWRITE, OP_INSERT_OVERWRITE_PARTITION):
             return "replacecommit"
         return "deltacommit" if self.table_type == "MERGE_ON_READ" else "commit"
 

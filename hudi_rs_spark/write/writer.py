@@ -57,6 +57,7 @@ from hudi_rs_spark.write.config import (
     LOG_VERSION_COL,
     META_COLS,
     OP_INSERT_OVERWRITE,
+    OP_INSERT_OVERWRITE_PARTITION,
     OP_UPSERT,
     TARGET_FILE_COL,
     TARGET_INSTANT_COL,
@@ -672,7 +673,8 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
         # these are what an overwrite's replacecommit excludes
         self._replaced = (
             existing_file_group_ids(self.cfg)
-            if self.cfg.operation == OP_INSERT_OVERWRITE
+            if self.cfg.operation in (OP_INSERT_OVERWRITE,
+                                      OP_INSERT_OVERWRITE_PARTITION)
             else None
         )
 
@@ -684,9 +686,19 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
         emit_mdt = mdt_enabled(self.cfg)
         init_table(self.cfg)
         schema_json = data_avro_schema(self.schema, self.cfg.table_name)
+        replaced = self._replaced
+        if (
+            replaced is not None
+            and self.cfg.operation == OP_INSERT_OVERWRITE_PARTITION
+        ):
+            # dynamic overwrite: only partitions this write actually
+            # touched lose their prior file groups; untouched partitions
+            # keep theirs (insert_overwrite_table replaces everything)
+            touched = {s.get("partitionPath", "") or "" for s in stats}
+            replaced = {p: v for p, v in replaced.items() if p in touched}
         commit_instant(
             self.cfg, stats, schema_json,
-            replaced=self._replaced,
+            replaced=replaced,
         )
         if emit_mdt:
             from hudi_rs_spark.write.mdt import apply_commit_to_mdt

@@ -129,6 +129,38 @@ class TestCowInsert:
         first = t.get_timeline().instants[0].timestamp
         assert _load(spark, tdir, asOf=first).count() == 30
 
+    def test_dynamic_partition_overwrite(self, spark, tdir):
+        """operation=insert_overwrite replaces only the partitions the
+        incoming data touches; untouched partitions keep their groups
+        (insert_overwrite_table replaces everything)."""
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        _register(spark)
+        _write(_people(spark, 30), tdir, **{
+            "recordkey.field": "id", "partitionpath.field": "city",
+        })
+        fresh = spark.createDataFrame(
+            [(500 + i, f"f{i}", "a", 9) for i in range(4)],
+            "id long, name string, city string, ts long",
+        )
+        _write(fresh, tdir, **{
+            "recordkey.field": "id", "partitionpath.field": "city",
+            "operation": "insert_overwrite",
+        })
+        rows = {r.id: r.city for r in _load(spark, tdir).collect()}
+        # city=a fully replaced by the 4 fresh rows
+        assert {k for k, v in rows.items() if v == "a"} == {500, 501, 502, 503}
+        # city=b and city=c untouched
+        assert {k for k, v in rows.items() if v == "b"} == {
+            i for i in range(30) if i % 3 == 1
+        }
+        assert len(rows) == 24
+        # time travel before the replace still sees the original city=a
+        t = HudiTable(tdir, spark)
+        first = t.get_timeline().instants[0].timestamp
+        old = {r.id for r in _load(spark, tdir, asOf=first).collect()}
+        assert old == set(range(30))
+
     def test_mismatched_append_rejected(self, spark, tdir):
         _register(spark)
         _write(_people(spark, 5), tdir, **{"recordkey.field": "id"})
