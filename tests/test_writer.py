@@ -129,6 +129,30 @@ class TestCowInsert:
         first = t.get_timeline().instants[0].timestamp
         assert _load(spark, tdir, asOf=first).count() == 30
 
+    def test_sql_insert_into_view(self, spark, tdir):
+        """SQL DDL + INSERT INTO through the connector: the Python Data
+        Source writer serves SparkSQL inserts on a hudi_py view (the
+        meta columns in the view schema are writer-owned — name the
+        data columns in the INSERT)."""
+        _register(spark)
+        _write(_people(spark, 5), tdir, **{"recordkey.field": "id"})
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW writer_sql_t USING hudi_py "
+            f"OPTIONS (path '{tdir}', `recordkey.field` 'id')"
+        )
+        spark.sql(
+            "INSERT INTO writer_sql_t (id, name, city, ts) "
+            "VALUES (100, 'sql', 'z', 9)"
+        )
+        rows = {r.id: r.name for r in spark.sql(
+            "SELECT id, name FROM writer_sql_t"
+        ).collect()}
+        assert rows[100] == "sql" and len(rows) == 6
+        r = spark.sql(
+            "SELECT _hoodie_record_key FROM writer_sql_t WHERE id = 100"
+        ).collect()[0]
+        assert r._hoodie_record_key == "100"
+
     def test_dynamic_partition_overwrite(self, spark, tdir):
         """operation=insert_overwrite replaces only the partitions the
         incoming data touches; untouched partitions keep their groups
