@@ -218,10 +218,15 @@ def upsert(df: DataFrame, path: str, **options) -> None:
         )
 
     index, next_version = _location_index(spark, cfg)
-    version_map = F.create_map(
-        *[x for fid, v in sorted(next_version.items())
-          for x in (F.lit(fid), F.lit(v))]
-    ) if next_version else F.lit(None).cast("map<string,int>")
+    # per-file-group next log version as a broadcast-joined frame, NOT a
+    # create_map literal: a map literal inlines every file group into
+    # the plan (10^6 entries at 100 TB = plan bloat + analysis cost),
+    # while the join side stays a normal small relation
+    versions = spark.createDataFrame(
+        [(fid, v) for fid, v in sorted(next_version.items())] or
+        spark.sparkContext.emptyRDD(),
+        f"{TARGET_FILE_COL} string, {LOG_VERSION_COL} int",
+    )
 
     tagged = (
         df.withColumn("__hoodie_key_x", key_expr)
@@ -233,9 +238,9 @@ def upsert(df: DataFrame, path: str, **options) -> None:
             "left",
         )
         .drop("_hoodie_record_key", "_hoodie_partition_path")
+        .join(F.broadcast(versions), TARGET_FILE_COL, "left")
         .withColumn(
-            LOG_VERSION_COL,
-            F.coalesce(version_map[F.col(TARGET_FILE_COL)], F.lit(1)),
+            LOG_VERSION_COL, F.coalesce(F.col(LOG_VERSION_COL), F.lit(1))
         )
         .drop("__hoodie_key_x", "__hoodie_part_x")
     )
