@@ -262,6 +262,8 @@ class HudiPyReader(DataSourceReader):
             return _chunk_partitions(_incremental_partitions(t, start, end), n_parts)
 
         slices = t.get_file_slices(as_of, self.filters)
+        if as_of is None:
+            slices = _record_index_prune(t, slices, self.filters)
         slices = t._stats_prune(
             slices,
             self.filters,
@@ -393,6 +395,61 @@ class HudiSliceGroupPartition(InputPartition):
     split_into_chunks)."""
 
     slices: list
+
+
+_RECORD_INDEX_MAX_KEYS = 1024
+
+
+def _record_index_prune(table, slices, filters):
+    """Plan-time point-lookup pruning: an ``=`` / ``IN`` filter on the
+    (single) record-key column resolves through the MDT record index to
+    exactly the file slices holding those keys — ``WHERE id IN (...)``
+    on a 100 TB table plans O(keys) index probes + the matching slices
+    instead of every slice surviving partition/stats pruning.
+
+    Safety: only LATEST-snapshot reads (the index tracks the current
+    table state), only single-field record keys (composite keys encode
+    as ``f1:v1,f2:v2`` — a filter on one field cannot resolve), only
+    tables advertising ``record_index`` (writer-maintained from table
+    creation, or Hudi's own RLI — both index every live key, so a
+    missing key PROVES the row does not exist; the writer refuses to
+    enable the index on pre-existing data without a backfill for
+    exactly this reason). Key sets above _RECORD_INDEX_MAX_KEYS skip
+    pruning (driver probe cost). Spark re-applies every filter after
+    the scan, so this is pruning-only."""
+    from hudi_rs_spark.metadata.record_index import (
+        has_record_index_partition,
+        read_record_index,
+    )
+
+    if not slices or not filters:
+        return slices
+    key_fields = table.config.record_key_fields
+    if len(key_fields) != 1:
+        return slices
+    keys: set[str] | None = None
+    for f in filters:
+        if f.field != key_fields[0]:
+            continue
+        if f.op == "=":
+            vals = {str(f.value)}
+        elif f.op == "IN":
+            typed = getattr(f, "typed", None)
+            if not typed:
+                continue
+            vals = {str(v) for v in typed}
+        else:
+            continue
+        keys = vals if keys is None else (keys & vals)
+    if keys is None or len(keys) > _RECORD_INDEX_MAX_KEYS:
+        return slices
+    if not has_record_index_partition(table.config):
+        return slices
+    try:
+        targets = set(read_record_index(table.base_path, keys).values())
+    except (OSError, ValueError):
+        return slices  # fail open: pruning is an optimization
+    return [s for s in slices if (s.partition_path, s.file_id) in targets]
 
 
 def _chunk_partitions(parts: list[HudiSlicePartition], n: int):

@@ -167,6 +167,112 @@ def existing_shard_count(path: str) -> int:
     return (max(int(s) for s in shards) + 1) if shards else 0
 
 
+def backfill_record_index(spark, path: str, shards: int = 4) -> int:
+    """Build the record index for a table that predates it: scan every
+    live base file's meta columns DISTRIBUTED (one Spark partition per
+    input split appends its own shard log files — index rows never
+    transit the driver), publish one MDT deltacommit, and advertise the
+    partition + pinned shard count in the table properties. Returns the
+    number of base files indexed.
+
+    Requires a compacted table (no log files): Hudi MOR log files may
+    carry INSERTS of keys absent from every base file, and an index
+    missing those keys would make index pruning drop live rows —
+    ``write.compact`` first. Updates never move keys between groups and
+    deleted keys resolve to empty reads, so base-file keys are complete
+    on a log-free table."""
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.metadata.files_partition import has_files_partition
+    from hudi_rs_spark.sources.hudi import HudiTable
+    from hudi_rs_spark.write.config import new_instant
+
+    config = HudiTableConfig.from_base_path(path)
+    if not has_files_partition(config):
+        raise ValueError(
+            "record-index backfill needs the metadata table: write with "
+            "metadata.enable=true (or this table was created without it)"
+        )
+    slices = HudiTable(path, spark=None, listing="direct").get_file_slices()
+    if any(s.has_log_files for s in slices):
+        raise ValueError(
+            "record-index backfill requires a compacted table (log files "
+            "may hold key inserts no base file has): run write.compact "
+            "first"
+        )
+    paths = [
+        os.path.join(path, s.base_file_relative_path())
+        for s in slices
+        if s.base_file is not None
+    ]
+    instant = new_instant()
+    if paths:
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(*paths).select(
+            "_hoodie_record_key",
+            "_hoodie_partition_path",
+            F.substring_index("_hoodie_file_name", "_", 1).alias("fid"),
+        )
+
+        def index_partition(rows):
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            token = (
+                f"{tc.partitionId()}-{tc.stageId()}-{tc.attemptNumber()}"
+                if tc else "0-0-0"
+            )
+            entries = {
+                r["_hoodie_record_key"]: (r["_hoodie_partition_path"], r["fid"])
+                for r in rows
+            }
+            if entries:
+                append_record_index_log(path, instant, entries, shards, token)
+
+        df.rdd.foreachPartition(index_partition)
+
+    # one MDT deltacommit makes every shard's blocks visible atomically
+    mdt_tl = os.path.join(
+        _local_base(path), ".hoodie", "metadata", ".hoodie", "timeline"
+    )
+    os.makedirs(mdt_tl, exist_ok=True)
+    meta = {
+        "partitionToWriteStats": {RECORD_INDEX_PARTITION: []},
+        "operationType": "UPSERT",
+    }
+    name = f"{instant}_{max(new_instant(), instant)}.deltacommit"
+    tmp = os.path.join(mdt_tl, name + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(json.dumps(meta).encode())
+    os.replace(tmp, os.path.join(mdt_tl, name))
+
+    # advertise: partitions += record_index, shard count pinned
+    props_path = os.path.join(_local_base(path), ".hoodie", "hoodie.properties")
+    with open(props_path) as f:
+        have = dict(
+            ln.split("=", 1) for ln in f.read().splitlines() if "=" in ln
+        )
+    parts = {
+        p.strip()
+        for p in have.get("hoodie.table.metadata.partitions", "").split(",")
+        if p.strip()
+    }
+    parts.add(RECORD_INDEX_PARTITION)
+    have["hoodie.table.metadata.partitions"] = ",".join(sorted(parts))
+    have.setdefault(SHARDS_PROP, str(shards))
+    tmp = props_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(f"{k}={v}" for k, v in sorted(have.items())) + "\n")
+    os.replace(tmp, props_path)
+    return len(paths)
+
+
+def _local_base(path: str) -> str:
+    from hudi_rs_spark.write.writer import _local
+
+    return _local(path)
+
+
 def record_index_enabled_on_table(path: str) -> bool:
     from hudi_rs_spark.config.table_config import HudiTableConfig
     from hudi_rs_spark.metadata.record_index import has_record_index_partition

@@ -518,6 +518,27 @@ def resolve_index_flags(cfg: WriteConfig) -> None:
 
         if record_index_enabled_on_table(_local(cfg.path)):
             cfg.emit_record_index = True
+    elif os.path.exists(props_path):
+        # enabling the record index on a table with EXISTING data would
+        # leave old keys unindexed — and the connector's index pruning
+        # treats a missing key as proof the row does not exist. Refuse;
+        # write.record_index.backfill_record_index builds the complete
+        # index first.
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.record_index import (
+            record_index_enabled_on_table,
+        )
+
+        if not record_index_enabled_on_table(_local(cfg.path)) and HudiTable(
+            _local(cfg.path), spark=None, listing="direct"
+        ).timeline.instants:
+            raise ValueError(
+                "cannot enable the record index on a table with existing "
+                "commits: old keys would be unindexed and index-based "
+                "pruning treats missing keys as nonexistent rows. Run "
+                "hudi_rs_spark.write.record_index.backfill_record_index "
+                "first."
+            )
     if cfg.emit_record_index:
         cfg.emit_metadata = True
     if cfg.emit_record_index:

@@ -740,6 +740,105 @@ class TestRecordIndexWriter:
         assert _load(spark, tdir).count() == 15
 
 
+class TestRecordIndexPruning:
+    _OPTS = {
+        "recordkey.field": "id", "precombine.field": "ts",
+        "table.version": "8", "metadata.enable": "true",
+        "metadata.recordindex.enable": "true",
+    }
+
+    def test_connector_prunes_to_matching_slices(self, spark, tdir):
+        from hudi_rs_spark.plans.partition_pruner import Filter
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.sources.pyds import _record_index_prune
+
+        _register(spark)
+        _write(_people(spark, 40).repartition(4), tdir, **{
+            **self._OPTS, "partitionpath.field": "city",
+        })
+        t = HudiTable(tdir, spark)
+        slices = t.get_file_slices()
+        pruned = _record_index_prune(
+            t, slices, [Filter("id", "IN", "", typed=(7, 23))]
+        )
+        assert 0 < len(pruned) < len(slices)
+        # end to end through SQL: values correct
+        got = sorted(
+            r.id for r in _load(spark, tdir)
+            .filter(F.col("id").isin(7, 23)).collect()
+        )
+        assert got == [7, 23]
+        # a key that never existed prunes to nothing
+        assert _record_index_prune(
+            t, slices, [Filter("id", "=", "99999")]
+        ) == []
+        assert _load(spark, tdir).filter(F.col("id") == 99999).count() == 0
+
+    def test_no_pruning_without_index_or_on_other_columns(self, spark, tdir):
+        from hudi_rs_spark.plans.partition_pruner import Filter
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.sources.pyds import _record_index_prune
+
+        _register(spark)
+        _write(_people(spark, 10), tdir, **{"recordkey.field": "id"})
+        t = HudiTable(tdir, spark)
+        slices = t.get_file_slices()
+        assert _record_index_prune(
+            t, slices, [Filter("id", "=", "3")]
+        ) == slices  # no index partition -> untouched
+        _write(_people(spark, 10), str(tdir) + "_i", **self._OPTS)
+        t2 = HudiTable(str(tdir) + "_i", spark)
+        s2 = t2.get_file_slices()
+        assert _record_index_prune(
+            t2, s2, [Filter("name", "=", "n3")]
+        ) == s2  # non-key column -> untouched
+
+    def test_enable_on_existing_data_refused(self, spark, tdir):
+        _register(spark)
+        _write(_people(spark, 10), tdir, **{
+            "recordkey.field": "id", "table.version": "8",
+            "metadata.enable": "true",
+        })
+        with pytest.raises(Exception, match="backfill"):
+            _write(_people(spark, 5, name="x"), tdir, **{
+                "recordkey.field": "id", "table.version": "8",
+                "metadata.enable": "true",
+                "metadata.recordindex.enable": "true",
+            })
+
+    def test_backfill_then_maintained(self, spark, tdir):
+        from hudi_rs_spark.metadata.record_index import read_record_index
+        from hudi_rs_spark.write.compact import compact
+        from hudi_rs_spark.write.record_index import backfill_record_index
+        from hudi_rs_spark.write.upsert import upsert
+
+        _register(spark)
+        _write(_people(spark, 20).repartition(2), tdir, **{
+            "recordkey.field": "id", "precombine.field": "ts",
+            "table.type": "MERGE_ON_READ", "table.version": "8",
+            "metadata.enable": "true",
+        })
+        upsert(
+            spark.createDataFrame(
+                [(1, "u1", "a", 2)], "id long, name string, city string, ts long"
+            ),
+            tdir,
+        )
+        with pytest.raises(ValueError, match="compact"):
+            backfill_record_index(spark, tdir)
+        compact(spark, tdir)
+        n = backfill_record_index(spark, tdir, shards=2)
+        assert n > 0
+        idx = read_record_index(tdir)
+        assert set(idx) == {str(i) for i in range(20)}
+        # later writes auto-maintain the backfilled index
+        more = spark.createDataFrame(
+            [(500, "new", "a", 3)], "id long, name string, city string, ts long"
+        )
+        upsert(more, tdir)
+        assert "500" in read_record_index(tdir)
+
+
 class TestSecondaryIndexWriter:
     _OPTS = {
         "recordkey.field": "id", "precombine.field": "ts",
