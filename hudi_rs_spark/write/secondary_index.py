@@ -111,6 +111,95 @@ def append_secondary_index_log(
         f.write(payload)
 
 
+def backfill_secondary_index(spark, path: str, column: str) -> int:
+    """Build a secondary index on ``column`` for a table that predates
+    it: scan every live base file's (value, record_key) pairs
+    DISTRIBUTED (each Spark partition appends its own log blocks),
+    publish one MDT deltacommit, and advertise the partition. Returns
+    the number of base files indexed.
+
+    Requires a compacted table (no log files): MOR logs carry the NEW
+    values of updated rows (and key inserts), and cells built from base
+    files alone would miss them — ``write.compact`` first. Null values
+    are unindexed, matching the writer."""
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.metadata.files_partition import has_files_partition
+    from hudi_rs_spark.sources.hudi import HudiTable
+    from hudi_rs_spark.write.config import new_instant
+    from hudi_rs_spark.write.writer import _local
+
+    config = HudiTableConfig.from_base_path(path)
+    if not has_files_partition(config):
+        raise ValueError(
+            "secondary-index backfill needs the metadata table: write "
+            "with metadata.enable=true"
+        )
+    slices = HudiTable(path, spark=None, listing="direct").get_file_slices()
+    if any(s.has_log_files for s in slices):
+        raise ValueError(
+            "secondary-index backfill requires a compacted table (log "
+            "files hold updated values no base file has): run "
+            "write.compact first"
+        )
+    paths = [
+        os.path.join(path, s.base_file_relative_path())
+        for s in slices
+        if s.base_file is not None
+    ]
+    instant = new_instant()
+    if paths:
+        df = spark.read.parquet(*paths).select(column, "_hoodie_record_key")
+
+        def index_partition(rows):
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            token = (
+                f"{tc.partitionId()}-{tc.stageId()}-{tc.attemptNumber()}"
+                if tc else "0-0-0"
+            )
+            cells = [
+                (str(r[column]), r["_hoodie_record_key"])
+                for r in rows
+                if r[column] is not None
+            ]
+            append_secondary_index_log(path, instant, column, cells, token)
+
+        df.rdd.foreachPartition(index_partition)
+
+    mdt_tl = os.path.join(
+        _local(path), ".hoodie", "metadata", ".hoodie", "timeline"
+    )
+    os.makedirs(mdt_tl, exist_ok=True)
+    meta = {
+        "partitionToWriteStats": {SECONDARY_INDEX_PREFIX + column: []},
+        "operationType": "UPSERT",
+    }
+    name = f"{instant}_{max(new_instant(), instant)}.deltacommit"
+    tmp = os.path.join(mdt_tl, name + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(json.dumps(meta).encode())
+    os.replace(tmp, os.path.join(mdt_tl, name))
+
+    props_path = os.path.join(_local(path), ".hoodie", "hoodie.properties")
+    with open(props_path) as f:
+        have = dict(
+            ln.split("=", 1) for ln in f.read().splitlines() if "=" in ln
+        )
+    parts = {
+        p.strip()
+        for p in have.get("hoodie.table.metadata.partitions", "").split(",")
+        if p.strip()
+    }
+    parts.add(SECONDARY_INDEX_PREFIX + column)
+    have["hoodie.table.metadata.partitions"] = ",".join(sorted(parts))
+    tmp = props_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(f"{k}={v}" for k, v in sorted(have.items())) + "\n")
+    os.replace(tmp, props_path)
+    return len(paths)
+
+
 def indexed_columns_on_table(path: str) -> tuple[str, ...]:
     """Columns with a secondary_index_* partition advertised in the
     table's properties (empty when none)."""

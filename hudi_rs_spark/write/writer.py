@@ -555,6 +555,29 @@ def resolve_index_flags(cfg: WriteConfig) -> None:
         cols = indexed_columns_on_table(_local(cfg.path))
         if cols:
             cfg.secondary_index_columns = cols
+    elif os.path.exists(props_path):
+        # same completeness argument as the record index: a secondary
+        # index missing pre-existing rows' cells produces FALSE
+        # NEGATIVES in lookup_by_secondary_key (the post-filter only
+        # removes stale cells, it cannot conjure missing ones)
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.secondary_index import (
+            indexed_columns_on_table,
+        )
+
+        new_cols = set(cfg.secondary_index_columns) - set(
+            indexed_columns_on_table(_local(cfg.path))
+        )
+        if new_cols and HudiTable(
+            _local(cfg.path), spark=None, listing="direct"
+        ).timeline.instants:
+            raise ValueError(
+                f"cannot enable secondary index(es) {sorted(new_cols)} on "
+                "a table with existing commits: old rows would be "
+                "unindexed (lookups would miss them). Run "
+                "hudi_rs_spark.write.secondary_index."
+                "backfill_secondary_index first."
+            )
 
 
 def mdt_enabled(cfg: WriteConfig) -> bool:

@@ -900,6 +900,40 @@ class TestSecondaryIndexWriter:
                .lookup_by_secondary_key("city", ["b"]).collect()}
         assert got == {1, 7, 10}
 
+    def test_enable_on_existing_data_refused_then_backfilled(self, spark, tdir):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.secondary_index import (
+            backfill_secondary_index,
+        )
+
+        _register(spark)
+        _write(_people(spark, 12), tdir, **{
+            "recordkey.field": "id", "precombine.field": "ts",
+            "table.version": "8", "metadata.enable": "true",
+            "metadata.recordindex.enable": "true",
+        })
+        with pytest.raises(Exception, match="backfill"):
+            _write(_people(spark, 3, name="x"), tdir, **{
+                "recordkey.field": "id", "table.version": "8",
+                "metadata.enable": "true",
+                "metadata.recordindex.enable": "true",
+                "metadata.secondaryindex.columns": "city",
+            })
+        assert backfill_secondary_index(spark, tdir, "city") > 0
+        got = {r.id for r in HudiTable(tdir, spark)
+               .lookup_by_secondary_key("city", ["b"]).collect()}
+        assert got == {i for i in range(12) if i % 3 == 1}
+        # later writes auto-maintain the backfilled index
+        _write(
+            spark.createDataFrame(
+                [(700, "m", "b", 2)], "id long, name string, city string, ts long"
+            ),
+            tdir, **{"recordkey.field": "id"},
+        )
+        got = {r.id for r in HudiTable(tdir, spark)
+               .lookup_by_secondary_key("city", ["b"]).collect()}
+        assert 700 in got
+
     def test_append_auto_resolves_indexed_columns(self, spark, tdir):
         from hudi_rs_spark.metadata.secondary_index import read_secondary_index
 
