@@ -67,8 +67,18 @@ def _block(magic: bytes, payload: bytes, prev_offset: int) -> bytes:
     return header + payload
 
 
+MAX_KEY_BYTES = 0x7FFF  # the length prefix is a signed 16-bit short
+
+
 def _serialized_key(content: bytes) -> bytes:
-    """Cell key: 2-byte content length + content (key.rs Key::new)."""
+    """Cell key: 2-byte content length + content (key.rs Key::new).
+    The format caps keys at 32767 bytes; raise a clear error instead of
+    letting struct.pack crash mid-file with an opaque struct.error."""
+    if len(content) > MAX_KEY_BYTES:
+        raise ValueError(
+            f"HFile cell key is {len(content)} bytes; the format's "
+            f"signed 16-bit length prefix caps keys at {MAX_KEY_BYTES}"
+        )
     return struct.pack(">h", len(content)) + content
 
 

@@ -143,8 +143,10 @@ def cluster(
     from hudi_rs_spark.sources.hudi import HudiTable
     from hudi_rs_spark.sources.pyds import HudiPyReader, _as_nullable
     from hudi_rs_spark.util import split_into_chunks
+    from hudi_rs_spark.write.mdt import purge_uncommitted_mdt_logs
     from hudi_rs_spark.write.writer import commit_instant
 
+    purge_uncommitted_mdt_logs(path)  # never reuse a poisoned anchor
     tc = HudiTableConfig.from_base_path(path)
     table = HudiTable(path, spark, listing="direct")
     reader = HudiPyReader(

@@ -95,6 +95,9 @@ def compact(spark, path: str, instant: str | None = None) -> int:
     from hudi_rs_spark.sources.pyds import HudiPyReader, _as_nullable
     from hudi_rs_spark.write.writer import commit_instant
 
+    from hudi_rs_spark.write.mdt import purge_uncommitted_mdt_logs
+
+    purge_uncommitted_mdt_logs(path)  # never reuse a poisoned anchor
     tc = HudiTableConfig.from_base_path(path)
     table = HudiTable(path, spark, listing="direct")
     reader = HudiPyReader(

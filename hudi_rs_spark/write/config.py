@@ -138,6 +138,13 @@ class WriteConfig:
                 parts |= {"column_stats", "partition_stats"}
             if self.emit_record_index:
                 parts |= {"record_index"}
+                # pin the shard count AT CREATION — inferring it later
+                # from on-disk file names is unsafe (write/record_index.
+                # existing_shard_count refuses), so never leave a window
+                # where index files exist without the property
+                props["hoodie.metadata.record.index.shards"] = str(
+                    self.record_index_shards
+                )
             for col in self.secondary_index_columns:
                 parts.add(f"secondary_index_{col}")
             props["hoodie.table.metadata.partitions"] = ",".join(sorted(parts))

@@ -145,6 +145,76 @@ def _next_log_state(
     return anchor, best + 1
 
 
+def _mdt_completed_instants(mdt: str) -> set[str]:
+    """Instants with a COMPLETED deltacommit/commit in the MDT timeline
+    (requested ts only — v8 names are ``{ts}_{completion}.{action}``)."""
+    tdir = os.path.join(mdt, ".hoodie", "timeline")
+    out: set[str] = set()
+    if not os.path.isdir(tdir):
+        return out
+    for name in os.listdir(tdir):
+        if name.endswith((".deltacommit", ".commit", ".replacecommit")):
+            out.add(name.split(".", 1)[0].split("_", 1)[0])
+    return out
+
+
+def purge_uncommitted_mdt_logs(
+    table_path: str, keep_anchors: frozenset[str] | set[str] = frozenset()
+) -> list[str]:
+    """Delete MDT log files whose ANCHOR instant never completed in the
+    MDT timeline — garbage from failed/aborted writes that would
+    otherwise poison the shard file group forever: the reader keys a
+    log-only slice at its FIRST file's anchor and drops the whole slice
+    when that anchor never committed, so every later (committed!) append
+    that reuses or sorts after the poisoned anchor becomes invisible —
+    index lookups then report live keys as nonexistent and upsert
+    tagging inserts duplicates. Running this BEFORE a write's tasks
+    launch restores the invariant ``any on-disk anchor is committed``
+    that the executor-side appenders (record/secondary index, files
+    partition) rely on when they reuse an existing anchor.
+
+    Driver-side, O(MDT files) listings; returns the deleted paths.
+    Single-writer assumption: nothing else may be appending MDT logs
+    while this runs (the same contract every table service has).
+
+    ``keep_anchors``: uncommitted anchors to preserve — the streaming
+    sink passes its own query's sidecar instants, because Spark
+    re-instantiates the stream writer at commit time and the in-flight
+    batch's (not-yet-committed) shard logs must survive that, and a
+    restart REPLAYS the last batch under its original sidecar instant."""
+    from hudi_rs_spark.fs.storage import as_local_path
+
+    base = as_local_path(table_path)
+    if base is None:
+        base = table_path
+    mdt = os.path.join(base, ".hoodie", "metadata")
+    if not os.path.isdir(mdt):
+        return []
+    from hudi_rs_spark.fs.file_group import LogFile
+
+    completed = _mdt_completed_instants(mdt)
+    deleted: list[str] = []
+    for part in os.listdir(mdt):
+        pdir = os.path.join(mdt, part)
+        if part == ".hoodie" or not os.path.isdir(pdir):
+            continue
+        for name in os.listdir(pdir):
+            if not (name.startswith(".") and ".log." in name):
+                continue
+            try:
+                anchor = LogFile.parse(name).timestamp
+            except Exception:
+                continue
+            if anchor not in completed and anchor not in keep_anchors:
+                p = os.path.join(pdir, name)
+                try:
+                    os.remove(p)
+                    deleted.append(p)
+                except OSError:
+                    pass
+    return deleted
+
+
 def apply_commit_to_mdt(cfg: WriteConfig, stats: list[dict]) -> None:
     """Record one data commit's files in the MDT files partition."""
     from hudi_rs_spark.hfile.writer import build_hfile

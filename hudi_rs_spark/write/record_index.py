@@ -145,11 +145,15 @@ SHARDS_PROP = "hoodie.metadata.record.index.shards"
 
 def existing_shard_count(path: str) -> int:
     """Shard count the table was created with — from the persisted
-    table property (authoritative), else inferred from the shard file
-    ids on disk; 0 when the index has never been written. The count is
-    FIXED for a table's lifetime: md5-sharding the same key into two
+    table property ``hoodie.metadata.record.index.shards``
+    (authoritative); 0 when the index has never been written. The count
+    is FIXED for a table's lifetime: md5-sharding the same key into two
     different shard file groups would break the reader's last-wins
-    merge (shard iteration order is arbitrary)."""
+    merge (shard iteration order is arbitrary). Inferring the count
+    from on-disk shard file names is NOT safe — high-numbered shards
+    that happen to hold no keys yet would make max(observed)+1 too
+    small and re-shard later keys inconsistently — so index files
+    without the property are an error, never a guess."""
     from hudi_rs_spark.config.table_config import HudiTableConfig
 
     props = os.path.join(path, ".hoodie", "hoodie.properties")
@@ -158,13 +162,19 @@ def existing_shard_count(path: str) -> int:
         if v:
             return int(v)
     ri_dir = os.path.join(path, ".hoodie", "metadata", RECORD_INDEX_PARTITION)
-    if not os.path.isdir(ri_dir):
-        return 0
-    shards = set()
-    for name in os.listdir(ri_dir):
-        if name.startswith(".record-index-") and ".log." in name:
-            shards.add(name.split("_", 1)[0].removeprefix(".record-index-"))
-    return (max(int(s) for s in shards) + 1) if shards else 0
+    if os.path.isdir(ri_dir) and any(
+        name.startswith(".record-index-") and ".log." in name
+        for name in os.listdir(ri_dir)
+    ):
+        raise ValueError(
+            "record-index shard files exist but the table property "
+            f"{SHARDS_PROP} is missing; refusing to guess the shard "
+            "count (a wrong guess re-shards keys inconsistently and "
+            "breaks the reader's last-wins merge). Restore the property "
+            "in .hoodie/hoodie.properties to the value the index was "
+            "built with."
+        )
+    return 0
 
 
 def backfill_record_index(spark, path: str, shards: int = 4) -> int:
@@ -199,6 +209,12 @@ def backfill_record_index(spark, path: str, shards: int = 4) -> int:
             "may hold key inserts no base file has): run write.compact "
             "first"
         )
+    # a failed earlier backfill/write may have left shard logs anchored
+    # at a never-committed instant — executor appends below would reuse
+    # that anchor and the reader would drop the whole shard slice
+    from hudi_rs_spark.write.mdt import purge_uncommitted_mdt_logs
+
+    purge_uncommitted_mdt_logs(path)
     paths = [
         os.path.join(path, s.base_file_relative_path())
         for s in slices

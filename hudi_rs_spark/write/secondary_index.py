@@ -56,9 +56,20 @@ def cell_key(value: str, record_key: str) -> str:
 def encode_cell(
     value: str, record_key: str, deleted: bool = False
 ) -> tuple[bytes, bytes]:
+    from hudi_rs_spark.hfile.writer import MAX_KEY_BYTES
     from hudi_rs_spark.write.logblocks import encode_datum
 
     raw = cell_key(value, record_key)
+    if len(raw.encode()) > MAX_KEY_BYTES:
+        # validate BEFORE any bytes are framed/appended: the HFile key
+        # length prefix is a signed short, and blowing up mid-append
+        # while indexing a long string column would leave partial logs
+        raise ValueError(
+            f"secondary-index cell key for record {record_key!r} is "
+            f"{len(raw.encode())} bytes (indexed value too long); the "
+            f"HFile format caps keys at {MAX_KEY_BYTES} bytes — do not "
+            "put a secondary index on unbounded text columns"
+        )
     payload = {
         "key": raw,
         "type": 7,
@@ -141,6 +152,9 @@ def backfill_secondary_index(spark, path: str, column: str) -> int:
             "files hold updated values no base file has): run "
             "write.compact first"
         )
+    from hudi_rs_spark.write.mdt import purge_uncommitted_mdt_logs
+
+    purge_uncommitted_mdt_logs(path)
     paths = [
         os.path.join(path, s.base_file_relative_path())
         for s in slices

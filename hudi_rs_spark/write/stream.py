@@ -48,9 +48,31 @@ from hudi_rs_spark.write.writer import (
 )
 
 BATCH_ID_KEY = "streaming.batchId"
+QUERY_ID_KEY = "streaming.queryId"
 
 
-def batch_instant(table_path: str, batch_id: int) -> str:
+def query_key(options: dict) -> str:
+    """Stable identity of the streaming QUERY, derived from its
+    checkpoint location: batch ids restart from 0 for every fresh
+    checkpoint, so an idempotence ledger keyed on batchId alone would
+    let a NEW query against a table with prior streaming commits match
+    the OLD query's batch ids, take the replay path, and silently drop
+    its own data. The checkpoint path is exactly as durable as the
+    replay contract itself (same checkpoint -> same query -> replays
+    must dedupe; new checkpoint -> new query -> nothing to dedupe).
+    ``legacy`` when no checkpointLocation option is present (Spark
+    always forwards it for durable queries)."""
+    import hashlib
+
+    from hudi_rs_spark.write.config import _opt
+
+    cp = _opt(options, "checkpointLocation")
+    if not cp:
+        return "legacy"
+    return hashlib.md5(str(cp).encode()).hexdigest()[:12]
+
+
+def batch_instant(table_path: str, batch_id: int, qkey: str = "legacy") -> str:
     """The micro-batch's timeline instant, agreed WITHOUT coordination.
 
     Spark re-instantiates the Python stream writer per micro-batch (and
@@ -68,7 +90,11 @@ def batch_instant(table_path: str, batch_id: int) -> str:
 
     d = os.path.join(_local(table_path), ".hoodie", ".stream_instants")
     os.makedirs(d, exist_ok=True)
-    p = os.path.join(d, str(int(batch_id)))
+    # sidecars are per-QUERY: a fresh-checkpoint query reusing an old
+    # query's batch-0 sidecar would write files under an instant that
+    # is already committed (transiently visible uncommitted data)
+    stem = str(int(batch_id)) if qkey == "legacy" else f"{qkey}-{int(batch_id)}"
+    p = os.path.join(d, stem)
     if not os.path.exists(p):
         tmp = f"{p}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
@@ -83,9 +109,13 @@ def batch_instant(table_path: str, batch_id: int) -> str:
         return f.read().strip()
 
 
-def committed_batch_ids(cfg: WriteConfig) -> set[int]:
-    """Batch ids already published to the timeline (completed commits
-    only) — the idempotence ledger for restart replays."""
+def committed_batch_ids(cfg: WriteConfig, qkey: str = "legacy") -> set[int]:
+    """Batch ids THIS query already published to the timeline (completed
+    commits only) — the idempotence ledger for restart replays. Entries
+    are matched on the recorded query key so a new query (fresh
+    checkpoint, batch ids restarting at 0) never mistakes another
+    query's commits for its own replays; commits written before the
+    query key existed count as ``legacy``."""
     tdir = timeline_dir(cfg)
     out: set[int] = set()
     if not os.path.isdir(tdir):
@@ -97,12 +127,14 @@ def committed_batch_ids(cfg: WriteConfig) -> set[int]:
                     meta = json.loads(f.read().decode("utf-8") or "{}")
             except (OSError, ValueError):
                 continue
-            bid = (meta.get("extraMetadata") or {}).get(BATCH_ID_KEY)
-            if bid is not None:
-                try:
-                    out.add(int(bid))
-                except ValueError:
-                    pass
+            extra = meta.get("extraMetadata") or {}
+            bid = extra.get(BATCH_ID_KEY)
+            if bid is None or extra.get(QUERY_ID_KEY, "legacy") != qkey:
+                continue
+            try:
+                out.add(int(bid))
+            except ValueError:
+                pass
     return out
 
 
@@ -111,16 +143,57 @@ class HudiPyStreamWriter(DataSourceStreamArrowWriter):
         from hudi_rs_spark.write.writer import resolve_index_flags
 
         self.cfg = WriteConfig.from_options(options)
+        self.query_key = query_key(options)
+        # failed earlier runs (or abandoned OTHER queries) may have left
+        # MDT shard logs anchored at a never-committed instant; purge
+        # before any task can reuse such an anchor (and before flag
+        # resolution, which inspects index files). THIS query's sidecar
+        # instants are preserved: Spark re-instantiates this writer at
+        # commit time, so the in-flight batch's own uncommitted shard
+        # logs must survive, and a restart replays the last batch under
+        # its original sidecar instant.
+        from hudi_rs_spark.write.mdt import purge_uncommitted_mdt_logs
+
+        purge_uncommitted_mdt_logs(
+            self.cfg.path, keep_anchors=self._sidecar_instants()
+        )
         # a stream into a stats/index-advertising table must keep those
         # partitions widening, exactly like a batch append (stale
         # partition_stats would make exclusion pruning WRONG)
         resolve_index_flags(self.cfg)
         self.schema = schema
 
+    def _sidecar_instants(self) -> set[str]:
+        """Instants this query's batches have allocated (committed or
+        in-flight) — read from the per-query sidecar files."""
+        d = os.path.join(_local(self.cfg.path), ".hoodie", ".stream_instants")
+        out: set[str] = set()
+        if not os.path.isdir(d):
+            return out
+        want_legacy = self.query_key == "legacy"
+        for name in os.listdir(d):
+            if name.endswith(".tmp"):
+                continue
+            owned = (
+                name.isdigit() if want_legacy
+                else name.startswith(self.query_key + "-")
+            )
+            if not owned:
+                continue
+            try:
+                with open(os.path.join(d, name)) as f:
+                    out.add(f.read().strip())
+            except OSError:
+                pass
+        return out
+
     def _batch_cfg(self, batch_id: int) -> WriteConfig:
         from dataclasses import replace
 
-        return replace(self.cfg, instant=batch_instant(self.cfg.path, batch_id))
+        return replace(
+            self.cfg,
+            instant=batch_instant(self.cfg.path, batch_id, self.query_key),
+        )
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -138,7 +211,7 @@ class HudiPyStreamWriter(DataSourceStreamArrowWriter):
         stats = [s for m in messages if m is not None for s in m.stats]
         cfg = self._batch_cfg(batchId)
         init_table(cfg)
-        if batchId in committed_batch_ids(cfg):
+        if batchId in committed_batch_ids(cfg, self.query_key):
             # restart replay of an already-published batch: drop the
             # duplicate (uncommitted, hence invisible) files and ack
             base = _local(cfg.path)
@@ -154,7 +227,10 @@ class HudiPyStreamWriter(DataSourceStreamArrowWriter):
         commit_instant(
             cfg, stats,
             data_avro_schema(self.schema, cfg.table_name),
-            extra_metadata={BATCH_ID_KEY: str(batchId)},
+            extra_metadata={
+                BATCH_ID_KEY: str(batchId),
+                QUERY_ID_KEY: self.query_key,
+            },
         )
         if emit_mdt:
             from hudi_rs_spark.write.mdt import apply_commit_to_mdt
@@ -171,3 +247,6 @@ class HudiPyStreamWriter(DataSourceStreamArrowWriter):
                     os.remove(os.path.join(base, s["path"]))
                 except OSError:
                     pass
+        from hudi_rs_spark.write.mdt import purge_uncommitted_mdt_logs
+
+        purge_uncommitted_mdt_logs(self.cfg.path)

@@ -706,6 +706,14 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
 
     def __init__(self, options: dict, schema, overwrite: bool):
         self.cfg = WriteConfig.from_options(options, overwrite=overwrite)
+        # executor-side MDT appenders reuse any anchor they find on
+        # disk; a failed prior write's never-committed anchor would
+        # poison the shard slice (reader drops it whole), so restore
+        # the "every on-disk anchor is committed" invariant up front —
+        # BEFORE flag resolution, which itself inspects index files
+        from hudi_rs_spark.write.mdt import purge_uncommitted_mdt_logs
+
+        purge_uncommitted_mdt_logs(self.cfg.path)
         resolve_index_flags(self.cfg)
         self.schema = schema
         if self.cfg.operation == OP_UPSERT and self.cfg.table_type != "MERGE_ON_READ":
@@ -751,7 +759,10 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
 
     def abort(self, messages):
         """Best-effort cleanup: files from successful tasks are invisible
-        without a commit file, but delete them to avoid orphans."""
+        without a commit file, but delete them to avoid orphans. MDT log
+        files this write's tasks appended are removed too when anchored
+        at the (never-committed) write instant — leaving them would
+        poison the shard file group's anchor for every later append."""
         base = _local(self.cfg.path)
         for m in messages:
             if m is None:
@@ -761,3 +772,6 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
                     os.remove(os.path.join(base, s["path"]))
                 except OSError:
                     pass
+        from hudi_rs_spark.write.mdt import purge_uncommitted_mdt_logs
+
+        purge_uncommitted_mdt_logs(self.cfg.path)
