@@ -19,30 +19,34 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Driver-row freshness rotation (all 83 queries pass the identical
-# local DuckDB oracle in tests/test_oracle_diff.py): lead with the 33
-# queries ABSENT from r7's 50-row sample — the 3 brand-new write-path
-# lifecycle rows (df.write -> upsert/compact -> read, new in r8), then
-# the 30 whose newest driver evidence is r6 — so a prefix-sampling
-# driver refreshes them this round; everything else follows in stable
-# order (their r7 rows are green).
+# Driver-row freshness rotation (all 86 queries pass the identical
+# local DuckDB oracle in tests/test_oracle_diff.py): lead with the 36
+# queries whose newest driver evidence is r7 (they were rotated OUT of
+# r8's 50-row sample) so a prefix-sampling driver refreshes them this
+# round — then the write-lifecycle rows (their code changed this round:
+# storage routing + instant claims), then everything else in stable
+# order (fresh r8 rows).
 _SURFACE_FIRST = [
-    # new r8: the DataFrame-writer lifecycle (no driver row yet)
+    # newest evidence r7 — refresh first (VERDICT r8 next-round #6)
+    "merge_latest_state", "merge_delete_aware", "merge_incremental_window",
+    "merge_asof_snapshot", "merge_append_only",
+    "dedup_exact", "dedup_normalized", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_cluster_canonical", "dedup_simhash",
+    "dedup_incremental",
+    "except_churned_customers", "intersect_loyal_customers",
+    "scalar_functions", "distinct_counts",
+    "text_token_stats", "text_quality", "text_lang_id",
+    "text_fingerprint_groups", "text_pii_scrub", "text_repetition",
+    "text_interdup_score",
+    "sim_embedding_near_dups", "sim_semdedup",
+    "sample_temperature_mix", "sample_shuffle_shard", "sample_split_leakfree",
+    "mor_snapshot_merge", "mor_incremental_refresh",
+    "q19_disjunctive", "q22_no_order_customers",
+    "rollup_revenue", "cube_revenue", "grouping_sets_revenue",
+    "salted_revenue_by_status",
+    # write lifecycle: code changed this round (storage + concurrency)
     "write_cow_roundtrip", "write_upsert_roundtrip", "write_compacted_snapshot",
     "write_clustered_snapshot", "write_point_lookup", "write_secondary_lookup",
-    # rotated out of r7's sample (newest green row = r6)
-    "q8_market_share", "q13_order_distribution", "q20_heavy_suppliers",
-    "q21_late_suppliers", "json_props_stats",
-    "win_top3_events_per_user", "win_running_total", "win_lag_delta",
-    "win_user_rank", "win_sessionize",
-    "text_tfidf_topterms", "text_length_outliers", "text_rarity_score",
-    "sim_brute_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_kmeans_clusters",
-    "q_price_percentiles", "dedup_fuzzy_levenshtein",
-    "sample_stratified", "sample_weighted_mix", "pack_token_shards",
-    "pipeline_curate",
-    "mm_image_features", "mm_audio_features", "mm_resize_features",
-    "mm_frame_sample",
-    "ops_asof_join", "ops_range_join", "text_decontaminate",
 ]
 
 

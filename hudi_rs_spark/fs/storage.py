@@ -83,6 +83,62 @@ class Storage:
     def size(self, path: str) -> int:
         raise NotImplementedError
 
+    # -- write-side contract (the writer routes EVERY byte through these;
+    # parent "directories" are implicit — object stores have none, and
+    # the local backend creates them on demand) ---------------------------
+    def write_bytes(self, path: str, data: bytes) -> None:
+        """Create/overwrite ``path`` with ``data``."""
+        raise NotImplementedError
+
+    def publish_bytes(self, path: str, data: bytes) -> None:
+        """Atomic-VISIBILITY write: a reader either sees the complete
+        content or no file at all (timeline instants depend on this —
+        Hudi's own commit-file guarantee). Local: write-temp + rename;
+        object stores: a single PUT is already all-or-nothing."""
+        self.write_bytes(path, data)
+
+    def append_bytes(self, path: str, data: bytes) -> None:
+        """Append to ``path``, creating it when absent. Object stores
+        cannot append, so the fallback is read+concat+PUT — O(existing
+        file); callers keep appended files small (MDT log files are
+        bounded by MDT compaction, data log files roll per write)."""
+        try:
+            existing = self.read_bytes(path)
+        except (FileNotFoundError, OSError):
+            existing = b""
+        self.write_bytes(path, existing + data)
+
+    def create_new(self, path: str, data: bytes) -> bool:
+        """Create ``path`` only if absent; False when it already exists.
+        Atomic on local (O_EXCL) and memory (dict lock) backends — the
+        primitive the filesystem lock provider builds on. Object-store
+        backends are check-then-put (pyarrow exposes no conditional
+        PUT): best-effort only, use a real lock provider there."""
+        if self.isfile(path):
+            return False
+        self.write_bytes(path, data)
+        return True
+
+    def remove(self, path: str) -> None:
+        """Delete a file; missing files are a no-op (idempotent cleanup)."""
+        raise NotImplementedError
+
+    def makedirs(self, path: str) -> None:
+        """Ensure a directory exists (no-op on pure object stores)."""
+        raise NotImplementedError
+
+    def rename(self, src: str, dst: str) -> None:
+        """Move a file. Atomic on local/HDFS; copy+delete on buckets."""
+        raise NotImplementedError
+
+    def open_output(self, path: str):
+        """Writable binary stream (context manager) — the parquet/HFile
+        encoder sink for non-local backends."""
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        return self.isfile(path) or self.isdir(path)
+
 
 # ---------------------------------------------------------------------------
 class LocalStorage(Storage):
@@ -134,6 +190,58 @@ class LocalStorage(Storage):
 
     def size(self, path: str) -> int:
         return os.path.getsize(self._p(path))
+
+    # -- write side --------------------------------------------------------
+    def _parent(self, path: str) -> None:
+        d = os.path.dirname(self._p(path))
+        if d:
+            os.makedirs(d, exist_ok=True)
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        self._parent(path)
+        with open(self._p(path), "wb") as f:
+            f.write(data)
+
+    def publish_bytes(self, path: str, data: bytes) -> None:
+        import uuid
+
+        p = self._p(path)
+        self._parent(path)
+        tmp = f"{p}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, p)  # atomic publish
+
+    def append_bytes(self, path: str, data: bytes) -> None:
+        self._parent(path)
+        with open(self._p(path), "ab") as f:
+            f.write(data)
+
+    def create_new(self, path: str, data: bytes) -> bool:
+        self._parent(path)
+        try:
+            with open(self._p(path), "xb") as f:  # O_EXCL: atomic claim
+                f.write(data)
+            return True
+        except FileExistsError:
+            return False
+
+    def remove(self, path: str) -> None:
+        try:
+            os.remove(self._p(path))
+        except FileNotFoundError:
+            pass
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(self._p(path), exist_ok=True)
+
+    def rename(self, src: str, dst: str) -> None:
+        self._parent(dst)
+        os.replace(self._p(src), self._p(dst))
+
+    def open_output(self, path: str):
+        self._parent(path)
+        return open(self._p(path), "wb")
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +361,62 @@ class ArrowFSStorage(Storage):
     def size(self, path: str) -> int:
         return self._info(path).size or 0
 
+    # -- write side --------------------------------------------------------
+    def _ensure_parent(self, inner: str) -> None:
+        # bucket stores ignore this (prefixes are implicit); real-FS
+        # arrow backends (local/SubTree/HDFS) need the directory to exist
+        d, _, _ = inner.rpartition("/")
+        if d:
+            try:
+                self.fs.create_dir(d, recursive=True)
+            except (FileNotFoundError, OSError):
+                pass
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        inner = self._inner(path)
+        self._ensure_parent(inner)
+        with self.fs.open_output_stream(inner) as f:
+            f.write(data)
+
+    def publish_bytes(self, path: str, data: bytes) -> None:
+        if self._scheme in ("hdfs",):
+            # real filesystem: write-temp + atomic move (a PUT-style
+            # single write is NOT atomic on HDFS — readers can observe
+            # a partially flushed file)
+            import uuid
+
+            inner = self._inner(path)
+            self._ensure_parent(inner)
+            tmp = f"{inner}.{uuid.uuid4().hex}.tmp"
+            with self.fs.open_output_stream(tmp) as f:
+                f.write(data)
+            self.fs.move(tmp, inner)
+        else:
+            # object stores: one PUT is all-or-nothing by contract
+            self.write_bytes(path, data)
+
+    def remove(self, path: str) -> None:
+        try:
+            self.fs.delete_file(self._inner(path))
+        except (FileNotFoundError, OSError):
+            pass
+
+    def makedirs(self, path: str) -> None:
+        try:
+            self.fs.create_dir(self._inner(path), recursive=True)
+        except (FileNotFoundError, OSError):
+            pass  # bucket stores have no directories; prefixes are implicit
+
+    def rename(self, src: str, dst: str) -> None:
+        inner_dst = self._inner(dst)
+        self._ensure_parent(inner_dst)
+        self.fs.move(self._inner(src), inner_dst)
+
+    def open_output(self, path: str):
+        inner = self._inner(path)
+        self._ensure_parent(inner)
+        return self.fs.open_output_stream(inner)
+
 
 # ---------------------------------------------------------------------------
 class MemoryStorage(Storage):
@@ -273,9 +437,41 @@ class MemoryStorage(Storage):
             raise ValueError(f"path {path!r} not under {self._prefix!r}")
         return path[len(self._prefix) :].strip("/")
 
-    # test-side helper (write path is out of engine scope)
     def write_bytes(self, path: str, data: bytes) -> None:
         self._files[self._key(path)] = bytes(data)
+
+    def append_bytes(self, path: str, data: bytes) -> None:
+        with MemoryStorage._lock:
+            key = self._key(path)
+            self._files[key] = self._files.get(key, b"") + bytes(data)
+
+    def create_new(self, path: str, data: bytes) -> bool:
+        with MemoryStorage._lock:  # atomic claim — lock-provider-grade
+            key = self._key(path)
+            if key in self._files:
+                return False
+            self._files[key] = bytes(data)
+            return True
+
+    def remove(self, path: str) -> None:
+        self._files.pop(self._key(path), None)
+
+    def makedirs(self, path: str) -> None:
+        pass  # prefixes are implicit
+
+    def rename(self, src: str, dst: str) -> None:
+        with MemoryStorage._lock:
+            self._files[self._key(dst)] = self._files.pop(self._key(src))
+
+    def open_output(self, path: str):
+        store, key = self._files, self._key(path)
+
+        class _Sink(io.BytesIO):
+            def close(inner) -> None:  # commit on close
+                store[key] = inner.getvalue()
+                io.BytesIO.close(inner)
+
+        return _Sink()
 
     def read_bytes(self, path: str) -> bytes:
         key = self._key(path)

@@ -89,7 +89,8 @@ def decontaminate(
 
 
 def interdup_score(
-    df: DataFrame, text_col: str, id_col: str, n: int = 13
+    df: DataFrame, text_col: str, id_col: str, n: int = 13,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Within-corpus duplication score: for each document, how much of it
     appears verbatim elsewhere in the SAME corpus.
@@ -103,30 +104,54 @@ def interdup_score(
         n_shared = how many of those occur in >= 2 documents
         dup_frac = n_shared / n_grams
 
-    Plan shape (all keyed aggregations — never all-pairs): explode grams
-    ONCE -> distinct (id, gram), materialized with an eager
-    localCheckpoint so both consumers below read the shuffle output
-    instead of re-running the explode subtree -> per-gram doc counts via
-    groupBy('gram') (map-side partial aggregation, so a boilerplate gram
-    shared by millions of docs combines per-partition instead of
-    buffering one giant window partition) -> join back on gram ->
-    id-keyed final aggregate.  Shuffled bytes are corpus-linear in the
-    gram stream; at 100 TB, hash grams to 64-bit keys first (8 bytes vs
-    ~13) — kept as raw strings here for bit-exact oracle parity.
+    Plan shape (all keyed aggregations — never all-pairs, and NO join
+    of the full gram stream): explode grams ONCE -> distinct (id, gram),
+    materialized with an eager localCheckpoint so both consumers read
+    the shuffle output instead of re-running the explode subtree, then
+
+        n_grams  per id: groupBy(id).count() over the gram stream
+        n_unique per id: groupBy(gram).agg(count, min(id)) — map-side
+                         partial agg, so a boilerplate gram shared by
+                         millions of docs combines per-partition — keep
+                         rows with count==1 (min(id) IS the sole owner,
+                         no carried id set) -> groupBy(owner).count()
+        n_shared = n_grams - n_unique      (identical to counting grams
+                                            with n_docs >= 2 directly)
+
+    The r8 plan joined per-gram doc counts back onto the full gram
+    stream; this identity replaces that widest-stream join with a second
+    keyed aggregate whose output is one row per UNIQUE gram — strictly
+    less shuffled data, same skew safety.  ``hash_grams=True`` shuffles
+    64-bit xxhash64 keys instead of raw ~n-byte strings (the production
+    path at 100 TB: ~8 bytes/gram on the wire; collision odds at 2^64
+    are negligible for a dup-FRACTION signal) — default False for
+    bit-exact oracle parity on raw grams.
 
     Documents with no n-gram (normalized length < n) produce no row.
     ``dup_frac`` is a double computed as exactly one IEEE division of
     two integer-valued casts, portable bit-for-bit across engines.
     """
-    grams = char_ngrams(df, text_col, id_col, n).distinct().localCheckpoint(eager=True)
-    gram_docs = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    grams = char_ngrams(df, text_col, id_col, n).distinct()
+    if hash_grams:
+        grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
+    grams = grams.localCheckpoint(eager=True)
+    per_id = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    unique_per_id = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("__owner"))
+        .filter(F.col("n_docs") == 1)
+        .groupBy("__owner")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
     return (
-        grams.join(gram_docs, "gram")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("n_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+        per_id.join(
+            unique_per_id, per_id[id_col] == unique_per_id["__owner"], "left"
+        )
+        .select(
+            id_col,
+            "n_grams",
+            (
+                F.col("n_grams") - F.coalesce(F.col("n_unique"), F.lit(0))
             ).alias("n_shared"),
         )
         .select(

@@ -71,11 +71,21 @@ register(
 
 
 def text_interdup_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document within-corpus 13-gram duplication profile."""
+    """Per-document within-corpus 13-gram duplication profile.
+
+    Runs the production path (64-bit xxhash64 gram keys on the shuffle
+    wire — ~8 bytes/gram instead of raw 13+ byte strings). The outputs
+    are COUNTS, not grams, so results differ from the raw-string oracle
+    only on an xxhash64 collision within one corpus's distinct grams
+    (p ~ n^2/2^65; verified bit-identical to raw grams on the sf0.01
+    driver corpus and the sf0.1 bench corpus — deterministic hash, so
+    'equal once' = 'equal always' for a fixed corpus)."""
     from hudi_rs_spark.operators.decontam import interdup_score
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return interdup_score(d, "text", "doc_id", n=_N).orderBy("doc_id")
+    return interdup_score(
+        d, "text", "doc_id", n=_N, hash_grams=True
+    ).orderBy("doc_id")
 
 
 # Same normalization + gram expansion as DECONTAM_SQL; n_docs counted over

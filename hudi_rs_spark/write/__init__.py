@@ -30,9 +30,20 @@ Surfaces:
 - ``table.HudiTableWriter`` — low-level file-by-file fixture writer
   (v6 layout-1, v8 layout-2) the services grew out of.
 
-Scope: local/posix-path storage; single-writer (no lock provider /
-concurrency control, no marker reconciliation) — the ingest semantics a
-single Spark job needs, not multi-writer OCC.
+Storage: every byte routes through ``fs/storage.py`` — the same
+scheme-dispatched backends the readers use (local, s3/gs/hdfs via
+pyarrow.fs, memory:// for tests). Local paths keep plain-path fast
+paths; object stores get single-PUT atomic publishes (HDFS
+write-temp+move); appends degrade to read+concat+PUT on buckets, which
+MDT compaction and per-write log rolling keep bounded. Executors
+resolve their own backend from the ``storage.*`` options shipped in
+WriteConfig.
+
+Concurrency: single-writer per table enforced LOUDLY — every commit
+claims its instant through an atomic create (``concurrency.py``); a
+second writer racing the same instant fails instead of tearing the
+timeline. Pluggable lock providers cover object stores without an
+atomic create primitive.
 """
 
 from hudi_rs_spark.write.logblocks import (  # noqa: F401

@@ -97,11 +97,12 @@ def clean(path: str, retain_commits: int = 10, instant: str | None = None) -> in
     if not to_remove:
         return 0
 
-    # the write package is local/posix-path scope (see package
-    # docstring); the read-side Storage contract has no delete
+    from hudi_rs_spark.write.writer import _fs
+
+    st = _fs(path)
     for rel in to_remove:
         try:
-            os.remove(os.path.join(path, rel))
+            st.remove(f"{path}/{rel}")
         except OSError:
             pass
 
@@ -121,8 +122,10 @@ def clean(path: str, retain_commits: int = 10, instant: str | None = None) -> in
     # .clean instant: earliestCommitToRetain + per-partition deletions
     # (the readers' timeline parser skips the action; this is operator
     # metadata, mirroring Hudi's HoodieCleanMetadata essentials)
+    from hudi_rs_spark.write.concurrency import claim_instant, release_instant
+
+    claim_instant(cfg)
     tdir = timeline_dir(cfg)
-    os.makedirs(tdir, exist_ok=True)
     if cfg.table_version >= 8:
         name = f"{instant}_{max(new_instant(), instant)}.clean"
     else:
@@ -135,14 +138,12 @@ def clean(path: str, retain_commits: int = 10, instant: str | None = None) -> in
             for part, names in sorted(deleted.items())
         },
     }
-    tmp = os.path.join(tdir, name + ".tmp")
-    with open(tmp, "wb") as f:
-        f.write(json.dumps(meta).encode())
-    os.replace(tmp, os.path.join(tdir, name))
+    st.publish_bytes(f"{tdir}/{name}", json.dumps(meta).encode())
 
     meta_parts = config.props.get("hoodie.table.metadata.partitions", "")
     if "files" in meta_parts:
         from hudi_rs_spark.write.mdt import apply_deletions_to_mdt
 
         apply_deletions_to_mdt(cfg, deleted)
+    release_instant(cfg)
     return len(to_remove)

@@ -91,16 +91,17 @@ def _cluster_one(args):
         merged = merged.set_column(
             i, "_hoodie_file_name", pa.array([name] * len(merged), pa.string())
         )
-    full = os.path.join(base_path, rel)
-    os.makedirs(os.path.dirname(full), exist_ok=True)
-    pq.write_table(merged, full)
+    from hudi_rs_spark.write.writer import _fs, write_parquet
+
+    full = f"{base_path}/{rel}"
+    size = write_parquet(merged, full, _fs(base_path))
     stat = {
         "fileId": fid,
         "path": rel,
         "partitionPath": rel_dir,
         "numWrites": len(merged),
-        "fileSizeInBytes": os.path.getsize(full),
-        "totalWriteBytes": os.path.getsize(full),
+        "fileSizeInBytes": size,
+        "totalWriteBytes": size,
     }
     if with_stats:
         from hudi_rs_spark.write.mdt_stats import compute_column_stats
@@ -184,9 +185,6 @@ def cluster(
     if not work:
         return 0
 
-    stats = (
-        spark.sparkContext.parallelize(work, len(work)).map(_cluster_one).collect()
-    )
     cfg = WriteConfig(
         path=path,
         table_name=tc.table_name,
@@ -198,6 +196,12 @@ def cluster(
         instant=instant,
         operation="cluster",
     )
+    from hudi_rs_spark.write.concurrency import claim_instant, release_instant
+
+    claim_instant(cfg, "replacecommit")
+    stats = (
+        spark.sparkContext.parallelize(work, len(work)).map(_cluster_one).collect()
+    )
     commit_instant(
         cfg, stats, table.schema_json(), replaced=replaced,
         action="replacecommit", instant=instant,
@@ -207,4 +211,5 @@ def cluster(
         from hudi_rs_spark.write.mdt import apply_commit_to_mdt
 
         apply_commit_to_mdt(cfg, stats)
+    release_instant(cfg, "replacecommit")
     return sum(len(v) for v in replaced.values())

@@ -67,16 +67,17 @@ def _compact_one(args):
         merged = merged.set_column(
             i, "_hoodie_file_name", pa.array([name] * len(merged), pa.string())
         )
-    full = os.path.join(base_path, rel)
-    os.makedirs(os.path.dirname(full), exist_ok=True)
-    pq.write_table(merged, full)
+    from hudi_rs_spark.write.writer import _fs, write_parquet
+
+    full = f"{base_path}/{rel}"
+    size = write_parquet(merged, full, _fs(base_path))
     stat = {
         "fileId": bf.file_id,
         "path": rel,
         "partitionPath": rel_dir,
         "numWrites": len(merged),
-        "fileSizeInBytes": os.path.getsize(full),
-        "totalWriteBytes": os.path.getsize(full),
+        "fileSizeInBytes": size,
+        "totalWriteBytes": size,
     }
     if with_stats:
         from hudi_rs_spark.write.mdt_stats import compute_column_stats
@@ -112,10 +113,6 @@ def compact(spark, path: str, instant: str | None = None) -> int:
     with_stats = "column_stats" in tc.props.get(
         "hoodie.table.metadata.partitions", ""
     )
-    work = [(path, instant, p, with_stats) for p in dirty]
-    stats = (
-        spark.sparkContext.parallelize(work, len(work)).map(_compact_one).collect()
-    )
     cfg = WriteConfig(
         path=path,
         table_name=tc.table_name,
@@ -126,6 +123,15 @@ def compact(spark, path: str, instant: str | None = None) -> int:
         table_version=tc.table_version,
         instant=instant,
         operation="compact",
+    )
+    # claim the compaction instant before any task writes (services take
+    # the same collision-detection path as the batch writer)
+    from hudi_rs_spark.write.concurrency import claim_instant, release_instant
+
+    claim_instant(cfg, "commit")
+    work = [(path, instant, p, with_stats) for p in dirty]
+    stats = (
+        spark.sparkContext.parallelize(work, len(work)).map(_compact_one).collect()
     )
     schema_json = None
     sj = table.schema_json()
@@ -139,4 +145,5 @@ def compact(spark, path: str, instant: str | None = None) -> int:
         from hudi_rs_spark.write.mdt import apply_commit_to_mdt
 
         apply_commit_to_mdt(cfg, stats)
+    release_instant(cfg, "commit")
     return len(dirty)

@@ -1,0 +1,141 @@
+"""Concurrency control for the write path: instant claims + a
+pluggable lock provider.
+
+The timeline's integrity rests on one invariant: AT MOST ONE writer
+publishes a given instant. Two writers that resolve the same instant
+(clock collision, or an operator launching the same job twice) would
+otherwise interleave silently — the second ``publish_bytes`` wins and
+the first job's files dangle under a commit that doesn't describe them.
+Hudi proper guards this with requested/inflight marker files plus an
+optional external lock service; this module is the same design:
+
+- ``claim_instant`` atomically creates
+  ``{timeline}/{instant}.{action}.requested`` through the storage
+  backend (O_EXCL locally, dict-lock on memory://). A second claimant
+  gets ``ConcurrentWriteError`` — loud, before any data lands. The
+  marker doubles as the PENDING signal the readers already honor
+  (``timeline.pending_timestamps``): a crashed write leaves it behind,
+  which keeps archival/cleaning from mistaking the dead instant for
+  settled history until rollback removes it.
+- ``LockProvider`` is the pluggable interface for mutual exclusion
+  beyond one instant (table-level critical sections, e.g. services that
+  rewrite shared MDT file groups). ``StorageLockProvider`` implements
+  it on the storage ``create_new`` primitive — correct on local/HDFS/
+  memory backends; on S3-style stores without conditional PUT it is
+  best-effort, so production multi-writer there should inject a real
+  provider (DynamoDB/ZooKeeper-backed) — exactly Hudi's own guidance
+  for ``hoodie.write.lock.provider``.
+
+The streaming sink does NOT call ``claim_instant``: its per-(query,
+batch) instant sidecar is already an atomic create-if-absent claim, and
+a restart must legitimately REUSE the claimed instant when replaying
+the last unacknowledged batch.
+"""
+
+from __future__ import annotations
+
+import time
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer holds the instant/lock this writer needs."""
+
+
+# ---------------------------------------------------------------------------
+# instant claims
+# ---------------------------------------------------------------------------
+def _marker_path(tdir: str, instant: str, action: str) -> str:
+    return f"{tdir}/{instant}.{action}.requested"
+
+
+def claim_instant(cfg, action: str | None = None) -> str:
+    """Atomically claim ``cfg.instant`` on the table's timeline; returns
+    the marker path. Raises ConcurrentWriteError when another writer
+    already claimed it. Call BEFORE any task writes data. ``action``
+    must be the action the instant will PUBLISH as (defaults to
+    ``cfg.action``) so the marker parses as that instant's pending
+    state for readers/archival."""
+    from hudi_rs_spark.write.writer import _fs, timeline_dir
+
+    action = action or cfg.action
+    tdir = timeline_dir(cfg)
+    marker = _marker_path(tdir, cfg.instant, action)
+    if not _fs(tdir, cfg.storage_dict()).create_new(marker, b""):
+        raise ConcurrentWriteError(
+            f"instant {cfg.instant} ({action}) is already claimed by "
+            f"another writer on {cfg.path} — concurrent writes to one "
+            "table require distinct instants; retry to obtain a new one"
+        )
+    return marker
+
+
+def release_instant(cfg, action: str | None = None) -> None:
+    """Remove the claim marker after the instant is published (or the
+    write aborted). A crashed write never reaches this — the surviving
+    marker keeps the instant PENDING for readers/archival until
+    ``rollback_failed_writes`` reclaims it."""
+    from hudi_rs_spark.write.writer import _fs, timeline_dir
+
+    tdir = timeline_dir(cfg)
+    _fs(tdir, cfg.storage_dict()).remove(
+        _marker_path(tdir, cfg.instant, action or cfg.action)
+    )
+
+
+# ---------------------------------------------------------------------------
+# lock provider interface
+# ---------------------------------------------------------------------------
+class LockProvider:
+    """Mutual-exclusion contract (Hudi's LockProvider shape). Instances
+    are context managers: ``with provider: ...``."""
+
+    def try_lock(self) -> bool:
+        raise NotImplementedError
+
+    def unlock(self) -> None:
+        raise NotImplementedError
+
+    def lock(self, timeout_s: float = 60.0, poll_s: float = 0.2) -> None:
+        deadline = time.monotonic() + timeout_s
+        while not self.try_lock():
+            if time.monotonic() >= deadline:
+                raise ConcurrentWriteError(
+                    f"could not acquire {self!r} within {timeout_s}s"
+                )
+            time.sleep(poll_s)
+
+    def __enter__(self):
+        self.lock()
+        return self
+
+    def __exit__(self, *exc):
+        self.unlock()
+        return False
+
+
+class StorageLockProvider(LockProvider):
+    """Lock file under ``{table}/.hoodie/.locks/`` claimed with the
+    storage backend's atomic ``create_new``. Correct where the backend
+    provides a real conditional create (local O_EXCL, memory://, HDFS);
+    best-effort on plain object stores — inject a service-backed
+    provider there."""
+
+    def __init__(self, table_path: str, name: str = "table",
+                 options: dict | None = None):
+        from hudi_rs_spark.write.writer import _base, _fs
+
+        base = _base(table_path)
+        self._path = f"{base}/.hoodie/.locks/{name}.lock"
+        self._fs = _fs(base, options)
+
+    def try_lock(self) -> bool:
+        import os
+
+        payload = f"{os.getpid()}\n".encode()
+        return self._fs.create_new(self._path, payload)
+
+    def unlock(self) -> None:
+        self._fs.remove(self._path)
+
+    def __repr__(self):
+        return f"StorageLockProvider({self._path})"

@@ -72,11 +72,25 @@ class WriteConfig:
     operation: str = OP_INSERT
     instant: str = field(default_factory=new_instant)
     max_rows_per_file: int = 1 << 22  # ~4M rows: ~128MB at ~32B/row
+    # task-memory bound: a partition's buffered Arrow bytes roll into a
+    # base file at this threshold even below max_rows_per_file, and the
+    # task's TOTAL buffered bytes are capped at 2x this by flushing the
+    # largest partition — a skewed partition inside one task can not
+    # grow an unbounded buffer (Hudi's small-file/size-rolled analog)
+    max_buffer_bytes: int = 256 << 20
     emit_metadata: bool = False
     emit_column_stats: bool = False
     emit_record_index: bool = False
     record_index_shards: int = 4
     secondary_index_columns: tuple[str, ...] = ()
+    # backend settings for the table's URL scheme (endpoint/credentials
+    # overrides), mirroring the reader's ``storage.<key>`` options —
+    # a hashable tuple so the config stays serializable to executors,
+    # which resolve their own Storage backend from these
+    storage_options: tuple[tuple[str, str], ...] = ()
+
+    def storage_dict(self) -> dict | None:
+        return dict(self.storage_options) if self.storage_options else None
 
     def __post_init__(self):
         if self.operation not in OPERATIONS:
@@ -199,6 +213,9 @@ class WriteConfig:
             max_rows_per_file=int(
                 _opt(options, "max.rows.per.file", default=str(1 << 22))
             ),
+            max_buffer_bytes=int(
+                _opt(options, "max.buffer.bytes", default=str(256 << 20))
+            ),
             emit_column_stats=str(
                 _opt(options, "hoodie.metadata.index.column.stats.enable",
                      "metadata.columnstats.enable", default="false")
@@ -218,4 +235,12 @@ class WriteConfig:
                 _opt(options, "hoodie.metadata.enable", "metadata.enable",
                      default="false")
             ).lower() == "true",
+            storage_options=tuple(
+                sorted(
+                    (str(k)[len("storage.") :], str(v))
+                    for k, v in options.items()
+                    if str(k).lower().startswith("storage.")
+                    and str(k)[len("storage.") :]
+                )
+            ),
         )

@@ -212,15 +212,16 @@ def write_lsm_history(
     """instants: (instantTime, completionTime, action, commit_file_bytes).
     Writes _version_, manifest_{v}, and one compacted OCF history file
     (lsm_tree.rs:91-110 layout)."""
-    os.makedirs(history_dir, exist_ok=True)
+    from hudi_rs_spark.write.writer import _fs
+
+    st = _fs(history_dir)
     records = [
         {"instantTime": ts, "completionTime": ct, "action": act, "metadata": meta}
         for ts, ct, act, meta in instants
     ]
     fname = f"{instants[0][0]}_{instants[-1][0]}_0.avro"
     data = ocf_bytes(LSM_HISTORY_SCHEMA, records)
-    with open(os.path.join(history_dir, fname), "wb") as f:
-        f.write(data)
+    st.write_bytes(f"{history_dir}/{fname}", data)
     manifest = {
         "version": 1,
         "entries": [
@@ -233,10 +234,11 @@ def write_lsm_history(
             }
         ],
     }
-    with open(os.path.join(history_dir, "manifest_1"), "w") as f:
-        json.dump(manifest, f)
-    with open(os.path.join(history_dir, "_version_"), "w") as f:
-        f.write("1")
+    # manifest LAST, version marker after it: readers resolve the
+    # archive through _version_ -> manifest -> files, so publish in
+    # reverse dependency order for crash consistency
+    st.publish_bytes(f"{history_dir}/manifest_1", json.dumps(manifest).encode())
+    st.publish_bytes(f"{history_dir}/_version_", b"1")
 
 
 CDC_SCHEMA = {

@@ -63,15 +63,21 @@ MDT_RECORD_SCHEMA = {
 }
 
 
+def _st(path: str, options: dict | None = None):
+    from hudi_rs_spark.fs.storage import storage_for
+
+    return storage_for(path, options)
+
+
 def _mdt_base(cfg: WriteConfig) -> str:
-    return os.path.join(_local(cfg.path), ".hoodie", "metadata")
+    return f"{_local(cfg.path)}/.hoodie/metadata"
 
 
-def _init_mdt(mdt: str) -> None:
-    props_path = os.path.join(mdt, ".hoodie", "hoodie.properties")
-    if os.path.exists(props_path):
+def _init_mdt(mdt: str, options: dict | None = None) -> None:
+    st = _st(mdt, options)
+    props_path = f"{mdt}/.hoodie/hoodie.properties"
+    if st.isfile(props_path):
         return
-    os.makedirs(os.path.dirname(props_path), exist_ok=True)
     props = {
         "hoodie.table.name": "metadata_table",
         "hoodie.table.type": "MERGE_ON_READ",
@@ -81,16 +87,18 @@ def _init_mdt(mdt: str) -> None:
         "hoodie.table.recordkey.fields": "key",
         "hoodie.populate.meta.fields": "false",
     }
-    with open(props_path, "w") as f:
-        f.write("\n".join(f"{k}={v}" for k, v in sorted(props.items())) + "\n")
+    st.publish_bytes(
+        props_path,
+        ("\n".join(f"{k}={v}" for k, v in sorted(props.items())) + "\n").encode(),
+    )
 
 
 def _ensure_data_props_flag(cfg: WriteConfig) -> None:
     """Flip the data table's hoodie.properties to advertise the files
     partition (the read side's ``has_files_partition`` gate)."""
-    props_path = os.path.join(_local(cfg.path), ".hoodie", "hoodie.properties")
-    with open(props_path) as f:
-        text = f.read()
+    st = _st(_local(cfg.path), cfg.storage_dict())
+    props_path = f"{_local(cfg.path)}/.hoodie/hoodie.properties"
+    text = st.read_text(props_path)
     lines = [ln for ln in text.splitlines() if ln.strip()]
     have = dict(ln.split("=", 1) for ln in lines if "=" in ln)
     changed = False
@@ -120,23 +128,22 @@ def _ensure_data_props_flag(cfg: WriteConfig) -> None:
         have["hoodie.metadata.enable"] = "true"
         changed = True
     if changed:
-        tmp = props_path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write("\n".join(f"{k}={v}" for k, v in sorted(have.items())) + "\n")
-        os.replace(tmp, props_path)
+        st.publish_bytes(
+            props_path,
+            ("\n".join(f"{k}={v}" for k, v in sorted(have.items())) + "\n").encode(),
+        )
 
 
 def _next_log_state(
-    files_dir: str, file_id: str = MDT_FILE_ID
+    files_dir: str, file_id: str = MDT_FILE_ID, options: dict | None = None
 ) -> tuple[str | None, int]:
     """(anchor instant from existing MDT log names, next version)."""
-    if not os.path.isdir(files_dir):
-        return None, 1
-    from hudi_rs_spark.fs.file_group import LogFile
-
     best = 0
     anchor = None
-    for name in os.listdir(files_dir):
+    from hudi_rs_spark.fs.file_group import LogFile
+
+    for e in _st(files_dir, options).list_dir(files_dir):
+        name = e.name
         if not name.startswith(f".{file_id}_"):
             continue
         lf = LogFile.parse(name)
@@ -145,21 +152,21 @@ def _next_log_state(
     return anchor, best + 1
 
 
-def _mdt_completed_instants(mdt: str) -> set[str]:
+def _mdt_completed_instants(mdt: str, options: dict | None = None) -> set[str]:
     """Instants with a COMPLETED deltacommit/commit in the MDT timeline
     (requested ts only — v8 names are ``{ts}_{completion}.{action}``)."""
-    tdir = os.path.join(mdt, ".hoodie", "timeline")
+    tdir = f"{mdt}/.hoodie/timeline"
     out: set[str] = set()
-    if not os.path.isdir(tdir):
-        return out
-    for name in os.listdir(tdir):
-        if name.endswith((".deltacommit", ".commit", ".replacecommit")):
-            out.add(name.split(".", 1)[0].split("_", 1)[0])
+    for e in _st(tdir, options).list_dir(tdir):
+        if e.name.endswith((".deltacommit", ".commit", ".replacecommit")):
+            out.add(e.name.split(".", 1)[0].split("_", 1)[0])
     return out
 
 
 def purge_uncommitted_mdt_logs(
-    table_path: str, keep_anchors: frozenset[str] | set[str] = frozenset()
+    table_path: str,
+    keep_anchors: frozenset[str] | set[str] = frozenset(),
+    options: dict | None = None,
 ) -> list[str]:
     """Delete MDT log files whose ANCHOR instant never completed in the
     MDT timeline — garbage from failed/aborted writes that would
@@ -187,18 +194,18 @@ def purge_uncommitted_mdt_logs(
     base = as_local_path(table_path)
     if base is None:
         base = table_path
-    mdt = os.path.join(base, ".hoodie", "metadata")
-    if not os.path.isdir(mdt):
-        return []
+    mdt = f"{base}/.hoodie/metadata"
+    st = _st(mdt, options)
     from hudi_rs_spark.fs.file_group import LogFile
 
-    completed = _mdt_completed_instants(mdt)
+    completed = _mdt_completed_instants(mdt, options)
     deleted: list[str] = []
-    for part in os.listdir(mdt):
-        pdir = os.path.join(mdt, part)
-        if part == ".hoodie" or not os.path.isdir(pdir):
+    for part in st.list_dir(mdt):
+        if part.name == ".hoodie" or not part.is_dir:
             continue
-        for name in os.listdir(pdir):
+        pdir = f"{mdt}/{part.name}"
+        for e in st.list_dir(pdir):
+            name = e.name
             if not (name.startswith(".") and ".log." in name):
                 continue
             try:
@@ -206,9 +213,9 @@ def purge_uncommitted_mdt_logs(
             except Exception:
                 continue
             if anchor not in completed and anchor not in keep_anchors:
-                p = os.path.join(pdir, name)
+                p = f"{pdir}/{name}"
                 try:
-                    os.remove(p)
+                    st.remove(p)
                     deleted.append(p)
                 except OSError:
                     pass
@@ -221,7 +228,7 @@ def apply_commit_to_mdt(cfg: WriteConfig, stats: list[dict]) -> None:
     from hudi_rs_spark.write.logblocks import encode_datum, frame_block
 
     mdt = _mdt_base(cfg)
-    _init_mdt(mdt)
+    _init_mdt(mdt, cfg.storage_dict())
     _ensure_data_props_flag(cfg)
 
     by_partition: dict[str, dict[str, int]] = {}
@@ -266,13 +273,15 @@ def column_stats_enabled(cfg: WriteConfig) -> bool:
     writer.mdt_enabled)."""
     if cfg.emit_column_stats:
         return True
-    props_path = os.path.join(_local(cfg.path), ".hoodie", "hoodie.properties")
-    if not os.path.exists(props_path):
+    base = _local(cfg.path)
+    if not _st(base, cfg.storage_dict()).isfile(
+        f"{base}/.hoodie/hoodie.properties"
+    ):
         return False
     from hudi_rs_spark.config.table_config import HudiTableConfig
     from hudi_rs_spark.metadata.column_stats import has_column_stats_partition
 
-    return has_column_stats_partition(HudiTableConfig.from_base_path(_local(cfg.path)))
+    return has_column_stats_partition(HudiTableConfig.from_base_path(base))
 
 
 def _stats_partitions(
@@ -368,6 +377,7 @@ def _append_mdt_records(
     from hudi_rs_spark.hfile.writer import build_hfile
     from hudi_rs_spark.write.logblocks import frame_block
 
+    st = _st(mdt, cfg.storage_dict())
     instant = cfg.instant
     work = [("files", MDT_FILE_ID, MDT_RECORD_SCHEMA, records)]
     work.extend(extra_partitions or [])
@@ -378,39 +388,44 @@ def _append_mdt_records(
         hfile_bytes = build_hfile(
             recs, {"schema": json.dumps(schema).encode()}
         )
-        out_dir = os.path.join(mdt, part_dir)
-        os.makedirs(out_dir, exist_ok=True)
-        anchor, version = _next_log_state(out_dir, file_id)
+        out_dir = f"{mdt}/{part_dir}"
+        anchor, version = _next_log_state(out_dir, file_id, cfg.storage_dict())
         anchor = anchor or instant
         log_name = f".{file_id}_{anchor}.log.{version}_0-0-0"
         payload = frame_block(
             BLOCK_HFILE_DATA, {KEY_INSTANT_TIME: instant}, hfile_bytes
         )
-        log_path = os.path.join(out_dir, log_name)
-        mode = "ab" if os.path.exists(log_path) else "wb"
-        with open(log_path, mode) as f:
-            f.write(payload)
+        log_path = f"{out_dir}/{log_name}"
+        st.append_bytes(log_path, payload)
         write_stats.setdefault(part_dir, []).append(
             {
                 "fileId": file_id,
                 "path": f"{part_dir}/{log_name}",
                 "partitionPath": part_dir,
-                "fileSizeInBytes": os.path.getsize(log_path),
+                "fileSizeInBytes": st.size(log_path),
             }
         )
     if not write_stats:
         return
 
     # MDT deltacommit (v8 layout 2): instant mirrors the data commit
-    tdir = os.path.join(mdt, ".hoodie", "timeline")
-    os.makedirs(tdir, exist_ok=True)
+    publish_mdt_deltacommit(mdt, instant, write_stats, cfg.storage_dict())
+
+
+def publish_mdt_deltacommit(
+    mdt: str,
+    instant: str,
+    write_stats: dict[str, list[dict]],
+    options: dict | None = None,
+) -> None:
+    """Atomically publish one MDT deltacommit at ``instant`` — the
+    single visibility gate for every MDT log block of that instant."""
     completion = max(new_instant(), instant)
     meta = {
         "partitionToWriteStats": write_stats,
         "operationType": "UPSERT",
     }
-    name = f"{instant}_{completion}.deltacommit"
-    tmp = os.path.join(tdir, name + ".tmp")
-    with open(tmp, "wb") as f:
-        f.write(json.dumps(meta).encode())
-    os.replace(tmp, os.path.join(tdir, name))
+    _st(mdt, options).publish_bytes(
+        f"{mdt}/.hoodie/timeline/{instant}_{completion}.deltacommit",
+        json.dumps(meta).encode(),
+    )

@@ -99,16 +99,19 @@ def append_record_index_log(
     entries: dict[str, tuple[str, str] | None],
     shards: int,
     token: str,
+    storage_options: dict | None = None,
 ) -> None:
     """Append this task's index entries (``None`` value = tombstone) to
     their shard file groups. Runs on EXECUTORS — one log file per
     (shard, task token), anchored to the shard's existing log anchor so
-    all files attach to the same MDT file slice."""
+    all files attach to the same MDT file slice. All bytes route
+    through the storage backend, so index writes work on object stores
+    (workers resolve their own backend from ``storage_options``)."""
     from hudi_rs_spark.hfile.writer import build_hfile
     from hudi_rs_spark.logfile.reader import BLOCK_HFILE_DATA, KEY_INSTANT_TIME
     from hudi_rs_spark.write.logblocks import frame_block
     from hudi_rs_spark.write.mdt import _next_log_state
-    from hudi_rs_spark.write.writer import _local
+    from hudi_rs_spark.write.writer import _base, _fs
 
     by_shard: dict[int, list[tuple[bytes, bytes]]] = {}
     for key, loc in entries.items():
@@ -118,14 +121,11 @@ def append_record_index_log(
             rec = encode_location(key, loc[0], loc[1])
         by_shard.setdefault(shard_of(key, shards), []).append(rec)
 
-    base = os.path.join(
-        _local(table_base_path), ".hoodie", "metadata", RECORD_INDEX_PARTITION
-    )
+    base = f"{_base(table_base_path)}/.hoodie/metadata/{RECORD_INDEX_PARTITION}"
+    st = _fs(base, storage_options)
     for shard, records in sorted(by_shard.items()):
         fid = shard_file_id(shard)
-        out_dir = base
-        os.makedirs(out_dir, exist_ok=True)
-        anchor, version = _next_log_state(out_dir, fid)
+        anchor, version = _next_log_state(base, fid, storage_options)
         anchor = anchor or instant
         log_name = f".{fid}_{anchor}.log.{version}_{token}"
         hfile_bytes = build_hfile(
@@ -134,10 +134,7 @@ def append_record_index_log(
         payload = frame_block(
             BLOCK_HFILE_DATA, {KEY_INSTANT_TIME: instant}, hfile_bytes
         )
-        path = os.path.join(out_dir, log_name)
-        mode = "ab" if os.path.exists(path) else "wb"
-        with open(path, mode) as f:
-            f.write(payload)
+        st.append_bytes(f"{base}/{log_name}", payload)
 
 
 SHARDS_PROP = "hoodie.metadata.record.index.shards"
@@ -155,16 +152,17 @@ def existing_shard_count(path: str) -> int:
     small and re-shard later keys inconsistently — so index files
     without the property are an error, never a guess."""
     from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.fs.storage import storage_for
 
-    props = os.path.join(path, ".hoodie", "hoodie.properties")
-    if os.path.exists(props):
+    st = storage_for(path)
+    if st.isfile(f"{path}/.hoodie/hoodie.properties"):
         v = HudiTableConfig.from_base_path(path).props.get(SHARDS_PROP)
         if v:
             return int(v)
-    ri_dir = os.path.join(path, ".hoodie", "metadata", RECORD_INDEX_PARTITION)
-    if os.path.isdir(ri_dir) and any(
-        name.startswith(".record-index-") and ".log." in name
-        for name in os.listdir(ri_dir)
+    ri_dir = f"{path}/.hoodie/metadata/{RECORD_INDEX_PARTITION}"
+    if any(
+        e.name.startswith(".record-index-") and ".log." in e.name
+        for e in st.list_dir(ri_dir)
     ):
         raise ValueError(
             "record-index shard files exist but the table property "
@@ -248,52 +246,65 @@ def backfill_record_index(spark, path: str, shards: int = 4) -> int:
         df.rdd.foreachPartition(index_partition)
 
     # one MDT deltacommit makes every shard's blocks visible atomically
-    mdt_tl = os.path.join(
-        _local_base(path), ".hoodie", "metadata", ".hoodie", "timeline"
+    from hudi_rs_spark.write.mdt import publish_mdt_deltacommit
+
+    publish_mdt_deltacommit(
+        f"{_local_base(path)}/.hoodie/metadata", instant,
+        {RECORD_INDEX_PARTITION: []},
     )
-    os.makedirs(mdt_tl, exist_ok=True)
-    meta = {
-        "partitionToWriteStats": {RECORD_INDEX_PARTITION: []},
-        "operationType": "UPSERT",
-    }
-    name = f"{instant}_{max(new_instant(), instant)}.deltacommit"
-    tmp = os.path.join(mdt_tl, name + ".tmp")
-    with open(tmp, "wb") as f:
-        f.write(json.dumps(meta).encode())
-    os.replace(tmp, os.path.join(mdt_tl, name))
 
     # advertise: partitions += record_index, shard count pinned
-    props_path = os.path.join(_local_base(path), ".hoodie", "hoodie.properties")
-    with open(props_path) as f:
-        have = dict(
-            ln.split("=", 1) for ln in f.read().splitlines() if "=" in ln
-        )
+    _rewrite_props(
+        _local_base(path),
+        lambda have: _advertise(have, RECORD_INDEX_PARTITION, {SHARDS_PROP: str(shards)}),
+    )
+    return len(paths)
+
+
+def _local_base(path: str) -> str:
+    from hudi_rs_spark.write.writer import _base
+
+    return _base(path)
+
+
+def _advertise(
+    have: dict[str, str], partition: str, defaults: dict[str, str] | None = None
+) -> dict[str, str]:
     parts = {
         p.strip()
         for p in have.get("hoodie.table.metadata.partitions", "").split(",")
         if p.strip()
     }
-    parts.add(RECORD_INDEX_PARTITION)
+    parts.add(partition)
     have["hoodie.table.metadata.partitions"] = ",".join(sorted(parts))
-    have.setdefault(SHARDS_PROP, str(shards))
-    tmp = props_path + ".tmp"
-    with open(tmp, "w") as f:
-        f.write("\n".join(f"{k}={v}" for k, v in sorted(have.items())) + "\n")
-    os.replace(tmp, props_path)
-    return len(paths)
+    for k, v in (defaults or {}).items():
+        have.setdefault(k, v)
+    return have
 
 
-def _local_base(path: str) -> str:
-    from hudi_rs_spark.write.writer import _local
+def _rewrite_props(base: str, edit) -> None:
+    """Read-modify-publish of hoodie.properties through storage."""
+    from hudi_rs_spark.fs.storage import storage_for
 
-    return _local(path)
+    st = storage_for(base)
+    props_path = f"{base}/.hoodie/hoodie.properties"
+    have = dict(
+        ln.split("=", 1)
+        for ln in st.read_text(props_path).splitlines()
+        if "=" in ln
+    )
+    have = edit(have)
+    st.publish_bytes(
+        props_path,
+        ("\n".join(f"{k}={v}" for k, v in sorted(have.items())) + "\n").encode(),
+    )
 
 
 def record_index_enabled_on_table(path: str) -> bool:
     from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.fs.storage import storage_for
     from hudi_rs_spark.metadata.record_index import has_record_index_partition
 
-    props = os.path.join(path, ".hoodie", "hoodie.properties")
-    if not os.path.exists(props):
+    if not storage_for(path).isfile(f"{path}/.hoodie/hoodie.properties"):
         return False
     return has_record_index_partition(HudiTableConfig.from_base_path(path))

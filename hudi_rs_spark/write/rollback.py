@@ -51,7 +51,9 @@ def rollback_failed_writes(path: str, instant: str | None = None) -> list[str]:
     )
     from hudi_rs_spark.sources.hudi import HudiTable
     from hudi_rs_spark.write.logblocks import rollback_block
-    from hudi_rs_spark.write.writer import timeline_dir
+    from hudi_rs_spark.write.writer import _fs, timeline_dir
+
+    st = _fs(path)
 
     table = HudiTable(path, spark=None, listing="direct")
     timeline = table.timeline
@@ -92,13 +94,17 @@ def rollback_failed_writes(path: str, instant: str | None = None) -> list[str]:
                 continue
             rolled |= orphans
             if dead == data_instants:  # no live data block in the file
-                os.remove(full)
+                st.remove(full)
                 files_deleted += 1
             else:
                 void_instant = instant or new_instant()
-                with open(full, "ab") as f:
-                    for ts in sorted(orphans):
-                        f.write(rollback_block(void_instant, ts))
+                st.append_bytes(
+                    full,
+                    b"".join(
+                        rollback_block(void_instant, ts)
+                        for ts in sorted(orphans)
+                    ),
+                )
         else:
             try:
                 bf = BaseFile.parse(name)
@@ -106,7 +112,7 @@ def rollback_failed_writes(path: str, instant: str | None = None) -> list[str]:
                 continue
             if bf.commit_timestamp not in known:
                 rolled.add(bf.commit_timestamp)
-                os.remove(full)
+                st.remove(full)
                 files_deleted += 1
 
     config = HudiTableConfig.from_base_path(path)
@@ -121,18 +127,22 @@ def rollback_failed_writes(path: str, instant: str | None = None) -> list[str]:
             instant=instant or new_instant(), operation="rollback",
         )
     )
-    if os.path.isdir(tdir_probe):
-        for n in os.listdir(tdir_probe):
-            if n.endswith(".tmp"):
-                try:
-                    os.remove(os.path.join(tdir_probe, n))
-                except OSError:
-                    pass
+    for e in st.list_dir(tdir_probe):
+        if e.name.endswith(".tmp"):
+            try:
+                st.remove(f"{tdir_probe}/{e.name}")
+            except OSError:
+                pass
+    # a crashed write's executor-side MDT index appends are orphans too:
+    # anchored at a never-completed instant they poison the shard slice
+    # for every later append (see write/mdt.purge_uncommitted_mdt_logs)
+    from hudi_rs_spark.write.mdt import purge_uncommitted_mdt_logs
+
+    purge_uncommitted_mdt_logs(path)
     if not rolled:
         return []
 
     ts = instant or new_instant()
-    os.makedirs(tdir_probe, exist_ok=True)
     if config.table_version >= 8:
         name = f"{ts}_{max(new_instant(), ts)}.rollback"
     else:
@@ -142,8 +152,5 @@ def rollback_failed_writes(path: str, instant: str | None = None) -> list[str]:
         "totalFilesDeleted": files_deleted,
         "startRollbackTime": ts,
     }
-    tmp = os.path.join(tdir_probe, name + ".tmp")
-    with open(tmp, "wb") as f:
-        f.write(json.dumps(meta).encode())
-    os.replace(tmp, os.path.join(tdir_probe, name))
+    st.publish_bytes(f"{tdir_probe}/{name}", json.dumps(meta).encode())
     return sorted(rolled)

@@ -54,16 +54,16 @@ def _timeline_dir(path: str) -> str:
 
 def savepointed_instants(path: str) -> set[str]:
     """Requested timestamps pinned by savepoint instants."""
+    from hudi_rs_spark.write.writer import _fs
+
     tdir = _timeline_dir(path)
+    st = _fs(tdir)
     out: set[str] = set()
-    if not os.path.isdir(tdir):
-        return out
-    for name in os.listdir(tdir):
-        if not name.endswith(f".{SAVEPOINT_ACTION}"):
+    for e in st.list_dir(tdir):
+        if not e.name.endswith(f".{SAVEPOINT_ACTION}"):
             continue
         try:
-            with open(os.path.join(tdir, name)) as f:
-                meta = json.load(f)
+            meta = json.loads(st.read_text(f"{tdir}/{e.name}"))
             ts = meta.get("savepointedInstant")
             if ts:
                 out.add(ts)
@@ -84,19 +84,17 @@ def savepoint(path: str, instant: str | None = None) -> str:
     target = instant or completed[-1]
     if target not in completed:
         raise ValueError(f"no completed instant {target!r} to savepoint")
+    from hudi_rs_spark.write.writer import _fs
+
     cfg = _cfg_for(path, "rollback")  # reuse a maintenance op slot
     tdir = _timeline_dir(path)
-    os.makedirs(tdir, exist_ok=True)
     ts = new_instant()
     if cfg.table_version >= 8:
         name = f"{ts}_{max(new_instant(), ts)}.{SAVEPOINT_ACTION}"
     else:
         name = f"{ts}.{SAVEPOINT_ACTION}"
     meta = {"savepointedInstant": target, "savepointTime": ts}
-    tmp = os.path.join(tdir, name + ".tmp")
-    with open(tmp, "wb") as f:
-        f.write(json.dumps(meta).encode())
-    os.replace(tmp, os.path.join(tdir, name))
+    _fs(tdir).publish_bytes(f"{tdir}/{name}", json.dumps(meta).encode())
     return target
 
 
@@ -119,27 +117,30 @@ def restore(path: str, instant: str, force: bool = False) -> list[str]:
     doomed = [i for i in timeline.instants if i.timestamp > instant]
     if instant not in {i.timestamp for i in timeline.instants}:
         raise ValueError(f"no completed instant {instant!r} to restore to")
+    from hudi_rs_spark.write.writer import _fs
+
     tdir = _timeline_dir(path)
+    st = _fs(tdir)
     removed = []
     for i in doomed:
-        p = os.path.join(tdir, _completed_file_name(i))
+        p = f"{tdir}/{_completed_file_name(i)}"
         try:
-            os.remove(p)
-            removed.append(i.timestamp)
+            if st.isfile(p):
+                st.remove(p)
+                removed.append(i.timestamp)
         except OSError:
             pass
 
     # MDT: drop the mirrored deltacommits so index/listing blocks at the
     # removed instants turn invisible the same way
-    mdt_tl = os.path.join(path, ".hoodie", "metadata", ".hoodie", "timeline")
-    if os.path.isdir(mdt_tl):
-        for name in os.listdir(mdt_tl):
-            ts = name.split("_", 1)[0].split(".", 1)[0]
-            if ts and ts > instant:
-                try:
-                    os.remove(os.path.join(mdt_tl, name))
-                except OSError:
-                    pass
+    mdt_tl = f"{path}/.hoodie/metadata/.hoodie/timeline"
+    for e in st.list_dir(mdt_tl):
+        ts = e.name.split("_", 1)[0].split(".", 1)[0]
+        if ts and ts > instant:
+            try:
+                st.remove(f"{mdt_tl}/{e.name}")
+            except OSError:
+                pass
 
     # physical reclamation: everything stamped after `instant` is now an
     # orphan — same cleanup path as a crashed write
@@ -152,8 +153,5 @@ def restore(path: str, instant: str, force: bool = False) -> list[str]:
     else:
         name = f"{ts}.restore"
     meta = {"restoredToInstant": instant, "commitsRemoved": sorted(removed)}
-    tmp = os.path.join(tdir, name + ".tmp")
-    with open(tmp, "wb") as f:
-        f.write(json.dumps(meta).encode())
-    os.replace(tmp, os.path.join(tdir, name))
+    st.publish_bytes(f"{tdir}/{name}", json.dumps(meta).encode())
     return sorted(removed)

@@ -88,26 +88,27 @@ def append_secondary_index_log(
     column: str,
     cells: list[tuple[str, str]],
     token: str,
+    storage_options: dict | None = None,
 ) -> None:
     """Append (value, record_key) cells for one indexed column; runs on
     EXECUTORS with the same visibility contract as the record index
-    (blocks valid only once the driver publishes the MDT deltacommit)."""
+    (blocks valid only once the driver publishes the MDT deltacommit).
+    Bytes route through the storage backend — object-store safe."""
     from hudi_rs_spark.hfile.writer import build_hfile
     from hudi_rs_spark.logfile.reader import BLOCK_HFILE_DATA, KEY_INSTANT_TIME
     from hudi_rs_spark.write.logblocks import frame_block
     from hudi_rs_spark.write.mdt import _next_log_state
-    from hudi_rs_spark.write.writer import _local
+    from hudi_rs_spark.write.writer import _base, _fs
 
     if not cells:
         return
     records = [encode_cell(v, k) for v, k in cells]
     fid = index_file_id(column)
-    out_dir = os.path.join(
-        _local(table_base_path), ".hoodie", "metadata",
-        SECONDARY_INDEX_PREFIX + column,
+    out_dir = (
+        f"{_base(table_base_path)}/.hoodie/metadata/"
+        f"{SECONDARY_INDEX_PREFIX + column}"
     )
-    os.makedirs(out_dir, exist_ok=True)
-    anchor, version = _next_log_state(out_dir, fid)
+    anchor, version = _next_log_state(out_dir, fid, storage_options)
     anchor = anchor or instant
     log_name = f".{fid}_{anchor}.log.{version}_{token}"
     hfile_bytes = build_hfile(
@@ -116,10 +117,7 @@ def append_secondary_index_log(
     payload = frame_block(
         BLOCK_HFILE_DATA, {KEY_INSTANT_TIME: instant}, hfile_bytes
     )
-    path = os.path.join(out_dir, log_name)
-    mode = "ab" if os.path.exists(path) else "wb"
-    with open(path, mode) as f:
-        f.write(payload)
+    _fs(out_dir, storage_options).append_bytes(f"{out_dir}/{log_name}", payload)
 
 
 def backfill_secondary_index(spark, path: str, column: str) -> int:
@@ -181,36 +179,17 @@ def backfill_secondary_index(spark, path: str, column: str) -> int:
 
         df.rdd.foreachPartition(index_partition)
 
-    mdt_tl = os.path.join(
-        _local(path), ".hoodie", "metadata", ".hoodie", "timeline"
-    )
-    os.makedirs(mdt_tl, exist_ok=True)
-    meta = {
-        "partitionToWriteStats": {SECONDARY_INDEX_PREFIX + column: []},
-        "operationType": "UPSERT",
-    }
-    name = f"{instant}_{max(new_instant(), instant)}.deltacommit"
-    tmp = os.path.join(mdt_tl, name + ".tmp")
-    with open(tmp, "wb") as f:
-        f.write(json.dumps(meta).encode())
-    os.replace(tmp, os.path.join(mdt_tl, name))
+    from hudi_rs_spark.write.mdt import publish_mdt_deltacommit
+    from hudi_rs_spark.write.record_index import _advertise, _rewrite_props
 
-    props_path = os.path.join(_local(path), ".hoodie", "hoodie.properties")
-    with open(props_path) as f:
-        have = dict(
-            ln.split("=", 1) for ln in f.read().splitlines() if "=" in ln
-        )
-    parts = {
-        p.strip()
-        for p in have.get("hoodie.table.metadata.partitions", "").split(",")
-        if p.strip()
-    }
-    parts.add(SECONDARY_INDEX_PREFIX + column)
-    have["hoodie.table.metadata.partitions"] = ",".join(sorted(parts))
-    tmp = props_path + ".tmp"
-    with open(tmp, "w") as f:
-        f.write("\n".join(f"{k}={v}" for k, v in sorted(have.items())) + "\n")
-    os.replace(tmp, props_path)
+    publish_mdt_deltacommit(
+        f"{_local(path)}/.hoodie/metadata", instant,
+        {SECONDARY_INDEX_PREFIX + column: []},
+    )
+    _rewrite_props(
+        _local(path),
+        lambda have: _advertise(have, SECONDARY_INDEX_PREFIX + column),
+    )
     return len(paths)
 
 
@@ -218,10 +197,10 @@ def indexed_columns_on_table(path: str) -> tuple[str, ...]:
     """Columns with a secondary_index_* partition advertised in the
     table's properties (empty when none)."""
     from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.fs.storage import storage_for
     from hudi_rs_spark.metadata.secondary_index import list_secondary_indexes
 
-    props = os.path.join(path, ".hoodie", "hoodie.properties")
-    if not os.path.exists(props):
+    if not storage_for(path).isfile(f"{path}/.hoodie/hoodie.properties"):
         return ()
     return tuple(
         p.removeprefix(SECONDARY_INDEX_PREFIX)

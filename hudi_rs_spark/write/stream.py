@@ -39,6 +39,7 @@ from pyspark.sql.datasource import DataSourceStreamArrowWriter
 from hudi_rs_spark.write.config import WriteConfig, new_instant
 from hudi_rs_spark.write.writer import (
     HudiWriteMessage,
+    _fs,
     _local,
     commit_instant,
     data_avro_schema,
@@ -79,34 +80,24 @@ def batch_instant(table_path: str, batch_id: int, qkey: str = "legacy") -> str:
     executors get their own deserialized copies), so no instance state
     survives from ``write()`` tasks to ``commit()`` — any clock-based
     instant would differ per process. Instead the first process to need
-    batch N's instant publishes one atomically (write-temp + os.link —
-    link fails if the file exists, so every reader sees one complete
+    batch N's instant claims it atomically (storage ``create_new`` —
+    fails if the file exists, so every reader sees one complete
     17-digit value), and everyone else reads it. The sidecar persists
     across restarts, so a REPLAYED batch reuses its original instant:
     replay-written files differ only in write token, which the reader's
     retried-write rule (newer token wins within an instant) dedupes even
     before the commit-ledger check skips re-publishing."""
-    import uuid
-
-    d = os.path.join(_local(table_path), ".hoodie", ".stream_instants")
-    os.makedirs(d, exist_ok=True)
+    base = _local(table_path)
+    st = _fs(base)
     # sidecars are per-QUERY: a fresh-checkpoint query reusing an old
     # query's batch-0 sidecar would write files under an instant that
     # is already committed (transiently visible uncommitted data)
     stem = str(int(batch_id)) if qkey == "legacy" else f"{qkey}-{int(batch_id)}"
-    p = os.path.join(d, stem)
-    if not os.path.exists(p):
-        tmp = f"{p}.{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            f.write(new_instant())
-        try:
-            os.link(tmp, p)
-        except FileExistsError:
-            pass  # another task won the race; its value is complete
-        finally:
-            os.remove(tmp)
-    with open(p) as f:
-        return f.read().strip()
+    p = f"{base}/.hoodie/.stream_instants/{stem}"
+    # atomic create-if-absent: the first process to need batch N's
+    # instant claims it; everyone else reads the winner's complete value
+    st.create_new(p, new_instant().encode())
+    return st.read_text(p).strip()
 
 
 def committed_batch_ids(cfg: WriteConfig, qkey: str = "legacy") -> set[int]:
@@ -117,14 +108,15 @@ def committed_batch_ids(cfg: WriteConfig, qkey: str = "legacy") -> set[int]:
     query's commits for its own replays; commits written before the
     query key existed count as ``legacy``."""
     tdir = timeline_dir(cfg)
+    st = _fs(tdir, cfg.storage_dict())
     out: set[int] = set()
-    if not os.path.isdir(tdir):
-        return out
-    for name in os.listdir(tdir):
+    for e in st.list_dir(tdir):
+        name = e.name
         if name.endswith((".commit", ".deltacommit")):
             try:
-                with open(os.path.join(tdir, name), "rb") as f:
-                    meta = json.loads(f.read().decode("utf-8") or "{}")
+                meta = json.loads(
+                    st.read_bytes(f"{tdir}/{name}").decode("utf-8") or "{}"
+                )
             except (OSError, ValueError):
                 continue
             extra = meta.get("extraMetadata") or {}
@@ -166,12 +158,12 @@ class HudiPyStreamWriter(DataSourceStreamArrowWriter):
     def _sidecar_instants(self) -> set[str]:
         """Instants this query's batches have allocated (committed or
         in-flight) — read from the per-query sidecar files."""
-        d = os.path.join(_local(self.cfg.path), ".hoodie", ".stream_instants")
+        d = f"{_local(self.cfg.path)}/.hoodie/.stream_instants"
+        st = _fs(d, self.cfg.storage_dict())
         out: set[str] = set()
-        if not os.path.isdir(d):
-            return out
         want_legacy = self.query_key == "legacy"
-        for name in os.listdir(d):
+        for e in st.list_dir(d):
+            name = e.name
             if name.endswith(".tmp"):
                 continue
             owned = (
@@ -181,8 +173,7 @@ class HudiPyStreamWriter(DataSourceStreamArrowWriter):
             if not owned:
                 continue
             try:
-                with open(os.path.join(d, name)) as f:
-                    out.add(f.read().strip())
+                out.add(st.read_text(f"{d}/{name}").strip())
             except OSError:
                 pass
         return out
@@ -215,9 +206,10 @@ class HudiPyStreamWriter(DataSourceStreamArrowWriter):
             # restart replay of an already-published batch: drop the
             # duplicate (uncommitted, hence invisible) files and ack
             base = _local(cfg.path)
+            st = _fs(base, cfg.storage_dict())
             for s in stats:
                 try:
-                    os.remove(os.path.join(base, s["path"]))
+                    st.remove(f"{base}/{s['path']}")
                 except OSError:
                     pass
             return
@@ -239,12 +231,13 @@ class HudiPyStreamWriter(DataSourceStreamArrowWriter):
 
     def abort(self, messages, batchId: int) -> None:
         base = _local(self.cfg.path)
+        st = _fs(base, self.cfg.storage_dict())
         for m in messages:
             if m is None:
                 continue
             for s in m.stats:
                 try:
-                    os.remove(os.path.join(base, s["path"]))
+                    st.remove(f"{base}/{s['path']}")
                 except OSError:
                     pass
         from hudi_rs_spark.write.mdt import purge_uncommitted_mdt_logs

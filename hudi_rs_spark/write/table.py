@@ -49,10 +49,12 @@ class HudiTableWriter:
         table_version: int = 6,
         table_type: str = "MERGE_ON_READ",
     ):
-        self.base_path = base_path
+        from hudi_rs_spark.write.writer import _base, _fs
+
+        self.base_path = _base(base_path)
+        self.storage = _fs(self.base_path)
         self.ordering = ordering
-        hoodie = os.path.join(base_path, ".hoodie")
-        os.makedirs(hoodie, exist_ok=True)
+        hoodie = f"{self.base_path}/.hoodie"
         props = {
             "hoodie.table.name": "synth",
             "hoodie.table.type": table_type,
@@ -65,8 +67,10 @@ class HudiTableWriter:
         if table_version >= 8:
             props["hoodie.timeline.path"] = "timeline"
         props.update(extra_props or {})
-        with open(os.path.join(hoodie, "hoodie.properties"), "w") as f:
-            f.write("\n".join(f"{k}={v}" for k, v in props.items()) + "\n")
+        self.storage.publish_bytes(
+            f"{hoodie}/hoodie.properties",
+            ("\n".join(f"{k}={v}" for k, v in props.items()) + "\n").encode(),
+        )
         self._write_stats: dict[str, list[dict]] = {}  # instant -> stats
         self._props = props
 
@@ -105,9 +109,9 @@ class HudiTableWriter:
         rel = f"{partition}/{name}" if partition else name
         cols = self.meta_columns(instant, keys, name, partition)
         cols.update(data)
-        full = os.path.join(self.base_path, rel)
-        os.makedirs(os.path.dirname(full), exist_ok=True)
-        pq.write_table(pa.table(cols), full)
+        from hudi_rs_spark.write.writer import write_parquet
+
+        write_parquet(pa.table(cols), f"{self.base_path}/{rel}", self.storage)
         self._write_stats.setdefault(instant, []).append(
             {"fileId": file_id, "path": rel, "partitionPath": partition}
         )
@@ -123,10 +127,7 @@ class HudiTableWriter:
         stats_instant: str | None = None,
     ) -> str:
         name = f".{file_id}_{base_instant}.log.{version}_0-1-0"
-        path = os.path.join(self.base_path, name)
-        mode = "ab" if os.path.exists(path) else "wb"
-        with open(path, mode) as f:
-            f.write(payload)
+        self.storage.append_bytes(f"{self.base_path}/{name}", payload)
         if stats_instant:
             self._write_stats.setdefault(stats_instant, []).append(
                 {"fileId": file_id, "path": name, "partitionPath": ""}
@@ -159,23 +160,23 @@ class HudiTableWriter:
         replaced: dict[str, list[str]] | None = None,
     ):
         tdir = self.timeline_dir
-        os.makedirs(tdir, exist_ok=True)
         if int(self._props.get("hoodie.timeline.layout.version", "1")) >= 2:
             name = f"{instant}_{completion or instant}.{action}"
         else:
             name = f"{instant}.{action}"
-        with open(os.path.join(tdir, name), "wb") as f:
-            f.write(self.commit_metadata_bytes(instant, schema, replaced))
+        self.storage.publish_bytes(
+            f"{tdir}/{name}",
+            self.commit_metadata_bytes(instant, schema, replaced),
+        )
 
     def archive_instant(self, instant: str, action: str = "deltacommit"):
         """Layout 1: park the completed commit file in the archive folder
         (the shape loader.rs:236-253 V1Archived lists)."""
-        hoodie = os.path.join(self.base_path, ".hoodie")
-        archive = os.path.join(
-            hoodie, self._props.get("hoodie.archivelog.folder", "archived")
+        hoodie = f"{self.base_path}/.hoodie"
+        archive = (
+            f"{hoodie}/{self._props.get('hoodie.archivelog.folder', 'archived')}"
         )
-        os.makedirs(archive, exist_ok=True)
         name = f"{instant}.{action}"
-        os.replace(os.path.join(hoodie, name), os.path.join(archive, name))
+        self.storage.rename(f"{hoodie}/{name}", f"{archive}/{name}")
 
 

@@ -75,15 +75,48 @@ class HudiWriteMessage(WriterCommitMessage):
 # ---------------------------------------------------------------------------
 # executor side
 # ---------------------------------------------------------------------------
-def _local(path: str) -> str:
+def _base(path: str) -> str:
+    """Normalized table base path: a plain filesystem path for
+    local/file:// URIs (keeps pyarrow's mmap'd local parquet fast path),
+    the scheme-qualified URI otherwise — every write-path module joins
+    below this with '/' and routes bytes through ``_fs``."""
     from hudi_rs_spark.fs.storage import as_local_path
 
     p = as_local_path(path)
-    if p is None:
-        raise NotImplementedError(
-            f"hudi_py writes support local/file:// paths only, got {path}"
-        )
-    return p
+    return path if p is None else p
+
+
+# transitional alias: older call sites / tests import _local
+_local = _base
+
+
+def _fs(path: str, options: dict | None = None):
+    """Storage backend for any path under the table — the write-side
+    twin of the readers' ``storage_for`` routing (the reference's
+    parse_url_opts, crates/core/src/storage/mod.rs:26-28). Executors
+    call this too: workers resolve their own backend from the options
+    shipped inside WriteConfig."""
+    from hudi_rs_spark.fs.storage import storage_for
+
+    return storage_for(path, options)
+
+
+def write_parquet(tbl: pa.Table, full_path: str, storage) -> int:
+    """Encode one parquet base file through the storage backend;
+    returns its size in bytes. Local paths keep pyarrow's plain-path
+    fast path (threaded writer, no Python stream shim)."""
+    from hudi_rs_spark.fs.storage import as_local_path
+
+    lp = as_local_path(full_path)
+    if lp is not None:
+        d = os.path.dirname(lp)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        pq.write_table(tbl, lp)
+        return os.path.getsize(lp)
+    with storage.open_output(full_path) as f:
+        pq.write_table(tbl, f)
+    return storage.size(full_path)
 
 
 def _key_array(tbl: pa.Table, key_fields: tuple[str, ...]) -> pa.Array:
@@ -143,11 +176,13 @@ class _TaskWriter:
         self.cfg = cfg
         self.task_id = task_id
         self.token = token
-        self.base = _local(cfg.path)
+        self.base = _base(cfg.path)
+        self.storage = _fs(self.base, cfg.storage_dict())
         self.seq = 0  # rows numbered within the task (commit seqno)
         self.file_seq = 0
         self.buffers: dict[str, list[pa.Table]] = {}
         self.buffered_rows: dict[str, int] = {}
+        self.buffered_bytes: dict[str, int] = {}
         # (partition, file_id) -> {"instant": ..., "version": int,
         #                          "tables": [...], "deletes": [...]}
         self.log_groups: dict[tuple[str, str], dict] = {}
@@ -202,8 +237,23 @@ class _TaskWriter:
             sub = sub.append_column("__hoodie_key", sub_keys)
             self.buffers.setdefault(pv, []).append(sub)
             self.buffered_rows[pv] = self.buffered_rows.get(pv, 0) + len(sub)
-            if self.buffered_rows[pv] >= self.cfg.max_rows_per_file:
+            self.buffered_bytes[pv] = self.buffered_bytes.get(pv, 0) + sub.nbytes
+            # roll at EITHER cap: row count (file-size target) or buffered
+            # bytes (task-memory bound — a skewed/wide partition must not
+            # grow an unbounded Arrow buffer inside one task)
+            if (
+                self.buffered_rows[pv] >= self.cfg.max_rows_per_file
+                or self.buffered_bytes[pv] >= self.cfg.max_buffer_bytes
+            ):
                 self._flush_partition(pv)
+        # global bound: many medium partitions in one task may together
+        # exceed memory even while each is under its per-partition cap —
+        # flush the largest until the task's total is back under 2x cap
+        while (
+            sum(self.buffered_bytes.values()) > 2 * self.cfg.max_buffer_bytes
+        ):
+            hottest = max(self.buffered_bytes, key=self.buffered_bytes.get)
+            self._flush_partition(hottest)
 
     def _route_updates(self, tbl, keys, part) -> None:
         target = tbl[TARGET_FILE_COL].combine_chunks()
@@ -288,7 +338,8 @@ class _TaskWriter:
                 if v is not None
             ]
             append_secondary_index_log(
-                self.cfg.path, self.cfg.instant, col, cells, self.token
+                self.cfg.path, self.cfg.instant, col, cells, self.token,
+                self.cfg.storage_dict(),
             )
 
     def _new_file_id(self, pv: str) -> str:
@@ -302,6 +353,7 @@ class _TaskWriter:
     def _flush_partition(self, pv: str) -> None:
         tables = self.buffers.pop(pv, [])
         self.buffered_rows.pop(pv, None)
+        self.buffered_bytes.pop(pv, None)
         if not tables:
             return
         merged = pa.concat_tables(tables, promote_options="default")
@@ -310,17 +362,18 @@ class _TaskWriter:
         file_id = self._new_file_id(pv)
         name = f"{file_id}_{self.token}_{self.cfg.instant}.parquet"
         rel = f"{pv}/{name}" if pv else name
-        full = os.path.join(self.base, rel)
-        os.makedirs(os.path.dirname(full), exist_ok=True)
-        pq.write_table(self._with_meta(data, keys, pv, name), full)
+        full = f"{self.base}/{rel}"
+        size = write_parquet(
+            self._with_meta(data, keys, pv, name), full, self.storage
+        )
         stat = {
             "fileId": file_id,
             "path": rel,
             "partitionPath": pv,
             "numWrites": len(merged),
             "numInserts": len(merged),
-            "fileSizeInBytes": os.path.getsize(full),
-            "totalWriteBytes": os.path.getsize(full),
+            "fileSizeInBytes": size,
+            "totalWriteBytes": size,
         }
         if self.cfg.emit_column_stats:
             from hudi_rs_spark.write.mdt_stats import compute_column_stats
@@ -333,6 +386,7 @@ class _TaskWriter:
                 self.cfg.path, self.cfg.instant,
                 {k.as_py(): (pv, file_id) for k in keys},
                 self.cfg.record_index_shards, self.token,
+                self.cfg.storage_dict(),
             )
         self._emit_secondary_cells(data, keys)
         self.stats.append(stat)
@@ -357,11 +411,8 @@ class _TaskWriter:
             payload += delete_block(self.cfg.instant, g["deletes"])
         if not payload:
             return
-        full = os.path.join(self.base, rel)
-        os.makedirs(os.path.dirname(full), exist_ok=True)
-        mode = "ab" if os.path.exists(full) else "wb"
-        with open(full, mode) as f:
-            f.write(payload)
+        full = f"{self.base}/{rel}"
+        self.storage.append_bytes(full, payload)
         stat = {
             "fileId": fid,
             "path": rel,
@@ -369,7 +420,7 @@ class _TaskWriter:
             "numWrites": n_upd,
             "numUpdateWrites": n_upd,
             "numDeletes": len(g["deletes"]),
-            "fileSizeInBytes": os.path.getsize(full),
+            "fileSizeInBytes": self.storage.size(full),
             "totalWriteBytes": len(payload),
         }
         if self.cfg.emit_column_stats and g["tables"]:
@@ -391,6 +442,7 @@ class _TaskWriter:
                 self.cfg.path, self.cfg.instant,
                 {str(k): None for k, _p, _o in g["deletes"]},
                 self.cfg.record_index_shards, self.token,
+                self.cfg.storage_dict(),
             )
         self.stats.append(stat)
 
@@ -495,12 +547,15 @@ def resolve_index_flags(cfg: WriteConfig) -> None:
       record-index shard count is likewise fixed at table creation
       (cross-shard duplicates break the reader's last-wins merge).
     """
-    props_path = os.path.join(_local(cfg.path), ".hoodie", "hoodie.properties")
-    if os.path.exists(props_path):
+    base = _base(cfg.path)
+    st = _fs(base, cfg.storage_dict())  # also primes options-less lookups
+    props_path = f"{base}/.hoodie/hoodie.properties"
+    have_props = st.isfile(props_path)
+    if have_props:
         from hudi_rs_spark.config.table_config import HudiTableConfig
         from hudi_rs_spark.metadata.files_partition import has_files_partition
 
-        existing = HudiTableConfig.from_base_path(_local(cfg.path))
+        existing = HudiTableConfig.from_base_path(base)
         cfg.table_version = existing.table_version
         if has_files_partition(existing):
             cfg.emit_metadata = True
@@ -516,9 +571,9 @@ def resolve_index_flags(cfg: WriteConfig) -> None:
             record_index_enabled_on_table,
         )
 
-        if record_index_enabled_on_table(_local(cfg.path)):
+        if record_index_enabled_on_table(base):
             cfg.emit_record_index = True
-    elif os.path.exists(props_path):
+    elif have_props:
         # enabling the record index on a table with EXISTING data would
         # leave old keys unindexed — and the connector's index pruning
         # treats a missing key as proof the row does not exist. Refuse;
@@ -529,8 +584,9 @@ def resolve_index_flags(cfg: WriteConfig) -> None:
             record_index_enabled_on_table,
         )
 
-        if not record_index_enabled_on_table(_local(cfg.path)) and HudiTable(
-            _local(cfg.path), spark=None, listing="direct"
+        if not record_index_enabled_on_table(base) and HudiTable(
+            base, spark=None, listing="direct",
+            storage_options=cfg.storage_dict(),
         ).timeline.instants:
             raise ValueError(
                 "cannot enable the record index on a table with existing "
@@ -544,7 +600,7 @@ def resolve_index_flags(cfg: WriteConfig) -> None:
     if cfg.emit_record_index:
         from hudi_rs_spark.write.record_index import existing_shard_count
 
-        n = existing_shard_count(_local(cfg.path))
+        n = existing_shard_count(base)
         if n:
             cfg.record_index_shards = n
     if not cfg.secondary_index_columns:
@@ -552,10 +608,10 @@ def resolve_index_flags(cfg: WriteConfig) -> None:
             indexed_columns_on_table,
         )
 
-        cols = indexed_columns_on_table(_local(cfg.path))
+        cols = indexed_columns_on_table(base)
         if cols:
             cfg.secondary_index_columns = cols
-    elif os.path.exists(props_path):
+    elif have_props:
         # same completeness argument as the record index: a secondary
         # index missing pre-existing rows' cells produces FALSE
         # NEGATIVES in lookup_by_secondary_key (the post-filter only
@@ -566,10 +622,11 @@ def resolve_index_flags(cfg: WriteConfig) -> None:
         )
 
         new_cols = set(cfg.secondary_index_columns) - set(
-            indexed_columns_on_table(_local(cfg.path))
+            indexed_columns_on_table(base)
         )
         if new_cols and HudiTable(
-            _local(cfg.path), spark=None, listing="direct"
+            base, spark=None, listing="direct",
+            storage_options=cfg.storage_dict(),
         ).timeline.instants:
             raise ValueError(
                 f"cannot enable secondary index(es) {sorted(new_cols)} on "
@@ -586,22 +643,24 @@ def mdt_enabled(cfg: WriteConfig) -> bool:
     the MDT go stale once it exists)."""
     if cfg.emit_metadata:
         return True
-    props_path = os.path.join(_local(cfg.path), ".hoodie", "hoodie.properties")
-    if not os.path.exists(props_path):
+    base = _base(cfg.path)
+    props_path = f"{base}/.hoodie/hoodie.properties"
+    if not _fs(base, cfg.storage_dict()).isfile(props_path):
         return False
     from hudi_rs_spark.config.table_config import HudiTableConfig
     from hudi_rs_spark.metadata.files_partition import has_files_partition
 
-    return has_files_partition(HudiTableConfig.from_base_path(_local(cfg.path)))
+    return has_files_partition(HudiTableConfig.from_base_path(base))
 
 
 def init_table(cfg: WriteConfig) -> bool:
     """Create ``.hoodie/hoodie.properties`` if absent. Returns True when
     this call created the table. Validates key configs on existing
     tables so an append can't silently change table identity."""
-    base = _local(cfg.path)
-    props_path = os.path.join(base, ".hoodie", "hoodie.properties")
-    if os.path.exists(props_path):
+    base = _base(cfg.path)
+    st = _fs(base, cfg.storage_dict())
+    props_path = f"{base}/.hoodie/hoodie.properties"
+    if st.isfile(props_path):
         from hudi_rs_spark.config.table_config import HudiTableConfig
 
         existing = HudiTableConfig.from_base_path(base)
@@ -622,18 +681,19 @@ def init_table(cfg: WriteConfig) -> bool:
                 f"{list(cfg.partition_fields)}"
             )
         return False
-    os.makedirs(os.path.dirname(props_path), exist_ok=True)
     props = cfg.table_properties()
-    with open(props_path, "w") as f:
-        f.write("\n".join(f"{k}={v}" for k, v in sorted(props.items())) + "\n")
+    st.publish_bytes(
+        props_path,
+        ("\n".join(f"{k}={v}" for k, v in sorted(props.items())) + "\n").encode(),
+    )
     return True
 
 
 def timeline_dir(cfg: WriteConfig) -> str:
-    base = _local(cfg.path)
+    base = _base(cfg.path)
     if cfg.table_version >= 8:
-        return os.path.join(base, ".hoodie", "timeline")
-    return os.path.join(base, ".hoodie")
+        return f"{base}/.hoodie/timeline"
+    return f"{base}/.hoodie"
 
 
 def commit_instant(
@@ -665,30 +725,30 @@ def commit_instant(
     if extra:
         meta["extraMetadata"] = extra
     tdir = timeline_dir(cfg)
-    os.makedirs(tdir, exist_ok=True)
     if cfg.table_version >= 8:
         completion = max(new_instant(), instant)  # monotonic completion ts
         name = f"{instant}_{completion}.{action}"
     else:
         name = f"{instant}.{action}"
-    path = os.path.join(tdir, name)
-    tmp = path + ".inflight.tmp"
-    with open(tmp, "wb") as f:
-        f.write(json.dumps(meta).encode())
-    os.replace(tmp, path)  # atomic publish
+    path = f"{tdir}/{name}"
+    # atomic publish: a reader sees a complete instant or none at all
+    _fs(tdir, cfg.storage_dict()).publish_bytes(path, json.dumps(meta).encode())
     return path
 
 
 def existing_file_group_ids(cfg: WriteConfig) -> dict[str, list[str]]:
     """partition -> live file group ids (for insert_overwrite_table's
     replacecommit). Empty when the table doesn't exist yet."""
-    base = _local(cfg.path)
-    if not os.path.exists(os.path.join(base, ".hoodie", "hoodie.properties")):
+    base = _base(cfg.path)
+    st = _fs(base, cfg.storage_dict())
+    if not st.isfile(f"{base}/.hoodie/hoodie.properties"):
         return {}
     from hudi_rs_spark.sources.hudi import HudiTable
 
     out: dict[str, list[str]] = {}
-    for sl in HudiTable(base, spark=None, listing="direct").get_file_slices():
+    for sl in HudiTable(
+        base, spark=None, listing="direct", storage_options=cfg.storage_dict()
+    ).get_file_slices():
         out.setdefault(sl.partition_path, []).append(sl.file_id)
     for k in out:
         out[k] = sorted(set(out[k]))
@@ -715,6 +775,12 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
 
         purge_uncommitted_mdt_logs(self.cfg.path)
         resolve_index_flags(self.cfg)
+        # claim the instant BEFORE any task writes a byte: a second
+        # writer racing the same instant fails loudly here instead of
+        # interleaving with this job's commit (write/concurrency.py)
+        from hudi_rs_spark.write.concurrency import claim_instant
+
+        claim_instant(self.cfg)
         self.schema = schema
         if self.cfg.operation == OP_UPSERT and self.cfg.table_type != "MERGE_ON_READ":
             raise ValueError(
@@ -756,6 +822,9 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
             from hudi_rs_spark.write.mdt import apply_commit_to_mdt
 
             apply_commit_to_mdt(self.cfg, stats)
+        from hudi_rs_spark.write.concurrency import release_instant
+
+        release_instant(self.cfg)
 
     def abort(self, messages):
         """Best-effort cleanup: files from successful tasks are invisible
@@ -763,15 +832,18 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
         files this write's tasks appended are removed too when anchored
         at the (never-committed) write instant — leaving them would
         poison the shard file group's anchor for every later append."""
-        base = _local(self.cfg.path)
+        base = _base(self.cfg.path)
+        st = _fs(base, self.cfg.storage_dict())
         for m in messages:
             if m is None:
                 continue
             for s in m.stats:
                 try:
-                    os.remove(os.path.join(base, s["path"]))
+                    st.remove(f"{base}/{s['path']}")
                 except OSError:
                     pass
+        from hudi_rs_spark.write.concurrency import release_instant
         from hudi_rs_spark.write.mdt import purge_uncommitted_mdt_logs
 
         purge_uncommitted_mdt_logs(self.cfg.path)
+        release_instant(self.cfg)

@@ -52,7 +52,7 @@ if _REPO not in sys.path:
 BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 MULT = int(os.environ.get("SCALECHECK_MULT", "5"))
 RUNS = int(os.environ.get("SCALECHECK_RUNS", "1"))
-OUT = os.path.join(_REPO, os.environ.get("SCALECHECK_OUT", "SCALECHECK_r08.json"))
+OUT = os.path.join(_REPO, os.environ.get("SCALECHECK_OUT", "SCALECHECK_r09.json"))
 ID_STRIDE = 10**9
 
 
@@ -152,6 +152,9 @@ def main() -> None:
         "dedup_cluster_canonical",
         "sim_kmeans_clusters",
         "pipeline_curate",
+        # r8 regression watch item: the skew-safe groupBy rewrite must
+        # amortize its materialization with corpus size
+        "text_interdup_score",
         # writer throughput: a fresh distributed COW write of the corpus
         # per run (workloads/write_path.py) — pins write-path scaling
         "write_cow_roundtrip",
