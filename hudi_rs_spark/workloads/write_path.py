@@ -32,7 +32,7 @@ from hudi_rs_spark.workloads import QuerySpec, register
 from hudi_rs_spark.workloads.mor import _REPO_CACHE as _MOR_CACHE
 
 _CACHE = os.path.join(os.path.dirname(_MOR_CACHE), "write_bench")
-_LAYOUT_V = "v2"
+_LAYOUT_V = "v3"
 
 _REGISTERED: set[int] = set()
 
@@ -118,6 +118,15 @@ def _ensure_lifecycle_table(
         w = w.option(k, v)
     w.mode("append").save()
     _apply_upserts(spark, sf_dir, scratch)
+    # fold the MDT log chains and archive the oldest instants: every
+    # oracle row on this table then proves point/secondary lookups stay
+    # correct through compacted MDT bases AND an archived timeline
+    # (write/mdt_compact.py, write/archive.py)
+    from hudi_rs_spark.write.archive import archive_timeline
+    from hudi_rs_spark.write.mdt_compact import compact_mdt
+
+    compact_mdt(scratch)
+    archive_timeline(scratch, keep_active=2)
     if compacted:
         from hudi_rs_spark.write.compact import compact
 

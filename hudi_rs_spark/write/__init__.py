@@ -27,6 +27,11 @@ Surfaces:
   one commit per micro-batch, exactly-once across restarts;
 - ``mdt.apply_commit_to_mdt`` — metadata-table files partition kept in
   step with every commit (HFile v3 + MDT log blocks);
+- ``mdt_compact.compact_mdt`` — fold MDT log chains into fresh HFile
+  bases so point-lookup decode stays bounded by commits-since-fold;
+- ``archive.archive_timeline`` — move the oldest completed instants
+  into the archived layouts the readers parse (LSM history / layout-1
+  folder), bounding the active timeline a streaming sink grows;
 - ``table.HudiTableWriter`` — low-level file-by-file fixture writer
   (v6 layout-1, v8 layout-2) the services grew out of.
 
@@ -61,9 +66,11 @@ from hudi_rs_spark.write.logblocks import (  # noqa: F401
     rollback_block,
     write_lsm_history,
 )
+from hudi_rs_spark.write.archive import archive_timeline  # noqa: F401
 from hudi_rs_spark.write.clean import clean  # noqa: F401
 from hudi_rs_spark.write.cluster import cluster  # noqa: F401
 from hudi_rs_spark.write.compact import compact  # noqa: F401
+from hudi_rs_spark.write.mdt_compact import compact_mdt  # noqa: F401
 from hudi_rs_spark.write.rollback import rollback_failed_writes  # noqa: F401
 from hudi_rs_spark.write.savepoint import restore, savepoint  # noqa: F401
 from hudi_rs_spark.write.table import META_COLS, HudiTableWriter  # noqa: F401

@@ -137,18 +137,31 @@ def _ensure_data_props_flag(cfg: WriteConfig) -> None:
 def _next_log_state(
     files_dir: str, file_id: str = MDT_FILE_ID, options: dict | None = None
 ) -> tuple[str | None, int]:
-    """(anchor instant from existing MDT log names, next version)."""
+    """(anchor instant from existing MDT log names, next version).
+
+    A base file NEWER than every log anchor supersedes the anchor (MDT
+    compaction folded the chain): reusing a pre-base anchor would attach
+    the new log to the superseded slice, invisible to the latest-slice
+    readers — return None so the caller re-anchors at its own instant,
+    which associates at-or-after the new base."""
     best = 0
     anchor = None
-    from hudi_rs_spark.fs.file_group import LogFile
+    newest_base = ""
+    from hudi_rs_spark.fs.file_group import BaseFile, LogFile
 
     for e in _st(files_dir, options).list_dir(files_dir):
         name = e.name
-        if not name.startswith(f".{file_id}_"):
-            continue
-        lf = LogFile.parse(name)
-        anchor = lf.timestamp
-        best = max(best, lf.version)
+        if name.startswith(f".{file_id}_") and ".log." in name:
+            lf = LogFile.parse(name)
+            anchor = lf.timestamp
+            best = max(best, lf.version)
+        elif name.startswith(f"{file_id}_") and name.endswith(".hfile"):
+            try:
+                newest_base = max(newest_base, BaseFile.parse(name).commit_timestamp)
+            except ValueError:
+                continue
+    if anchor is not None and newest_base and anchor < newest_base:
+        return None, best + 1
     return anchor, best + 1
 
 

@@ -1,0 +1,196 @@
+"""MDT compaction (VERDICT r8 next-round #4): per-shard decode work
+stays bounded after folding log chains into HFile bases, with the
+readers' merge semantics preserved exactly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401 (parity with suite style)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+    spark.dataSource.register(HudiPyDataSource)
+
+
+def _write(df, path, **options):
+    w = df.write.format("hudi_py").option("path", path)
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.mode("append").save()
+
+
+def _people(spark, n=20, start=0, ts=1, name="n"):
+    return spark.createDataFrame(
+        [(start + i, f"{name}{start + i}", ["a", "b"][i % 2], ts) for i in range(n)],
+        "id long, name string, city string, ts long",
+    )
+
+
+OPTS = {
+    "recordkey.field": "id", "precombine.field": "ts",
+    "table.version": "8", "metadata.enable": "true",
+    "metadata.recordindex.enable": "true",
+    "table.type": "MERGE_ON_READ",
+}
+
+
+def _shard_files(tdir: str) -> tuple[list[str], list[str]]:
+    d = os.path.join(tdir, ".hoodie", "metadata", "record_index")
+    names = os.listdir(d) if os.path.isdir(d) else []
+    logs = [n for n in names if n.startswith(".") and ".log." in n]
+    bases = [n for n in names if n.endswith(".hfile")]
+    return logs, bases
+
+
+def _latest_slice_logs(tdir: str, partition: str) -> dict[str, tuple[int, int]]:
+    """{file_id: (n_logs_in_latest_slice, has_base)} for an MDT partition."""
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.fs.fs_view import build_file_groups, get_file_slices
+    from hudi_rs_spark.timeline.timeline import Timeline
+
+    mdt = os.path.join(tdir, ".hoodie", "metadata")
+    config = HudiTableConfig.from_base_path(mdt)
+    timeline = Timeline.load(mdt, config)
+    completion = {
+        i.timestamp: i.completion_timestamp or i.timestamp
+        for i in timeline.instants
+    }
+    groups = build_file_groups(mdt, completion, lambda p: p == partition)
+    out = {}
+    for sl in get_file_slices(
+        groups, None,
+        valid_commit_timestamps={i.timestamp for i in timeline.instants},
+    ):
+        out[sl.file_id] = (len(sl.log_files), sl.base_file is not None)
+    return out
+
+
+class TestMdtCompaction:
+    def _grow(self, spark, tdir, commits=4):
+        _write(_people(spark, 20), tdir, **OPTS)
+        from hudi_rs_spark.write.upsert import upsert
+
+        for c in range(1, commits):
+            upsert(_people(spark, 5, start=100 * c, ts=c + 1), tdir)
+
+    def test_fold_bounds_decode_and_preserves_index(self, spark, tmp_path):
+        from hudi_rs_spark.metadata.record_index import read_record_index
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.mdt_compact import compact_mdt
+
+        tdir = str(tmp_path / "t")
+        self._grow(spark, tdir, commits=4)
+        logs_before, bases_before = _shard_files(tdir)
+        assert len(logs_before) >= 4 and not bases_before
+        before = read_record_index(tdir)
+
+        n = compact_mdt(tdir)
+        assert n >= 2  # files + at least one record-index shard folded
+
+        # merged state identical through the compacted bases
+        assert read_record_index(tdir) == before
+        # every record-index shard's LATEST slice: base + zero logs —
+        # the bounded-decode guarantee (was: one log per commit)
+        slices = _latest_slice_logs(tdir, "record_index")
+        assert slices and all(
+            has_base and n_logs == 0 for n_logs, has_base in slices.values()
+        )
+        got = {r.id for r in HudiTable(tdir, spark).point_lookup(["3", "100"]).collect()}
+        assert got == {3, 100}
+
+    def test_post_compaction_appends_reanchor_and_stay_visible(
+        self, spark, tmp_path
+    ):
+        """The regression that matters: appends after compaction must not
+        reuse a pre-base anchor (they would attach to the superseded
+        slice and vanish from latest-slice reads)."""
+        from hudi_rs_spark.metadata.record_index import read_record_index
+        from hudi_rs_spark.write.mdt_compact import compact_mdt
+        from hudi_rs_spark.write.upsert import upsert
+
+        tdir = str(tmp_path / "t")
+        self._grow(spark, tdir, commits=3)
+        compact_mdt(tdir)
+        upsert(_people(spark, 3, start=7000, ts=9), tdir)
+        idx = read_record_index(tdir)
+        assert {"7000", "7001", "7002"} <= set(idx)
+        # and the new logs sit in the LATEST slice next to the base
+        slices = _latest_slice_logs(tdir, "record_index")
+        assert any(n_logs >= 1 and has_base for n_logs, has_base in slices.values())
+        # second compaction folds those too
+        assert compact_mdt(tdir) >= 1
+        assert set(read_record_index(tdir)) == set(idx)
+
+    def test_tombstones_settle(self, spark, tmp_path):
+        from hudi_rs_spark.metadata.record_index import read_record_index
+        from hudi_rs_spark.write.mdt_compact import compact_mdt
+        from hudi_rs_spark.write.upsert import delete
+
+        tdir = str(tmp_path / "t")
+        self._grow(spark, tdir, commits=2)
+        delete(_people(spark, 1, start=3), tdir)
+        assert "3" not in read_record_index(tdir)
+        compact_mdt(tdir)
+        idx = read_record_index(tdir)
+        assert "3" not in idx and "4" in idx
+
+    def test_files_listing_equal_through_fold(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.mdt_compact import compact_mdt
+
+        tdir = str(tmp_path / "t")
+        self._grow(spark, tdir, commits=3)
+
+        def key(sl):
+            return (
+                sl.partition_path, sl.file_id, sl.commit_timestamp,
+                sl.base_file_relative_path(), tuple(sl.log_file_relative_paths()),
+            )
+
+        before = sorted(
+            key(s) for s in HudiTable(tdir, spark=None, listing="mdt").get_file_slices()
+        )
+        compact_mdt(tdir)
+        after = sorted(
+            key(s) for s in HudiTable(tdir, spark=None, listing="mdt").get_file_slices()
+        )
+        assert after == before
+        # MDT listing still equals the direct walk
+        direct = sorted(
+            key(s)
+            for s in HudiTable(tdir, spark=None, listing="direct").get_file_slices()
+        )
+        assert after == direct
+        # data contents unchanged
+        rows = {r.id for r in HudiTable(tdir, spark).read().collect()}
+        assert {0, 100, 200} <= rows
+
+    def test_secondary_index_folds(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.mdt_compact import compact_mdt
+        from hudi_rs_spark.write.upsert import upsert
+
+        tdir = str(tmp_path / "t")
+        _write(_people(spark, 16), tdir, **{
+            **OPTS, "metadata.secondaryindex.columns": "name",
+        })
+        upsert(_people(spark, 4, start=500, ts=2), tdir)
+        t = HudiTable(tdir, spark)
+        want = {r.id for r in t.lookup_by_secondary_key("name", ["n500", "n3"]).collect()}
+        assert want == {500, 3}
+        assert compact_mdt(tdir) >= 1
+        t2 = HudiTable(tdir, spark)
+        got = {r.id for r in t2.lookup_by_secondary_key("name", ["n500", "n3"]).collect()}
+        assert got == want
+
+    def test_noop_without_mdt(self, spark, tmp_path):
+        from hudi_rs_spark.write.mdt_compact import compact_mdt
+
+        tdir = str(tmp_path / "t")
+        _write(_people(spark, 5), tdir, **{"recordkey.field": "id"})
+        assert compact_mdt(tdir) == 0
