@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Driver-row freshness rotation (all 86 queries pass the identical
+# Driver-row freshness rotation (all 87 queries pass the identical
 # local DuckDB oracle in tests/test_oracle_diff.py): lead with the 36
 # queries whose newest driver evidence is r7 (they were rotated OUT of
 # r8's 50-row sample) so a prefix-sampling driver refreshes them this
@@ -44,7 +44,9 @@ _SURFACE_FIRST = [
     "q19_disjunctive", "q22_no_order_customers",
     "rollup_revenue", "cube_revenue", "grouping_sets_revenue",
     "salted_revenue_by_status",
-    # write lifecycle: code changed this round (storage + concurrency)
+    # write lifecycle: code changed this round (storage + concurrency),
+    # plus the new v9 row
+    "write_v9_lifecycle",
     "write_cow_roundtrip", "write_upsert_roundtrip", "write_compacted_snapshot",
     "write_clustered_snapshot", "write_point_lookup", "write_secondary_lookup",
 ]

@@ -97,13 +97,16 @@ def _apply_upserts(spark: SparkSession, sf_dir: str, path: str) -> None:
 
 
 def _ensure_lifecycle_table(
-    spark: SparkSession, sf_dir: str, compacted: bool, clustered: bool = False
+    spark: SparkSession, sf_dir: str, compacted: bool, clustered: bool = False,
+    table_version: int | None = None,
 ) -> str:
     """Build (once per sf fingerprint) the seeded+upserted[+compacted|
     +clustered] MOR table through the real writer surface;
     scratch-then-rename keeps concurrent builders safe (same pattern as
     workloads/mor.py)."""
     stage = "l" if clustered else ("c" if compacted else "u")
+    if table_version:
+        stage += f"v{table_version}"
     name = f"docs_{stage}_{_fingerprint(sf_dir)}"
     base = os.path.join(_CACHE, name)
     if os.path.isdir(os.path.join(base, ".hoodie")):
@@ -113,8 +116,11 @@ def _ensure_lifecycle_table(
     scratch = base + ".tmp"
     if os.path.isdir(scratch):
         shutil.rmtree(scratch)
+    seed = _seed_options()
+    if table_version:
+        seed["table.version"] = str(table_version)
     w = _docs(spark, sf_dir).write.format("hudi_py").option("path", scratch)
-    for k, v in _seed_options().items():
+    for k, v in seed.items():
         w = w.option(k, v)
     w.mode("append").save()
     _apply_upserts(spark, sf_dir, scratch)
@@ -207,6 +213,23 @@ def write_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the connector merges the writer's own log blocks."""
     _register(spark)
     path = _ensure_lifecycle_table(spark, sf_dir, compacted=False)
+    return (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def write_v9_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same seeded+upserted+deleted lifecycle on a TABLE VERSION 9
+    table (v9 property names: hoodie.table.ordering.fields,
+    table.format=native; completion-time timeline) — the writer's last
+    version gap, oracle-checked against the identical lifecycle truth.
+    Runs the full index family + MDT fold + archival like the v8 row."""
+    _register(spark)
+    path = _ensure_lifecycle_table(
+        spark, sf_dir, compacted=False, table_version=9
+    )
     return (
         spark.read.format("hudi_py").option("path", path).load()
         .select("doc_id", "text", "lang")
@@ -312,5 +335,7 @@ for _n, _f, _s, _d in [
      "MDT record-index point lookup on a writer-built table"),
     ("write_secondary_lookup", write_secondary_lookup, SECONDARY_LOOKUP_SQL,
      "secondary-index + record-index lookup, stale-cell-safe"),
+    ("write_v9_lifecycle", write_v9_lifecycle, LIFECYCLE_SQL,
+     "v9 writer lifecycle (ordering.fields, native format, layout-2)"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("write", "hudi"), doc=_d))

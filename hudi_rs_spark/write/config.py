@@ -99,7 +99,7 @@ class WriteConfig:
             )
         if self.table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
             raise ValueError(f"bad table type {self.table_type!r}")
-        if self.table_version not in (6, 8):
+        if self.table_version not in (6, 8, 9):
             raise ValueError(f"unsupported table version {self.table_version}")
         if self.emit_metadata and self.table_version < 8:
             raise ValueError(
@@ -139,8 +139,20 @@ class WriteConfig:
         }
         if self.table_version >= 8:
             props["hoodie.timeline.path"] = "timeline"
+        if self.table_version >= 9:
+            # v9 renames/additions (fixture parity:
+            # sample_table/cow/v9_txns_*/.hoodie/hoodie.properties)
+            props["hoodie.table.format"] = "native"
+            props["hoodie.table.initial.version"] = "9"
         if self.precombine_field:
-            props["hoodie.table.precombine.field"] = self.precombine_field
+            # v9 renamed precombine -> ordering fields; the reader's
+            # ordering_fields property consumes either key
+            key = (
+                "hoodie.table.ordering.fields"
+                if self.table_version >= 9
+                else "hoodie.table.precombine.field"
+            )
+            props[key] = self.precombine_field
         if self.partition_fields:
             props["hoodie.table.partition.fields"] = ",".join(self.partition_fields)
             props["hoodie.datasource.write.hive_style_partitioning"] = (

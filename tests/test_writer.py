@@ -1481,3 +1481,117 @@ class TestHFileWriter:
         before = hf.n_blocks_decoded
         hf.lookup_records(["k01000"])
         assert hf.n_blocks_decoded - before <= 2
+
+
+class TestV9Writer:
+    """v9 write support (VERDICT r8 stretch #8): parquet v9 tables with
+    the completion-time timeline, v9 property names
+    (hoodie.table.ordering.fields, hoodie.table.format=native), and the
+    full MOR lifecycle readable through both read paths."""
+
+    _OPTS = {
+        "recordkey.field": "id", "precombine.field": "ts",
+        "table.version": "9",
+    }
+
+    def test_v9_props_and_round_trip(self, spark, tdir):
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        _register(spark)
+        _write(_people(spark, 24).repartition(2), tdir, **self._OPTS)
+        tc = HudiTableConfig.from_base_path(tdir)
+        assert tc.table_version == 9
+        assert tc.timeline_layout_version == 2
+        assert tc.props["hoodie.table.format"] == "native"
+        assert tc.props["hoodie.table.ordering.fields"] == "ts"
+        assert "hoodie.table.precombine.field" not in tc.props
+        assert tc.ordering_fields == ["ts"]  # reader resolves the v9 key
+        # completion-time commit naming under .hoodie/timeline
+        names = os.listdir(os.path.join(tdir, ".hoodie", "timeline"))
+        commits = [n for n in names if n.endswith(".commit")]
+        assert commits and all(
+            len(n.split(".")[0].split("_")) == 2 for n in commits
+        )
+        want = sorted(map(tuple, _people(spark, 24).collect()))
+        got = sorted(map(tuple,
+                         _load(spark, tdir).select("id", "name", "city", "ts").collect()))
+        assert got == want
+        assert sorted(map(tuple,
+                          HudiTable(tdir, spark).read()
+                          .select("id", "name", "city", "ts").collect())) == want
+
+    def test_v9_mor_upsert_lifecycle(self, spark, tdir):
+        """Upserts honor the v9 ordering field; appends inherit v9 from
+        the table (authoritative table_version)."""
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+        from hudi_rs_spark.write.upsert import delete, upsert
+
+        _register(spark)
+        _write(_people(spark, 12), tdir, **{
+            **self._OPTS, "table.type": "MERGE_ON_READ",
+        })
+        upsert(
+            spark.createDataFrame(
+                [(3, "u3", "a", 9), (100, "new", "b", 9)],
+                "id long, name string, city string, ts long",
+            ),
+            tdir,
+        )
+        # a LOWER ordering value must lose the merge (v9 ordering.fields)
+        upsert(
+            spark.createDataFrame(
+                [(3, "stale", "a", 1)], "id long, name string, city string, ts long"
+            ),
+            tdir,
+        )
+        delete(
+            spark.createDataFrame(
+                [(5, None, None, 10)], "id long, name string, city string, ts long"
+            ),
+            tdir,
+        )
+        assert HudiTableConfig.from_base_path(tdir).table_version == 9
+        rows = {r.id: r.name for r in _load(spark, tdir).collect()}
+        assert rows[3] == "u3" and rows[100] == "new" and 5 not in rows
+
+    def test_v9_time_travel_and_compaction(self, spark, tdir):
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.compact import compact
+        from hudi_rs_spark.write.upsert import upsert
+
+        _register(spark)
+        _write(_people(spark, 10), tdir, **{
+            **self._OPTS, "table.type": "MERGE_ON_READ",
+        })
+        t0 = HudiTable(tdir, spark)
+        first = t0.timeline.instants[0].timestamp
+        upsert(
+            spark.createDataFrame(
+                [(0, "v2", "a", 8)], "id long, name string, city string, ts long"
+            ),
+            tdir,
+        )
+        assert compact(spark, tdir) >= 1
+        t = HudiTable(tdir, spark)
+        snap = {r.id: r.name for r in t.read().collect()}
+        assert snap[0] == "v2"
+        old = {
+            r.id: r.name
+            for r in t.read(HudiReadOptions(as_of_timestamp=first)).collect()
+        }
+        assert old[0] == "n0"  # pre-upsert state reachable
+
+    def test_v9_with_mdt_and_indexes(self, spark, tdir):
+        from hudi_rs_spark.metadata.record_index import read_record_index
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        _register(spark)
+        _write(_people(spark, 15).repartition(2), tdir, **{
+            **self._OPTS, "metadata.enable": "true",
+            "metadata.recordindex.enable": "true",
+        })
+        assert set(read_record_index(tdir)) == {str(i) for i in range(15)}
+        got = {r.id for r in HudiTable(tdir, spark).point_lookup(["7"]).collect()}
+        assert got == {7}
