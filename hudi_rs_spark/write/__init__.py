@@ -32,6 +32,10 @@ Surfaces:
 - ``archive.archive_timeline`` — move the oldest completed instants
   into the archived layouts the readers parse (LSM history / layout-1
   folder), bounding the active timeline a streaming sink grows;
+- ``maintenance.maybe_auto_maintain`` — inline archival + MDT folding
+  after every commit when ``hoodie.keep.max/min.commits`` /
+  ``hoodie.metadata.compact.max.delta.commits`` thresholds are crossed
+  (Hudi's own defaults: growth management without operator action);
 - ``table.HudiTableWriter`` — low-level file-by-file fixture writer
   (v6 layout-1, v8 layout-2) the services grew out of.
 

@@ -78,6 +78,13 @@ class WriteConfig:
     # largest partition — a skewed partition inside one task can not
     # grow an unbounded buffer (Hudi's small-file/size-rolled analog)
     max_buffer_bytes: int = 256 << 20
+    # inline growth management (write/maintenance.py, Hudi's
+    # hoodie.keep.max/min.commits + metadata.compact.max.delta.commits):
+    # 0 disables. Checked after every successful commit so streaming
+    # sinks stay bounded without operator action.
+    keep_max_commits: int = 30
+    keep_min_commits: int = 20
+    mdt_compact_max_deltas: int = 10
     emit_metadata: bool = False
     emit_column_stats: bool = False
     emit_record_index: bool = False
@@ -227,6 +234,18 @@ class WriteConfig:
             ),
             max_buffer_bytes=int(
                 _opt(options, "max.buffer.bytes", default=str(256 << 20))
+            ),
+            keep_max_commits=int(
+                _opt(options, "hoodie.keep.max.commits", "keep.max.commits",
+                     default="30")
+            ),
+            keep_min_commits=int(
+                _opt(options, "hoodie.keep.min.commits", "keep.min.commits",
+                     default="20")
+            ),
+            mdt_compact_max_deltas=int(
+                _opt(options, "hoodie.metadata.compact.max.delta.commits",
+                     "metadata.compact.max.delta.commits", default="10")
             ),
             emit_column_stats=str(
                 _opt(options, "hoodie.metadata.index.column.stats.enable",

@@ -1,0 +1,76 @@
+"""Automatic growth management: inline archival + MDT folding.
+
+Hudi runs these inline by default (`hoodie.keep.max/min.commits`,
+`hoodie.metadata.compact.max.delta.commits`) because on a table written
+continuously — above all by a streaming sink committing every
+micro-batch — "the operator will run maintenance later" means unbounded
+active timelines and ever-longer MDT log chains. The writer calls
+``maybe_auto_maintain`` after every successful commit:
+
+- when the active timeline holds more than ``keep_max_commits``
+  completed data instants, archive down to ``keep_min_commits``
+  (write/archive.py — crash-safe LSM publish, pending markers pin the
+  floor);
+- when the MDT ``files`` file group has accumulated at least
+  ``mdt_compact_max_deltas`` log files, fold every MDT group into fresh
+  HFile bases (write/mdt_compact.py — bounded point-lookup decode).
+
+Cost per commit: one list of the timeline dir + one list of the MDT
+files dir — both already O(active metadata), both driver-side. The
+checks are cheap exactly because the maintenance keeps them bounded.
+
+Failures here must never fail the COMMIT (the data is already durable
+and visible): maintenance errors surface as warnings and the next
+commit retries. Single-writer scope, like every table service."""
+
+from __future__ import annotations
+
+import warnings
+
+
+def maybe_auto_maintain(cfg) -> None:
+    """Run archival / MDT folding when the configured thresholds are
+    crossed; never raises (the commit already succeeded)."""
+    try:
+        _maybe_archive(cfg)
+    except Exception as e:  # noqa: BLE001 — commit durability over tidiness
+        warnings.warn(f"auto-archival skipped: {e}", stacklevel=2)
+    try:
+        _maybe_fold_mdt(cfg)
+    except Exception as e:  # noqa: BLE001
+        warnings.warn(f"auto MDT compaction skipped: {e}", stacklevel=2)
+
+
+def _maybe_archive(cfg) -> None:
+    if cfg.keep_max_commits <= 0:
+        return
+    from hudi_rs_spark.write.writer import _fs, timeline_dir
+
+    tdir = timeline_dir(cfg)
+    n_completed = sum(
+        1
+        for e in _fs(tdir, cfg.storage_dict()).list_dir(tdir)
+        if e.name.endswith((".commit", ".deltacommit", ".replacecommit"))
+    )
+    if n_completed > cfg.keep_max_commits:
+        from hudi_rs_spark.write.archive import archive_timeline
+
+        archive_timeline(cfg.path, keep_active=cfg.keep_min_commits)
+
+
+def _maybe_fold_mdt(cfg) -> None:
+    if cfg.mdt_compact_max_deltas <= 0:
+        return
+    from hudi_rs_spark.write.writer import _base, _fs
+
+    base = _base(cfg.path)
+    files_dir = f"{base}/.hoodie/metadata/files"
+    n_logs = sum(
+        1
+        for e in _fs(base, cfg.storage_dict()).list_dir(files_dir)
+        if e.name.startswith(".files-") and ".log." in e.name
+    )
+    if n_logs >= cfg.mdt_compact_max_deltas:
+        from hudi_rs_spark.write.mdt_compact import compact_mdt
+
+        compact_mdt(cfg.path)

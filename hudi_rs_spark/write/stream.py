@@ -228,6 +228,12 @@ class HudiPyStreamWriter(DataSourceStreamArrowWriter):
             from hudi_rs_spark.write.mdt import apply_commit_to_mdt
 
             apply_commit_to_mdt(cfg, stats)
+        # a per-micro-batch committer is exactly the writer that grows
+        # timelines without bound — inline maintenance keeps the active
+        # dir and MDT chains bounded without operator action
+        from hudi_rs_spark.write.maintenance import maybe_auto_maintain
+
+        maybe_auto_maintain(cfg)
 
     def abort(self, messages, batchId: int) -> None:
         base = _local(self.cfg.path)

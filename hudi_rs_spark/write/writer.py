@@ -825,6 +825,12 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
         from hudi_rs_spark.write.concurrency import release_instant
 
         release_instant(self.cfg)
+        # inline growth management: archive / fold the MDT when this
+        # commit crossed the configured thresholds (never fails the
+        # already-durable commit)
+        from hudi_rs_spark.write.maintenance import maybe_auto_maintain
+
+        maybe_auto_maintain(self.cfg)
 
     def abort(self, messages):
         """Best-effort cleanup: files from successful tasks are invisible

@@ -221,3 +221,69 @@ class TestArchiveV6Layout1:
         t = HudiTable(tdir, spark)
         assert len(t.timeline.archived_instants()) == 3
         assert t.read().count() == before
+
+
+class TestAutoMaintenance:
+    """Inline growth management (write/maintenance.py): the writer
+    archives and folds the MDT automatically when the configured
+    thresholds are crossed — no operator action."""
+
+    def test_batch_commits_auto_archive(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        tdir = str(tmp_path / "t")
+        for c in range(6):
+            _write(_people(spark, 3, start=10 * c, ts=c + 1), tdir, **{
+                "recordkey.field": "id", "precombine.field": "ts",
+                "table.version": "8",
+                "keep.max.commits": "4", "keep.min.commits": "2",
+            })
+        assert len(_active_completed(tdir)) <= 4  # bounded inline
+        t = HudiTable(tdir, spark)
+        assert t.read().count() == 18  # archived commits' rows visible
+        assert t.timeline.archived_instants()  # history landed in the LSM
+
+    def test_mdt_chains_auto_fold(self, spark, tmp_path):
+        from hudi_rs_spark.metadata.record_index import read_record_index
+
+        tdir = str(tmp_path / "t")
+        for c in range(4):
+            _write(_people(spark, 3, start=10 * c, ts=c + 1), tdir, **{
+                "recordkey.field": "id", "precombine.field": "ts",
+                "table.version": "8", "metadata.enable": "true",
+                "metadata.recordindex.enable": "true",
+                "metadata.compact.max.delta.commits": "3",
+                "keep.max.commits": "0",  # isolate the MDT knob
+            })
+        files_dir = os.path.join(tdir, ".hoodie", "metadata", "files")
+        bases = [n for n in os.listdir(files_dir) if n.endswith(".hfile")]
+        assert bases  # folded inline once the chain hit the threshold
+        assert set(read_record_index(tdir)) == {
+            str(10 * c + i) for c in range(4) for i in range(3)
+        }
+
+    def test_stream_auto_archives(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        srcdir = str(tmp_path / "src")
+        os.makedirs(srcdir)
+        tdir = str(tmp_path / "t")
+        for b in range(5):
+            spark.createDataFrame(
+                [(b * 10 + i, f"v{b}_{i}", 1) for i in range(4)],
+                "id long, name string, ts long",
+            ).coalesce(1).write.mode("append").parquet(srcdir)
+            q = (
+                spark.readStream.schema("id long, name string, ts long")
+                .parquet(srcdir)
+                .writeStream.format("hudi_py")
+                .option("path", tdir).option("recordkey.field", "id")
+                .option("table.version", "8")
+                .option("keep.max.commits", "3")
+                .option("keep.min.commits", "1")
+                .option("checkpointLocation", str(tmp_path / "cp"))
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+        assert len(_active_completed(tdir)) <= 3  # the sink self-bounds
+        assert HudiTable(tdir, spark).read().count() == 20
