@@ -220,6 +220,43 @@ def write_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_lance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fresh distributed v9 write with LANCE base files (lance/writer.py
+    encodes, the golden-fixture-pinned lance/reader.py decodes), then a
+    read-back aggregate through the connector — prices the Lance encode
+    and proves the write-side format against the same oracle as the
+    parquet COW row."""
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_lance_bench_")
+    path = os.path.join(tmp, "t")
+    w = (
+        _docs(spark, sf_dir)
+        .write.format("hudi_py")
+        .option("path", path)
+        .option("recordkey.field", "doc_id")
+        .option("precombine.field", "ts")
+        .option("partitionpath.field", "lang")
+        .option("table.version", "9")
+        .option("base.file.format", "lance")
+        .option("hoodie.table.name", "docs_lance")
+    )
+    w.mode("append").save()
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def write_v9_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same seeded+upserted+deleted lifecycle on a TABLE VERSION 9
     table (v9 property names: hoodie.table.ordering.fields,
@@ -337,5 +374,7 @@ for _n, _f, _s, _d in [
      "secondary-index + record-index lookup, stale-cell-safe"),
     ("write_v9_lifecycle", write_v9_lifecycle, LIFECYCLE_SQL,
      "v9 writer lifecycle (ordering.fields, native format, layout-2)"),
+    ("write_lance_roundtrip", write_lance_roundtrip, WRITE_COW_SQL,
+     "fresh v9 write with Lance base files, connector read-back"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("write", "hudi"), doc=_d))

@@ -85,6 +85,10 @@ class WriteConfig:
     keep_max_commits: int = 30
     keep_min_commits: int = 20
     mdt_compact_max_deltas: int = 10
+    # base-file format for INSERTED file groups: parquet (default) or
+    # lance (v9 tables only — the version that introduced Lance bases);
+    # readers route by file extension, services rewrite in parquet
+    base_file_format: str = "parquet"
     emit_metadata: bool = False
     emit_column_stats: bool = False
     emit_record_index: bool = False
@@ -108,6 +112,15 @@ class WriteConfig:
             raise ValueError(f"bad table type {self.table_type!r}")
         if self.table_version not in (6, 8, 9):
             raise ValueError(f"unsupported table version {self.table_version}")
+        if self.base_file_format not in ("parquet", "lance"):
+            raise ValueError(
+                f"unsupported base file format {self.base_file_format!r}"
+            )
+        if self.base_file_format == "lance" and self.table_version < 9:
+            raise ValueError(
+                "lance base files require table version 9 (the version "
+                "that introduced them)"
+            )
         if self.emit_metadata and self.table_version < 8:
             raise ValueError(
                 "metadata-table emission requires table version 8 "
@@ -151,6 +164,10 @@ class WriteConfig:
             # sample_table/cow/v9_txns_*/.hoodie/hoodie.properties)
             props["hoodie.table.format"] = "native"
             props["hoodie.table.initial.version"] = "9"
+            if self.base_file_format != "parquet":
+                props["hoodie.table.base.file.format"] = (
+                    self.base_file_format.upper()
+                )
         if self.precombine_field:
             # v9 renamed precombine -> ordering fields; the reader's
             # ordering_fields property consumes either key
@@ -247,6 +264,10 @@ class WriteConfig:
                 _opt(options, "hoodie.metadata.compact.max.delta.commits",
                      "metadata.compact.max.delta.commits", default="10")
             ),
+            base_file_format=str(
+                _opt(options, "hoodie.table.base.file.format",
+                     "base.file.format", default="parquet")
+            ).lower(),
             emit_column_stats=str(
                 _opt(options, "hoodie.metadata.index.column.stats.enable",
                      "metadata.columnstats.enable", default="false")

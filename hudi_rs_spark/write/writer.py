@@ -119,6 +119,19 @@ def write_parquet(tbl: pa.Table, full_path: str, storage) -> int:
     return storage.size(full_path)
 
 
+def write_base_file(tbl: pa.Table, full_path: str, storage) -> int:
+    """Route by extension: parquet (default) or Lance v2 (v9 tables —
+    ``lance/writer.py``, read back by the same ``lance/reader.py`` that
+    decodes the reference's golden Lance fixtures)."""
+    if full_path.endswith(".lance"):
+        from hudi_rs_spark.lance.writer import write_lance
+
+        data = write_lance(tbl)
+        storage.write_bytes(full_path, data)
+        return len(data)
+    return write_parquet(tbl, full_path, storage)
+
+
 def _key_array(tbl: pa.Table, key_fields: tuple[str, ...]) -> pa.Array:
     """Record key per row: str(value) for a single key field, the
     ComplexAvroKeyGenerator's ``f1:v1,f2:v2`` for composite keys."""
@@ -360,10 +373,11 @@ class _TaskWriter:
         keys = merged["__hoodie_key"].combine_chunks()
         data = self._data_columns(merged)
         file_id = self._new_file_id(pv)
-        name = f"{file_id}_{self.token}_{self.cfg.instant}.parquet"
+        ext = self.cfg.base_file_format
+        name = f"{file_id}_{self.token}_{self.cfg.instant}.{ext}"
         rel = f"{pv}/{name}" if pv else name
         full = f"{self.base}/{rel}"
-        size = write_parquet(
+        size = write_base_file(
             self._with_meta(data, keys, pv, name), full, self.storage
         )
         stat = {
