@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Driver-row freshness rotation (all 88 queries pass the identical
+# Driver-row freshness rotation (all 89 queries pass the identical
 # local DuckDB oracle in tests/test_oracle_diff.py): lead with the 36
 # queries whose newest driver evidence is r7 (they were rotated OUT of
 # r8's 50-row sample) so a prefix-sampling driver refreshes them this
@@ -46,7 +46,7 @@ _SURFACE_FIRST = [
     "salted_revenue_by_status",
     # write lifecycle: code changed this round (storage + concurrency),
     # plus the new v9 row
-    "write_v9_lifecycle", "write_lance_roundtrip",
+    "write_v9_lifecycle", "write_lance_roundtrip", "write_cdc_feed",
     "write_cow_roundtrip", "write_upsert_roundtrip", "write_compacted_snapshot",
     "write_clustered_snapshot", "write_point_lookup", "write_secondary_lookup",
 ]

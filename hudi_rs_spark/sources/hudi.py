@@ -1027,7 +1027,8 @@ class HudiTable:
             meta = self.timeline.metadata_for(i)
             for ws in meta.write_stats:
                 rel = ws.path.lstrip("/")
-                if ".log." not in os.path.basename(rel):
+                base_name = os.path.basename(rel)
+                if ".log." not in base_name and ".cdc." not in base_name:
                     continue  # base files carry no CDC blocks
                 # no per-file existence HEAD here: on an object store that
                 # is O(in-window log files) sequential driver round-trips.

@@ -32,7 +32,7 @@ from hudi_rs_spark.workloads import QuerySpec, register
 from hudi_rs_spark.workloads.mor import _REPO_CACHE as _MOR_CACHE
 
 _CACHE = os.path.join(os.path.dirname(_MOR_CACHE), "write_bench")
-_LAYOUT_V = "v3"
+_LAYOUT_V = "v4"
 
 _REGISTERED: set[int] = set()
 
@@ -67,6 +67,10 @@ def _seed_options() -> dict:
         "metadata.columnstats.enable": "true",
         "metadata.recordindex.enable": "true",
         "metadata.secondaryindex.columns": "source",
+        # typed change feed: every lifecycle row then also proves CDC
+        # blocks never perturb snapshots/lookups, and write_cdc_feed
+        # oracle-checks the feed itself
+        "cdc.enabled": "true",
     }
 
 
@@ -257,6 +261,40 @@ def write_lance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def write_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lifecycle table's typed change feed (writer-emitted type-6
+    CDC blocks -> HudiTable.read_changes): one i per seeded doc, one u
+    per upserted doc, one d per deleted doc — keyed back out of the
+    JSON images so the oracle is pure SQL over `documents`."""
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    _register(spark)
+    path = _ensure_lifecycle_table(spark, sf_dir, compacted=False)
+    feed = HudiTable(path, spark).read_changes(None)
+    return (
+        feed.select(
+            "op",
+            F.coalesce(
+                F.get_json_object("after", "$.doc_id"),
+                F.get_json_object("before", "$._hoodie_record_key"),
+            ).cast("long").alias("doc_id"),
+        )
+        .orderBy("op", "doc_id")
+    )
+
+
+WRITE_CDC_SQL = """
+SELECT * FROM (
+  SELECT 'd' AS op, doc_id FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT 'i' AS op, doc_id FROM documents
+  UNION ALL
+  SELECT 'u' AS op, doc_id FROM documents WHERE doc_id % 9 = 0
+)
+ORDER BY op, doc_id
+"""
+
+
 def write_v9_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same seeded+upserted+deleted lifecycle on a TABLE VERSION 9
     table (v9 property names: hoodie.table.ordering.fields,
@@ -376,5 +414,7 @@ for _n, _f, _s, _d in [
      "v9 writer lifecycle (ordering.fields, native format, layout-2)"),
     ("write_lance_roundtrip", write_lance_roundtrip, WRITE_COW_SQL,
      "fresh v9 write with Lance base files, connector read-back"),
+    ("write_cdc_feed", write_cdc_feed, WRITE_CDC_SQL,
+     "writer-emitted CDC blocks -> typed change feed (i/u/d)"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("write", "hudi"), doc=_d))

@@ -74,7 +74,7 @@ from hudi_rs_spark.write.archive import archive_timeline  # noqa: F401
 from hudi_rs_spark.write.clean import clean  # noqa: F401
 from hudi_rs_spark.write.cluster import cluster  # noqa: F401
 from hudi_rs_spark.write.compact import compact  # noqa: F401
-from hudi_rs_spark.write.mdt_compact import compact_mdt  # noqa: F401
+from hudi_rs_spark.write.mdt_compact import clean_mdt, compact_mdt  # noqa: F401
 from hudi_rs_spark.write.rollback import rollback_failed_writes  # noqa: F401
 from hudi_rs_spark.write.savepoint import restore, savepoint  # noqa: F401
 from hudi_rs_spark.write.table import META_COLS, HudiTableWriter  # noqa: F401

@@ -89,6 +89,11 @@ class WriteConfig:
     # lance (v9 tables only — the version that introduced Lance bases);
     # readers route by file extension, services rewrite in parquet
     base_file_format: str = "parquet"
+    # change-data-capture: tagged upsert/delete flushes (and new-group
+    # inserts) also append type-6 CDC blocks so read_changes / the
+    # connector's query.type=cdc serve a typed change feed; persisted in
+    # hoodie.table.cdc.enabled so appends keep the feed complete
+    emit_cdc: bool = False
     emit_metadata: bool = False
     emit_column_stats: bool = False
     emit_record_index: bool = False
@@ -168,6 +173,9 @@ class WriteConfig:
                 props["hoodie.table.base.file.format"] = (
                     self.base_file_format.upper()
                 )
+        if self.emit_cdc:
+            props["hoodie.table.cdc.enabled"] = "true"
+            props["hoodie.table.cdc.supplemental.logging.mode"] = "data_after"
         if self.precombine_field:
             # v9 renamed precombine -> ordering fields; the reader's
             # ordering_fields property consumes either key
@@ -268,6 +276,10 @@ class WriteConfig:
                 _opt(options, "hoodie.table.base.file.format",
                      "base.file.format", default="parquet")
             ).lower(),
+            emit_cdc=str(
+                _opt(options, "hoodie.table.cdc.enabled", "cdc.enabled",
+                     default="false")
+            ).lower() == "true",
             emit_column_stats=str(
                 _opt(options, "hoodie.metadata.index.column.stats.enable",
                      "metadata.columnstats.enable", default="false")

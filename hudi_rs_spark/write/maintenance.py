@@ -71,6 +71,7 @@ def _maybe_fold_mdt(cfg) -> None:
         if e.name.startswith(".files-") and ".log." in e.name
     )
     if n_logs >= cfg.mdt_compact_max_deltas:
-        from hudi_rs_spark.write.mdt_compact import compact_mdt
+        from hudi_rs_spark.write.mdt_compact import clean_mdt, compact_mdt
 
-        compact_mdt(cfg.path)
+        if compact_mdt(cfg.path):
+            clean_mdt(cfg.path)  # reclaim the superseded pre-fold chains

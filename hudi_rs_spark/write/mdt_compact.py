@@ -178,3 +178,45 @@ def compact_mdt(table_path: str, instant: str | None = None) -> int:
     )
     release_instant(mdt_cfg, "commit")
     return n_groups
+
+
+def clean_mdt(table_path: str) -> int:
+    """Delete MDT files strictly SUPERSEDED by each file group's newest
+    base: pre-fold log chains and older bases. The base holds the full
+    merged state by construction (compact_mdt folds everything at or
+    before its instant) and MDT readers always plan the LATEST slice
+    (``iter_partition_hfiles`` passes as_of=None), so nothing can still
+    reference the victims — the storage-reclamation step completing the
+    fold-bounds-decode / clean-bounds-storage pair. Returns the number
+    of files deleted. Single-writer scope like every service."""
+    from hudi_rs_spark.fs.file_group import BaseFile, LogFile
+    from hudi_rs_spark.write.writer import _base, _fs
+
+    base = _base(table_path)
+    st = _fs(base)
+    mdt = f"{base}/.hoodie/metadata"
+    deleted = 0
+    for part in st.list_dir(mdt):
+        if part.name == ".hoodie" or not part.is_dir:
+            continue
+        pdir = f"{mdt}/{part.name}"
+        groups = _group_file_ids(st, pdir)
+        for e in st.list_dir(pdir):
+            name = e.name
+            try:
+                if name.startswith(".") and ".log." in name:
+                    lf = LogFile.parse(name)
+                    floor = groups.get(lf.file_id, "")
+                    dead = bool(floor) and lf.timestamp < floor
+                elif name.endswith(".hfile"):
+                    bf = BaseFile.parse(name)
+                    floor = groups.get(bf.file_id, "")
+                    dead = bool(floor) and bf.commit_timestamp < floor
+                else:
+                    continue
+            except ValueError:
+                continue
+            if dead:
+                st.remove(f"{pdir}/{name}")
+                deleted += 1
+    return deleted

@@ -332,6 +332,25 @@ class _TaskWriter:
             out = out.append_column(name, col)
         return out
 
+    def _cdc_rows(self, data: pa.Table, op: str) -> list[dict]:
+        """Typed change records (op + canonical-JSON after image) for a
+        flush — the data_after supplemental logging mode: no
+        read-old-values cost, downstream consumers reconstruct befores
+        from the prior feed state when they need them."""
+        import json as _json
+
+        out = []
+        cols = data.column_names
+        for row in zip(*(data[c].to_pylist() for c in cols)):
+            image = _json.dumps(
+                dict(zip(cols, row)), sort_keys=True, default=str
+            )
+            out.append(
+                {"op": op, "ts_ms": self.cfg.instant, "before": None,
+                 "after": image}
+            )
+        return out
+
     def _emit_secondary_cells(self, data: pa.Table, keys: pa.Array) -> None:
         """Append (value, record_key) secondary-index cells for every
         indexed column present in this flush (nulls unindexed)."""
@@ -403,7 +422,35 @@ class _TaskWriter:
                 self.cfg.storage_dict(),
             )
         self._emit_secondary_cells(data, keys)
+        if self.cfg.emit_cdc and len(data):
+            # change rows ride in a SIDECAR ``.cdc.`` file: the data
+            # readers consume type-6 blocks as record data (reference
+            # scanner parity), so CDC payloads must live in files the
+            # data scan never parses as log files — Hudi's own separate
+            # .cdc file design. The CDC readers find them through the
+            # commit's write stats (cdc_log_groups).
+            self._emit_cdc_file(pv, file_id, self._cdc_rows(data, "i"))
         self.stats.append(stat)
+
+    def _emit_cdc_file(self, pv: str, fid: str, changes: list[dict]) -> None:
+        from hudi_rs_spark.write.logblocks import cdc_block
+
+        if not changes:
+            return
+        name = f".{fid}_{self.cfg.instant}.cdc.1_{self.token}"
+        rel = f"{pv}/{name}" if pv else name
+        payload = cdc_block(self.cfg.instant, changes)
+        self.storage.append_bytes(f"{self.base}/{rel}", payload)
+        self.stats.append(
+            {
+                "fileId": fid,
+                "path": rel,
+                "partitionPath": pv,
+                "numWrites": 0,
+                "fileSizeInBytes": len(payload),
+                "totalWriteBytes": len(payload),
+            }
+        )
 
     def _flush_log_group(self, pv: str, fid: str, g: dict) -> None:
         from hudi_rs_spark.write.logblocks import delete_block, parquet_data_block
@@ -423,6 +470,24 @@ class _TaskWriter:
             n_upd = len(merged)
         if g["deletes"]:
             payload += delete_block(self.cfg.instant, g["deletes"])
+        if self.cfg.emit_cdc and (n_upd or g["deletes"]):
+            import json as _json
+
+            changes = []
+            if n_upd:
+                changes.extend(self._cdc_rows(self._data_columns(merged), "u"))
+            changes.extend(
+                {
+                    "op": "d", "ts_ms": self.cfg.instant,
+                    "before": _json.dumps(
+                        {"_hoodie_record_key": k, "_hoodie_partition_path": p},
+                        sort_keys=True,
+                    ),
+                    "after": None,
+                }
+                for k, p, _o in g["deletes"]
+            )
+            self._emit_cdc_file(pv, fid, changes)
         if not payload:
             return
         full = f"{self.base}/{rel}"
@@ -573,6 +638,15 @@ def resolve_index_flags(cfg: WriteConfig) -> None:
         cfg.table_version = existing.table_version
         if has_files_partition(existing):
             cfg.emit_metadata = True
+        if (
+            existing.props.get("hoodie.table.cdc.enabled", "").lower()
+            == "true"
+        ):
+            # once a table advertises CDC, every append must keep the
+            # change feed complete (a gap = silently missing changes)
+            cfg.emit_cdc = True
+        if existing.props.get("hoodie.table.base.file.format") == "LANCE":
+            cfg.base_file_format = "lance"
     if not cfg.emit_column_stats:
         from hudi_rs_spark.write.mdt import column_stats_enabled
 

@@ -194,3 +194,54 @@ class TestMdtCompaction:
         tdir = str(tmp_path / "t")
         _write(_people(spark, 5), tdir, **{"recordkey.field": "id"})
         assert compact_mdt(tdir) == 0
+
+
+class TestMdtClean:
+    def test_superseded_chains_reclaimed(self, spark, tmp_path):
+        from hudi_rs_spark.metadata.record_index import read_record_index
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.mdt_compact import clean_mdt, compact_mdt
+        from hudi_rs_spark.write.upsert import upsert
+
+        tdir = str(tmp_path / "t")
+        _write(_people(spark, 20), tdir, **OPTS)
+        from hudi_rs_spark.write.upsert import upsert as _up
+
+        for c in range(1, 4):
+            _up(_people(spark, 5, start=100 * c, ts=c + 1), tdir)
+        before = read_record_index(tdir)
+        assert compact_mdt(tdir) >= 2
+        n = clean_mdt(tdir)
+        assert n >= 4  # the pre-fold per-commit shard logs are gone
+        ri = os.path.join(tdir, ".hoodie", "metadata", "record_index")
+        assert all(
+            x.endswith(".hfile") for x in os.listdir(ri)
+        )  # bases only — chains reclaimed
+        assert read_record_index(tdir) == before
+        # post-fold appends survive a later clean
+        upsert(_people(spark, 2, start=9000, ts=9), tdir)
+        assert clean_mdt(tdir) == 0  # nothing superseded yet
+        assert {"9000", "9001"} <= set(read_record_index(tdir))
+        # second fold + clean leaves one base per group again
+        compact_mdt(tdir)
+        clean_mdt(tdir)
+        got = {r.id for r in HudiTable(tdir, spark).point_lookup(["9000", "3"]).collect()}
+        assert got == {9000, 3}
+
+    def test_auto_maintenance_cleans_after_fold(self, spark, tmp_path):
+        tdir = str(tmp_path / "t")
+        for c in range(4):
+            _write(_people(spark, 3, start=10 * c, ts=c + 1), tdir, **{
+                **OPTS, "table.type": "COPY_ON_WRITE",
+                "metadata.compact.max.delta.commits": "3",
+                "keep.max.commits": "0",
+            })
+        files_dir = os.path.join(tdir, ".hoodie", "metadata", "files")
+        names = os.listdir(files_dir)
+        bases = [n for n in names if n.endswith(".hfile")]
+        newest = max(n.split("_")[2].split(".")[0] for n in bases)
+        from hudi_rs_spark.fs.file_group import LogFile
+
+        for n in names:
+            if n.startswith(".") and ".log." in n:
+                assert LogFile.parse(n).timestamp >= newest  # chains folded+cleaned
