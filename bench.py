@@ -99,6 +99,9 @@ HEADLINE = [
     "write_clustered_snapshot",
     "write_point_lookup",
     "write_secondary_lookup",
+    "write_v9_lifecycle",
+    "write_lance_roundtrip",
+    "write_cdc_feed",
     # sample_split_leakfree stays registry/oracle-only: its plan is the
     # dedup_cluster_canonical LSH+CC (already benched twice via
     # pipeline_curate) plus a map-side coin flip.
@@ -139,6 +142,7 @@ def main() -> None:
     _ensure_lifecycle_table(spark, sf_dir, compacted=False)
     _ensure_lifecycle_table(spark, sf_dir, compacted=True)
     _ensure_lifecycle_table(spark, sf_dir, compacted=False, clustered=True)
+    _ensure_lifecycle_table(spark, sf_dir, compacted=False, table_version=9)
 
     # best-of-N per query: single runs at fixed-overhead scale are noisy
     # (r2 flagged 15% run-to-run swings on sub-3s queries); min over N
