@@ -98,6 +98,73 @@ def savepoint(path: str, instant: str | None = None) -> str:
     return target
 
 
+def _rewind_mdt_files(st, path: str, instant: str) -> None:
+    """Make the MDT's FILES consistent with the rewound timeline:
+
+    - MDT base files from compactions AFTER ``instant`` must go — their
+      commits were just dropped, and a base is a full-state FOLD that
+      includes the restored-away commits' entries (keeping it would
+      either be invisible-but-confusing or, worse, resurrect entries
+      for data files the rollback below deletes);
+    - if an MDT partition then has NO file anchored at a surviving
+      instant (MDT compaction + clean_mdt reclaimed the pre-fold log
+      chains), its merged state is unrecoverable — advertise that
+      honestly by stripping the metadata partitions from the table
+      props so readers fall back to direct listing and the writer
+      refuses index-dependent paths until a backfill rebuilds them."""
+    from hudi_rs_spark.fs.file_group import BaseFile, LogFile
+    from hudi_rs_spark.write.record_index import _rewrite_props
+
+    mdt = f"{path}/.hoodie/metadata"
+    surviving: set[str] = set()
+    broken: list[str] = []
+    for part in st.list_dir(mdt):
+        if part.name == ".hoodie" or not part.is_dir:
+            continue
+        pdir = f"{mdt}/{part.name}"
+        alive = 0
+        for e in st.list_dir(pdir):
+            name = e.name
+            try:
+                if name.endswith(".hfile"):
+                    if BaseFile.parse(name).commit_timestamp > instant:
+                        st.remove(f"{pdir}/{name}")
+                    else:
+                        alive += 1
+                elif name.startswith(".") and ".log." in name:
+                    if LogFile.parse(name).timestamp <= instant:
+                        alive += 1
+                    # post-instant-anchored logs: their anchor commit was
+                    # dropped, so the reader already ignores them; the
+                    # rollback sweep below reclaims data-table orphans
+                    # and purge handles MDT ones on the next write
+            except ValueError:
+                continue
+        if alive:
+            surviving.add(part.name)
+        else:
+            broken.append(part.name)
+    if broken:
+        def strip(have: dict[str, str]) -> dict[str, str]:
+            keep = [
+                p for p in have.get(
+                    "hoodie.table.metadata.partitions", ""
+                ).split(",")
+                if p.strip() and p.strip() not in broken
+            ]
+            if "files" in broken or not keep:
+                # no listing partition -> the MDT is unusable wholesale
+                have.pop("hoodie.table.metadata.partitions", None)
+                have["hoodie.metadata.enable"] = "false"
+            else:
+                have["hoodie.table.metadata.partitions"] = ",".join(
+                    sorted(keep)
+                )
+            return have
+
+        _rewrite_props(path, strip)
+
+
 def restore(path: str, instant: str, force: bool = False) -> list[str]:
     """Rewind the table to ``instant``: drop every completed data
     instant after it (timeline + MDT deltacommits), then reclaim the
@@ -141,6 +208,7 @@ def restore(path: str, instant: str, force: bool = False) -> list[str]:
                 st.remove(f"{mdt_tl}/{e.name}")
             except OSError:
                 pass
+    _rewind_mdt_files(st, path, instant)
 
     # physical reclamation: everything stamped after `instant` is now an
     # orphan — same cleanup path as a crashed write

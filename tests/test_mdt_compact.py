@@ -245,3 +245,61 @@ class TestMdtClean:
         for n in names:
             if n.startswith(".") and ".log." in n:
                 assert LogFile.parse(n).timestamp >= newest  # chains folded+cleaned
+
+
+class TestRestoreAfterFold:
+    """restore() x MDT compaction interplay: a fold base newer than the
+    restore target is dropped with its commit; if clean_mdt already
+    reclaimed the pre-fold chains, the MDT is honestly demoted to
+    direct listing instead of silently serving an empty listing."""
+
+    def _grown(self, spark, tmp_path):
+        from hudi_rs_spark.write.savepoint import savepoint
+        from hudi_rs_spark.write.upsert import upsert
+
+        tdir = str(tmp_path / "t")
+        _write(_people(spark, 12), tdir, **OPTS)
+        pin = savepoint(tdir)
+        for c in range(1, 3):
+            upsert(_people(spark, 4, start=100 * c, ts=c + 1), tdir)
+        return tdir, pin
+
+    def test_restore_with_logs_intact_keeps_mdt(self, spark, tmp_path):
+        from hudi_rs_spark.metadata.record_index import read_record_index
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.mdt_compact import compact_mdt
+        from hudi_rs_spark.write.savepoint import restore
+
+        tdir, pin = self._grown(spark, tmp_path)
+        compact_mdt(tdir)  # fold AFTER the savepoint; logs kept
+        restore(tdir, pin)
+        # the fold base (newer than pin) is gone; pre-fold logs serve
+        t = HudiTable(tdir, spark=None, listing="mdt")
+        ids = {r.id for r in HudiTable(tdir, spark).read().collect()}
+        assert ids == set(range(12))
+        assert set(read_record_index(tdir)) == {str(i) for i in range(12)}
+        assert t.get_file_slices()
+
+    def test_restore_after_clean_demotes_mdt_honestly(self, spark, tmp_path):
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+        from hudi_rs_spark.metadata.files_partition import has_files_partition
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.mdt_compact import clean_mdt, compact_mdt
+        from hudi_rs_spark.write.savepoint import restore
+
+        tdir, pin = self._grown(spark, tmp_path)
+        compact_mdt(tdir)
+        clean_mdt(tdir)  # pre-fold chains reclaimed -> fold is the ONLY copy
+        restore(tdir, pin)
+        tc = HudiTableConfig.from_base_path(tdir)
+        assert not has_files_partition(tc)  # demoted, not silently empty
+        # direct listing still serves the restored snapshot
+        ids = {r.id for r in HudiTable(tdir, spark).read().collect()}
+        assert ids == set(range(12))
+        # and a later append works (no index flags resolve from props)
+        _write(_people(spark, 2, start=900, ts=9), tdir, **{
+            "recordkey.field": "id", "precombine.field": "ts",
+            "table.version": "8", "table.type": "MERGE_ON_READ",
+        })
+        ids2 = {r.id for r in HudiTable(tdir, spark).read().collect()}
+        assert ids2 == set(range(12)) | {900, 901}
