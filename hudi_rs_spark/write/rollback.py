@@ -127,12 +127,27 @@ def rollback_failed_writes(path: str, instant: str | None = None) -> list[str]:
             instant=instant or new_instant(), operation="rollback",
         )
     )
+    completed_now = {i.timestamp for i in timeline.instants}
     for e in st.list_dir(tdir_probe):
-        if e.name.endswith(".tmp"):
+        name = e.name
+        if name.endswith(".tmp"):
             try:
-                st.remove(f"{tdir_probe}/{e.name}")
+                st.remove(f"{tdir_probe}/{name}")
             except OSError:
                 pass
+        elif name.endswith(".requested"):
+            # a crashed writer's instant claim (write/concurrency.py)
+            # keeps its instant PENDING — correct while the write might
+            # still complete, but rollback IS the operator's declaration
+            # that no writer is live, so stale claims for instants that
+            # never completed are released here (otherwise they pin the
+            # archival floor forever)
+            ts = name.split(".", 1)[0].split("_", 1)[0]
+            if ts and ts not in completed_now:
+                try:
+                    st.remove(f"{tdir_probe}/{name}")
+                except OSError:
+                    pass
     # a crashed write's executor-side MDT index appends are orphans too:
     # anchored at a never-completed instant they poison the shard slice
     # for every later append (see write/mdt.purge_uncommitted_mdt_logs)

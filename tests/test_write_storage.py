@@ -394,3 +394,28 @@ class TestLockProvider:
         a.unlock()
         assert b.try_lock()
         b.unlock()
+
+
+class TestStaleClaimRelease:
+    def test_rollback_releases_crashed_claims(self, tmp_path):
+        """A crashed writer's .requested marker pins the archival floor;
+        rollback (the no-writer-is-live declaration) releases it, while
+        completed instants' stale markers and live history survive."""
+        from hudi_rs_spark.write.concurrency import claim_instant
+        from hudi_rs_spark.write.config import WriteConfig
+        from hudi_rs_spark.write.rollback import rollback_failed_writes
+
+        p = str(tmp_path / "t")
+        _write_inprocess(p, _rows(6))
+        # simulate a crashed writer: claim never released, no commit
+        dead = WriteConfig(path=p, instant="20990101000000000")
+        claim_instant(dead)
+        import os
+
+        tdir = os.path.join(p, ".hoodie")
+        assert any(n.endswith(".requested") for n in os.listdir(tdir))
+        rollback_failed_writes(p)
+        assert not any(n.endswith(".requested") for n in os.listdir(tdir))
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        assert len(HudiTable(p, spark=None, listing="direct").timeline.instants) == 1
