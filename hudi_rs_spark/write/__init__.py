@@ -71,6 +71,11 @@ from hudi_rs_spark.write.logblocks import (  # noqa: F401
     write_lsm_history,
 )
 from hudi_rs_spark.write.archive import archive_timeline  # noqa: F401
+from hudi_rs_spark.write.concurrency import (  # noqa: F401
+    ConcurrentWriteError,
+    LockProvider,
+    StorageLockProvider,
+)
 from hudi_rs_spark.write.clean import clean  # noqa: F401
 from hudi_rs_spark.write.cluster import cluster  # noqa: F401
 from hudi_rs_spark.write.compact import compact  # noqa: F401
