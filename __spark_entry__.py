@@ -20,35 +20,37 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # Driver-row freshness rotation (all 89 queries pass the identical
-# local DuckDB oracle in tests/test_oracle_diff.py): lead with the 36
-# queries whose newest driver evidence is r7 (they were rotated OUT of
-# r8's 50-row sample) so a prefix-sampling driver refreshes them this
-# round — then the write-lifecycle rows (their code changed this round:
-# storage routing + instant claims), then everything else in stable
-# order (fresh r8 rows).
+# local DuckDB oracle in tests/test_oracle_diff.py): lead with the 39
+# queries whose newest driver evidence is r8 (they were rotated OUT of
+# r9's 50-row sample) so a prefix-sampling driver refreshes them this
+# round (VERDICT r9 next-round #4) — then the rows whose CODE changed
+# this round (CDC feed decode distributed; rollback/clean/archival/OCC
+# touch every write row), then everything else in stable order.
 _SURFACE_FIRST = [
-    # newest evidence r7 — refresh first (VERDICT r8 next-round #6)
-    "merge_latest_state", "merge_delete_aware", "merge_incremental_window",
-    "merge_asof_snapshot", "merge_append_only",
-    "dedup_exact", "dedup_normalized", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_cluster_canonical", "dedup_simhash",
-    "dedup_incremental",
-    "except_churned_customers", "intersect_loyal_customers",
-    "scalar_functions", "distinct_counts",
-    "text_token_stats", "text_quality", "text_lang_id",
-    "text_fingerprint_groups", "text_pii_scrub", "text_repetition",
-    "text_interdup_score",
-    "sim_embedding_near_dups", "sim_semdedup",
-    "sample_temperature_mix", "sample_shuffle_shard", "sample_split_leakfree",
-    "mor_snapshot_merge", "mor_incremental_refresh",
-    "q19_disjunctive", "q22_no_order_customers",
-    "rollup_revenue", "cube_revenue", "grouping_sets_revenue",
-    "salted_revenue_by_status",
-    # write lifecycle: code changed this round (storage + concurrency),
-    # plus the new v9 row
-    "write_v9_lifecycle", "write_lance_roundtrip", "write_cdc_feed",
-    "write_cow_roundtrip", "write_upsert_roundtrip", "write_compacted_snapshot",
-    "write_clustered_snapshot", "write_point_lookup", "write_secondary_lookup",
+    # newest evidence r8 — refresh first
+    "q7_volume_shipping", "q8_market_share", "q9_product_revenue",
+    "q10_returned_items", "q12_priority_lines", "q13_order_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_part_demand",
+    "q17_small_quantity", "q18_large_volume", "q20_heavy_suppliers",
+    "q21_late_suppliers",
+    "win_running_total", "win_user_rank", "win_lag_delta",
+    "win_sessionize", "win_top3_events_per_user",
+    "json_props_stats",
+    "mm_image_features", "mm_resize_features", "mm_frame_sample",
+    "mm_audio_features",
+    "ops_asof_join", "ops_range_join",
+    "sample_stratified", "sample_weighted_mix",
+    "pack_token_shards", "pipeline_curate",
+    "text_decontaminate", "text_rarity_score", "text_tfidf_topterms",
+    "text_length_outliers",
+    "sim_brute_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_kmeans_clusters",
+    "dedup_fuzzy_levenshtein", "q_price_percentiles",
+    # code changed this round: distributed CDC decode + OCC/rollback/
+    # clean/archival surround every write-lifecycle row
+    "write_cdc_feed", "write_cow_roundtrip", "write_upsert_roundtrip",
+    "write_v9_lifecycle", "write_lance_roundtrip",
+    "write_compacted_snapshot", "write_clustered_snapshot",
+    "write_point_lookup", "write_secondary_lookup",
 ]
 
 

@@ -112,8 +112,11 @@ class Storage:
         """Create ``path`` only if absent; False when it already exists.
         Atomic on local (O_EXCL) and memory (dict lock) backends — the
         primitive the filesystem lock provider builds on. Object-store
-        backends are check-then-put (pyarrow exposes no conditional
-        PUT): best-effort only, use a real lock provider there."""
+        backends default to check-then-put (pyarrow exposes no
+        conditional PUT): best-effort only — EITHER inject a native
+        conditional create (``ArrowFSStorage(conditional_put=...)`` +
+        ``register_storage``, e.g. S3 If-None-Match) OR use a real lock
+        provider there."""
         if self.isfile(path):
             return False
         self.write_bytes(path, data)
@@ -258,11 +261,19 @@ class ArrowFSStorage(Storage):
         options: dict | None = None,
         filesystem=None,
         inner_prefix: str | None = None,
+        conditional_put=None,
     ):
         from pyarrow import fs as pafs
 
         self._scheme = scheme
         self._uri_prefix = f"{scheme}://{authority}"
+        # conditional_put(inner_path, data) -> bool: a native
+        # create-if-absent (S3 If-None-Match:* / GCS
+        # x-goog-if-generation-match:0). pyarrow exposes no conditional
+        # PUT, so callers with an SDK handle inject one (usually via
+        # register_storage); with it, instant claims/locks are ATOMIC on
+        # buckets with no external lock service.
+        self._conditional_put = conditional_put
         if filesystem is not None:
             # caller-supplied pyarrow FileSystem (SubTreeFileSystem,
             # PyFileSystem(FSSpecHandler(...)), ...) — register with
@@ -416,6 +427,12 @@ class ArrowFSStorage(Storage):
         inner = self._inner(path)
         self._ensure_parent(inner)
         return self.fs.open_output_stream(inner)
+
+    def create_new(self, path: str, data: bytes) -> bool:
+        if self._conditional_put is not None:
+            # native conditional create: atomic on the store itself
+            return bool(self._conditional_put(self._inner(path), data))
+        return super().create_new(path, data)
 
 
 # ---------------------------------------------------------------------------

@@ -108,6 +108,89 @@ def decode_logs_distributed(
     return tasks_df.mapInPandas(decode, full_schema)
 
 
+CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("commit_time", T.StringType(), True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("ts_ms", T.StringType(), True),
+        T.StructField("before", T.StringType(), True),
+        T.StructField("after", T.StringType(), True),
+    ]
+)
+
+
+def decode_cdc_distributed(
+    spark: SparkSession,
+    tasks: list[tuple[str, str]],  # (group key, absolute log/cdc path)
+    valid_instants: set[str],
+    start_exclusive: str | None,
+    end_inclusive: str | None,
+    rollback_targets_by_group: dict[str, frozenset[str]] | None = None,
+    archival_boundary: str | None = None,
+    pending_instants: frozenset[str] | None = None,
+    storage_options: dict | None = None,
+) -> DataFrame:
+    """Executor-side CDC block decode (scale path of
+    ``HudiTable.read_changes``): each executor reads its CDC/log files
+    locally and emits typed change rows (commit_time, op, ts_ms,
+    before, after) — the change feed never materializes on the driver.
+    Block validity uses the same ``logfile.reader`` gates as the driver
+    decode; cross-file rollback voiding ships in via the pre-scanned
+    per-group target sets (same contract as ``decode_logs_distributed``).
+    """
+    n_part = min(len(tasks), spark.sparkContext.defaultParallelism) or 1
+    tasks_df = spark.createDataFrame(
+        tasks,
+        T.StructType(
+            [T.StructField("grp", T.StringType()), T.StructField("path", T.StringType())]
+        ),
+    ).repartition(n_part)
+
+    valid = frozenset(valid_instants)
+    grp_targets = {
+        k: frozenset(v) for k, v in (rollback_targets_by_group or {}).items()
+    }
+    st_options = dict(storage_options) if storage_options else None
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hudi_rs_spark.fs.storage import storage_for
+        from hudi_rs_spark.logfile import reader as logreader
+
+        primed = False
+        cols = [f.name for f in CDC_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for grp, path in zip(pdf["grp"], pdf["path"]):
+                if not primed:
+                    storage_for(path, st_options)
+                    primed = True
+                try:
+                    blocks = logreader.read_log_file(path)
+                except (FileNotFoundError, OSError):
+                    continue  # cleaned after the commit wrote it
+                for b in logreader.valid_blocks(
+                    blocks, start_exclusive, end_inclusive, valid,
+                    rollback_targets_override=grp_targets.get(grp),
+                    archival_boundary=archival_boundary,
+                    pending_instants=pending_instants,
+                ):
+                    if b.block_type != logreader.BLOCK_CDC_DATA:
+                        continue
+                    for r in b.records or []:
+                        rows.append(
+                            (
+                                b.instant_time,
+                                r.get("op"),
+                                r.get("ts_ms"),
+                                r.get("before"),
+                                r.get("after"),
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return tasks_df.mapInPandas(decode, CDC_SCHEMA)
+
+
 def _conform_ordering(v, dtype: T.DataType):
     if v is None:
         return None

@@ -1042,6 +1042,7 @@ class HudiTable:
         self,
         start_timestamp: str | None,
         end_timestamp: str | None = None,
+        mode: str = "auto",
     ) -> DataFrame:
         """CDC-format incremental query — the analog of Hudi's
         ``hoodie.datasource.query.incremental.format=cdc``: typed change
@@ -1056,7 +1057,15 @@ class HudiTable:
 
         Blocks pass the same validity gates as data blocks (rollbacks,
         uncommitted, archival rules), so a rolled-back commit's changes
-        never leak into the feed."""
+        never leak into the feed.
+
+        ``mode``: 'driver' decodes on the driver (fine for small
+        windows), 'distributed' decodes executor-side via mapInPandas
+        (``logfile/distributed.decode_cdc_distributed`` — the feed never
+        materializes on the driver), 'auto' (default) picks distributed
+        past the same shape thresholds the MOR merge path uses (>64
+        in-window files, or >32 MiB when sizes are known from the
+        file-slice listing)."""
         from hudi_rs_spark.logfile.reader import BLOCK_CDC_DATA
         from hudi_rs_spark.timeline.timestamps import to_hudi_timestamp
 
@@ -1075,10 +1084,57 @@ class HudiTable:
                 T.StructField("after", T.StringType(), True),
             ]
         )
+        groups = self.cdc_log_groups(start_timestamp, end)
+        tasks = [
+            (f"{part}/{fid}", os.path.join(self.base_path, rel))
+            for (part, fid), rels in sorted(groups.items())
+            for rel in rels
+        ]
+        # size info without per-file HEADs: the slice listing already
+        # carries log sizes for files still attached to live slices
+        known_sizes: dict[str, int] = {}
+        for s in self.get_file_slices(end):
+            for lf in s.log_files:
+                rel = (
+                    f"{s.partition_path}/{lf.file_name}"
+                    if s.partition_path
+                    else lf.file_name
+                )
+                known_sizes[rel] = lf.size
+        total_known = sum(
+            known_sizes.get(rel, 0) for rels in groups.values() for rel in rels
+        )
+        distributed = mode == "distributed" or (
+            mode == "auto"
+            and (len(tasks) > 64 or total_known > 32 * 1024 * 1024)
+        )
+        if distributed and self.spark is not None:
+            grp_targets: dict[str, set[str]] = {}
+            for grp, path in tasks:
+                try:
+                    grp_targets.setdefault(grp, set()).update(
+                        logreader.scan_rollback_targets(path)
+                    )
+                except (FileNotFoundError, OSError):
+                    continue
+            from hudi_rs_spark.logfile.distributed import decode_cdc_distributed
+
+            return decode_cdc_distributed(
+                self.spark,
+                tasks,
+                valid_instants,
+                start_timestamp,
+                end,
+                rollback_targets_by_group={
+                    k: frozenset(v) for k, v in grp_targets.items()
+                },
+                archival_boundary=self.timeline.earliest_active_timestamp(),
+                pending_instants=frozenset(self.timeline.pending_timestamps),
+                storage_options=self.storage_options,
+            )
+
         rows: list[tuple] = []
-        for _group, rel_paths in sorted(
-            self.cdc_log_groups(start_timestamp, end).items()
-        ):
+        for _group, rel_paths in sorted(groups.items()):
             file_blocks = []
             for rel in rel_paths:
                 try:

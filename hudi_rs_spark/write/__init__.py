@@ -48,11 +48,18 @@ MDT compaction and per-write log rolling keep bounded. Executors
 resolve their own backend from the ``storage.*`` options shipped in
 WriteConfig.
 
-Concurrency: single-writer per table enforced LOUDLY — every commit
-claims its instant through an atomic create (``concurrency.py``); a
-second writer racing the same instant fails instead of tearing the
-timeline. Pluggable lock providers cover object stores without an
-atomic create primitive.
+Concurrency: optimistic multi-writer (``concurrency.py``) — every
+commit claims its instant through an atomic create (a second writer
+racing the SAME instant fails before any data lands), a live claim
+shields the writer's in-flight MDT appends from other writers'
+init-time purges, and at commit time each writer conflict-checks the
+instants that completed since its read point: overlapping file groups
+(or any concurrent commit, for overwrite/replace) raise
+``ConcurrentWriteError`` BEFORE publishing — Hudi's OCC, preserving the
+linearized timeline the readers' merge semantics assume. Disjoint
+writers commit concurrently. Bucket stores get atomic claims via an
+injected native conditional PUT (``fs/storage.ArrowFSStorage``);
+pluggable lock providers cover stores without one.
 """
 
 from hudi_rs_spark.write.logblocks import (  # noqa: F401
@@ -75,6 +82,8 @@ from hudi_rs_spark.write.concurrency import (  # noqa: F401
     ConcurrentWriteError,
     LockProvider,
     StorageLockProvider,
+    check_commit_conflicts,
+    completed_instant_set,
 )
 from hudi_rs_spark.write.clean import clean  # noqa: F401
 from hudi_rs_spark.write.cluster import cluster  # noqa: F401

@@ -57,8 +57,23 @@ def archive_timeline(path: str, keep_active: int = 10) -> int:
     if pending:
         floor = min(pending)
         victims = [i for i in victims if i.timestamp < floor]
+    # Hudi's archival rule: never archive past the first savepoint —
+    # restore() resolves targets through the ACTIVE timeline, so moving
+    # a savepointed instant out would break the savepoint contract.
+    from hudi_rs_spark.write.savepoint import savepointed_instants
+
+    pinned = savepointed_instants(base)
+    if pinned:
+        sp_floor = min(pinned)
+        victims = [i for i in victims if i.timestamp < sp_floor]
     if not victims:
         return 0
+
+    # Gate-on BEFORE any active file moves: with an empty archive the
+    # flag is harmless, but a crash after deletion with the gate still
+    # off would make rollback_failed_writes treat every archived
+    # commit's base files as orphans (permanent data loss).
+    _enable_archived_reads(st, base)
 
     tdir = timeline.timeline_dir
     if config.timeline_layout_version >= 2:
@@ -69,7 +84,6 @@ def archive_timeline(path: str, keep_active: int = 10) -> int:
             name = _completed_file_name(i)
             st.rename(f"{tdir}/{name}", f"{archive_dir}/{name}")
 
-    _enable_archived_reads(st, base)
     return len(victims)
 
 

@@ -94,6 +94,23 @@ def clean(path: str, retain_commits: int = 10, instant: str | None = None) -> in
             for rel in rels:
                 to_remove.append(rel)
                 deleted.setdefault(partition, []).append(os.path.basename(rel))
+    # CDC sidecars (``.{fid}_{instant}.cdc.*``) are not part of any file
+    # slice; reclaim those older than every retention point — the change
+    # feed below the boundary is undefined after a clean, same caveat as
+    # time travel. (Advice r9: without this, a streaming sink's sidecars
+    # accumulate forever.)
+    from hudi_rs_spark.fs.fs_view import list_data_files
+    from hudi_rs_spark.write.rollback import _cdc_instant
+
+    for partition, name, _size in list(list_data_files(path)):
+        if not (name.startswith(".") and ".cdc." in name):
+            continue
+        ts = _cdc_instant(name)
+        if ts and ts < min_retention and ts not in pending_ts:
+            rel = f"{partition}/{name}" if partition else name
+            to_remove.append(rel)
+            deleted.setdefault(partition, []).append(name)
+
     if not to_remove:
         return 0
 

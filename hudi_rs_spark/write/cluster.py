@@ -54,15 +54,25 @@ def _slice_identity(base_path: str, p) -> tuple[str, str]:
     return rel_dir, LogFile.parse(name).file_id
 
 
-def _cluster_one(args):
-    """Executor: rewrite one clustering group -> one new base file."""
-    (base_path, instant, rel_dir, group_idx, slices, sort_columns,
-     with_stats, index_shards) = args
+def _cluster_one(desc: dict, shared: dict) -> dict:
+    """Executor: rewrite one clustering group -> one new base file.
+    ``desc``/``shared`` per write/worklist.py (Arrow-shipped JSON, not
+    pickled plan objects — survives million-group tables)."""
     import uuid
 
     from pyspark import TaskContext
 
     from hudi_rs_spark.sources.pyds import _read_slice
+    from hudi_rs_spark.write.worklist import rebuild_slice
+
+    base_path = shared["path"]
+    instant = shared["instant"]
+    sort_columns = shared["sort_columns"]
+    with_stats = shared["with_stats"]
+    index_shards = shared["index_shards"]
+    rel_dir = desc["rel_dir"]
+    group_idx = desc["group_idx"]
+    slices = [rebuild_slice(s, shared) for s in desc["slices"]]
 
     batches = []
     for p in slices:
@@ -170,6 +180,8 @@ def cluster(
         from hudi_rs_spark.write.record_index import existing_shard_count
 
         index_shards = existing_shard_count(path)
+    from hudi_rs_spark.write.worklist import slice_descriptor
+
     work = []
     replaced: dict[str, list[str]] = {}
     for rel_dir, slices in sorted(by_partition.items()):
@@ -177,10 +189,11 @@ def cluster(
             continue
         n_groups = -(-len(slices) // max(1, max_group_slices))  # ceil
         for gi, chunk in enumerate(split_into_chunks(slices, n_groups)):
-            work.append((
-                path, instant, rel_dir, gi, list(chunk),
-                tuple(sort_columns), with_stats, index_shards,
-            ))
+            work.append({
+                "rel_dir": rel_dir,
+                "group_idx": gi,
+                "slices": [slice_descriptor(s) for s in chunk],
+            })
         replaced[rel_dir] = sorted(set(fids[rel_dir]))
     if not work:
         return 0
@@ -199,9 +212,16 @@ def cluster(
     from hudi_rs_spark.write.concurrency import claim_instant, release_instant
 
     claim_instant(cfg, "replacecommit")
-    stats = (
-        spark.sparkContext.parallelize(work, len(work)).map(_cluster_one).collect()
-    )
+    from hudi_rs_spark.write.worklist import run_slice_tasks, shared_scan_context
+
+    any_slice = by_partition[next(iter(by_partition))][0]
+    shared = shared_scan_context(any_slice)
+    shared.update({
+        "path": path, "instant": instant,
+        "sort_columns": list(sort_columns),
+        "with_stats": with_stats, "index_shards": index_shards,
+    })
+    stats = run_slice_tasks(spark, work, shared, _cluster_one)
     commit_instant(
         cfg, stats, table.schema_json(), replaced=replaced,
         action="replacecommit", instant=instant,

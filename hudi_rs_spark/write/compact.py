@@ -34,12 +34,18 @@ import pyarrow.parquet as pq
 from hudi_rs_spark.write.config import WriteConfig, new_instant
 
 
-def _compact_one(args):
-    """Executor: merge one slice -> new base file; returns a stat dict."""
-    base_path, instant, partition, with_stats = args
+def _compact_one(desc: dict, shared: dict) -> dict:
+    """Executor: merge one slice -> new base file; returns a stat dict.
+    ``desc``/``shared`` per write/worklist.py (Arrow-shipped JSON, not
+    pickled plan objects — survives million-group tables)."""
     from hudi_rs_spark.fs.file_group import BaseFile
     from hudi_rs_spark.sources.pyds import _read_slice
+    from hudi_rs_spark.write.worklist import rebuild_slice
 
+    base_path = shared["path"]
+    instant = shared["instant"]
+    with_stats = shared["with_stats"]
+    partition = rebuild_slice(desc, shared)
     bf = BaseFile.parse(os.path.basename(partition.base_file))
     d = os.path.dirname(os.path.relpath(partition.base_file, base_path))
     rel_dir = "" if d == "." else d
@@ -129,9 +135,16 @@ def compact(spark, path: str, instant: str | None = None) -> int:
     from hudi_rs_spark.write.concurrency import claim_instant, release_instant
 
     claim_instant(cfg, "commit")
-    work = [(path, instant, p, with_stats) for p in dirty]
-    stats = (
-        spark.sparkContext.parallelize(work, len(work)).map(_compact_one).collect()
+    from hudi_rs_spark.write.worklist import (
+        run_slice_tasks,
+        shared_scan_context,
+        slice_descriptor,
+    )
+
+    shared = shared_scan_context(dirty[0])
+    shared.update({"path": path, "instant": instant, "with_stats": with_stats})
+    stats = run_slice_tasks(
+        spark, [slice_descriptor(p) for p in dirty], shared, _compact_one
     )
     schema_json = None
     sj = table.schema_json()

@@ -83,6 +83,96 @@ def release_instant(cfg, action: str | None = None) -> None:
 
 
 # ---------------------------------------------------------------------------
+# optimistic concurrency control (cross-instant)
+# ---------------------------------------------------------------------------
+def completed_instant_set(path: str, options: dict | None = None) -> frozenset[str]:
+    """Completed data-timeline instants right now — the writer's READ
+    POINT snapshot, captured at claim time for ``check_commit_conflicts``.
+    Empty for a not-yet-created table."""
+    from hudi_rs_spark.sources.hudi import HudiTable
+    from hudi_rs_spark.write.writer import _base, _fs
+
+    base = _base(path)
+    if not _fs(base, options).isfile(f"{base}/.hoodie/hoodie.properties"):
+        return frozenset()
+    t = HudiTable(base, spark=None, listing="direct", storage_options=options)
+    return frozenset(i.timestamp for i in t.timeline.instants)
+
+
+def check_commit_conflicts(
+    cfg,
+    read_point: frozenset[str],
+    touched: set[tuple[str, str]],
+    strict: bool = False,
+) -> None:
+    """Hudi-style optimistic concurrency control, run at COMMIT time
+    (after this writer's tasks finished, before its instant publishes):
+    every instant that completed since ``read_point`` (the completed-
+    instant set captured at claim time) is a concurrent writer; if any
+    of them touched a (partition, file_id) this writer also touched —
+    or replaced one via clustering/overwrite — the later commit would
+    silently drop the earlier one's updates (lost update), so fail loudly
+    with ``ConcurrentWriteError`` instead. Disjoint writers pass.
+
+    ``strict`` (overwrite/replace operations): ANY concurrent completed
+    data commit conflicts — a replacecommit planned before the other
+    write landed cannot exclude file groups it never saw.
+
+    Preserves the linearized-timeline assumption the readers' merge
+    semantics rely on (reference merge/record_merger.rs:89-187)."""
+    from hudi_rs_spark.sources.hudi import HudiTable
+    from hudi_rs_spark.write.writer import _base, _fs
+
+    base = _base(cfg.path)
+    if not _fs(base, cfg.storage_dict()).isfile(
+        f"{base}/.hoodie/hoodie.properties"
+    ):
+        return  # first write to a fresh table: nothing completed yet
+    t = HudiTable(
+        base, spark=None, listing="direct", storage_options=cfg.storage_dict()
+    )
+    timeline = t.timeline
+    concurrent = [
+        i
+        for i in timeline.instants
+        if i.timestamp not in read_point and i.timestamp != cfg.instant
+    ]
+    if not concurrent:
+        return
+    if strict:
+        raise ConcurrentWriteError(
+            f"instant {cfg.instant} ({cfg.operation}) conflicts with "
+            f"concurrently completed instant(s) "
+            f"{[i.timestamp for i in concurrent]} on {cfg.path}: "
+            "overwrite/replace operations cannot exclude file groups "
+            "written after their plan was captured — retry the operation"
+        )
+    for i in concurrent:
+        try:
+            meta = timeline.metadata_for(i)
+        except Exception:
+            continue  # unparseable metadata: fail open (non-data action)
+        theirs: set[tuple[str, str]] = set()
+        for ws in meta.write_stats:
+            theirs.add((ws.partition_path or "", ws.file_id))
+        # replaced file groups count as touched too: appending a log
+        # block to a group a concurrent clustering just replaced would
+        # strand the update in an excluded slice
+        for part, fids in (meta.replaced_file_ids or {}).items():
+            for fid in fids:
+                theirs.add((part or "", fid))
+        overlap = touched & theirs
+        if overlap:
+            raise ConcurrentWriteError(
+                f"instant {cfg.instant} conflicts with concurrently "
+                f"completed instant {i.timestamp} on {cfg.path}: both "
+                f"touched file group(s) {sorted(overlap)[:5]} — the "
+                "write was aborted before publishing; retry it (the "
+                "tag/index will re-route against the new table state)"
+            )
+
+
+# ---------------------------------------------------------------------------
 # lock provider interface
 # ---------------------------------------------------------------------------
 class LockProvider:
@@ -116,9 +206,12 @@ class LockProvider:
 class StorageLockProvider(LockProvider):
     """Lock file under ``{table}/.hoodie/.locks/`` claimed with the
     storage backend's atomic ``create_new``. Correct where the backend
-    provides a real conditional create (local O_EXCL, memory://, HDFS);
-    best-effort on plain object stores — inject a service-backed
-    provider there."""
+    provides a real conditional create: local O_EXCL, memory://, HDFS,
+    or a bucket backend constructed with a native ``conditional_put``
+    (S3 If-None-Match / GCS if-generation-match — see
+    ``fs/storage.ArrowFSStorage``); check-then-put best-effort on plain
+    object stores without one — inject a service-backed provider
+    there."""
 
     def __init__(self, table_path: str, name: str = "table",
                  options: dict | None = None):

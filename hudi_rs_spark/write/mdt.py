@@ -176,6 +176,27 @@ def _mdt_completed_instants(mdt: str, options: dict | None = None) -> set[str]:
     return out
 
 
+def _claimed_data_instants(base: str, options: dict | None = None) -> set[str]:
+    """Instants with a live claim marker (``{ts}.{action}.requested``)
+    on the DATA timeline — an in-flight writer's pending instants
+    (write/concurrency.claim_instant). Checks both timeline layouts."""
+    out: set[str] = set()
+    for cand in (f"{base}/.hoodie/timeline", f"{base}/.hoodie"):
+        st = _st(cand, options)
+        try:
+            entries = st.list_dir(cand)
+        except (FileNotFoundError, OSError):
+            entries = []
+        for e in entries:
+            if e.name.endswith(".requested"):
+                ts = e.name.split(".", 1)[0].split("_", 1)[0]
+                if ts:
+                    out.add(ts)
+        if entries:  # v8 dir populated -> markers live there
+            break
+    return out
+
+
 def purge_uncommitted_mdt_logs(
     table_path: str,
     keep_anchors: frozenset[str] | set[str] = frozenset(),
@@ -211,6 +232,14 @@ def purge_uncommitted_mdt_logs(
     st = _st(mdt, options)
     from hudi_rs_spark.fs.file_group import LogFile
 
+    # A LIVE concurrent writer's in-flight MDT appends are anchored at
+    # its (not yet completed) claimed instant — purging them would make
+    # its MDT deltacommit reference deleted logs (index lookups then
+    # miss live keys -> duplicate inserts). Claim markers on the DATA
+    # timeline identify those instants; rollback_failed_writes releases
+    # stale claims first, so dead anchors still get purged there.
+    keep = set(keep_anchors) | _claimed_data_instants(base, options)
+
     completed = _mdt_completed_instants(mdt, options)
     deleted: list[str] = []
     for part in st.list_dir(mdt):
@@ -225,7 +254,7 @@ def purge_uncommitted_mdt_logs(
                 anchor = LogFile.parse(name).timestamp
             except Exception:
                 continue
-            if anchor not in completed and anchor not in keep_anchors:
+            if anchor not in completed and anchor not in keep:
                 p = f"{pdir}/{name}"
                 try:
                     st.remove(p)

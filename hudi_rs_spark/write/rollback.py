@@ -36,6 +36,15 @@ import os
 from hudi_rs_spark.write.config import WriteConfig, new_instant
 
 
+def _cdc_instant(name: str) -> str | None:
+    """Anchor instant of a CDC sidecar file name
+    ``.{fid}_{instant}.cdc.{v}_{token}`` (None if unparseable)."""
+    head = name.split(".cdc.", 1)[0]
+    if "_" not in head:
+        return None
+    return head.rsplit("_", 1)[1] or None
+
+
 def rollback_failed_writes(path: str, instant: str | None = None) -> list[str]:
     """Remove/void every orphan instant's data; returns the sorted list
     of rolled-back instants ([] = table was clean, nothing published)."""
@@ -61,6 +70,26 @@ def rollback_failed_writes(path: str, instant: str | None = None) -> list[str]:
         timeline.pending_timestamps
     )
     known |= set(timeline.archived_completed_timestamps() or ())
+    # GATE-INDEPENDENT archive membership: even if the archived-read
+    # gate is off (e.g. a pre-fix crash between active-file deletion and
+    # the props flip), commits found in the on-disk archive are
+    # committed data, never orphans.
+    known |= {i.timestamp for i in timeline.archived_instants()}
+
+    # Fail-open vs a PARTIALLY parseable archive (same heuristic as
+    # fs_view): when the archive load skipped files it could not parse,
+    # a commit strictly older than the earliest ACTIVE completed
+    # instant is not provably orphan — leave it alone.
+    active_completed = sorted(i.timestamp for i in timeline.instants)
+    archival_floor = active_completed[0] if active_completed else None
+    archive_incomplete = bool(getattr(timeline, "_archived_skipped", False))
+
+    def _is_orphan(ts: str) -> bool:
+        if ts in known:
+            return False
+        if archive_incomplete and archival_floor and ts < archival_floor:
+            return False
+        return True
 
     rolled: set[str] = set()
     files_deleted = 0
@@ -68,6 +97,19 @@ def rollback_failed_writes(path: str, instant: str | None = None) -> list[str]:
         rel = f"{partition}/{name}" if partition else name
         full = os.path.join(path, rel)
         if name.startswith("."):
+            if ".cdc." in name:
+                # CDC sidecar: single-instant by construction
+                # (writer.py::_emit_cdc_file names it
+                # ``.{fid}_{instant}.cdc.{v}_{token}``) — orphan instant
+                # means the whole file is dead; whole-file delete, no
+                # command block needed (the feed gates on completed
+                # instants anyway; this is storage reclamation)
+                ts = _cdc_instant(name)
+                if ts and _is_orphan(ts):
+                    rolled.add(ts)
+                    st.remove(full)
+                    files_deleted += 1
+                continue
             if ".log." not in name:
                 continue
             try:
@@ -88,7 +130,7 @@ def rollback_failed_writes(path: str, instant: str | None = None) -> list[str]:
             # instants already voided by an earlier rollback command
             # block are settled — never re-rolled (idempotence)
             voided = rollback_targets(blocks)
-            dead = {ts for ts in data_instants if ts not in known}
+            dead = {ts for ts in data_instants if _is_orphan(ts)}
             orphans = dead - voided
             if not orphans:
                 continue
@@ -110,7 +152,7 @@ def rollback_failed_writes(path: str, instant: str | None = None) -> list[str]:
                 bf = BaseFile.parse(name)
             except ValueError:
                 continue
-            if bf.commit_timestamp not in known:
+            if _is_orphan(bf.commit_timestamp):
                 rolled.add(bf.commit_timestamp)
                 st.remove(full)
                 files_deleted += 1

@@ -198,11 +198,29 @@ class HudiPyStreamWriter(DataSourceStreamArrowWriter):
             )
         return write_task(self._batch_cfg(int(bid)), iterator)
 
+    def _is_pre_upgrade_replay(self, cfg, batchId: int, own_ledger: set[int]) -> bool:
+        """Upgrade compatibility: a query checkpointed BEFORE the
+        per-query ledger existed published its batches with qkey
+        'legacy' and bare-batch-id sidecars. Restarted across the
+        upgrade inside the replay window, it derives a hashed key and
+        would miss its own last batch — re-committing it as duplicate
+        data. Honor the legacy ledger then, but only in the unambiguous
+        window: this query has NO post-upgrade commits yet and the
+        replayed batch id is nonzero (a genuinely NEW query always
+        starts at batch 0 — matching legacy batch 0 there is exactly
+        the cross-query replay bug the per-query ledger fixed)."""
+        if self.query_key == "legacy" or batchId == 0 or own_ledger:
+            return False
+        return batchId in committed_batch_ids(cfg, "legacy")
+
     def commit(self, messages, batchId: int) -> None:
         stats = [s for m in messages if m is not None for s in m.stats]
         cfg = self._batch_cfg(batchId)
         init_table(cfg)
-        if batchId in committed_batch_ids(cfg, self.query_key):
+        own_ledger = committed_batch_ids(cfg, self.query_key)
+        if batchId in own_ledger or self._is_pre_upgrade_replay(
+            cfg, batchId, own_ledger
+        ):
             # restart replay of an already-published batch: drop the
             # duplicate (uncommitted, hence invisible) files and ack
             base = _local(cfg.path)

@@ -199,6 +199,15 @@ def upsert(df: DataFrame, path: str, **options) -> None:
             "true" if tc.hive_style_partitioning else "false"
         )
     merged_options.update(options)
+    # OCC read point: the tag/index join below reads the table state as
+    # of NOW — capture it before the index read so any commit landing
+    # between tagging and this write's own commit is conflict-checked
+    # (write/concurrency.check_commit_conflicts)
+    from hudi_rs_spark.write.concurrency import completed_instant_set
+
+    merged_options.setdefault(
+        "occ.readpoint", ",".join(sorted(completed_instant_set(path)))
+    )
     cfg = WriteConfig.from_options(merged_options)
 
     key_expr = _spark_key_expr(cfg.record_key_fields)

@@ -62,6 +62,7 @@ from hudi_rs_spark.write.config import (
     TARGET_FILE_COL,
     TARGET_INSTANT_COL,
     WriteConfig,
+    _opt,
 )
 
 _FILE_ID_NS = uuid.UUID("00000000-0000-0000-0000-00000000aced")
@@ -866,9 +867,22 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
         # claim the instant BEFORE any task writes a byte: a second
         # writer racing the same instant fails loudly here instead of
         # interleaving with this job's commit (write/concurrency.py)
-        from hudi_rs_spark.write.concurrency import claim_instant
+        from hudi_rs_spark.write.concurrency import (
+            claim_instant,
+            completed_instant_set,
+        )
 
         claim_instant(self.cfg)
+        # OCC read point: completed instants visible when this write
+        # planned. upsert() passes the snapshot its tag/index join read
+        # (occ.readpoint) — it predates this __init__; everything that
+        # completes after it is a concurrent writer checked at commit
+        rp = _opt(options, "occ.readpoint")
+        self._read_point = (
+            frozenset(x for x in str(rp).split(",") if x)
+            if rp is not None
+            else completed_instant_set(self.cfg.path, self.cfg.storage_dict())
+        )
         self.schema = schema
         if self.cfg.operation == OP_UPSERT and self.cfg.table_type != "MERGE_ON_READ":
             raise ValueError(
@@ -889,6 +903,18 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
 
     def commit(self, messages):
         stats = [s for m in messages if m is not None for s in m.stats]
+        # OCC: fail BEFORE publishing if a concurrent writer completed an
+        # overlapping commit since our read point (write/concurrency.py);
+        # Spark then calls abort(), which reclaims this write's files
+        from hudi_rs_spark.write.concurrency import check_commit_conflicts
+
+        check_commit_conflicts(
+            self.cfg,
+            self._read_point,
+            {(s.get("partitionPath", "") or "", s["fileId"]) for s in stats},
+            strict=self.cfg.operation
+            in (OP_INSERT_OVERWRITE, OP_INSERT_OVERWRITE_PARTITION),
+        )
         emit_mdt = mdt_enabled(self.cfg)
         init_table(self.cfg)
         schema_json = data_avro_schema(self.schema, self.cfg.table_name)

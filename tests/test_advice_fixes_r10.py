@@ -1,0 +1,729 @@
+"""Regression tests for the round-10 fixes (VERDICT + ADVICE r9).
+
+1. (verdict #1 / perf-weak) HudiTable.read_changes decoded every CDC
+   block into a driver-side Python list. Now it auto-gates to an
+   executor-side mapInPandas decode (logfile/distributed.
+   decode_cdc_distributed) past the MOR thresholds; forced-distributed
+   must match the driver decode bit-for-bit.
+2. (advice high) archive_timeline flipped the archived-read gate only
+   AFTER deleting active instant files — a crash in between left the
+   gate off, and rollback_failed_writes then treated every archived
+   commit's base files as orphans (permanent data loss). Fixed twice
+   over: gate-on happens BEFORE any file moves, and rollback's orphan
+   test now consults the on-disk archive gate-independently.
+3. (advice medium) Archival ignored savepoints: a savepointed instant
+   older than keep_active was silently archived and restore-to-
+   savepoint failed. Archival now never moves instants at/after the
+   earliest savepoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+    spark.dataSource.register(HudiPyDataSource)
+
+
+def _write(df, path, mode="append", **options):
+    w = df.write.format("hudi_py").option("path", path)
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.mode(mode).save()
+
+
+def _people(spark, n=10, start=0, ts=1, name="n"):
+    return spark.createDataFrame(
+        [(start + i, f"{name}{start + i}", ts) for i in range(n)],
+        "id long, name string, ts long",
+    )
+
+
+CDC_OPTS = {
+    "recordkey.field": "id", "precombine.field": "ts",
+    "table.type": "MERGE_ON_READ", "cdc.enabled": "true",
+}
+
+
+# ---------------------------------------------------------------------------
+# 1. distributed CDC feed decode
+# ---------------------------------------------------------------------------
+
+
+class TestDistributedCdcFeed:
+    def _multi_commit_table(self, spark, tdir):
+        from hudi_rs_spark.write.upsert import delete, upsert
+
+        _write(_people(spark, 10), tdir, **CDC_OPTS)
+        upsert(
+            spark.createDataFrame(
+                [(3, "u3", 5), (4, "u4", 5)], "id long, name string, ts long"
+            ),
+            tdir,
+        )
+        upsert(
+            spark.createDataFrame(
+                [(3, "u3b", 7), (11, "n11", 7)], "id long, name string, ts long"
+            ),
+            tdir,
+        )
+        delete(
+            spark.createDataFrame(
+                [(7, None, 8)], "id long, name string, ts long"
+            ),
+            tdir,
+        )
+
+    @staticmethod
+    def _key(rows):
+        return sorted(
+            (r.commit_time, r.op, r.ts_ms, r.before, r.after) for r in rows
+        )
+
+    def test_forced_distributed_matches_driver(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        tdir = str(tmp_path / "t")
+        self._multi_commit_table(spark, tdir)
+        t = HudiTable(tdir, spark)
+        driver = t.read_changes(None, mode="driver").collect()
+        dist = t.read_changes(None, mode="distributed").collect()
+        assert len(driver) == len(dist) > 0
+        assert self._key(driver) == self._key(dist)
+        # windowed parity too (start-exclusive bound applies executor-side)
+        inst = sorted(i.timestamp for i in t.timeline.instants)
+        w_driver = t.read_changes(inst[0], inst[2], mode="driver").collect()
+        w_dist = t.read_changes(inst[0], inst[2], mode="distributed").collect()
+        assert self._key(w_driver) == self._key(w_dist)
+
+    def test_distributed_plan_has_no_local_relation(self, spark, tmp_path):
+        # the driver path ships a LocalRelation (createDataFrame of the
+        # whole feed); the distributed path must scan task rows through
+        # mapInPandas instead
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        tdir = str(tmp_path / "t")
+        self._multi_commit_table(spark, tdir)
+        df = HudiTable(tdir, spark).read_changes(None, mode="distributed")
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "mapInPandas" in plan or "MapInPandas" in plan
+
+    def test_rolled_back_commit_stays_out_distributed(self, spark, tmp_path):
+        # a voided commit's CDC blocks must not leak through the
+        # executor-side decode (rollback targets ship into the closure)
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.upsert import upsert
+
+        tdir = str(tmp_path / "t")
+        _write(_people(spark, 6), tdir, **CDC_OPTS)
+        upsert(
+            spark.createDataFrame([(2, "u2", 5)], "id long, name string, ts long"),
+            tdir,
+        )
+        t = HudiTable(tdir, spark)
+        before = self._key(t.read_changes(None, mode="distributed").collect())
+        # simulate a crashed third write: data + cdc blocks at an
+        # uncommitted instant, then roll it back
+        from hudi_rs_spark.write.rollback import rollback_failed_writes
+        from hudi_rs_spark.write.writer import _fs
+
+        st = _fs(tdir)
+        tl_dir = None
+        for cand in (".hoodie/timeline", ".hoodie"):
+            if st.isdir(f"{tdir}/{cand}"):
+                tl_dir = f"{tdir}/{cand}"
+                break
+        # find a completed commit file and delete it -> its blocks become
+        # orphans; then rollback voids them
+        victims = [
+            e.name
+            for e in st.list_dir(tl_dir)
+            if (".commit" in e.name or ".deltacommit" in e.name)
+            and not e.name.endswith(".requested")
+            and not e.name.endswith(".inflight")
+        ]
+        assert victims
+        latest = sorted(victims)[-1]
+        st.remove(f"{tl_dir}/{latest}")
+        rollback_failed_writes(tdir)
+        t2 = HudiTable(tdir, spark)
+        after_driver = self._key(t2.read_changes(None, mode="driver").collect())
+        after_dist = self._key(t2.read_changes(None, mode="distributed").collect())
+        assert after_driver == after_dist
+        assert len(after_dist) < len(before)
+
+
+# ---------------------------------------------------------------------------
+# 1b. cross-instant optimistic concurrency control
+# ---------------------------------------------------------------------------
+
+
+class TestCrossInstantOCC:
+    SCHEMA = None  # set lazily (pyspark types)
+
+    def _schema(self):
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("ts", T.LongType()),
+            ]
+        )
+
+    def _seed(self, path):
+        import pyarrow as pa
+
+        from hudi_rs_spark.write.writer import (
+            HudiPyBatchWriter,
+            HudiWriteMessage,
+            _TaskWriter,
+        )
+
+        w = HudiPyBatchWriter(
+            {"path": path, "recordkey.field": "id", "precombine.field": "ts",
+             "table.type": "MERGE_ON_READ"},
+            self._schema(), overwrite=False,
+        )
+        tw = _TaskWriter(w.cfg, 0, "0-0-0")
+        tbl = pa.table(
+            {
+                "id": pa.array(range(8), pa.int64()),
+                "name": pa.array([f"n{i}" for i in range(8)], pa.string()),
+                "ts": pa.array([1] * 8, pa.int64()),
+            }
+        )
+        for b in tbl.to_batches():
+            tw.consume(b)
+        w.commit([HudiWriteMessage(stats=tw.finish())])
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        s = HudiTable(path, spark=None, listing="direct").get_file_slices()[0]
+        return s.file_id, s.base_file.commit_timestamp
+
+    def _update_batch(self, ids, fid, base_instant, name="x", ts=9):
+        import pyarrow as pa
+
+        n = len(ids)
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "name": pa.array([f"{name}{i}" for i in ids], pa.string()),
+                "ts": pa.array([ts] * n, pa.int64()),
+                "__hoodie_target_file_id": pa.array([fid] * n, pa.string()),
+                "__hoodie_target_base_instant": pa.array(
+                    [base_instant] * n, pa.string()
+                ),
+                "__hoodie_log_version": pa.array([1] * n, pa.int32()),
+            }
+        ).to_batches()
+
+    def _upsert_writer(self, path):
+        import time
+
+        from hudi_rs_spark.write.writer import HudiPyBatchWriter
+
+        time.sleep(0.002)  # distinct ms-precision instants per writer
+        return HudiPyBatchWriter(
+            {"path": path, "recordkey.field": "id", "precombine.field": "ts",
+             "table.type": "MERGE_ON_READ", "operation": "upsert"},
+            self._schema(), overwrite=False,
+        )
+
+    def test_overlapping_concurrent_upserts_exactly_one_commits(self, tmp_path):
+        from hudi_rs_spark.write.concurrency import ConcurrentWriteError
+        from hudi_rs_spark.write.writer import HudiWriteMessage, _TaskWriter
+
+        path = str(tmp_path / "t")
+        fid, base_instant = self._seed(path)
+
+        a = self._upsert_writer(path)  # read point: {seed}
+        b = self._upsert_writer(path)
+        # B lands first, touching file group fid
+        tw_b = _TaskWriter(b.cfg, 0, "0-0-0")
+        for batch in self._update_batch([1, 2], fid, base_instant, "b"):
+            tw_b.consume(batch)
+        b.commit([HudiWriteMessage(stats=tw_b.finish())])
+        # A touches the SAME group and must fail at commit, pre-publish
+        tw_a = _TaskWriter(a.cfg, 0, "0-0-1")
+        for batch in self._update_batch([2, 3], fid, base_instant, "a"):
+            tw_a.consume(batch)
+        msgs = [HudiWriteMessage(stats=tw_a.finish())]
+        with pytest.raises(ConcurrentWriteError, match="conflict"):
+            a.commit(msgs)
+        a.abort(msgs)
+        # table state: B's update visible, A's absent, timeline has 2 commits
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = HudiTable(path, spark=None, listing="direct")
+        assert len(t.timeline.instants) == 2
+
+    def test_disjoint_file_groups_both_commit(self, tmp_path):
+        from hudi_rs_spark.write.writer import HudiWriteMessage, _TaskWriter
+
+        path = str(tmp_path / "t")
+        fid, base_instant = self._seed(path)
+        # second seed write -> a second file group (disjoint target)
+        import pyarrow as pa
+
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.writer import HudiPyBatchWriter
+
+        w2 = HudiPyBatchWriter(
+            {"path": path, "recordkey.field": "id", "precombine.field": "ts",
+             "table.type": "MERGE_ON_READ"},
+            self._schema(), overwrite=False,
+        )
+        tw2 = _TaskWriter(w2.cfg, 0, "0-0-0")
+        tbl = pa.table(
+            {
+                "id": pa.array(range(100, 108), pa.int64()),
+                "name": pa.array([f"m{i}" for i in range(8)], pa.string()),
+                "ts": pa.array([1] * 8, pa.int64()),
+            }
+        )
+        for bt in tbl.to_batches():
+            tw2.consume(bt)
+        w2.commit([HudiWriteMessage(stats=tw2.finish())])
+        slices = HudiTable(path, spark=None, listing="direct").get_file_slices()
+        other = next(s for s in slices if s.file_id != fid)
+
+        a = self._upsert_writer(path)
+        b = self._upsert_writer(path)
+        tw_b = _TaskWriter(b.cfg, 0, "0-0-0")
+        for batch in self._update_batch([1], fid, base_instant, "b"):
+            tw_b.consume(batch)
+        b.commit([HudiWriteMessage(stats=tw_b.finish())])
+        tw_a = _TaskWriter(a.cfg, 0, "0-0-1")
+        for batch in self._update_batch(
+            [101], other.file_id, other.base_file.commit_timestamp, "a"
+        ):
+            tw_a.consume(batch)
+        a.commit([HudiWriteMessage(stats=tw_a.finish())])  # must NOT raise
+        t = HudiTable(path, spark=None, listing="direct")
+        assert len(t.timeline.instants) == 4
+
+    def test_overwrite_conflicts_with_any_concurrent_commit(self, tmp_path):
+        import pyarrow as pa
+
+        from hudi_rs_spark.write.concurrency import ConcurrentWriteError
+        from hudi_rs_spark.write.writer import (
+            HudiPyBatchWriter,
+            HudiWriteMessage,
+            _TaskWriter,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(path)
+        a = HudiPyBatchWriter(
+            {"path": path, "recordkey.field": "id", "precombine.field": "ts",
+             "table.type": "MERGE_ON_READ"},
+            self._schema(), overwrite=True,
+        )
+        # concurrent plain insert lands while A's overwrite is in flight
+        b = HudiPyBatchWriter(
+            {"path": path, "recordkey.field": "id", "precombine.field": "ts",
+             "table.type": "MERGE_ON_READ"},
+            self._schema(), overwrite=False,
+        )
+        tbl = pa.table(
+            {
+                "id": pa.array(range(200, 204), pa.int64()),
+                "name": pa.array(["q"] * 4, pa.string()),
+                "ts": pa.array([2] * 4, pa.int64()),
+            }
+        )
+        tw_b = _TaskWriter(b.cfg, 0, "0-0-0")
+        for bt in tbl.to_batches():
+            tw_b.consume(bt)
+        b.commit([HudiWriteMessage(stats=tw_b.finish())])
+        tw_a = _TaskWriter(a.cfg, 0, "0-0-1")
+        for bt in tbl.to_batches():
+            tw_a.consume(bt)
+        msgs = [HudiWriteMessage(stats=tw_a.finish())]
+        with pytest.raises(ConcurrentWriteError, match="overwrite|conflict"):
+            a.commit(msgs)
+        a.abort(msgs)
+
+
+# ---------------------------------------------------------------------------
+# 1c. a live writer's claim protects its in-flight MDT logs from purge
+# ---------------------------------------------------------------------------
+
+
+class TestLiveClaimProtectsMdtLogs:
+    def test_purge_keeps_claimed_anchors_until_rollback(self, spark, tmp_path):
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+        from hudi_rs_spark.write.concurrency import claim_instant
+        from hudi_rs_spark.write.config import WriteConfig, new_instant
+        from hudi_rs_spark.write.mdt import purge_uncommitted_mdt_logs
+        from hudi_rs_spark.write.rollback import rollback_failed_writes
+        from hudi_rs_spark.write.writer import _fs
+
+        tdir = str(tmp_path / "t")
+        _write(
+            _people(spark, 6),
+            tdir,
+            **{
+                "recordkey.field": "id", "precombine.field": "ts",
+                "table.version": "8", "metadata.enable": "true",
+                "metadata.recordindex.enable": "true",
+            },
+        )
+        tc = HudiTableConfig.from_base_path(tdir)
+        # writer A: live claim, in-flight MDT shard log at its instant
+        cfg_a = WriteConfig(
+            path=tdir, table_name=tc.table_name,
+            record_key_fields=("id",), precombine_field="ts",
+            table_version=8, instant=new_instant(), operation="insert",
+        )
+        claim_instant(cfg_a)
+        st = _fs(tdir)
+        shard_dir = f"{tdir}/.hoodie/metadata/record_index"
+        shards = [e.name for e in st.list_dir(shard_dir) if not e.is_dir]
+        fid = shards[0].split("_")[0].lstrip(".") if shards else "shard0"
+        inflight = (
+            f"{shard_dir}/.{fid}_{cfg_a.instant}.log.1_0-0-0"
+        )
+        st.write_bytes(inflight, b"placeholder")
+        # writer B's init-time purge must NOT delete A's in-flight log
+        deleted = purge_uncommitted_mdt_logs(tdir)
+        assert inflight not in deleted and st.isfile(inflight)
+        # after A crashes, rollback releases the claim and THEN purges
+        rollback_failed_writes(tdir)
+        assert not st.isfile(inflight)
+
+
+# ---------------------------------------------------------------------------
+# 1d. CDC sidecar lifecycle: rollback reclaims orphans, clean ages them out
+# ---------------------------------------------------------------------------
+
+
+class TestCdcSidecarLifecycle:
+    def _cdc_files(self, tdir):
+        from hudi_rs_spark.fs.fs_view import list_data_files
+
+        return sorted(
+            f"{p}/{n}" if p else n
+            for p, n, _ in list_data_files(tdir)
+            if ".cdc." in n
+        )
+
+    def test_rollback_reclaims_crashed_writes_sidecars(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.rollback import rollback_failed_writes
+        from hudi_rs_spark.write.upsert import upsert
+        from hudi_rs_spark.write.writer import _fs
+
+        tdir = str(tmp_path / "t")
+        _write(_people(spark, 6), tdir, **CDC_OPTS)
+        upsert(
+            spark.createDataFrame([(1, "u1", 5)], "id long, name string, ts long"),
+            tdir,
+        )
+        st = _fs(tdir)
+        live = self._cdc_files(tdir)
+        assert live
+        # crashed write: sidecar + no commit (claim released by crash sim)
+        orphan = f"{tdir}/.deadfid-0_99999999999999999.cdc.1_0-0-0"
+        st.write_bytes(orphan, b"junk")
+        rollback_failed_writes(tdir)
+        assert not st.isfile(orphan)
+        # committed sidecars untouched, feed still green
+        assert self._cdc_files(tdir) == live
+        feed = HudiTable(tdir, spark).read_changes(None).collect()
+        assert {r.op for r in feed} == {"i", "u"}
+
+    def test_clean_reclaims_aged_sidecars(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.clean import clean
+        from hudi_rs_spark.write.upsert import upsert
+
+        tdir = str(tmp_path / "t")
+        _write(_people(spark, 4), tdir, **CDC_OPTS)
+        for k in range(4):
+            upsert(
+                spark.createDataFrame(
+                    [(1, f"u{k}", 10 + k)], "id long, name string, ts long"
+                ),
+                tdir,
+            )
+        before = self._cdc_files(tdir)
+        n = clean(tdir, retain_commits=2)
+        after = self._cdc_files(tdir)
+        # sidecars below the retention boundary are gone, newer ones stay
+        assert len(after) < len(before)
+        assert n > 0
+        t = HudiTable(tdir, spark)
+        inst = sorted(i.timestamp for i in t.timeline.instants)
+        # the feed over the RETAINED window still works
+        feed = t.read_changes(inst[-3]).collect()
+        assert feed and all(r.commit_time > inst[-3] for r in feed)
+
+
+# ---------------------------------------------------------------------------
+# 1e. stream ledger: pre-upgrade checkpoint replay honors legacy entries
+# ---------------------------------------------------------------------------
+
+
+class TestStreamLedgerUpgradeCompat:
+    def _writer(self, path, cp):
+        from pyspark.sql import types as T
+
+        from hudi_rs_spark.write.stream import HudiPyStreamWriter
+
+        schema = T.StructType([T.StructField("id", T.LongType())])
+        return HudiPyStreamWriter(
+            {"path": path, "recordkey.field": "id", "checkpointLocation": cp},
+            schema,
+        )
+
+    def _n_commits(self, path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        return len(HudiTable(path, spark=None, listing="direct").timeline.instants)
+
+    def test_pre_upgrade_replay_not_recommitted(self, tmp_path):
+        from hudi_rs_spark.write.config import WriteConfig
+        from hudi_rs_spark.write.stream import BATCH_ID_KEY
+        from hudi_rs_spark.write.writer import commit_instant, init_table
+
+        base = str(tmp_path / "t")
+        cfg = WriteConfig(path=base, table_name="t")
+        init_table(cfg)
+        # pre-upgrade state: batch 3 committed WITHOUT a queryId
+        commit_instant(cfg, [], None, extra_metadata={BATCH_ID_KEY: "3"})
+        n0 = self._n_commits(base)
+        # the same query restarts across the upgrade and replays batch 3:
+        # must take the replay path (no new commit)
+        w = self._writer(base, "/cp/upgraded")
+        w.commit([], batchId=3)
+        assert self._n_commits(base) == n0
+
+    def test_fresh_query_batch0_still_publishes(self, tmp_path):
+        # the guard: a NEW query's batch 0 must NOT match an old legacy
+        # batch-0 commit (the r9 bug the per-query ledger fixed)
+        from hudi_rs_spark.write.config import WriteConfig
+        from hudi_rs_spark.write.stream import BATCH_ID_KEY
+        from hudi_rs_spark.write.writer import commit_instant, init_table
+
+        base = str(tmp_path / "t")
+        cfg = WriteConfig(path=base, table_name="t")
+        init_table(cfg)
+        commit_instant(cfg, [], None, extra_metadata={BATCH_ID_KEY: "0"})
+        n0 = self._n_commits(base)
+        w = self._writer(base, "/cp/fresh")
+        w.commit([], batchId=0)
+        assert self._n_commits(base) == n0 + 1
+
+    def test_post_upgrade_commits_close_the_window(self, tmp_path):
+        # once the query has a post-upgrade (hashed-key) commit, legacy
+        # entries are never consulted again
+        from hudi_rs_spark.write.config import WriteConfig
+        from hudi_rs_spark.write.stream import BATCH_ID_KEY
+        from hudi_rs_spark.write.writer import commit_instant, init_table
+
+        base = str(tmp_path / "t")
+        cfg = WriteConfig(path=base, table_name="t")
+        init_table(cfg)
+        commit_instant(cfg, [], None, extra_metadata={BATCH_ID_KEY: "7"})
+        w = self._writer(base, "/cp/q")
+        w.commit([], batchId=8)  # post-upgrade commit under hashed key
+        n0 = self._n_commits(base)
+        # replaying batch 7 now publishes (window closed; the id match
+        # in the legacy ledger is some other query's business)
+        w2 = self._writer(base, "/cp/q")
+        w2.commit([], batchId=7)
+        assert self._n_commits(base) == n0 + 1
+
+
+# ---------------------------------------------------------------------------
+# 2. archival crash-safety: gate-on before moves + rollback fail-open
+# ---------------------------------------------------------------------------
+
+
+class TestArchiveCrashSafety:
+    def _commits(self, spark, tdir, n):
+        for k in range(n):
+            _write(
+                _people(spark, 2, start=k * 2, ts=k + 1),
+                tdir,
+                **{
+                    "recordkey.field": "id",
+                    "precombine.field": "ts",
+                    "table.version": "8",  # LSM archival layout
+                },
+            )
+
+    def test_gate_flips_before_active_files_move(self, spark, tmp_path, monkeypatch):
+        # crash INJECTED at the first active-file delete: the gate must
+        # already be on, so readers/rollback can still see the archive
+        import hudi_rs_spark.write.archive as archive_mod
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+        from hudi_rs_spark.write.writer import _fs
+
+        tdir = str(tmp_path / "t")
+        self._commits(spark, tdir, 6)
+        st = _fs(tdir)
+
+        real_remove = type(st).remove
+        calls = {"n": 0}
+
+        def crashing_remove(self_st, path):
+            if ".hoodie" in path and "timeline" in path:
+                calls["n"] += 1
+                raise OSError("injected crash at first active-file delete")
+            return real_remove(self_st, path)
+
+        monkeypatch.setattr(type(st), "remove", crashing_remove)
+        with pytest.raises(OSError, match="injected crash"):
+            archive_mod.archive_timeline(tdir, keep_active=2)
+        monkeypatch.undo()
+
+        cfg = HudiTableConfig.from_base_path(tdir)
+        assert calls["n"] == 1
+        props = st.read_text(f"{tdir}/.hoodie/hoodie.properties")
+        assert "hoodie.internal.timeline.archived.enabled=true" in props
+        # table still fully readable (archived ts also active -> deduped)
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        assert HudiTable(tdir, spark).read().count() == 12
+        assert cfg is not None
+
+    def test_rollback_never_orphans_archived_commits_with_gate_off(
+        self, spark, tmp_path
+    ):
+        # simulate the PRE-FIX crash artifact: archive done, gate off.
+        # rollback must still not delete the archived commits' base files.
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.archive import archive_timeline
+        from hudi_rs_spark.write.rollback import rollback_failed_writes
+        from hudi_rs_spark.write.writer import _fs
+
+        tdir = str(tmp_path / "t")
+        self._commits(spark, tdir, 6)
+        assert archive_timeline(tdir, keep_active=2) > 0
+        st = _fs(tdir)
+        props_path = f"{tdir}/.hoodie/hoodie.properties"
+        props = st.read_text(props_path)
+        st.publish_bytes(
+            props_path,
+            props.replace(
+                "hoodie.internal.timeline.archived.enabled=true",
+                "hoodie.internal.timeline.archived.enabled=false",
+            ).encode(),
+        )
+        rolled = rollback_failed_writes(tdir)
+        assert rolled == []
+        # flip the gate back on (as the fixed archive_timeline leaves it)
+        st.publish_bytes(props_path, props.encode())
+        assert HudiTable(tdir, spark).read().count() == 12
+
+
+# ---------------------------------------------------------------------------
+# 2b. native conditional-put create_new on bucket backends
+# ---------------------------------------------------------------------------
+
+
+class TestConditionalPutClaims:
+    def _bucket(self, tmp_path):
+        """ArrowFSStorage over a local SubTree rig with an injected
+        conditional_put (the S3 If-None-Match shape): create_new must
+        route through it, never through check-then-put."""
+        import threading
+
+        from pyarrow import fs as pafs
+
+        from hudi_rs_spark.fs.storage import ArrowFSStorage, register_storage
+
+        root = str(tmp_path / "bucket")
+        import os as _os
+
+        _os.makedirs(root, exist_ok=True)
+        local = pafs.SubTreeFileSystem(root, pafs.LocalFileSystem())
+        lock = threading.Lock()
+        calls = {"n": 0}
+
+        def conditional_put(inner: str, data: bytes) -> bool:
+            # atomic create-if-absent, as S3 If-None-Match:* provides
+            with lock:
+                calls["n"] += 1
+                info = local.get_file_info([inner])[0]
+                if info.type != pafs.FileType.NotFound:
+                    return False
+                d = inner.rpartition("/")[0]
+                if d:
+                    local.create_dir(d, recursive=True)
+                with local.open_output_stream(inner) as f:
+                    f.write(data)
+                return True
+
+        st = ArrowFSStorage(
+            "s3", "claimbucket", filesystem=local, inner_prefix="",
+            conditional_put=conditional_put,
+        )
+        register_storage("s3", "claimbucket", st)
+        return st, calls
+
+    def test_create_new_routes_through_conditional_put(self, tmp_path):
+        st, calls = self._bucket(tmp_path)
+        p = "s3://claimbucket/.hoodie/timeline/0001.commit.requested"
+        assert st.create_new(p, b"") is True
+        assert st.create_new(p, b"") is False  # second claimant loses
+        assert calls["n"] == 2
+
+    def test_racing_claims_exactly_one_wins(self, tmp_path):
+        import threading
+
+        st, _ = self._bucket(tmp_path)
+        p = "s3://claimbucket/.hoodie/.locks/table.lock"
+        results = []
+
+        def claim():
+            results.append(st.create_new(p, b"pid"))
+
+        threads = [threading.Thread(target=claim) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert sorted(results) == [False] * 7 + [True]
+
+
+# ---------------------------------------------------------------------------
+# 3. savepoint pins the archival floor
+# ---------------------------------------------------------------------------
+
+
+class TestSavepointPinsArchival:
+    def test_savepointed_instant_stays_active_and_restorable(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.archive import archive_timeline
+        from hudi_rs_spark.write.savepoint import restore, savepoint
+
+        tdir = str(tmp_path / "t")
+        opts = {"recordkey.field": "id", "precombine.field": "ts"}
+        for k in range(3):
+            _write(_people(spark, 2, start=k * 2, ts=k + 1), tdir, **opts)
+        t = HudiTable(tdir, spark)
+        pin = sorted(i.timestamp for i in t.timeline.instants)[1]
+        savepoint(tdir, pin)
+        for k in range(3, 8):
+            _write(_people(spark, 2, start=k * 2, ts=k + 1), tdir, **opts)
+        n = archive_timeline(tdir, keep_active=2)
+        # instants strictly before the savepoint may archive; the pinned
+        # one and everything after must stay active
+        t2 = HudiTable(tdir, spark)
+        active = {i.timestamp for i in t2.timeline.instants}
+        assert pin in active
+        restore(tdir, pin)
+        assert HudiTable(tdir, spark).read().count() == 4
+        assert n >= 0
