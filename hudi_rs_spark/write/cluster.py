@@ -158,6 +158,15 @@ def cluster(
     from hudi_rs_spark.write.writer import commit_instant
 
     purge_uncommitted_mdt_logs(path)  # never reuse a poisoned anchor
+    # OCC read point BEFORE planning (same rationale as compact: a
+    # commit landing on a group while we rewrite it would vanish from
+    # the clustered snapshot — conflict instead)
+    from hudi_rs_spark.write.concurrency import (
+        check_commit_conflicts,
+        completed_instant_set,
+    )
+
+    read_point = completed_instant_set(path)
     tc = HudiTableConfig.from_base_path(path)
     table = HudiTable(path, spark, listing="direct")
     reader = HudiPyReader(
@@ -222,6 +231,24 @@ def cluster(
         "with_stats": with_stats, "index_shards": index_shards,
     })
     stats = run_slice_tasks(spark, work, shared, _cluster_one)
+    # conflict check BEFORE publishing: the REPLACED (source) groups are
+    # what a concurrent commit can invalidate — the new fids are fresh
+    try:
+        check_commit_conflicts(
+            cfg, read_point,
+            {(p, fid) for p, fids in replaced.items() for fid in fids},
+        )
+    except Exception:
+        from hudi_rs_spark.write.writer import _fs as _fs_cc
+
+        st_cc = _fs_cc(path)
+        for s in stats:  # reclaim the unpublished rewrites
+            try:
+                st_cc.remove(f"{path}/{s['path']}")
+            except OSError:
+                pass
+        release_instant(cfg, "replacecommit")
+        raise
     commit_instant(
         cfg, stats, table.schema_json(), replaced=replaced,
         action="replacecommit", instant=instant,

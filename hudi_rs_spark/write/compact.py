@@ -105,6 +105,16 @@ def compact(spark, path: str, instant: str | None = None) -> int:
     from hudi_rs_spark.write.mdt import purge_uncommitted_mdt_logs
 
     purge_uncommitted_mdt_logs(path)  # never reuse a poisoned anchor
+    # OCC read point BEFORE planning: a log block committed to a slice
+    # while we compact it would be absorbed into neither the old slice
+    # (superseded) nor the new base (planned earlier) — conflict-check
+    # at commit instead of silently hiding the update
+    from hudi_rs_spark.write.concurrency import (
+        check_commit_conflicts,
+        completed_instant_set,
+    )
+
+    read_point = completed_instant_set(path)
     tc = HudiTableConfig.from_base_path(path)
     table = HudiTable(path, spark, listing="direct")
     reader = HudiPyReader(
@@ -146,6 +156,24 @@ def compact(spark, path: str, instant: str | None = None) -> int:
     stats = run_slice_tasks(
         spark, [slice_descriptor(p) for p in dirty], shared, _compact_one
     )
+    # conflict check BEFORE publishing: the compacted file groups must
+    # not have been touched by a commit that completed since planning
+    try:
+        check_commit_conflicts(
+            cfg, read_point,
+            {(s.get("partitionPath", "") or "", s["fileId"]) for s in stats},
+        )
+    except Exception:
+        from hudi_rs_spark.write.writer import _fs as _fs_cc
+
+        st_cc = _fs_cc(path)
+        for s in stats:  # reclaim the unpublished new bases
+            try:
+                st_cc.remove(f"{path}/{s['path']}")
+            except OSError:
+                pass
+        release_instant(cfg, "commit")
+        raise
     schema_json = None
     sj = table.schema_json()
     if sj is not None:

@@ -73,5 +73,16 @@ def _maybe_fold_mdt(cfg) -> None:
     if n_logs >= cfg.mdt_compact_max_deltas:
         from hudi_rs_spark.write.mdt_compact import clean_mdt, compact_mdt
 
-        if compact_mdt(cfg.path):
+        # executor-side folds when a session is live and the group count
+        # warrants it (local paths only — executors resolve their own
+        # storage; memory:// rigs stay driver-side inside compact_mdt)
+        spark = None
+        if "://" not in cfg.path or cfg.path.startswith("file://"):
+            try:
+                from pyspark.sql import SparkSession
+
+                spark = SparkSession.getActiveSession()
+            except Exception:  # noqa: BLE001
+                spark = None
+        if compact_mdt(cfg.path, spark=spark):
             clean_mdt(cfg.path)  # reclaim the superseded pre-fold chains

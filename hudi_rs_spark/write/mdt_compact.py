@@ -23,11 +23,14 @@ the base becomes the floor they merge later logs onto):
   last-wins on RAW value bytes is lossless; deleted markers keep their
   bytes (the readers filter them — a base may carry them safely).
 
-Driver-side and metadata-sized: the MDT is tiny relative to the table
-(one record per file / per key-location), and compaction reads exactly
-the bytes a single point lookup already decodes today. At 10^9-key
-record indexes the per-shard fold could be pushed executor-side with
-the same code per shard; the shard layout already bounds each fold.
+Driver-side by default and metadata-sized: the MDT is tiny relative to
+the table (one record per file / per key-location), and compaction
+reads exactly the bytes a single point lookup already decodes today.
+At 10^9-key record indexes pass ``spark`` — with enough dirty file
+groups the per-group folds run EXECUTOR-side (the same ``_fold_one``
+code per group, shipped through write/worklist.py), so no shard's
+merged state ever materializes on the driver; the shard layout already
+bounds each fold.
 
 Anchor discipline: after compaction, appends must NOT reuse a pre-base
 log anchor (the reader would attach the new file to the superseded
@@ -112,11 +115,43 @@ def _merged_records(
     return sorted(merged.items()), schema
 
 
-def compact_mdt(table_path: str, instant: str | None = None) -> int:
+def _fold_one(desc: dict, shared: dict) -> dict:
+    """Fold ONE MDT file group into a fresh HFile base; returns its
+    write stat (runs driver- or executor-side — same code either way)."""
+    from hudi_rs_spark.hfile.writer import build_hfile
+    from hudi_rs_spark.write.writer import _fs
+
+    base = shared["path"]
+    instant = shared["instant"]
+    part, fid = desc["partition"], desc["file_id"]
+    records, schema = _merged_records(base, part, fid)
+    if schema is None:
+        return {}
+    hfile_bytes = build_hfile(records, {"schema": json.dumps(schema).encode()})
+    name = f"{fid}_{_TOKEN}_{instant}.hfile"
+    _fs(base).write_bytes(
+        f"{base}/.hoodie/metadata/{part}/{name}", hfile_bytes
+    )
+    return {
+        "fileId": fid,
+        "path": f"{part}/{name}",
+        "partitionPath": part,
+        "fileSizeInBytes": len(hfile_bytes),
+    }
+
+
+def compact_mdt(
+    table_path: str,
+    instant: str | None = None,
+    spark=None,
+    distribute_threshold: int = 16,
+) -> int:
     """Fold every MDT file group with log files into a fresh HFile base;
     publishes one MDT ``commit``. Returns the number of file groups
-    compacted (0 = nothing to do, nothing published)."""
-    from hudi_rs_spark.hfile.writer import build_hfile
+    compacted (0 = nothing to do, nothing published). With ``spark`` and
+    at least ``distribute_threshold`` dirty groups, folds run
+    executor-side (one task per file group, write/worklist.py) — the
+    scale path for sharded record indexes."""
     from hudi_rs_spark.write.concurrency import claim_instant, release_instant
     from hudi_rs_spark.write.config import WriteConfig, new_instant
     from hudi_rs_spark.write.mdt import purge_uncommitted_mdt_logs
@@ -135,36 +170,36 @@ def compact_mdt(table_path: str, instant: str | None = None) -> int:
     )
     claim_instant(mdt_cfg, "commit")
 
-    write_stats: dict[str, list[dict]] = {}
-    n_groups = 0
+    work: list[dict] = []
     for part in st.list_dir(mdt):
         if part.name == ".hoodie" or not part.is_dir:
             continue
         pdir = f"{mdt}/{part.name}"
-        for fid, newest_base in sorted(_group_file_ids(st, pdir).items()):
+        entries = st.list_dir(pdir)
+        for fid, _newest_base in sorted(_group_file_ids(st, pdir).items()):
             has_logs = any(
                 e.name.startswith(f".{fid}_") and ".log." in e.name
-                for e in st.list_dir(pdir)
+                for e in entries
             )
             if not has_logs:
                 continue  # already folded; nothing newer than the base
-            records, schema = _merged_records(base, part.name, fid)
-            if schema is None:
-                continue
-            hfile_bytes = build_hfile(
-                records, {"schema": json.dumps(schema).encode()}
-            )
-            name = f"{fid}_{_TOKEN}_{instant}.hfile"
-            st.write_bytes(f"{pdir}/{name}", hfile_bytes)
-            write_stats.setdefault(part.name, []).append(
-                {
-                    "fileId": fid,
-                    "path": f"{part.name}/{name}",
-                    "partitionPath": part.name,
-                    "fileSizeInBytes": len(hfile_bytes),
-                }
-            )
-            n_groups += 1
+            work.append({"partition": part.name, "file_id": fid})
+
+    shared = {"path": base, "instant": instant}
+    if spark is not None and len(work) >= distribute_threshold:
+        from hudi_rs_spark.write.worklist import run_slice_tasks
+
+        stats = run_slice_tasks(spark, work, shared, _fold_one)
+    else:
+        stats = [_fold_one(d, shared) for d in work]
+
+    write_stats: dict[str, list[dict]] = {}
+    n_groups = 0
+    for s in stats:
+        if not s:
+            continue
+        write_stats.setdefault(s["partitionPath"], []).append(s)
+        n_groups += 1
     if not n_groups:
         release_instant(mdt_cfg, "commit")
         return 0

@@ -699,6 +699,117 @@ class TestConditionalPutClaims:
 
 
 # ---------------------------------------------------------------------------
+# 1f. services conflict-check too: compaction vs a racing upsert
+# ---------------------------------------------------------------------------
+
+
+class TestServiceOCC:
+    def test_compact_aborts_when_commit_lands_mid_run(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import hudi_rs_spark.write.worklist as worklist_mod
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.compact import compact
+        from hudi_rs_spark.write.concurrency import ConcurrentWriteError
+        from hudi_rs_spark.write.upsert import upsert
+
+        tdir = str(tmp_path / "t")
+        opts = {
+            "recordkey.field": "id", "precombine.field": "ts",
+            "table.type": "MERGE_ON_READ",
+        }
+        _write(_people(spark, 8), tdir, **opts)
+        upsert(
+            spark.createDataFrame([(1, "u1", 5)], "id long, name string, ts long"),
+            tdir,
+        )
+
+        real = worklist_mod.run_slice_tasks
+
+        def racing(spark_, descriptors, shared, fn):
+            # a concurrent upsert lands on the SAME file group AFTER
+            # compaction planned its slices and BEFORE it publishes —
+            # the classic lost-update window the commit-time check must
+            # catch (id=1 lives in the one dirty group being compacted)
+            upsert(
+                spark.createDataFrame(
+                    [(1, "race", 9)], "id long, name string, ts long"
+                ),
+                tdir,
+            )
+            return real(spark_, descriptors, shared, fn)
+
+        monkeypatch.setattr(worklist_mod, "run_slice_tasks", racing)
+        with pytest.raises(ConcurrentWriteError, match="conflict"):
+            compact(spark, tdir)
+        monkeypatch.undo()
+        # the racing upsert survives; compaction published nothing
+        t = HudiTable(tdir, spark)
+        rows = {r.id: r.name for r in t.read().collect()}
+        assert rows[1] == "race"
+        actions = [i.action.value for i in t.timeline.instants]
+        assert "commit" not in actions  # no compaction commit
+        # and a CLEAN retry (no race) succeeds
+        assert compact(spark, tdir) > 0
+        rows2 = {r.id: r.name for r in HudiTable(tdir, spark).read().collect()}
+        assert rows2 == rows
+
+
+# ---------------------------------------------------------------------------
+# 2c. executor-side MDT fold parity
+# ---------------------------------------------------------------------------
+
+
+class TestDistributedMdtFold:
+    def test_distributed_fold_matches_driver_fold(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.mdt_compact import clean_mdt, compact_mdt
+        from hudi_rs_spark.write.upsert import upsert
+
+        opts = {
+            "recordkey.field": "id", "precombine.field": "ts",
+            "table.type": "MERGE_ON_READ", "table.version": "8",
+            "metadata.enable": "true",
+            "metadata.recordindex.enable": "true",
+        }
+        paths = {}
+        for mode in ("driver", "dist"):
+            tdir = str(tmp_path / mode)
+            _write(_people(spark, 20), tdir, **opts)
+            for k in range(3):
+                upsert(
+                    spark.createDataFrame(
+                        [(k, f"u{k}", 10 + k)], "id long, name string, ts long"
+                    ),
+                    tdir,
+                )
+            paths[mode] = tdir
+        n_driver = compact_mdt(paths["driver"])
+        # force every fold through the executor path
+        n_dist = compact_mdt(paths["dist"], spark=spark, distribute_threshold=1)
+        assert n_driver == n_dist > 0
+        clean_mdt(paths["dist"])
+        for mode in ("driver", "dist"):
+            t = HudiTable(paths[mode], spark)
+            hits = t.point_lookup(["0", "1", "19"])
+            assert len(hits.collect()) == 3
+            # folded listing still equals direct listing
+            direct = {
+                (s.partition_path, s.file_id)
+                for s in HudiTable(
+                    paths[mode], spark=None, listing="direct"
+                ).get_file_slices()
+            }
+            via_mdt = {
+                (s.partition_path, s.file_id)
+                for s in HudiTable(
+                    paths[mode], spark=None, listing="mdt"
+                ).get_file_slices()
+            }
+            assert direct == via_mdt
+
+
+# ---------------------------------------------------------------------------
 # 3. savepoint pins the archival floor
 # ---------------------------------------------------------------------------
 

@@ -52,7 +52,7 @@ if _REPO not in sys.path:
 BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 MULT = int(os.environ.get("SCALECHECK_MULT", "5"))
 RUNS = int(os.environ.get("SCALECHECK_RUNS", "1"))
-OUT = os.path.join(_REPO, os.environ.get("SCALECHECK_OUT", "SCALECHECK_r09.json"))
+OUT = os.path.join(_REPO, os.environ.get("SCALECHECK_OUT", "SCALECHECK_r10.json"))
 ID_STRIDE = 10**9
 
 
@@ -158,6 +158,11 @@ def main() -> None:
         # writer throughput: a fresh distributed COW write of the corpus
         # per run (workloads/write_path.py) — pins write-path scaling
         "write_cow_roundtrip",
+        # r9 additions (VERDICT r9 next-round #5): pure-Python Lance v2
+        # encode throughput, and the CDC change feed through the r10
+        # DISTRIBUTED block decode (mapInPandas over sidecar files)
+        "write_lance_roundtrip",
+        "write_cdc_feed",
     ]
 
     def semdedup_at(k: int):
