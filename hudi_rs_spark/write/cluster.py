@@ -117,6 +117,17 @@ def _cluster_one(desc: dict, shared: dict) -> dict:
         from hudi_rs_spark.write.mdt_stats import compute_column_stats
 
         stat["columnStats"] = compute_column_stats(merged)
+    if shared.get("with_bloom") and "_hoodie_record_key" in merged.column_names:
+        import base64
+
+        from hudi_rs_spark.bloomfilter import build_bloom
+
+        stat["bloomFilter"] = base64.b64encode(
+            build_bloom(
+                k.as_py()
+                for k in merged["_hoodie_record_key"].combine_chunks()
+            )
+        ).decode("ascii")
     if index_shards and "_hoodie_record_key" in merged.column_names:
         # clustering MOVES records to the new file group: rewrite their
         # record-index locations (executor-side, like the task writers)
@@ -184,6 +195,7 @@ def cluster(
     instant = instant or new_instant()
     meta_parts_pre = tc.props.get("hoodie.table.metadata.partitions", "")
     with_stats = "column_stats" in meta_parts_pre
+    with_bloom = "bloom_filters" in meta_parts_pre
     index_shards = 0
     if "record_index" in meta_parts_pre:
         from hudi_rs_spark.write.record_index import existing_shard_count
@@ -228,7 +240,8 @@ def cluster(
     shared.update({
         "path": path, "instant": instant,
         "sort_columns": list(sort_columns),
-        "with_stats": with_stats, "index_shards": index_shards,
+        "with_stats": with_stats, "with_bloom": with_bloom,
+        "index_shards": index_shards,
     })
     stats = run_slice_tasks(spark, work, shared, _cluster_one)
     # conflict check BEFORE publishing: the REPLACED (source) groups are

@@ -89,6 +89,20 @@ def _compact_one(desc: dict, shared: dict) -> dict:
         from hudi_rs_spark.write.mdt_stats import compute_column_stats
 
         stat["columnStats"] = compute_column_stats(merged)
+    if shared.get("with_bloom") and "_hoodie_record_key" in merged.column_names:
+        # the rewritten base carries a NEW file name — re-emit its bloom
+        # so the tag path keeps pruning (a missing record is safe but
+        # makes the file an always-candidate)
+        import base64
+
+        from hudi_rs_spark.bloomfilter import build_bloom
+
+        stat["bloomFilter"] = base64.b64encode(
+            build_bloom(
+                k.as_py()
+                for k in merged["_hoodie_record_key"].combine_chunks()
+            )
+        ).decode("ascii")
     return stat
 
 
@@ -126,9 +140,9 @@ def compact(spark, path: str, instant: str | None = None) -> int:
     if not dirty:
         return 0
     instant = instant or new_instant()
-    with_stats = "column_stats" in tc.props.get(
-        "hoodie.table.metadata.partitions", ""
-    )
+    meta_parts = tc.props.get("hoodie.table.metadata.partitions", "")
+    with_stats = "column_stats" in meta_parts
+    with_bloom = "bloom_filters" in meta_parts
     cfg = WriteConfig(
         path=path,
         table_name=tc.table_name,
@@ -152,7 +166,10 @@ def compact(spark, path: str, instant: str | None = None) -> int:
     )
 
     shared = shared_scan_context(dirty[0])
-    shared.update({"path": path, "instant": instant, "with_stats": with_stats})
+    shared.update({
+        "path": path, "instant": instant, "with_stats": with_stats,
+        "with_bloom": with_bloom,
+    })
     stats = run_slice_tasks(
         spark, [slice_descriptor(p) for p in dirty], shared, _compact_one
     )

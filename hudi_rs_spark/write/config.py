@@ -96,6 +96,7 @@ class WriteConfig:
     emit_cdc: bool = False
     emit_metadata: bool = False
     emit_column_stats: bool = False
+    emit_bloom_filters: bool = False
     emit_record_index: bool = False
     record_index_shards: int = 4
     secondary_index_columns: tuple[str, ...] = ()
@@ -134,6 +135,11 @@ class WriteConfig:
         if self.emit_column_stats and not self.emit_metadata:
             raise ValueError(
                 "column-stats emission rides in the metadata table; "
+                "enable metadata.enable too"
+            )
+        if self.emit_bloom_filters and not self.emit_metadata:
+            raise ValueError(
+                "bloom-filter emission rides in the metadata table; "
                 "enable metadata.enable too"
             )
         if self.emit_record_index and not self.emit_metadata:
@@ -194,6 +200,8 @@ class WriteConfig:
             parts = {"files"}
             if self.emit_column_stats:
                 parts |= {"column_stats", "partition_stats"}
+            if self.emit_bloom_filters:
+                parts.add("bloom_filters")
             if self.emit_record_index:
                 parts |= {"record_index"}
                 # pin the shard count AT CREATION — inferring it later
@@ -283,6 +291,10 @@ class WriteConfig:
             emit_column_stats=str(
                 _opt(options, "hoodie.metadata.index.column.stats.enable",
                      "metadata.columnstats.enable", default="false")
+            ).lower() == "true",
+            emit_bloom_filters=str(
+                _opt(options, "hoodie.metadata.index.bloom.filter.enable",
+                     "metadata.bloomfilter.enable", default="false")
             ).lower() == "true",
             emit_record_index=str(
                 _opt(options, "hoodie.metadata.record.index.enable",

@@ -31,6 +31,7 @@ from hudi_rs_spark.write.writer import _local
 MDT_FILE_ID = "files-0000"
 COL_STATS_FILE_ID = "col-stats-0000"
 PART_STATS_FILE_ID = "partition-stats-0000"
+BLOOM_FILE_ID = "bloom-filters-0000"
 
 # public HoodieMetadataRecord shape, restricted to the fields the files
 # partition uses (metadata/table/records.rs:238-330 decodes the same)
@@ -110,6 +111,8 @@ def _ensure_data_props_flag(cfg: WriteConfig) -> None:
     want = {"files"}
     if cfg.emit_column_stats:
         want |= {"column_stats", "partition_stats"}
+    if cfg.emit_bloom_filters:
+        want.add("bloom_filters")
     if cfg.emit_record_index:
         want |= {"record_index"}
         from hudi_rs_spark.write.record_index import SHARDS_PROP
@@ -306,7 +309,8 @@ def apply_commit_to_mdt(cfg: WriteConfig, stats: list[dict]) -> None:
             ),
         )
     )
-    _append_mdt_records(cfg, mdt, records, _stats_partitions(cfg, stats))
+    extra = _stats_partitions(cfg, stats) + _bloom_partition(cfg, stats)
+    _append_mdt_records(cfg, mdt, records, extra)
 
 
 def column_stats_enabled(cfg: WriteConfig) -> bool:
@@ -377,6 +381,39 @@ def _stats_partitions(
         ("partition_stats", PART_STATS_FILE_ID, STATS_RECORD_SCHEMA,
          part_records),
     ]
+
+
+def _bloom_partition(
+    cfg: WriteConfig, stats: list[dict]
+) -> list[tuple[str, str, dict, list]]:
+    """``bloom_filters`` record batch from the commit's per-base-file
+    ``bloomFilter`` blobs (base64 in the write stats, attached by the
+    task writers when bloom emission is on). Empty when disabled or no
+    base files were written (log appends never add NEW keys to a file
+    group, so their blooms stay exact without re-emission)."""
+    import base64
+
+    from hudi_rs_spark.write.mdt_bloom import (
+        BLOOM_RECORD_SCHEMA,
+        encode_bloom_record,
+    )
+
+    records: list[tuple[bytes, bytes]] = []
+    for s in stats:
+        blob64 = s.get("bloomFilter")
+        if not blob64:
+            continue
+        records.append(
+            encode_bloom_record(
+                s.get("partitionPath", "") or "",
+                os.path.basename(s["path"]),
+                cfg.instant,
+                base64.b64decode(blob64),
+            )
+        )
+    if not records:
+        return []
+    return [("bloom_filters", BLOOM_FILE_ID, BLOOM_RECORD_SCHEMA, records)]
 
 
 def apply_deletions_to_mdt(cfg: WriteConfig, deleted: dict[str, list[str]]) -> None:

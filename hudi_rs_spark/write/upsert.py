@@ -124,10 +124,78 @@ def _index_from_record_index(
     return idx.join(F.broadcast(live), TARGET_FILE_COL, "inner")
 
 
-def _location_index(spark, cfg: WriteConfig) -> tuple[DataFrame, dict[str, int]]:
+def _bloom_candidate_files(
+    spark, cfg: WriteConfig, keys_df: DataFrame
+) -> dict | None:
+    """Middle index tier (no record index, bloom_filters MDT partition
+    present): base-file NAMES the incoming keys may live in, so the
+    meta-column index scan below reads O(candidate files), not O(table).
+
+    Executor-side: keys repartition by data partition; each task does an
+    indexed PREFIX read of the bloom partition per data partition it
+    holds (metadata/bloom_filters.py) and probes its keys — bloom blobs
+    never shuffle and never land on the driver; only (partition, file,
+    hit) descriptor rows come back. Files in a touched partition WITHOUT
+    a bloom record stay candidates (missing record = no pruning, never
+    wrong), so bloom-less history/compaction gaps cost speed only.
+    Returns None when the table has no bloom partition."""
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.metadata.bloom_filters import (
+        has_bloom_filters_partition,
+    )
+
+    if not has_bloom_filters_partition(HudiTableConfig.from_base_path(cfg.path)):
+        return None
+    path = cfg.path
+
+    def gen(batches):
+        import pandas as pd
+
+        from hudi_rs_spark.bloomfilter import candidates_for_keys
+        from hudi_rs_spark.metadata.bloom_filters import read_bloom_filters
+
+        cache: dict[str, dict[str, bytes]] = {}
+        for pdf in batches:
+            parts, files, hits = [], [], []
+            for part, grp in pdf.groupby("p"):
+                parts.append(part)
+                files.append("")
+                hits.append(-1)  # touched-partition marker
+                blooms = cache.get(part)
+                if blooms is None:
+                    blooms = read_bloom_filters(path, partition=part)
+                    cache[part] = blooms
+                for fname in blooms:  # files WITH a record (prunable)
+                    parts.append(part)
+                    files.append(fname)
+                    hits.append(0)
+                for fname in candidates_for_keys(blooms, grp["k"]):
+                    parts.append(part)
+                    files.append(fname)
+                    hits.append(1)
+            yield pd.DataFrame({"p": parts, "f": files, "hit": hits})
+
+    rows = (
+        keys_df.repartition("p")
+        .mapInPandas(gen, "p string, f string, hit int")
+        .groupBy("p", "f")
+        .agg(F.max("hit").alias("hit"))
+        .collect()
+    )
+    touched = {r.p for r in rows if r.hit == -1}
+    candidates = {r.f for r in rows if r.hit == 1}
+    pruned = {(r.p, r.f) for r in rows if r.hit == 0}
+    return {"touched": touched, "hits": candidates, "recorded": pruned}
+
+
+def _location_index(
+    spark, cfg: WriteConfig, keys_df: DataFrame | None = None
+) -> tuple[DataFrame, dict[str, int]]:
     """(key, partition) -> (file_id, base_instant) over CURRENT slices,
     plus the next log version per file group (from driver planning —
-    the file-group listing is already in hand)."""
+    the file-group listing is already in hand). Tiers: MDT record index
+    (O(index)), bloom-pruned meta-column scan (O(candidate files), needs
+    ``keys_df``), full meta-column scan (O(live base files))."""
     from hudi_rs_spark.sources.hudi import HudiTable
 
     table = HudiTable(cfg.path, spark, listing="direct")
@@ -153,6 +221,26 @@ def _location_index(spark, cfg: WriteConfig) -> tuple[DataFrame, dict[str, int]]
     via_index = _index_from_record_index(spark, cfg, slices)
     if via_index is not None:
         return via_index, next_version
+    if keys_df is not None:
+        bloom = _bloom_candidate_files(spark, cfg, keys_df)
+        if bloom is not None:
+            keep = []
+            for sl, p in zip(slices, paths):
+                part = sl.partition_path or ""
+                fname = os.path.basename(p)
+                if part not in bloom["touched"]:
+                    continue  # no incoming key targets this partition
+                if (part, fname) in bloom["recorded"] and fname not in bloom["hits"]:
+                    continue  # bloom proves no incoming key lives here
+                keep.append(p)
+            paths = keep
+            if not paths:
+                empty = spark.createDataFrame(
+                    [],
+                    "_hoodie_record_key string, _hoodie_partition_path string, "
+                    f"{TARGET_FILE_COL} string, {TARGET_INSTANT_COL} string",
+                )
+                return empty, next_version
     # meta-columns-only projection: Catalyst prunes to 3 columns at scan
     index = (
         spark.read.parquet(*paths)
@@ -226,7 +314,9 @@ def upsert(df: DataFrame, path: str, **options) -> None:
             .drop("__hoodie_rn")
         )
 
-    index, next_version = _location_index(spark, cfg)
+    index, next_version = _location_index(
+        spark, cfg, df.select(key_expr.alias("k"), part_expr.alias("p"))
+    )
     # per-file-group next log version as a broadcast-joined frame, NOT a
     # create_map literal: a map literal inlines every file group into
     # the plan (10^6 entries at 100 TB = plan bloat + analysis cost),

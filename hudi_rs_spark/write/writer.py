@@ -413,6 +413,14 @@ class _TaskWriter:
             from hudi_rs_spark.write.mdt_stats import compute_column_stats
 
             stat["columnStats"] = compute_column_stats(data)
+        if self.cfg.emit_bloom_filters:
+            import base64
+
+            from hudi_rs_spark.bloomfilter import build_bloom
+
+            stat["bloomFilter"] = base64.b64encode(
+                build_bloom(k.as_py() for k in keys)
+            ).decode("ascii")
         if self.cfg.emit_record_index:
             from hudi_rs_spark.write.record_index import append_record_index_log
 
@@ -654,6 +662,19 @@ def resolve_index_flags(cfg: WriteConfig) -> None:
         if column_stats_enabled(cfg):
             cfg.emit_column_stats = True
     if cfg.emit_column_stats:
+        cfg.emit_metadata = True
+    if not cfg.emit_bloom_filters and have_props:
+        from hudi_rs_spark.metadata.bloom_filters import (
+            has_bloom_filters_partition,
+        )
+
+        # a table that advertises bloom_filters keeps emitting them —
+        # new base files without a bloom record are still CORRECT
+        # (missing record = always-candidate in the tag path), they
+        # just stop the index paying for itself
+        if has_bloom_filters_partition(existing):
+            cfg.emit_bloom_filters = True
+    if cfg.emit_bloom_filters:
         cfg.emit_metadata = True
     if not cfg.emit_record_index:
         from hudi_rs_spark.write.record_index import (
@@ -918,6 +939,22 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
         emit_mdt = mdt_enabled(self.cfg)
         init_table(self.cfg)
         schema_json = data_avro_schema(self.schema, self.cfg.table_name)
+        total_writes = sum(int(s.get("numWrites") or 0) for s in stats)
+        total_deletes = sum(int(s.get("numDeletes") or 0) for s in stats)
+        if total_writes == 0 and total_deletes > 0:
+            # delete-only commit: a tombstone frame usually carries only
+            # key (+ partition + precombine) columns — publishing THAT
+            # as the commit schema would narrow the table's latest
+            # schema and drop every data column from later snapshots.
+            # Deletes never evolve schema; keep the table's current one.
+            from hudi_rs_spark.sources.hudi import HudiTable
+
+            sj = HudiTable(
+                self.cfg.path, spark=None, listing="direct",
+                storage_options=self.cfg.storage_dict(),
+            ).schema_json()
+            if sj is not None:
+                schema_json = sj
         replaced = self._replaced
         if (
             replaced is not None

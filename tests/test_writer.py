@@ -1595,3 +1595,27 @@ class TestV9Writer:
         assert set(read_record_index(tdir)) == {str(i) for i in range(15)}
         got = {r.id for r in HudiTable(tdir, spark).point_lookup(["7"]).collect()}
         assert got == {7}
+
+
+class TestDeleteOnlySchema:
+    def test_keys_only_delete_does_not_narrow_schema(self, spark, tdir):
+        """A delete-only commit's tombstone frame (key + precombine only)
+        must not become the table's latest schema — deletes never evolve
+        schema, and a narrowed latest schema would drop every data
+        column from later snapshots."""
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.upsert import delete
+
+        _register(spark)
+        _write(_people(spark, 20), tdir, **{
+            "recordkey.field": "id", "precombine.field": "ts",
+            "table.type": "MERGE_ON_READ",
+        })
+        delete(
+            spark.createDataFrame([(3, 9)], "id long, ts long"), tdir
+        )
+        t = HudiTable(tdir, spark)
+        df = t.read()
+        assert {"id", "name", "city", "ts"} <= set(df.columns)
+        rows = {r.id: r.name for r in df.collect()}
+        assert 3 not in rows and rows[4] == "n4" and len(rows) == 19
