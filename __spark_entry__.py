@@ -47,6 +47,7 @@ _SURFACE_FIRST = [
     "dedup_fuzzy_levenshtein", "q_price_percentiles",
     # code changed this round: distributed CDC decode + OCC/rollback/
     # clean/archival surround every write-lifecycle row
+    "write_merge_into",  # NEW r10: MERGE INTO via the bloom tag tier
     "write_cdc_feed", "write_cow_roundtrip", "write_upsert_roundtrip",
     "write_v9_lifecycle", "write_lance_roundtrip",
     "write_compacted_snapshot", "write_clustered_snapshot",

@@ -400,6 +400,82 @@ def write_clustered_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MERGE_INTO_SQL = """
+SELECT doc_id, text, lang FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 AND doc_id % 3 <> 0
+              THEN text || '#m' ELSE text END AS text,
+         lang
+  FROM documents
+  WHERE NOT (doc_id % 7 = 0 AND doc_id % 3 = 0)
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text || '#i' AS text, lang
+  FROM documents WHERE doc_id % 97 = 0
+)
+ORDER BY doc_id
+"""
+
+
+def write_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO lifecycle on a fresh scratch table: one source frame
+    carrying updates (%7, not %3), deletes (%7 and %3) and inserts
+    (%97, shifted keys) routes through write/merge_into.py's single
+    join + single upsert. The scratch table enables the bloom_filters
+    MDT partition WITHOUT a record index, so the merge's tag join runs
+    through the bloom candidate tier — pricing both new surfaces in
+    one oracle-checked row."""
+    from hudi_rs_spark.write import merge_into
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_merge_bench_")
+    path = os.path.join(tmp, "t")
+    w = (
+        _docs(spark, sf_dir)
+        .write.format("hudi_py")
+        .option("path", path)
+        .option("recordkey.field", "doc_id")
+        .option("precombine.field", "ts")
+        .option("partitionpath.field", "lang")
+        .option("table.type", "MERGE_ON_READ")
+        .option("table.version", "8")
+        .option("metadata.enable", "true")
+        .option("metadata.bloomfilter.enable", "true")
+        .option("hoodie.table.name", "docs_merge")
+    )
+    w.mode("append").save()
+    docs = _docs(spark, sf_dir)
+    matched = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "op",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("d")).otherwise(F.lit("u")),
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("op") == "u", F.concat(F.col("text"), F.lit("#m"))
+        ).otherwise(F.col("text")),
+    )
+    inserts = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+        .withColumn("text", F.concat(F.col("text"), F.lit("#i")))
+        .withColumn("op", F.lit("i"))
+    )
+    src = matched.unionByName(inserts).withColumn("ts", F.lit(2))
+    merge_into(
+        src, path,
+        when_matched_delete="s.op = 'd'",
+        when_matched_update="all",
+        when_not_matched_insert="all",
+    )
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 for _n, _f, _s, _d in [
     ("write_cow_roundtrip", write_cow_roundtrip, WRITE_COW_SQL,
      "df.write COW round trip: fresh distributed write + read-back aggregate"),
@@ -419,5 +495,7 @@ for _n, _f, _s, _d in [
      "fresh v9 write with Lance base files, connector read-back"),
     ("write_cdc_feed", write_cdc_feed, WRITE_CDC_SQL,
      "writer-emitted CDC blocks -> typed change feed (i/u/d)"),
+    ("write_merge_into", write_merge_into, MERGE_INTO_SQL,
+     "MERGE INTO (update/delete/insert clauses) via bloom-tier tagging"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("write", "hudi"), doc=_d))

@@ -163,6 +163,9 @@ def main() -> None:
         # DISTRIBUTED block decode (mapInPandas over sidecar files)
         "write_lance_roundtrip",
         "write_cdc_feed",
+        # r10: MERGE INTO through the bloom tag tier — fresh table +
+        # join + upsert per run, the newest write surface
+        "write_merge_into",
     ]
 
     def semdedup_at(k: int):
