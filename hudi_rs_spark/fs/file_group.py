@@ -132,6 +132,11 @@ class FileGroup:
     partition_path: str
     # commit_ts -> FileSlice, kept sorted on access (BTreeMap analog)
     slices: dict[str, FileSlice] = field(default_factory=dict)
+    # instants of SCHEDULED (pending) compactions: a log whose embedded
+    # ts is one of these anchors the slice AT that instant — it was
+    # written against the compaction's future base, and must not attach
+    # to the earlier slice the compaction supersedes
+    compaction_anchors: frozenset = frozenset()
 
     def add_base_file(self, bf: BaseFile) -> None:
         # newer write_token for same commit wins (retried writes); a base
@@ -154,6 +159,20 @@ class FileGroup:
         callers must feed logs in ascending anchor order so later logs of
         the same pre-compaction window attach to it instead of each
         spawning their own slice (fs_view.build_file_groups sorts)."""
+        if lf.timestamp in self.compaction_anchors:
+            # written against a scheduled compaction's future base:
+            # start/join the slice keyed at EXACTLY that instant (when
+            # the compaction commits, add_base_file upgrades it in place
+            # keeping these logs)
+            sl = self.slices.get(lf.timestamp)
+            if sl is None:
+                self.slices[lf.timestamp] = FileSlice(
+                    None, self.partition_path, [lf],
+                    log_anchor_timestamp=lf.timestamp,
+                )
+            else:
+                sl.log_files.append(lf)
+            return
         anchor = lf.completion_timestamp or lf.timestamp
         candidates = [ts for ts in self.slices if ts <= anchor]
         if not candidates:

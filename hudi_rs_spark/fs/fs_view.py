@@ -35,6 +35,7 @@ def build_file_groups(
     completion_times: dict[str, str] | None = None,
     partition_filter: Callable[[str], bool] | None = None,
     entries=None,
+    compaction_anchors: set[str] | None = None,
 ) -> dict[tuple[str, str], FileGroup]:
     """Group listed files into FileGroups keyed by (partition, file_id).
 
@@ -44,7 +45,14 @@ def build_file_groups(
     ``entries`` overrides the storage walk with an explicit
     (partition, file_name, size) iterable — the metadata-table listing
     fast path feeds file lists from the MDT instead of O(files) listing.
+    ``compaction_anchors``: scheduled-compaction instants — logs whose
+    embedded ts is one of these were written by COMMITTED deltacommits
+    against the compaction's future base, so they bypass the
+    pending-deltacommit invisibility gate (block-level validation still
+    drops any uncommitted writer's blocks inside them) and anchor at
+    exactly that instant.
     """
+    anchors = frozenset(compaction_anchors or ())
     groups: dict[tuple[str, str], FileGroup] = {}
     logs: list[tuple[str, LogFile]] = []
     if entries is None:
@@ -59,7 +67,7 @@ def build_file_groups(
                 lf = LogFile.parse(name, size)
             except ValueError:
                 continue
-            if completion_times is not None:
+            if completion_times is not None and lf.timestamp not in anchors:
                 ct = completion_times.get(lf.timestamp)
                 if ct is None:
                     continue  # pending deltacommit -> its logs are invisible
@@ -78,7 +86,8 @@ def build_file_groups(
             continue
         key = (partition, bf.file_id)
         if key not in groups:
-            groups[key] = FileGroup(bf.file_id, partition)
+            groups[key] = FileGroup(bf.file_id, partition,
+                                    compaction_anchors=anchors)
         groups[key].add_base_file(bf)
 
     # ascending anchor order: the earliest log of a log-only (baseless)
@@ -91,7 +100,8 @@ def build_file_groups(
         if group is None:
             # no base file anywhere in the group: log-only file group
             # (the reference rejects these; we merge against empty base)
-            group = groups[key] = FileGroup(lf.file_id, partition)
+            group = groups[key] = FileGroup(lf.file_id, partition,
+                                            compaction_anchors=anchors)
         group.add_log_file(lf)
     return groups
 
@@ -105,6 +115,7 @@ def get_file_slices(
     pending_timestamps: set[str] | None = None,
     archived_timestamps: set[str] | None = None,
     archived_load_complete: bool = False,
+    compaction_anchors: set[str] | None = None,
 ) -> list[FileSlice]:
     """As-of slice per group, minus replaced groups
     (table/fs_view.rs:236-254). ``valid_commit_timestamps`` drops base
@@ -151,13 +162,53 @@ def get_file_slices(
         if sl is None:
             continue
         if not _committed(sl.commit_timestamp):
+            # logs anchored at a SCHEDULED (pending) compaction instant:
+            # committed deltacommit data written against the future base
+            # — until the compaction lands, merge them onto the previous
+            # committed slice (ordering is right: the anchor sorts after
+            # every earlier log). Gathered across ALL the group's
+            # pending slices so a crashed base landing later cannot hide
+            # them behind the fallback.
+            pend_logs: list[LogFile] = []
+            if compaction_anchors:
+                for ts in sorted(group.slices):
+                    if as_of_timestamp is not None and ts > as_of_timestamp:
+                        continue
+                    cand = group.slices[ts]
+                    if (
+                        cand.base_file is None
+                        and cand.log_anchor_timestamp in compaction_anchors
+                        and not _committed(ts)
+                    ):
+                        pend_logs.extend(cand.log_files)
             # base written by a non-completed commit: fall back to the
             # newest older slice that IS committed
             keys = sorted(k for k in group.slices if _committed(k))
             if as_of_timestamp is not None:
                 keys = [k for k in keys if k <= as_of_timestamp]
             if not keys:
+                if pend_logs:
+                    # scheduled compaction on a group with no committed
+                    # earlier slice (log-only history): serve the
+                    # pending-anchored logs as a log-only slice
+                    out.append(
+                        FileSlice(
+                            None, partition, list(pend_logs),
+                            log_anchor_timestamp=(
+                                pend_logs[0].completion_timestamp
+                                or pend_logs[0].timestamp
+                            ),
+                        )
+                    )
                 continue
-            sl = group.slices[keys[-1]]
+            prev = group.slices[keys[-1]]
+            if pend_logs:
+                sl = FileSlice(
+                    prev.base_file, prev.partition_path,
+                    prev.log_files + pend_logs,
+                    log_anchor_timestamp=prev.log_anchor_timestamp,
+                )
+            else:
+                sl = prev
         out.append(sl)
     return out

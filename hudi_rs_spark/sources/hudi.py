@@ -331,11 +331,16 @@ class HudiTable:
         else:
             part_filter = None if pruner.is_empty else pruner.should_include
         part_filter = self._with_partition_stats_filter(part_filter, filters)
+        # scheduled (pending) compaction instants: logs anchored at one
+        # merge onto the previous committed slice until the compaction
+        # lands (write/async_compact.py non-blocking protocol)
+        anchors = set(self.timeline.pending_compaction_plans())
         groups = build_file_groups(
             self.base_path,
             self._completion_times(),
             part_filter,
             entries=self._mdt_entries(part_filter),
+            compaction_anchors=anchors,
         )
         instants = self.timeline.instants_as_of(as_of_timestamp)
         valid_commits = {i.timestamp for i in instants}
@@ -349,6 +354,7 @@ class HudiTable:
             pending_timestamps=self.timeline.pending_timestamps,
             archived_timestamps=self.timeline.archived_completed_timestamps(),
             archived_load_complete=self.timeline.archived_load_complete(),
+            compaction_anchors=anchors,
         )
 
     def _with_partition_stats_filter(self, part_filter, filters):

@@ -86,6 +86,15 @@ def _validate(ts: str) -> None:
 
 def _parse_action_and_state(suffix: str) -> tuple[Action, State]:
     action_str, _, state_str = suffix.partition(".")
+    if action_str == "compaction":
+        # Hudi names a SCHEDULED compaction {ts}.compaction.requested /
+        # .inflight; on completion it publishes as {ts}.commit. The
+        # reference's Action enum has no compaction variant
+        # (instant.rs:30-34 — its loader skips these files), but parsing
+        # the pending states as pending COMMITs is load-bearing here:
+        # the marker is what keeps the scheduled instant pending (logs
+        # anchored at it stay associated, archival stays pinned).
+        return Action.COMMIT, _state_from(state_str)
     if state_str:
         return Action(action_str), _state_from(state_str)
     if suffix == "inflight":  # commit inflight has no action part

@@ -40,6 +40,8 @@ class Timeline:
     # A partial load must NOT be treated as authoritative history — absence
     # from it cannot prove an old commit never completed.
     _archived_skipped: bool = False
+    # memoized pending_compaction_plans (one timeline-dir list per view)
+    _pending_compactions: dict | None = None
 
     @classmethod
     def load(cls, base_path: str, config: HudiTableConfig) -> "Timeline":
@@ -74,6 +76,37 @@ class Timeline:
     # -- archived timeline (timeline/mod.rs:98-135 double gate) -----------
     def earliest_active_timestamp(self) -> str | None:
         return self.instants[0].timestamp if self.instants else None
+
+    def pending_compaction_plans(self) -> dict[str, dict]:
+        """{instant: plan} for scheduled-but-not-completed compactions —
+        ``{ts}.compaction.requested`` marker files carrying a JSON plan
+        (write/async_compact.py). The instant set is what the file-slice
+        view needs (logs anchored at a scheduled instant merge onto the
+        previous committed slice until the compaction lands); the plan
+        bodies drive run_scheduled_compaction."""
+        if self._pending_compactions is not None:
+            return self._pending_compactions
+        import json as _json
+
+        from hudi_rs_spark.fs.storage import storage_for
+
+        completed = {i.timestamp for i in self.instants}
+        out: dict[str, dict] = {}
+        st = storage_for(self.base_path)
+        for entry in st.list_dir(self.timeline_dir):
+            name = entry.name
+            if entry.is_dir or not name.endswith(".compaction.requested"):
+                continue
+            ts = name.split(".", 1)[0]
+            if not ts or ts in completed:
+                continue
+            try:
+                payload = st.read_bytes(f"{self.timeline_dir}/{name}")
+                out[ts] = _json.loads(payload) if payload else {}
+            except (OSError, ValueError):
+                out[ts] = {}
+        object.__setattr__(self, "_pending_compactions", out)
+        return out
 
     def _archived_enabled(self) -> bool:
         return self.config is not None and self.config.archived_read_enabled

@@ -85,6 +85,10 @@ from hudi_rs_spark.write.concurrency import (  # noqa: F401
     check_commit_conflicts,
     completed_instant_set,
 )
+from hudi_rs_spark.write.async_compact import (  # noqa: F401
+    run_scheduled_compaction,
+    schedule_compaction,
+)
 from hudi_rs_spark.write.clean import clean  # noqa: F401
 from hudi_rs_spark.write.cluster import cluster  # noqa: F401
 from hudi_rs_spark.write.compact import compact  # noqa: F401

@@ -104,6 +104,7 @@ def check_commit_conflicts(
     read_point: frozenset[str],
     touched: set[tuple[str, str]],
     strict: bool = False,
+    ignore_log_anchor: str | None = None,
 ) -> None:
     """Hudi-style optimistic concurrency control, run at COMMIT time
     (after this writer's tasks finished, before its instant publishes):
@@ -154,6 +155,17 @@ def check_commit_conflicts(
             continue  # unparseable metadata: fail open (non-data action)
         theirs: set[tuple[str, str]] = set()
         for ws in meta.write_stats:
+            if ignore_log_anchor is not None:
+                # async compaction (write/async_compact.py): a concurrent
+                # writer that appended its logs/sidecars ANCHORED AT the
+                # scheduled instant wrote against the compaction's future
+                # base — that is the protocol working, not a conflict
+                name = (ws.path or "").rsplit("/", 1)[-1]
+                if name.startswith(".") and (
+                    f"_{ignore_log_anchor}.log." in name
+                    or f"_{ignore_log_anchor}.cdc." in name
+                ):
+                    continue
             theirs.add((ws.partition_path or "", ws.file_id))
         # replaced file groups count as touched too: appending a log
         # block to a group a concurrent clustering just replaced would

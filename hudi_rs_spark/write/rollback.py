@@ -178,13 +178,26 @@ def rollback_failed_writes(path: str, instant: str | None = None) -> list[str]:
             except OSError:
                 pass
         elif name.endswith(".requested"):
+            ts = name.split(".", 1)[0].split("_", 1)[0]
+            if name.endswith(".compaction.requested"):
+                # a SCHEDULED compaction plan (write/async_compact.py) is
+                # a durable intent, not a crashed claim: log files from
+                # committed writes anchor at its instant, and deleting
+                # the marker would orphan them (invisible data). Only a
+                # RESOLVED plan's residue (instant already completed)
+                # is reclaimed here.
+                if ts and ts in completed_now:
+                    try:
+                        st.remove(f"{tdir_probe}/{name}")
+                    except OSError:
+                        pass
+                continue
             # a crashed writer's instant claim (write/concurrency.py)
             # keeps its instant PENDING — correct while the write might
             # still complete, but rollback IS the operator's declaration
             # that no writer is live, so stale claims for instants that
             # never completed are released here (otherwise they pin the
             # archival floor forever)
-            ts = name.split(".", 1)[0].split("_", 1)[0]
             if ts and ts not in completed_now:
                 try:
                     st.remove(f"{tdir_probe}/{name}")

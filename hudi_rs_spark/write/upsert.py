@@ -344,6 +344,35 @@ def upsert(df: DataFrame, path: str, **options) -> None:
         .drop("__hoodie_key_x", "__hoodie_part_x")
     )
 
+    # non-blocking async compaction (write/async_compact.py): updates
+    # routed to a file group with a SCHEDULED compaction anchor their
+    # log files at the plan instant — written against the future base,
+    # visible throughout via the readers' pending-anchor merge, and
+    # exempt from the compactor's conflict check
+    from hudi_rs_spark.sources.hudi import HudiTable as _HT
+
+    plan_anchor: dict[str, str] = {}
+    for pi, plan in (
+        _HT(path, spark=None, listing="direct")
+        .timeline.pending_compaction_plans()
+        .items()
+    ):
+        for g in plan.get("groups", ()):
+            plan_anchor[g["fileId"]] = pi
+    if plan_anchor:
+        anchors_df = spark.createDataFrame(
+            sorted(plan_anchor.items()),
+            f"{TARGET_FILE_COL} string, __hoodie_plan_anchor string",
+        )
+        tagged = (
+            tagged.join(F.broadcast(anchors_df), TARGET_FILE_COL, "left")
+            .withColumn(
+                TARGET_INSTANT_COL,
+                F.coalesce("__hoodie_plan_anchor", TARGET_INSTANT_COL),
+            )
+            .drop("__hoodie_plan_anchor")
+        )
+
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     updates = tagged.filter(F.col(TARGET_FILE_COL).isNotNull()).repartition(
         min(shuffle_n, max(1, len(next_version) or 1)), TARGET_FILE_COL

@@ -1,0 +1,255 @@
+"""Async (scheduled) compaction protocol (write/async_compact.py):
+plan markers, log anchoring at the plan instant, the readers'
+pending-anchor merge, non-blocking execution under concurrent writers,
+crash/retry behavior, and rollback/marker lifecycle.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+    spark.dataSource.register(HudiPyDataSource)
+
+
+def _write(df, path, mode="append", **options):
+    w = df.write.format("hudi_py").option("path", path)
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.mode(mode).save()
+
+
+def _people(spark, n=20, start=0, ts=1, name="n"):
+    return spark.createDataFrame(
+        [(start + i, f"{name}{start + i}", ts) for i in range(n)],
+        "id long, name string, ts long",
+    )
+
+
+OPTS = {
+    "recordkey.field": "id", "precombine.field": "ts",
+    "table.type": "MERGE_ON_READ", "table.version": "8",
+}
+
+
+def _seed_with_log(spark, tmp_path, name="t"):
+    """Table with one dirty file group (id=1 carries a log)."""
+    from hudi_rs_spark.write.upsert import upsert
+
+    t = str(tmp_path / name)
+    _write(_people(spark), t, **OPTS)
+    upsert(
+        spark.createDataFrame([(1, "pre", 5)], "id long, name string, ts long"),
+        t,
+    )
+    return t
+
+
+def _snap(spark, t):
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    return {r.id: r.name for r in HudiTable(t, spark).read().collect()}
+
+
+class TestScheduling:
+    def test_clean_table_schedules_nothing(self, spark, tmp_path):
+        from hudi_rs_spark.write.async_compact import schedule_compaction
+
+        t = str(tmp_path / "t")
+        _write(_people(spark), t, **OPTS)
+        assert schedule_compaction(t) is None
+
+    def test_plan_marker_and_contents(self, spark, tmp_path):
+        import json
+
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.async_compact import schedule_compaction
+
+        t = _seed_with_log(spark, tmp_path)
+        inst = schedule_compaction(t)
+        assert inst is not None
+        markers = glob.glob(f"{t}/.hoodie/timeline/*.compaction.requested")
+        assert len(markers) == 1 and inst in markers[0]
+        plan = json.loads(open(markers[0]).read())
+        assert plan["instant"] == inst and len(plan["groups"]) == 1
+        # pending plan is visible through the timeline API
+        tl = HudiTable(t, spark=None, listing="direct").timeline
+        assert set(tl.pending_compaction_plans()) == {inst}
+        # rescheduling plans nothing new (group already covered)
+        assert schedule_compaction(t) is None
+
+    def test_v6_rejected(self, spark, tmp_path):
+        from hudi_rs_spark.write.async_compact import schedule_compaction
+
+        t = str(tmp_path / "t")
+        _write(_people(spark), t, **{**OPTS, "table.version": "6"})
+        with pytest.raises(ValueError, match="v8"):
+            schedule_compaction(t)
+
+
+class TestProtocol:
+    def test_nonblocking_lifecycle(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.async_compact import (
+            run_scheduled_compaction,
+            schedule_compaction,
+        )
+        from hudi_rs_spark.write.upsert import upsert
+
+        t = _seed_with_log(spark, tmp_path)
+        inst = schedule_compaction(t)
+        # a post-schedule upsert to the planned group anchors at the
+        # plan instant and stays visible BEFORE the compaction runs
+        upsert(
+            spark.createDataFrame(
+                [(1, "post", 6)], "id long, name string, ts long"
+            ),
+            t,
+        )
+        anchored = [
+            os.path.basename(p)
+            for p in glob.glob(f"{t}/.*.log.*")
+            if f"_{inst}.log." in os.path.basename(p)
+        ]
+        assert anchored, "post-schedule log must anchor at the plan instant"
+        before = _snap(spark, t)
+        assert before[1] == "post" and len(before) == 20
+        assert run_scheduled_compaction(spark, t) == 1
+        after = _snap(spark, t)
+        assert after == before
+        assert not glob.glob(f"{t}/.hoodie/timeline/*.compaction.requested")
+        # the upgraded slice keeps the anchored log ON TOP of the new base
+        for sl in HudiTable(t, spark=None, listing="direct").get_file_slices():
+            if sl.log_files:
+                assert sl.base_file.commit_timestamp == inst
+        # table remains fully writable
+        upsert(
+            spark.createDataFrame(
+                [(2, "later", 7)], "id long, name string, ts long"
+            ),
+            t,
+        )
+        final = _snap(spark, t)
+        assert final[1] == "post" and final[2] == "later"
+
+    def test_concurrent_anchored_write_does_not_conflict(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import hudi_rs_spark.write.worklist as worklist_mod
+        from hudi_rs_spark.write.async_compact import (
+            run_scheduled_compaction,
+            schedule_compaction,
+        )
+        from hudi_rs_spark.write.upsert import upsert
+
+        t = _seed_with_log(spark, tmp_path)
+        schedule_compaction(t)
+        real = worklist_mod.run_slice_tasks
+
+        def racing(spark_, descriptors, shared, fn):
+            # an ingestion upsert lands on the planned group WHILE the
+            # compactor rewrites it — anchored at the plan instant, it
+            # must NOT conflict the compactor (the non-blocking point)
+            upsert(
+                spark.createDataFrame(
+                    [(1, "racing", 9)], "id long, name string, ts long"
+                ),
+                t,
+            )
+            return real(spark_, descriptors, shared, fn)
+
+        monkeypatch.setattr(worklist_mod, "run_slice_tasks", racing)
+        import hudi_rs_spark.write.async_compact as ac
+
+        monkeypatch.setattr(ac, "run_slice_tasks", racing, raising=False)
+        assert run_scheduled_compaction(spark, t) == 1
+        monkeypatch.undo()
+        snap = _snap(spark, t)
+        assert snap[1] == "racing" and len(snap) == 20
+
+    def test_time_travel_before_schedule_excludes_anchored_logs(
+        self, spark, tmp_path
+    ):
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.async_compact import schedule_compaction
+        from hudi_rs_spark.write.upsert import upsert
+
+        t = _seed_with_log(spark, tmp_path)
+        pin = HudiTable(t, spark).timeline.latest_commit_timestamp()
+        schedule_compaction(t)
+        upsert(
+            spark.createDataFrame(
+                [(1, "post", 6)], "id long, name string, ts long"
+            ),
+            t,
+        )
+        old = {
+            r.id: r.name
+            for r in HudiTable(t, spark)
+            .read(HudiReadOptions(as_of_timestamp=pin))
+            .collect()
+        }
+        assert old[1] == "pre"  # the anchored log's data is invisible
+
+
+class TestCrashAndRollback:
+    def test_rollback_preserves_pending_plan(self, spark, tmp_path):
+        from hudi_rs_spark.write.async_compact import (
+            run_scheduled_compaction,
+            schedule_compaction,
+        )
+        from hudi_rs_spark.write.rollback import rollback_failed_writes
+        from hudi_rs_spark.write.upsert import upsert
+
+        t = _seed_with_log(spark, tmp_path)
+        inst = schedule_compaction(t)
+        upsert(
+            spark.createDataFrame(
+                [(1, "post", 6)], "id long, name string, ts long"
+            ),
+            t,
+        )
+        rollback_failed_writes(t)
+        # the plan marker survives rollback (it is a durable intent, and
+        # committed logs anchor at its instant)...
+        assert glob.glob(f"{t}/.hoodie/timeline/*.compaction.requested")
+        assert _snap(spark, t)[1] == "post"
+        # ...and execution + a second rollback reclaim it
+        assert run_scheduled_compaction(spark, t) == 1
+        rollback_failed_writes(t)
+        assert not glob.glob(f"{t}/.hoodie/timeline/*.compaction.requested")
+        assert _snap(spark, t)[1] == "post"
+
+    def test_crashed_attempt_bases_reclaimed_on_rerun(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.async_compact import (
+            run_scheduled_compaction,
+            schedule_compaction,
+        )
+
+        t = _seed_with_log(spark, tmp_path)
+        inst = schedule_compaction(t)
+        # fake a crashed earlier attempt: an uncommitted base at the plan
+        # instant with a HIGH write token (would win name-ordering)
+        sl = next(
+            s
+            for s in HudiTable(t, spark=None, listing="direct").get_file_slices()
+            if s.log_files
+        )
+        bogus = f"{t}/{sl.file_id}_9-999-9_{inst}.parquet"
+        pq.write_table(pa.table({"junk": [1]}), bogus)
+        assert run_scheduled_compaction(spark, t) == 1
+        assert not os.path.exists(bogus)
+        snap = _snap(spark, t)
+        assert snap[1] == "pre" and len(snap) == 20
