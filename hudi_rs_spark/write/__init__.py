@@ -96,5 +96,7 @@ from hudi_rs_spark.write.mdt_compact import clean_mdt, compact_mdt  # noqa: F401
 from hudi_rs_spark.write.rollback import rollback_failed_writes  # noqa: F401
 from hudi_rs_spark.write.savepoint import restore, savepoint  # noqa: F401
 from hudi_rs_spark.write.table import META_COLS, HudiTableWriter  # noqa: F401
+from hudi_rs_spark.write.dml import delete_where, update_where  # noqa: F401
 from hudi_rs_spark.write.merge_into import merge_into  # noqa: F401
+from hudi_rs_spark.write.mdt_bloom import backfill_bloom_filters  # noqa: F401
 from hudi_rs_spark.write.upsert import delete, upsert  # noqa: F401
