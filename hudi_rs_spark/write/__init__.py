@@ -36,6 +36,21 @@ Surfaces:
   after every commit when ``hoodie.keep.max/min.commits`` /
   ``hoodie.metadata.compact.max.delta.commits`` thresholds are crossed
   (Hudi's own defaults: growth management without operator action);
+- ``merge_into.merge_into`` — Spark SQL MERGE semantics (matched
+  delete/update with conditions, not-matched insert) as one snapshot
+  join plus one upsert;
+- ``dml.update_where`` / ``dml.delete_where`` — SQL UPDATE/DELETE
+  twins over the pruned snapshot scan;
+- ``async_compact.schedule_compaction`` /
+  ``run_scheduled_compaction`` — non-blocking compaction: a
+  ``{I}.compaction.requested`` plan marker; writers anchor new logs at
+  the plan instant, readers merge them onto the committed slice, and
+  execution upgrades the slice in place (ingestion never blocks or
+  aborts on a scheduled compaction);
+- ``mdt_bloom.backfill_bloom_filters`` — bloom_filters MDT partition
+  for existing tables (the writer emits blooms inline when
+  ``metadata.bloomfilter.enable`` is set; upsert tagging then prunes
+  its index scan to bloom-candidate files);
 - ``table.HudiTableWriter`` — low-level file-by-file fixture writer
   (v6 layout-1, v8 layout-2) the services grew out of.
 
