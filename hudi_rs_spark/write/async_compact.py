@@ -82,14 +82,24 @@ def schedule_compaction(path: str, instant: str | None = None) -> str | None:
         )
     if not groups:
         return None
+    from hudi_rs_spark.write.concurrency import claim_unique_timestamp
+
+    pinned = instant is not None
     instant = instant or new_instant()
     cfg = _service_cfg(tc, path, instant)
     tdir = timeline_dir(cfg)
-    payload = json.dumps({"instant": instant, "groups": groups}).encode()
-    if not _fs(tdir).create_new(_plan_marker(tdir, instant), payload):
-        raise ConcurrentWriteError(
-            f"compaction instant {instant} already claimed on {path}"
-        )
+    _, instant = claim_unique_timestamp(
+        _fs(tdir),
+        tdir,
+        instant,
+        lambda inst: (
+            _plan_marker(tdir, inst),
+            json.dumps({"instant": inst, "groups": groups}).encode(),
+        ),
+        pinned=pinned,
+        path=path,
+        what="compaction",
+    )
     return instant
 
 

@@ -142,6 +142,7 @@ def clean(path: str, retain_commits: int = 10, instant: str | None = None) -> in
     from hudi_rs_spark.write.concurrency import claim_instant, release_instant
 
     claim_instant(cfg)
+    instant = cfg.instant  # claim may regenerate on a timestamp collision
     tdir = timeline_dir(cfg)
     if cfg.table_version >= 8:
         name = f"{instant}_{max(new_instant(), instant)}.clean"

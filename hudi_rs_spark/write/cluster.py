@@ -233,6 +233,7 @@ def cluster(
     from hudi_rs_spark.write.concurrency import claim_instant, release_instant
 
     claim_instant(cfg, "replacecommit")
+    instant = cfg.instant  # claim may regenerate on a timestamp collision
     from hudi_rs_spark.write.worklist import run_slice_tasks, shared_scan_context
 
     any_slice = by_partition[next(iter(by_partition))][0]

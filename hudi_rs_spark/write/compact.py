@@ -159,6 +159,7 @@ def compact(spark, path: str, instant: str | None = None) -> int:
     from hudi_rs_spark.write.concurrency import claim_instant, release_instant
 
     claim_instant(cfg, "commit")
+    instant = cfg.instant  # claim may regenerate on a timestamp collision
     from hudi_rs_spark.write.worklist import (
         run_slice_tasks,
         shared_scan_context,

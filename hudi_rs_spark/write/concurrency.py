@@ -48,25 +48,95 @@ def _marker_path(tdir: str, instant: str, action: str) -> str:
     return f"{tdir}/{instant}.{action}.requested"
 
 
-def claim_instant(cfg, action: str | None = None) -> str:
+def claim_instant(cfg, action: str | None = None, max_retries: int = 5) -> str:
     """Atomically claim ``cfg.instant`` on the table's timeline; returns
     the marker path. Raises ConcurrentWriteError when another writer
     already claimed it. Call BEFORE any task writes data. ``action``
     must be the action the instant will PUBLISH as (defaults to
     ``cfg.action``) so the marker parses as that instant's pending
-    state for readers/archival."""
+    state for readers/archival.
+
+    Timestamp uniqueness across ACTIONS: marker names embed the action,
+    so ``create_new`` alone only serializes same-action writers — a
+    deltacommit and a replacecommit landing in the same millisecond
+    would otherwise both claim timestamp T, publish two instants that
+    share it, and slip past the OCC check (which identifies "self" by
+    timestamp). After creating its marker, the claimer lists the
+    timeline dir for any OTHER file using the timestamp; on a hit it
+    releases the marker and retries on a fresh (strictly later)
+    instant. The later creator of a colliding pair always sees the
+    earlier one's marker (its list follows its own create), so at most
+    one writer keeps a contested timestamp."""
     from hudi_rs_spark.write.writer import _fs, timeline_dir
 
     action = action or cfg.action
     tdir = timeline_dir(cfg)
-    marker = _marker_path(tdir, cfg.instant, action)
-    if not _fs(tdir, cfg.storage_dict()).create_new(marker, b""):
-        raise ConcurrentWriteError(
-            f"instant {cfg.instant} ({action}) is already claimed by "
-            f"another writer on {cfg.path} — concurrent writes to one "
-            "table require distinct instants; retry to obtain a new one"
-        )
+    fs = _fs(tdir, cfg.storage_dict())
+    marker, cfg.instant = claim_unique_timestamp(
+        fs,
+        tdir,
+        cfg.instant,
+        lambda inst: (_marker_path(tdir, inst, action), b""),
+        pinned=cfg.instant_pinned,
+        path=cfg.path,
+        what=action,
+        max_retries=max_retries,
+    )
     return marker
+
+
+def claim_unique_timestamp(
+    fs,
+    tdir: str,
+    instant: str,
+    make_marker,
+    pinned: bool,
+    path: str,
+    what: str,
+    max_retries: int = 5,
+) -> tuple[str, str]:
+    """Create the ``make_marker(instant) -> (path, payload)`` claim file
+    atomically AND verify no other timeline file (marker of another
+    action, published instant) uses the same timestamp; on a collision
+    regenerate a strictly-later instant and retry (unless ``pinned``).
+    Returns (marker_path, final_instant)."""
+    from hudi_rs_spark.write.config import new_instant
+
+    for attempt in range(max_retries + 1):
+        marker, payload = make_marker(instant)
+        if not fs.create_new(marker, payload):
+            raise ConcurrentWriteError(
+                f"instant {instant} ({what}) is already claimed by "
+                f"another writer on {path} — concurrent writes to one "
+                "table require distinct instants; retry to obtain a new one"
+            )
+        own = marker.rsplit("/", 1)[-1]
+        taken = [
+            e.name
+            for e in fs.list_dir(tdir)
+            if not e.is_dir
+            and e.name != own
+            and (
+                e.name.startswith(instant + ".")
+                or e.name.startswith(instant + "_")
+            )
+        ]
+        if not taken:
+            return marker, instant
+        fs.remove(marker)
+        if pinned or attempt == max_retries:
+            raise ConcurrentWriteError(
+                f"instant timestamp {instant} is already in use on "
+                f"{path} ({sorted(taken)[:3]}) — same-millisecond "
+                "collision with a concurrent writer; retry to obtain a "
+                "new instant"
+            )
+        nxt = new_instant()
+        while nxt <= instant:
+            time.sleep(0.001)
+            nxt = new_instant()
+        instant = nxt
+    raise AssertionError("unreachable")
 
 
 def release_instant(cfg, action: str | None = None) -> None:
@@ -133,10 +203,17 @@ def check_commit_conflicts(
         base, spark=None, listing="direct", storage_options=cfg.storage_dict()
     )
     timeline = t.timeline
+    # "self" is identified by (timestamp, action), not bare timestamp:
+    # claim_unique_timestamp makes cross-action timestamp collisions
+    # near-impossible, but if one ever slipped through (e.g. a marker
+    # removed by hand), a foreign instant sharing our timestamp must
+    # still be treated as concurrent, not silently skipped
+    own_action = str(cfg.action)
     concurrent = [
         i
         for i in timeline.instants
-        if i.timestamp not in read_point and i.timestamp != cfg.instant
+        if i.timestamp not in read_point
+        and not (i.timestamp == cfg.instant and i.action.value == own_action)
     ]
     if not concurrent:
         return

@@ -71,6 +71,10 @@ class WriteConfig:
     table_version: int = 6
     operation: str = OP_INSERT
     instant: str = field(default_factory=new_instant)
+    # True when the caller pinned the instant explicitly (tests, retry
+    # harnesses): claim_instant then refuses to auto-regenerate it on a
+    # same-millisecond timestamp collision and fails loudly instead
+    instant_pinned: bool = False
     max_rows_per_file: int = 1 << 22  # ~4M rows: ~128MB at ~32B/row
     # task-memory bound: a partition's buffered Arrow bytes roll into a
     # base file at this threshold even below max_rows_per_file, and the
@@ -262,6 +266,7 @@ class WriteConfig:
             ),
             operation=operation,
             instant=str(_opt(options, "instant", default="") or new_instant()),
+            instant_pinned=bool(_opt(options, "instant", default="")),
             max_rows_per_file=int(
                 _opt(options, "max.rows.per.file", default=str(1 << 22))
             ),

@@ -169,6 +169,7 @@ def compact_mdt(
         instant=instant, operation="compact", table_type="MERGE_ON_READ",
     )
     claim_instant(mdt_cfg, "commit")
+    instant = mdt_cfg.instant  # claim may regenerate on a collision
 
     work: list[dict] = []
     for part in st.list_dir(mdt):

@@ -95,9 +95,32 @@ def batch_instant(table_path: str, batch_id: int, qkey: str = "legacy") -> str:
     stem = str(int(batch_id)) if qkey == "legacy" else f"{qkey}-{int(batch_id)}"
     p = f"{base}/.hoodie/.stream_instants/{stem}"
     # atomic create-if-absent: the first process to need batch N's
-    # instant claims it; everyone else reads the winner's complete value
-    st.create_new(p, new_instant().encode())
+    # instant claims it; everyone else reads the winner's complete value.
+    # The candidate must not collide with a timestamp already on the
+    # timeline (a batch writer's commit in the same millisecond):
+    # publishing the same (instant, action) file twice would overwrite
+    # the earlier commit instead of adding one.
+    st.create_new(p, _fresh_stream_instant(base, st).encode())
     return st.read_text(p).strip()
+
+
+def _fresh_stream_instant(base: str, st) -> str:
+    import time as _time
+
+    tdir = f"{base}/.hoodie/timeline"
+    if not st.isdir(tdir):
+        tdir = f"{base}/.hoodie"
+    for _ in range(100):
+        inst = new_instant()
+        if st.isdir(tdir) and any(
+            not e.is_dir
+            and (e.name.startswith(inst + ".") or e.name.startswith(inst + "_"))
+            for e in st.list_dir(tdir)
+        ):
+            _time.sleep(0.001)
+            continue
+        return inst
+    return inst  # clock pathologically stuck: keep the last candidate
 
 
 def committed_batch_ids(cfg: WriteConfig, qkey: str = "legacy") -> set[int]:
