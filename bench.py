@@ -102,6 +102,9 @@ HEADLINE = [
     "write_v9_lifecycle",
     "write_lance_roundtrip",
     "write_cdc_feed",
+    "write_merge_into",
+    "write_async_compacted",
+    "write_dml_predicates",
     # sample_split_leakfree stays registry/oracle-only: its plan is the
     # dedup_cluster_canonical LSH+CC (already benched twice via
     # pipeline_curate) plus a map-side coin flip.

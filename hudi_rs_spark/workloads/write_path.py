@@ -476,6 +476,102 @@ def write_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+ASYNC_COMPACT_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN text || '#p'
+            WHEN doc_id % 9 = 0 THEN text || '#u'
+            ELSE text END AS text,
+       lang
+FROM documents
+WHERE doc_id % 11 <> 0
+ORDER BY doc_id
+"""
+
+
+def write_async_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-blocking compaction lifecycle on a fresh scratch table with
+    the full index family + CDC: seed, upsert/delete round, SCHEDULE a
+    compaction plan, then land a second upsert round (%7, excluding the
+    tombstoned %11) WHILE the plan is pending — its logs anchor at the
+    plan instant (write/async_compact.py) — then execute the plan and
+    read the snapshot. Oracle = both rounds applied; the pending-window
+    writes must survive the base rewrite (Hudi's async-compaction
+    contract, timeline/instant.rs:30-34 names the marker)."""
+    from hudi_rs_spark.write.async_compact import (
+        run_scheduled_compaction,
+        schedule_compaction,
+    )
+    from hudi_rs_spark.write.upsert import upsert
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_async_bench_")
+    path = os.path.join(tmp, "t")
+    w = _docs(spark, sf_dir).write.format("hudi_py").option("path", path)
+    for k, v in _seed_options().items():
+        w = w.option(k, v)
+    w.mode("append").save()
+    _apply_upserts(spark, sf_dir, path)
+    inst = schedule_compaction(path)
+    assert inst is not None, "lifecycle table must have dirty groups"
+    docs = _docs(spark, sf_dir)
+    upsert(
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 0))
+        .withColumn("text", F.concat(F.col("text"), F.lit("#p")))
+        .withColumn("ts", F.lit(4)),
+        path,
+    )
+    run_scheduled_compaction(spark, path)
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+DML_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 13 = 0 THEN text || '#w' ELSE text END AS text,
+       lang
+FROM documents
+WHERE doc_id % 17 <> 0
+ORDER BY doc_id
+"""
+
+
+def write_dml_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UPDATE/DELETE twins (write/dml.py) on a fresh scratch table:
+    ``UPDATE SET text = text || '#w' WHERE doc_id % 13 = 0`` then
+    ``DELETE WHERE doc_id % 17 = 0`` — each one pruned snapshot scan +
+    one MOR upsert, never a table rewrite. The delete runs AFTER the
+    update, so %221 rows prove tombstones beat same-ordering updates."""
+    from hudi_rs_spark.write.dml import delete_where, update_where
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_dml_bench_")
+    path = os.path.join(tmp, "t")
+    w = _docs(spark, sf_dir).write.format("hudi_py").option("path", path)
+    for k, v in _seed_options().items():
+        w = w.option(k, v)
+    w.mode("append").save()
+    update_where(
+        spark, path,
+        {"text": "concat(text, '#w')", "ts": "2"},
+        "doc_id % 13 = 0",
+    )
+    delete_where(spark, path, "doc_id % 17 = 0")
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 for _n, _f, _s, _d in [
     ("write_cow_roundtrip", write_cow_roundtrip, WRITE_COW_SQL,
      "df.write COW round trip: fresh distributed write + read-back aggregate"),
@@ -497,5 +593,9 @@ for _n, _f, _s, _d in [
      "writer-emitted CDC blocks -> typed change feed (i/u/d)"),
     ("write_merge_into", write_merge_into, MERGE_INTO_SQL,
      "MERGE INTO (update/delete/insert clauses) via bloom-tier tagging"),
+    ("write_async_compacted", write_async_compacted, ASYNC_COMPACT_SQL,
+     "non-blocking compaction: ingest during a pending plan, then execute"),
+    ("write_dml_predicates", write_dml_predicates, DML_SQL,
+     "UPDATE ... WHERE / DELETE ... WHERE via pruned scan + MOR upsert"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("write", "hudi"), doc=_d))

@@ -166,6 +166,11 @@ def main() -> None:
         # r10: MERGE INTO through the bloom tag tier — fresh table +
         # join + upsert per run, the newest write surface
         "write_merge_into",
+        # r10: non-blocking compaction (schedule -> ingest-while-pending
+        # -> execute) and predicate DML (pruned scan + upsert) — both
+        # fresh-table lifecycles whose cost must track corpus size
+        "write_async_compacted",
+        "write_dml_predicates",
     ]
 
     def semdedup_at(k: int):
