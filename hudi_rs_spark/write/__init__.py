@@ -36,6 +36,11 @@ Surfaces:
   after every commit when ``hoodie.keep.max/min.commits`` /
   ``hoodie.metadata.compact.max.delta.commits`` thresholds are crossed
   (Hudi's own defaults: growth management without operator action);
+- ``hoodie.write.concurrency.mode=NON_BLOCKING_CONCURRENCY_CONTROL``
+  (v8+ MOR) — concurrent log-append deltacommits to one file group all
+  land; the readers' merge linearizes them by ordering field + instant
+  order (completion-time semantics). Base rewrites and replacements
+  still conflict in either mode;
 - ``merge_into.merge_into`` — Spark SQL MERGE semantics (matched
   delete/update with conditions, not-matched insert) as one snapshot
   join plus one upsert;

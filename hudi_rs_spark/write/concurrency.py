@@ -175,6 +175,7 @@ def check_commit_conflicts(
     touched: set[tuple[str, str]],
     strict: bool = False,
     ignore_log_anchor: str | None = None,
+    nbcc_log_appends: bool = False,
 ) -> None:
     """Hudi-style optimistic concurrency control, run at COMMIT time
     (after this writer's tasks finished, before its instant publishes):
@@ -232,17 +233,29 @@ def check_commit_conflicts(
             continue  # unparseable metadata: fail open (non-data action)
         theirs: set[tuple[str, str]] = set()
         for ws in meta.write_stats:
-            if ignore_log_anchor is not None:
+            name = (ws.path or "").rsplit("/", 1)[-1]
+            is_append = name.startswith(".") and (
+                ".log." in name or ".cdc." in name
+            )
+            if ignore_log_anchor is not None and is_append and (
+                f"_{ignore_log_anchor}.log." in name
+                or f"_{ignore_log_anchor}.cdc." in name
+            ):
                 # async compaction (write/async_compact.py): a concurrent
                 # writer that appended its logs/sidecars ANCHORED AT the
                 # scheduled instant wrote against the compaction's future
                 # base — that is the protocol working, not a conflict
-                name = (ws.path or "").rsplit("/", 1)[-1]
-                if name.startswith(".") and (
-                    f"_{ignore_log_anchor}.log." in name
-                    or f"_{ignore_log_anchor}.cdc." in name
-                ):
-                    continue
+                continue
+            if nbcc_log_appends and is_append:
+                # NON_BLOCKING_CONCURRENCY_CONTROL (Hudi 1.0, v8+ MOR):
+                # both writers only APPENDED log blocks to the group —
+                # the readers' merge linearizes them by ordering field +
+                # instant order (completion-time semantics the reference
+                # builds its slices on, file_group/builder.rs:69-154),
+                # so concurrent appends are not a lost update. Their
+                # BASE-file writes (compaction) and replacements still
+                # conflict below.
+                continue
             theirs.add((ws.partition_path or "", ws.file_id))
         # replaced file groups count as touched too: appending a log
         # block to a group a concurrent clustering just replaced would

@@ -47,6 +47,19 @@ def new_instant() -> str:
     return now.strftime("%Y%m%d%H%M%S") + f"{now.microsecond // 1000:03d}"
 
 
+def _normalize_concurrency_mode(raw) -> str:
+    v = str(raw).strip().lower()
+    if v in ("nbcc", "non_blocking_concurrency_control"):
+        return "nbcc"
+    if v in ("occ", "optimistic_concurrency_control",
+             "single_writer", ""):
+        return "occ"
+    raise ValueError(
+        f"unknown hoodie.write.concurrency.mode {raw!r}: expected "
+        "OPTIMISTIC_CONCURRENCY_CONTROL or NON_BLOCKING_CONCURRENCY_CONTROL"
+    )
+
+
 def _opt(options: dict, *names, default=None):
     """Case-insensitive option lookup across aliases."""
     lowered = {str(k).lower(): v for k, v in options.items()}
@@ -98,6 +111,17 @@ class WriteConfig:
     # connector's query.type=cdc serve a typed change feed; persisted in
     # hoodie.table.cdc.enabled so appends keep the feed complete
     emit_cdc: bool = False
+    # write concurrency mode (hoodie.write.concurrency.mode): "occ"
+    # fails any commit whose touched file groups overlap a concurrent
+    # completed commit; "nbcc" (Hudi 1.0's
+    # NON_BLOCKING_CONCURRENCY_CONTROL, v8+ MOR only) lets concurrent
+    # LOG-APPEND deltacommits to the same file group all land — the
+    # readers' merge resolves them by ordering field + instant order
+    # (the reference's completion-time machinery,
+    # file_group/builder.rs:69-154, merge/ordering.rs:36-46). Base
+    # rewrites (compaction) and replacements (clustering/overwrite)
+    # still conflict in either mode.
+    concurrency_mode: str = "occ"
     emit_metadata: bool = False
     emit_column_stats: bool = False
     emit_bloom_filters: bool = False
@@ -293,6 +317,10 @@ class WriteConfig:
                 _opt(options, "hoodie.table.cdc.enabled", "cdc.enabled",
                      default="false")
             ).lower() == "true",
+            concurrency_mode=_normalize_concurrency_mode(
+                _opt(options, "hoodie.write.concurrency.mode",
+                     "concurrency.mode", default="occ")
+            ),
             emit_column_stats=str(
                 _opt(options, "hoodie.metadata.index.column.stats.enable",
                      "metadata.columnstats.enable", default="false")

@@ -910,6 +910,14 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
                 "operation=upsert requires a MERGE_ON_READ table "
                 "(COW updates go through write.compact or mode('overwrite'))"
             )
+        if self.cfg.concurrency_mode == "nbcc" and (
+            self.cfg.table_type != "MERGE_ON_READ" or self.cfg.table_version < 8
+        ):
+            raise ValueError(
+                "NON_BLOCKING_CONCURRENCY_CONTROL requires a v8+ "
+                "MERGE_ON_READ table: concurrent log appends are only "
+                "safe under completion-time merge ordering"
+            )
         # capture the pre-write live file groups NOW (driver, plan time):
         # these are what an overwrite's replacecommit excludes
         self._replaced = (
@@ -929,12 +937,17 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
         # Spark then calls abort(), which reclaims this write's files
         from hudi_rs_spark.write.concurrency import check_commit_conflicts
 
+        strict = self.cfg.operation in (
+            OP_INSERT_OVERWRITE, OP_INSERT_OVERWRITE_PARTITION
+        )
         check_commit_conflicts(
             self.cfg,
             self._read_point,
             {(s.get("partitionPath", "") or "", s["fileId"]) for s in stats},
-            strict=self.cfg.operation
-            in (OP_INSERT_OVERWRITE, OP_INSERT_OVERWRITE_PARTITION),
+            strict=strict,
+            nbcc_log_appends=(
+                self.cfg.concurrency_mode == "nbcc" and not strict
+            ),
         )
         emit_mdt = mdt_enabled(self.cfg)
         init_table(self.cfg)
