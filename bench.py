@@ -105,6 +105,7 @@ HEADLINE = [
     "write_merge_into",
     "write_async_compacted",
     "write_dml_predicates",
+    "write_zorder_clustered",
     # sample_split_leakfree stays registry/oracle-only: its plan is the
     # dedup_cluster_canonical LSH+CC (already benched twice via
     # pipeline_curate) plus a map-side coin flip.

@@ -102,13 +102,15 @@ def _apply_upserts(spark: SparkSession, sf_dir: str, path: str) -> None:
 
 def _ensure_lifecycle_table(
     spark: SparkSession, sf_dir: str, compacted: bool, clustered: bool = False,
-    table_version: int | None = None,
+    table_version: int | None = None, layout: str = "linear",
 ) -> str:
     """Build (once per sf fingerprint) the seeded+upserted[+compacted|
     +clustered] MOR table through the real writer surface;
     scratch-then-rename keeps concurrent builders safe (same pattern as
     workloads/mor.py)."""
     stage = "l" if clustered else ("c" if compacted else "u")
+    if layout != "linear":
+        stage += layout[0]
     if table_version:
         stage += f"v{table_version}"
     name = f"docs_{stage}_{_fingerprint(sf_dir)}"
@@ -144,7 +146,13 @@ def _ensure_lifecycle_table(
     if clustered:
         from hudi_rs_spark.write.cluster import cluster
 
-        cluster(spark, scratch, sort_columns=("doc_id",), min_group_slices=1)
+        if layout == "linear":
+            cluster(spark, scratch, sort_columns=("doc_id",), min_group_slices=1)
+        else:
+            cluster(
+                spark, scratch, sort_columns=("doc_id", "source"),
+                min_group_slices=1, layout=layout,
+            )
     try:
         os.rename(scratch, base)
     except OSError:
@@ -416,6 +424,22 @@ ORDER BY doc_id
 """
 
 
+def write_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same lifecycle + z-order clustering over (doc_id, source)
+    (write/layout.py — Hudi's hoodie.layout.optimize.strategy): rows
+    identical to the unclustered oracle, physically ordered along the
+    Morton curve so column_stats pruning bites on both dimensions."""
+    _register(spark)
+    path = _ensure_lifecycle_table(
+        spark, sf_dir, compacted=False, clustered=True, layout="zorder"
+    )
+    return (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def write_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO lifecycle on a fresh scratch table: one source frame
     carrying updates (%7, not %3), deletes (%7 and %3) and inserts
@@ -593,6 +617,8 @@ for _n, _f, _s, _d in [
      "writer-emitted CDC blocks -> typed change feed (i/u/d)"),
     ("write_merge_into", write_merge_into, MERGE_INTO_SQL,
      "MERGE INTO (update/delete/insert clauses) via bloom-tier tagging"),
+    ("write_zorder_clustered", write_zorder_clustered, LIFECYCLE_SQL,
+     "z-order (space-filling-curve) clustering, snapshot-transparent"),
     ("write_async_compacted", write_async_compacted, ASYNC_COMPACT_SQL,
      "non-blocking compaction: ingest during a pending plan, then execute"),
     ("write_dml_predicates", write_dml_predicates, DML_SQL,

@@ -89,7 +89,13 @@ def _cluster_one(desc: dict, shared: dict) -> dict:
             T.StructType.fromJson(json.loads(slices[0].schema_json))
         ).empty_table()
     if sort_columns:
-        merged = merged.sort_by([(c, "ascending") for c in sort_columns])
+        layout = shared.get("layout", "linear")
+        if layout == "linear":
+            merged = merged.sort_by([(c, "ascending") for c in sort_columns])
+        else:
+            from hudi_rs_spark.write.layout import curve_order
+
+            merged = curve_order(merged, sort_columns, layout)
 
     tc = TaskContext.get()
     token = f"{tc.partitionId()}-{tc.stageId()}-{tc.attemptNumber()}" if tc else "0-0-0"
@@ -149,12 +155,19 @@ def cluster(
     max_group_slices: int = 32,
     min_group_slices: int = 2,
     instant: str | None = None,
+    layout: str = "linear",
 ) -> int:
     """Cluster the table's current snapshot: every partition whose live
     file-group count is at least ``min_group_slices`` has its groups
     bucketed into clustering groups of at most ``max_group_slices`` and
     rewritten (sorted by ``sort_columns`` when given) into one new base
     file per group, published as a single ``replacecommit``.
+
+    ``layout`` (Hudi's hoodie.layout.optimize.strategy): "linear"
+    lexicographic sort on ``sort_columns``; "zorder" / "hilbert" order
+    each rewrite along the space-filling curve over the same columns
+    (write/layout.py) so column_stats min/max pruning bites on EVERY
+    sort dimension.
 
     Returns the number of file groups replaced (0 = nothing to do, no
     instant published). Snapshot content is invariant (clustering
@@ -165,8 +178,12 @@ def cluster(
     from hudi_rs_spark.sources.hudi import HudiTable
     from hudi_rs_spark.sources.pyds import HudiPyReader, _as_nullable
     from hudi_rs_spark.util import split_into_chunks
+    from hudi_rs_spark.write.layout import LAYOUTS
     from hudi_rs_spark.write.mdt import purge_uncommitted_mdt_logs
     from hudi_rs_spark.write.writer import commit_instant
+
+    if layout not in LAYOUTS:
+        raise ValueError(f"unknown layout {layout!r}: expected one of {LAYOUTS}")
 
     purge_uncommitted_mdt_logs(path)  # never reuse a poisoned anchor
     # OCC read point BEFORE planning (same rationale as compact: a
@@ -241,6 +258,7 @@ def cluster(
     shared.update({
         "path": path, "instant": instant,
         "sort_columns": list(sort_columns),
+        "layout": layout,
         "with_stats": with_stats, "with_bloom": with_bloom,
         "index_shards": index_shards,
     })
