@@ -106,6 +106,7 @@ HEADLINE = [
     "write_async_compacted",
     "write_dml_predicates",
     "write_zorder_clustered",
+    "write_delete_partition",
     # sample_split_leakfree stays registry/oracle-only: its plan is the
     # dedup_cluster_canonical LSH+CC (already benched twice via
     # pipeline_curate) plus a map-side coin flip.

@@ -440,6 +440,44 @@ def write_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DROP_PARTITION_SQL = """
+SELECT doc_id, text, lang FROM documents
+WHERE lang <> (SELECT min(lang) FROM documents)
+ORDER BY doc_id
+"""
+
+
+def write_delete_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE DROP PARTITION (write/dml.delete_partitions — Hudi's
+    delete_partition operation): seed partitioned by lang, drop the
+    lowest lang's partition as ONE metadata-only replacecommit (zero
+    data I/O), read the snapshot back through the replace-commit
+    exclusion. Oracle = documents minus that lang."""
+    from hudi_rs_spark.write.dml import delete_partitions
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_droppart_bench_")
+    path = os.path.join(tmp, "t")
+    w = _docs(spark, sf_dir).write.format("hudi_py").option("path", path)
+    for k, v in _seed_options().items():
+        w = w.option(k, v)
+    w.mode("append").save()
+    min_lang = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .agg(F.min("lang").alias("m")).collect()[0].m
+    )
+    n = delete_partitions(path, [f"lang={min_lang}"])
+    assert n >= 1, "the seeded table must have a live min-lang partition"
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def write_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO lifecycle on a fresh scratch table: one source frame
     carrying updates (%7, not %3), deletes (%7 and %3) and inserts
@@ -617,6 +655,8 @@ for _n, _f, _s, _d in [
      "writer-emitted CDC blocks -> typed change feed (i/u/d)"),
     ("write_merge_into", write_merge_into, MERGE_INTO_SQL,
      "MERGE INTO (update/delete/insert clauses) via bloom-tier tagging"),
+    ("write_delete_partition", write_delete_partition, DROP_PARTITION_SQL,
+     "ALTER TABLE DROP PARTITION as one metadata-only replacecommit"),
     ("write_zorder_clustered", write_zorder_clustered, LIFECYCLE_SQL,
      "z-order (space-filling-curve) clustering, snapshot-transparent"),
     ("write_async_compacted", write_async_compacted, ASYNC_COMPACT_SQL,

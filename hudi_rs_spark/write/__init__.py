@@ -45,7 +45,8 @@ Surfaces:
   delete/update with conditions, not-matched insert) as one snapshot
   join plus one upsert;
 - ``dml.update_where`` / ``dml.delete_where`` — SQL UPDATE/DELETE
-  twins over the pruned snapshot scan;
+  twins over the pruned snapshot scan; ``dml.delete_partitions`` —
+  ALTER TABLE DROP PARTITION as one metadata-only replacecommit;
 - ``async_compact.schedule_compaction`` /
   ``run_scheduled_compaction`` — non-blocking compaction: a
   ``{I}.compaction.requested`` plan marker; writers anchor new logs at
@@ -116,7 +117,11 @@ from hudi_rs_spark.write.mdt_compact import clean_mdt, compact_mdt  # noqa: F401
 from hudi_rs_spark.write.rollback import rollback_failed_writes  # noqa: F401
 from hudi_rs_spark.write.savepoint import restore, savepoint  # noqa: F401
 from hudi_rs_spark.write.table import META_COLS, HudiTableWriter  # noqa: F401
-from hudi_rs_spark.write.dml import delete_where, update_where  # noqa: F401
+from hudi_rs_spark.write.dml import (  # noqa: F401
+    delete_partitions,
+    delete_where,
+    update_where,
+)
 from hudi_rs_spark.write.merge_into import merge_into  # noqa: F401
 from hudi_rs_spark.write.mdt_bloom import backfill_bloom_filters  # noqa: F401
 from hudi_rs_spark.write.upsert import delete, upsert  # noqa: F401

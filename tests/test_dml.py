@@ -143,3 +143,102 @@ class TestBloomBackfill:
         t = _seed(spark, tmp_path)
         with pytest.raises(ValueError, match="metadata"):
             backfill_bloom_filters(spark, t)
+
+
+class TestDeletePartitions:
+    def test_drop_partition_metadata_only(self, spark, tmp_path):
+        import glob
+
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write import delete_partitions
+
+        t = _seed(spark, tmp_path)
+        tl = HudiTable(t, spark=None, listing="direct").timeline
+        first = tl.instants[0].timestamp
+        files_before = set(glob.glob(f"{t}/part=b/*.parquet"))
+        assert files_before
+        n = delete_partitions(t, ["part=b"])
+        assert n >= 1
+        snap = HudiTable(t, spark).read()
+        parts = {r.part for r in snap.select("part").distinct().collect()}
+        assert parts == {"a"}
+        assert snap.count() == 15
+        # metadata-only: the dropped partition's bytes are untouched
+        assert set(glob.glob(f"{t}/part=b/*.parquet")) == files_before
+        # time travel before the drop still reads both partitions
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+
+        tt = HudiTable(t, spark).read(HudiReadOptions(as_of_timestamp=first))
+        assert {r.part for r in tt.select("part").distinct().collect()} == {
+            "a", "b",
+        }
+        # the instant is a replacecommit and re-dropping is a no-op
+        tl2 = HudiTable(t, spark=None, listing="direct").timeline
+        assert any(
+            i.action.value == "replacecommit" for i in tl2.instants
+        )
+        assert delete_partitions(t, ["part=b"]) == 0
+
+    def test_unknown_partition_is_noop(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write import delete_partitions
+
+        t = _seed(spark, tmp_path)
+        before = len(HudiTable(t, spark=None, listing="direct").timeline.instants)
+        assert delete_partitions(t, ["part=zz"]) == 0
+        assert (
+            len(HudiTable(t, spark=None, listing="direct").timeline.instants)
+            == before
+        )
+
+    def test_concurrent_commit_on_dropped_group_conflicts(
+        self, spark, tmp_path
+    ):
+        """An upsert landing on part=b between the drop's listing and its
+        publish must fail the drop (lost update otherwise)."""
+        import hudi_rs_spark.write.concurrency as conc
+        from hudi_rs_spark.write import delete_partitions
+        from hudi_rs_spark.write.concurrency import ConcurrentWriteError
+        from hudi_rs_spark.write.upsert import upsert
+
+        t = _seed(spark, tmp_path)
+        orig_claim = conc.claim_instant
+
+        def claim_then_race(cfg, action=None, **kw):
+            out = orig_claim(cfg, action, **kw)
+            if cfg.operation == "delete_partition":
+                upsert(
+                    spark.createDataFrame(
+                        [(2, "late", 99, 9, "b")],
+                        "id long, name string, amount long, ts long, part string",
+                    ),
+                    t,
+                )
+            return out
+
+        conc.claim_instant = claim_then_race
+        try:
+            with pytest.raises(ConcurrentWriteError, match="conflict"):
+                delete_partitions(t, ["part=b"])
+        finally:
+            conc.claim_instant = orig_claim
+
+    def test_upsert_after_drop_reinserts_fresh_group(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write import delete_partitions
+        from hudi_rs_spark.write.upsert import upsert
+
+        t = _seed(spark, tmp_path)
+        delete_partitions(t, ["part=b"])
+        upsert(
+            spark.createDataFrame(
+                [(100, "fresh", 1, 2, "b")],
+                "id long, name string, amount long, ts long, part string",
+            ),
+            t,
+        )
+        snap = {
+            r.id: r.part for r in HudiTable(t, spark).read().collect()
+        }
+        assert snap[100] == "b"
+        assert 2 not in snap  # old part=b rows stay dropped
