@@ -31,14 +31,18 @@ def _unwrap(v):
 def read_column_stats(
     data_table_base_path: str,
     columns: set[str] | None = None,
+    partition: str = COLUMN_STATS_PARTITION,
 ) -> dict[str, dict[str, tuple]]:
     """{file_name: {column: (min, max)}} for live entries carrying both
     bounds; ``columns`` filters early (why read stats for columns no
-    filter mentions)."""
+    filter mentions). ``partition`` selects the stats-shaped MDT
+    partition — column_stats by default, or an ``expr_index_{name}``
+    partition (write/expr_index.py), whose records carry the expression
+    string in the column field."""
     by_key: dict[str, tuple] = {}  # record key -> (file, col, min, max, deleted)
     schema = names = None
     for is_base, hf in iter_partition_hfiles(
-        data_table_base_path, COLUMN_STATS_PARTITION
+        data_table_base_path, partition
     ):
         if schema is None:
             schema = hf.avro_schema()

@@ -970,6 +970,70 @@ class HudiTable:
             df = df.filter(F.col(col).cast("string").isin(list(values)))
         return df
 
+    def read_where_expression(
+        self,
+        name: str,
+        op: str,
+        value,
+        options: HudiReadOptions | None = None,
+    ) -> DataFrame:
+        """Expression-index-pruned read (write/expr_index.py — Hudi
+        1.0's expr_index_* partitions): drop every file slice whose
+        indexed [min, max] interval of the expression DISPROVES
+        ``<expr> <op> <value>``, then apply the expression as a residual
+        row filter on the survivors. Fail-open: slices without an index
+        entry (written after the build) and slices carrying log files
+        (whose updates the base-file stats cannot see) always survive —
+        index staleness costs extra reads, never wrong rows."""
+        from hudi_rs_spark.metadata.column_stats import read_column_stats
+        from hudi_rs_spark.write.expr_index import (
+            PROP_PREFIX,
+            expr_index_partition,
+        )
+
+        expr = self.config.props.get(PROP_PREFIX + name)
+        if expr is None:
+            raise ValueError(f"no expression index {name!r} on this table")
+        if op not in ("=", "<", "<=", ">", ">="):
+            raise ValueError(f"unsupported expression-index op {op!r}")
+        stats = read_column_stats(
+            self.base_path, partition=expr_index_partition(name)
+        )
+
+        def may_match(s) -> bool:
+            if s.base_file is None or s.log_files:
+                return True
+            cols = stats.get(s.base_file.file_name)
+            if not cols:
+                return True
+            (mn, mx) = next(iter(cols.values()))
+            try:
+                if op == "=":
+                    return mn <= value <= mx
+                if op == "<":
+                    return mn < value
+                if op == "<=":
+                    return mn <= value
+                if op == ">":
+                    return mx > value
+                return mx >= value
+            except TypeError:
+                return True  # incomparable literal/stat types: fail open
+
+        slices = [s for s in self.get_file_slices() if may_match(s)]
+        options = options or HudiReadOptions()
+        if not slices:
+            df = self.spark.createDataFrame([], self.get_schema())
+        else:
+            df = self._execute_slices(slices, None, options)
+        if isinstance(value, bool):
+            lit = "true" if value else "false"
+        elif isinstance(value, str):
+            lit = "'" + value.replace("'", "''") + "'"
+        else:
+            lit = repr(value)
+        return df.filter(F.expr(f"({expr}) {op} {lit}"))
+
     def read_incremental(
         self,
         start_timestamp: str | None,

@@ -440,6 +440,42 @@ def write_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXPR_INDEX_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE length(text) <= 128
+ORDER BY doc_id
+"""
+
+
+def write_expr_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression (functional) index end-to-end
+    (write/expr_index.py — Hudi 1.0's expr_index_* MDT partitions):
+    seed a fresh table, build an index on ``length(text)`` with one
+    distributed scan, then answer ``length(text) <= 128`` through
+    ``read_where_expression`` (file-interval pruning + residual row
+    filter). Oracle = the same predicate in SQL."""
+    from hudi_rs_spark.sources.hudi import HudiTable
+    from hudi_rs_spark.write.expr_index import create_expression_index
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_expridx_bench_")
+    path = os.path.join(tmp, "t")
+    w = _docs(spark, sf_dir).write.format("hudi_py").option("path", path)
+    for k, v in _seed_options().items():
+        w = w.option(k, v)
+    w.mode("append").save()
+    create_expression_index(spark, path, "tlen", "length(text)")
+    out = (
+        HudiTable(path, spark)
+        .read_where_expression("tlen", "<=", 128)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 DROP_PARTITION_SQL = """
 SELECT doc_id, text, lang FROM documents
 WHERE lang <> (SELECT min(lang) FROM documents)
@@ -655,6 +691,8 @@ for _n, _f, _s, _d in [
      "writer-emitted CDC blocks -> typed change feed (i/u/d)"),
     ("write_merge_into", write_merge_into, MERGE_INTO_SQL,
      "MERGE INTO (update/delete/insert clauses) via bloom-tier tagging"),
+    ("write_expr_index_scan", write_expr_index_scan, EXPR_INDEX_SQL,
+     "functional index build + interval-pruned expression scan"),
     ("write_delete_partition", write_delete_partition, DROP_PARTITION_SQL,
      "ALTER TABLE DROP PARTITION as one metadata-only replacecommit"),
     ("write_zorder_clustered", write_zorder_clustered, LIFECYCLE_SQL,

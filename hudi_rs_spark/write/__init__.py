@@ -53,6 +53,11 @@ Surfaces:
   the plan instant, readers merge them onto the committed slice, and
   execution upgrades the slice in place (ingestion never blocks or
   aborts on a scheduled compaction);
+- ``expr_index.create_expression_index`` — Hudi 1.0 functional index:
+  per-base-file min/max of a SQL EXPRESSION in an ``expr_index_{name}``
+  MDT partition; ``HudiTable.read_where_expression`` prunes files by
+  the indexed interval with a residual row filter (fail-open on
+  unindexed/logged slices);
 - ``mdt_bloom.backfill_bloom_filters`` — bloom_filters MDT partition
   for existing tables (the writer emits blooms inline when
   ``metadata.bloomfilter.enable`` is set; upsert tagging then prunes
@@ -123,5 +128,9 @@ from hudi_rs_spark.write.dml import (  # noqa: F401
     update_where,
 )
 from hudi_rs_spark.write.merge_into import merge_into  # noqa: F401
+from hudi_rs_spark.write.expr_index import (  # noqa: F401
+    create_expression_index,
+    drop_expression_index,
+)
 from hudi_rs_spark.write.mdt_bloom import backfill_bloom_filters  # noqa: F401
 from hudi_rs_spark.write.upsert import delete, upsert  # noqa: F401
