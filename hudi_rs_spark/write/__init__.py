@@ -47,6 +47,10 @@ Surfaces:
 - ``dml.update_where`` / ``dml.delete_where`` — SQL UPDATE/DELETE
   twins over the pruned snapshot scan; ``dml.delete_partitions`` —
   ALTER TABLE DROP PARTITION as one metadata-only replacecommit;
+- ``ttl.apply_partition_ttl`` — partition lifecycle (RFC-65
+  KEEP_BY_TIME): partitions untouched for the retention window drop
+  via delete_partition, epoch = newest data-writing instant
+  (deterministic, never the wall clock);
 - ``async_compact.schedule_compaction`` /
   ``run_scheduled_compaction`` — non-blocking compaction: a
   ``{I}.compaction.requested`` plan marker; writers anchor new logs at
@@ -133,4 +137,5 @@ from hudi_rs_spark.write.expr_index import (  # noqa: F401
     drop_expression_index,
 )
 from hudi_rs_spark.write.mdt_bloom import backfill_bloom_filters  # noqa: F401
+from hudi_rs_spark.write.ttl import apply_partition_ttl, expired_partitions  # noqa: F401
 from hudi_rs_spark.write.upsert import delete, upsert  # noqa: F401
