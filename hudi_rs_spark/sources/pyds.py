@@ -223,34 +223,10 @@ class HudiPyReader(DataSourceReader):
                 start = to_hudi_timestamp(start, t.config.timezone)
             if end is not None:
                 end = to_hudi_timestamp(end, t.config.timezone)
-            end = end or t.timeline.latest_commit_timestamp()
-            # plan from commit-metadata write stats (cdc_log_groups), not
-            # the as-of slice log lists: a compaction inside the window
-            # drops pre-compaction logs from the slice view and would
-            # silently truncate the feed
-            valid = sorted(i.timestamp for i in t.timeline.instants_as_of(end))
-            boundary = t.timeline.earliest_active_timestamp()
-            pending = sorted(t.timeline.pending_timestamps)
-            parts = [
-                HudiSlicePartition(
-                    base_file="",
-                    log_files=[os.path.join(t.base_path, rel) for rel in rels],
-                    schema_json=self.out_schema.json(),
-                    ordering=None,
-                    strategy="APPEND_ONLY",
-                    valid_instants=valid,
-                    archival_boundary=boundary,
-                    pending_instants=pending,
-                    as_of=end,
-                    merge_logs=True,
-                    start_exclusive=start or "",
-                    cdc=True,
-                    storage_options=getattr(t, "storage_options", None),
-                )
-                for _group, rels in sorted(t.cdc_log_groups(start, end).items())
-                if rels
-            ]
-            return _chunk_partitions(parts, n_parts)
+            return _chunk_partitions(
+                _cdc_partitions(t, start, end, self.out_schema.json()),
+                n_parts,
+            )
         if start is not None or end is not None:
             # incremental batch query: rows changed in (start, end]
             # (SURVEY §2 op 3 through the connector surface)
@@ -377,9 +353,17 @@ class HudiPyStreamReader(DataSourceStreamReader):
         # authoritative cursor resync (covers checkpoint restarts where
         # initialOffset was never called on this reader instance)
         self._cursor = end.get("commit") or ""
-        return _incremental_partitions(
-            self._table(), start.get("commit") or None, end.get("commit") or None
-        )
+        t = self._table()
+        s, e = start.get("commit") or None, end.get("commit") or None
+        if str(
+            self.options.get("querytype", self.options.get("queryType", ""))
+        ).lower() == "cdc":
+            # streaming CDC source: each micro-batch is the typed change
+            # feed of its commit window (exactly-once via Spark offsets)
+            return _cdc_partitions(
+                t, s, e, HudiPyDataSource.CDC_SCHEMA.json()
+            )
+        return _incremental_partitions(t, s, e)
 
     def read(self, partition: HudiSlicePartition):
         yield from _read_slice(partition)
@@ -462,6 +446,40 @@ def _chunk_partitions(parts: list[HudiSlicePartition], n: int):
     for i, p in enumerate(parts):
         groups[i % n].append(p)
     return [HudiSliceGroupPartition(g) for g in groups if g]
+
+
+def _cdc_partitions(
+    t, start: str | None, end: str | None, schema_json: str
+) -> list[HudiSlicePartition]:
+    """One scan partition per CDC log group over the (start, end]
+    window. Planned from commit-metadata write stats (cdc_log_groups),
+    not the as-of slice log lists: a compaction inside the window drops
+    pre-compaction logs from the slice view and would silently truncate
+    the feed. Shared by the batch queryType=cdc path and the streaming
+    CDC source (each micro-batch is one such window)."""
+    end = end or t.timeline.latest_commit_timestamp()
+    valid = sorted(i.timestamp for i in t.timeline.instants_as_of(end))
+    boundary = t.timeline.earliest_active_timestamp()
+    pending = sorted(t.timeline.pending_timestamps)
+    return [
+        HudiSlicePartition(
+            base_file="",
+            log_files=[os.path.join(t.base_path, rel) for rel in rels],
+            schema_json=schema_json,
+            ordering=None,
+            strategy="APPEND_ONLY",
+            valid_instants=valid,
+            archival_boundary=boundary,
+            pending_instants=pending,
+            as_of=end,
+            merge_logs=True,
+            start_exclusive=start or "",
+            cdc=True,
+            storage_options=getattr(t, "storage_options", None),
+        )
+        for _group, rels in sorted(t.cdc_log_groups(start, end).items())
+        if rels
+    ]
 
 
 def _incremental_partitions(

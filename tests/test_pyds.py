@@ -390,3 +390,92 @@ def test_incremental_across_replacecommit_connector_equals_eager(spark):
         assert _rows(conn) == _rows(eager), f"window ({start}, {end}]"
         checked += 1
     assert checked >= 4
+
+
+class TestStreamingCdcSource:
+    """readStream.format("hudi_py").option("queryType", "cdc"): each
+    micro-batch is the typed change feed of its commit window — the
+    streaming twin of the batch queryType=cdc path, exactly-once via
+    Spark's offset checkpointing."""
+
+    @staticmethod
+    def _seed_cdc(spark, base):
+        from hudi_rs_spark.write.upsert import delete, upsert
+
+        df = spark.createDataFrame(
+            [(i, f"n{i}", 1) for i in range(6)], "id long, name string, ts long"
+        )
+        (
+            df.write.format("hudi_py").option("path", base)
+            .option("recordkey.field", "id").option("precombine.field", "ts")
+            .option("table.type", "MERGE_ON_READ").option("table.version", "8")
+            .option("cdc.enabled", "true")
+            .mode("append").save()
+        )
+        upsert(
+            spark.createDataFrame([(1, "u1", 2)], "id long, name string, ts long"),
+            base,
+        )
+        delete(
+            spark.createDataFrame([(2, "n2", 3)], "id long, name string, ts long"),
+            base,
+        )
+
+    @staticmethod
+    def _drain(spark, base, out, ckpt):
+        import glob
+        import time
+
+        df = (
+            spark.readStream.format("hudi_py").option("path", base)
+            .option("queryType", "cdc").load()
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = time.time() + 240
+        while q.isActive and time.time() < deadline:
+            time.sleep(2)
+        assert not q.isActive and q.exception() is None
+        if not glob.glob(out + "/*.parquet"):
+            return []
+        return [
+            (r.op, r.before, r.after)
+            for r in spark.read.parquet(out).collect()
+        ]
+
+    def test_stream_feed_matches_batch_feed(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        base = str(tmp_path / "t")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        self._seed_cdc(spark, base)
+        got = sorted(self._drain(spark, base, out, ckpt))
+        want = sorted(
+            (r.op, r.before, r.after)
+            for r in HudiTable(base, spark).read_changes(None).collect()
+        )
+        assert got == want
+        ops = [op for op, _, _ in got]
+        assert ops.count("i") == 6 and ops.count("u") == 1 and ops.count("d") == 1
+
+    def test_restart_emits_only_new_changes(self, spark, tmp_path):
+        from hudi_rs_spark.write.upsert import upsert
+
+        base = str(tmp_path / "t2")
+        out, ckpt = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+        self._seed_cdc(spark, base)
+        first = self._drain(spark, base, out, ckpt)
+        assert len(first) == 8
+        upsert(
+            spark.createDataFrame([(3, "u3", 4)], "id long, name string, ts long"),
+            base,
+        )
+        second = self._drain(spark, base, out, ckpt)
+        assert len(second) == 9  # exactly one new 'u' row, no replay
+        assert sorted(op for op, _, _ in second).count("u") == 2
