@@ -28,6 +28,75 @@ from pyspark.sql import types as T
 
 DELETE_FLAG = "__is_delete"
 
+# below this many log files the rollback-target pre-scan stays a driver
+# loop (header-only seeks — cheap); above it the extra Spark job beats
+# the linear driver I/O
+SCAN_TARGETS_DISTRIBUTED_THRESHOLD = 256
+
+
+def scan_targets_distributed(
+    spark: SparkSession,
+    tasks: list[tuple[str, str]],  # (group key, absolute log path)
+    storage_options: dict | None = None,
+) -> dict[str, set[str]]:
+    """Executor-side rollback-target pre-scan: rollback voiding is
+    cross-file within a group (a command block in file N voids blocks in
+    file M), so per-file decode tasks need the group's full target set
+    up front. The driver loop is O(files) sequential header reads — at
+    millions of log files that is the one linear-driver-I/O step left in
+    the distributed decode paths, so above the threshold this ships the
+    header scan through mapInPandas and collects only the (group,
+    target) pairs (tiny: one row per rollback command)."""
+    from hudi_rs_spark.logfile import reader as logreader
+
+    if len(tasks) <= SCAN_TARGETS_DISTRIBUTED_THRESHOLD:
+        out: dict[str, set[str]] = {}
+        for grp, path in tasks:
+            try:
+                out.setdefault(grp, set()).update(
+                    logreader.scan_rollback_targets(path)
+                )
+            except (FileNotFoundError, OSError):
+                continue
+        return out
+
+    st_options = dict(storage_options) if storage_options else None
+    n_part = min(len(tasks), spark.sparkContext.defaultParallelism) or 1
+    tasks_df = spark.createDataFrame(
+        tasks,
+        T.StructType(
+            [T.StructField("grp", T.StringType()), T.StructField("path", T.StringType())]
+        ),
+    ).repartition(n_part)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hudi_rs_spark.fs.storage import storage_for
+        from hudi_rs_spark.logfile import reader as lr
+
+        primed = False
+        for pdf in batches:
+            grps, targets = [], []
+            for grp, path in zip(pdf["grp"], pdf["path"]):
+                if not primed:
+                    storage_for(path, st_options)
+                    primed = True
+                try:
+                    found = lr.scan_rollback_targets(path)
+                except (FileNotFoundError, OSError):
+                    continue
+                for t in found:
+                    grps.append(grp)
+                    targets.append(t)
+            yield pd.DataFrame({"grp": grps, "target": targets})
+
+    out_schema = T.StructType(
+        [T.StructField("grp", T.StringType()), T.StructField("target", T.StringType())]
+    )
+    out: dict[str, set[str]] = {}
+    for row in tasks_df.mapInPandas(scan, out_schema).collect():
+        out.setdefault(row.grp, set()).add(row.target)
+    return out
+
 
 def decode_logs_distributed(
     spark: SparkSession,

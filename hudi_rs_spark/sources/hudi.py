@@ -1179,15 +1179,14 @@ class HudiTable:
             and (len(tasks) > 64 or total_known > 32 * 1024 * 1024)
         )
         if distributed and self.spark is not None:
-            grp_targets: dict[str, set[str]] = {}
-            for grp, path in tasks:
-                try:
-                    grp_targets.setdefault(grp, set()).update(
-                        logreader.scan_rollback_targets(path)
-                    )
-                except (FileNotFoundError, OSError):
-                    continue
-            from hudi_rs_spark.logfile.distributed import decode_cdc_distributed
+            from hudi_rs_spark.logfile.distributed import (
+                decode_cdc_distributed,
+                scan_targets_distributed,
+            )
+
+            grp_targets = scan_targets_distributed(
+                self.spark, tasks, getattr(self, "storage_options", None)
+            )
 
             return decode_cdc_distributed(
                 self.spark,
@@ -1632,16 +1631,17 @@ class HudiTable:
         from hudi_rs_spark.logfile.distributed import (
             DELETE_FLAG,
             decode_logs_distributed,
+            scan_targets_distributed,
         )
 
         # slice-level rollback voiding needs cross-file target sets; the
-        # header-only scan seeks past block content so this driver pre-pass
-        # stays cheap even for GB-scale logs
-        fg_targets: dict[str, set[str]] = {}
-        for fg, path in log_tasks:
-            fg_targets.setdefault(fg, set()).update(
-                logreader.scan_rollback_targets(path)
-            )
+        # header-only scan seeks past block content, so the pre-pass is a
+        # cheap driver loop for bounded file counts and ships through
+        # mapInPandas above the threshold (the last linear-driver-I/O
+        # step at millions of log files)
+        fg_targets = scan_targets_distributed(
+            self.spark, log_tasks, self.storage_options
+        )
         decoded = decode_logs_distributed(
             self.spark,
             log_tasks,

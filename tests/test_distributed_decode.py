@@ -37,3 +37,36 @@ def test_distributed_equals_driver(spark, zip_rel):
     drv = t.read(HudiReadOptions(log_decode="driver"))
     dst = t.read(HudiReadOptions(log_decode="distributed"))
     assert _canon(drv) == _canon(dst)
+
+
+class TestDistributedTargetScan:
+    """The rollback-target pre-scan's executor path (mapInPandas header
+    scan above SCAN_TARGETS_DISTRIBUTED_THRESHOLD) must match the
+    driver loop, and the decode that consumes it must stay correct on
+    rollback-carrying tables."""
+
+    def test_forced_distributed_scan_parity(self, spark, monkeypatch):
+        zip_rel = "sample_table/mor/parquet/v6_nonpartitioned_rollback.zip"
+        import hudi_rs_spark.logfile.distributed as dist
+        from hudi_rs_spark.logfile.distributed import scan_targets_distributed
+
+        t = HudiTable(extract_fixture(zip_rel), spark)
+        tasks = []
+        for s in t.get_file_slices():
+            for lf in s.log_files:
+                rel = (
+                    f"{s.partition_path}/{lf.file_name}"
+                    if s.partition_path else lf.file_name
+                )
+                tasks.append((s.file_id, f"{t.base_path}/{rel}"))
+        assert tasks
+        driver = scan_targets_distributed(spark, tasks)  # under threshold
+        monkeypatch.setattr(dist, "SCAN_TARGETS_DISTRIBUTED_THRESHOLD", 0)
+        dist_scan = scan_targets_distributed(spark, tasks)
+        assert driver == dist_scan
+        assert any(driver.values())  # the fixture really has targets
+        # end-to-end: forced-distributed decode with the forced-
+        # distributed pre-scan still voids the rolled-back blocks
+        drv = t.read(HudiReadOptions(log_decode="driver"))
+        dst = t.read(HudiReadOptions(log_decode="distributed"))
+        assert _canon(drv) == _canon(dst)
