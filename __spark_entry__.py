@@ -53,6 +53,7 @@ _SURFACE_FIRST = [
     "write_zorder_clustered",  # NEW r10: space-filling-curve clustering
     "write_delete_partition",  # NEW r10: DROP PARTITION replacecommit
     "write_expr_index_scan",  # NEW r10: functional index + pruned scan
+    "write_bucket_upsert",  # NEW r10: bucket-index hash-routed lifecycle
     "write_cdc_feed", "write_cow_roundtrip", "write_upsert_roundtrip",
     "write_v9_lifecycle", "write_lance_roundtrip",
     "write_compacted_snapshot", "write_clustered_snapshot",

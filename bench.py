@@ -108,6 +108,7 @@ HEADLINE = [
     "write_zorder_clustered",
     "write_delete_partition",
     "write_expr_index_scan",
+    "write_bucket_upsert",
     # sample_split_leakfree stays registry/oracle-only: its plan is the
     # dedup_cluster_canonical LSH+CC (already benched twice via
     # pipeline_curate) plus a map-side coin flip.

@@ -440,6 +440,42 @@ def write_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_bucket_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-index lifecycle (write/bucket.py — hoodie.index.type=
+    BUCKET): seed THROUGH upsert (hash-routed log-only bucket groups, no
+    index lookup anywhere), apply the standard update/delete round, and
+    read the merged snapshot. Same oracle as the lookup-tagged lifecycle
+    — the index type must be invisible in the data."""
+    from hudi_rs_spark.write.upsert import upsert
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_bucket_bench_")
+    path = os.path.join(tmp, "t")
+    upsert(
+        _docs(spark, sf_dir),
+        path,
+        **{
+            "recordkey.field": "doc_id",
+            "precombine.field": "ts",
+            "partitionpath.field": "lang",
+            "table.type": "MERGE_ON_READ",
+            "table.version": "8",
+            "index.type": "bucket",
+            "bucket.index.num.buckets": "8",
+            "hoodie.table.name": "docs_bucket",
+        },
+    )
+    _apply_upserts(spark, sf_dir, path)
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 EXPR_INDEX_SQL = """
 SELECT doc_id, lang FROM documents
 WHERE length(text) <= 128
@@ -691,6 +727,8 @@ for _n, _f, _s, _d in [
      "writer-emitted CDC blocks -> typed change feed (i/u/d)"),
     ("write_merge_into", write_merge_into, MERGE_INTO_SQL,
      "MERGE INTO (update/delete/insert clauses) via bloom-tier tagging"),
+    ("write_bucket_upsert", write_bucket_upsert, LIFECYCLE_SQL,
+     "bucket-index lifecycle: hash-routed writes, no index lookup"),
     ("write_expr_index_scan", write_expr_index_scan, EXPR_INDEX_SQL,
      "functional index build + interval-pruned expression scan"),
     ("write_delete_partition", write_delete_partition, DROP_PARTITION_SQL,

@@ -46,14 +46,23 @@ def _compact_one(desc: dict, shared: dict) -> dict:
     instant = shared["instant"]
     with_stats = shared["with_stats"]
     partition = rebuild_slice(desc, shared)
-    bf = BaseFile.parse(os.path.basename(partition.base_file))
-    d = os.path.dirname(os.path.relpath(partition.base_file, base_path))
+    if partition.base_file:
+        file_id = BaseFile.parse(os.path.basename(partition.base_file)).file_id
+        ref = partition.base_file
+    else:
+        # log-only slice (bucket-routed first touches, write/bucket.py):
+        # compaction writes the group's FIRST base
+        from hudi_rs_spark.fs.file_group import LogFile
+
+        file_id = LogFile.parse(os.path.basename(partition.log_files[0])).file_id
+        ref = partition.log_files[0]
+    d = os.path.dirname(os.path.relpath(ref, base_path))
     rel_dir = "" if d == "." else d
     from pyspark import TaskContext
 
     tc = TaskContext.get()
     token = f"{tc.partitionId()}-{tc.stageId()}-{tc.attemptNumber()}" if tc else "0-0-0"
-    name = f"{bf.file_id}_{token}_{instant}.parquet"
+    name = f"{file_id}_{token}_{instant}.parquet"
     rel = f"{rel_dir}/{name}" if rel_dir else name
 
     batches = list(_read_slice(partition))
@@ -78,7 +87,7 @@ def _compact_one(desc: dict, shared: dict) -> dict:
     full = f"{base_path}/{rel}"
     size = write_parquet(merged, full, _fs(base_path))
     stat = {
-        "fileId": bf.file_id,
+        "fileId": file_id,
         "path": rel,
         "partitionPath": rel_dir,
         "numWrites": len(merged),
@@ -136,7 +145,9 @@ def compact(spark, path: str, instant: str | None = None) -> int:
         {"path": path},
         _as_nullable(table.get_schema()),
     )
-    dirty = [p for p in reader.partitions() if p.log_files and p.base_file]
+    # log-only slices (bucket-routed first touches) compact too: their
+    # rewrite writes the group's first base file
+    dirty = [p for p in reader.partitions() if p.log_files]
     if not dirty:
         return 0
     instant = instant or new_instant()

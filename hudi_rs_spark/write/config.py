@@ -112,6 +112,14 @@ class WriteConfig:
     # connector's query.type=cdc serve a typed change feed; persisted in
     # hoodie.table.cdc.enabled so appends keep the feed complete
     emit_cdc: bool = False
+    # record index type (hoodie.index.type): "" = lookup-based tagging
+    # (record index / bloom tier / meta-column scan); "bucket" = hash
+    # buckets — every record key maps to bucket xxhash64(key) % N, each
+    # bucket is ONE file group per partition, and upsert tagging is a
+    # pure map-side hash (no index read, no tag join). Pinned at table
+    # creation (hoodie.bucket.index.num.buckets is immutable).
+    index_type: str = ""
+    bucket_index_num_buckets: int = 0
     # write concurrency mode (hoodie.write.concurrency.mode): "occ"
     # fails any commit whose touched file groups overlap a concurrent
     # completed commit; "nbcc" (Hudi 1.0's
@@ -151,6 +159,22 @@ class WriteConfig:
             raise ValueError(
                 f"unsupported base file format {self.base_file_format!r}"
             )
+        if self.index_type not in ("", "bucket"):
+            raise ValueError(
+                f"unsupported hoodie.index.type {self.index_type!r} "
+                "(supported: BUCKET)"
+            )
+        if self.index_type == "bucket":
+            if self.table_type != "MERGE_ON_READ":
+                raise ValueError(
+                    "the bucket index requires a MERGE_ON_READ table "
+                    "(bucket-routed writes are log appends)"
+                )
+            if self.bucket_index_num_buckets < 1:
+                raise ValueError(
+                    "hoodie.index.type=BUCKET requires "
+                    "hoodie.bucket.index.num.buckets >= 1"
+                )
         if self.base_file_format == "lance" and self.table_version < 9:
             raise ValueError(
                 "lance base files require table version 9 (the version "
@@ -211,6 +235,11 @@ class WriteConfig:
         if self.emit_cdc:
             props["hoodie.table.cdc.enabled"] = "true"
             props["hoodie.table.cdc.supplemental.logging.mode"] = "data_after"
+        if self.index_type == "bucket":
+            props["hoodie.index.type"] = "BUCKET"
+            props["hoodie.bucket.index.num.buckets"] = str(
+                self.bucket_index_num_buckets
+            )
         if self.precombine_field:
             # v9 renamed precombine -> ordering fields; the reader's
             # ordering_fields property consumes either key
@@ -321,6 +350,13 @@ class WriteConfig:
             concurrency_mode=_normalize_concurrency_mode(
                 _opt(options, "hoodie.write.concurrency.mode",
                      "concurrency.mode", default="occ")
+            ),
+            index_type=str(
+                _opt(options, "hoodie.index.type", "index.type", default="")
+            ).lower(),
+            bucket_index_num_buckets=int(
+                _opt(options, "hoodie.bucket.index.num.buckets",
+                     "bucket.index.num.buckets", default="0")
             ),
             emit_column_stats=str(
                 _opt(options, "hoodie.metadata.index.column.stats.enable",

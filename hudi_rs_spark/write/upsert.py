@@ -257,6 +257,79 @@ def _location_index(
     return index, next_version
 
 
+def _tag_by_bucket(
+    spark, cfg: WriteConfig, n: int, df: DataFrame, key_expr, part_expr,
+    table_exists: bool,
+) -> DataFrame:
+    """Bucket-index tagging (write/bucket.py): target file id is a pure
+    map-side hash of the record key — NO index read, NO tag join against
+    table state; only the (partition, bucket) -> existing-group mapping
+    joins in (broadcast, one row per live file group, needed for the log
+    anchor + next version). Rows landing in a bucket with no group yet
+    keep a null anchor — the task writer anchors their log at its own
+    commit instant, creating the group log-only."""
+    from hudi_rs_spark.sources.hudi import HudiTable
+    from hudi_rs_spark.write.bucket import (
+        bucket_expr,
+        bucket_file_id_expr,
+        parse_bucket,
+    )
+
+    rows = []
+    if table_exists:
+        for sl in HudiTable(cfg.path, spark=None, listing="direct").get_file_slices():
+            b = parse_bucket(sl.file_id)
+            if b is None:
+                raise ValueError(
+                    f"file group {sl.file_id} is not bucket-named: this "
+                    "table was not written through the bucket index "
+                    "(hoodie.index.type=BUCKET tables take every write "
+                    "via write.upsert)"
+                )
+            anchor = (
+                sl.base_file.commit_timestamp
+                if sl.base_file is not None
+                else sl.log_files[0].timestamp
+            )
+            versions = [lf.version for lf in sl.log_files]
+            rows.append(
+                (
+                    sl.partition_path or "",
+                    b,
+                    sl.file_id,
+                    anchor,
+                    (max(versions) + 1) if versions else 1,
+                )
+            )
+    mapping = spark.createDataFrame(
+        rows or spark.sparkContext.emptyRDD(),
+        "__bp string, __bb int, __bfid string, __banchor string, __bver int",
+    )
+    return (
+        df.withColumn("__hoodie_part_x", part_expr)
+        .withColumn("__hoodie_bucket_x", bucket_expr(key_expr, n))
+        .join(
+            F.broadcast(mapping),
+            (F.col("__hoodie_part_x") == F.col("__bp"))
+            & (F.col("__hoodie_bucket_x") == F.col("__bb")),
+            "left",
+        )
+        .withColumn(
+            TARGET_FILE_COL,
+            F.coalesce(
+                F.col("__bfid"),
+                bucket_file_id_expr(F.col("__hoodie_bucket_x")),
+            ),
+        )
+        .withColumn(TARGET_INSTANT_COL, F.col("__banchor"))
+        .withColumn(LOG_VERSION_COL, F.coalesce(F.col("__bver"), F.lit(1)))
+        .drop(
+            "__bp", "__bb", "__bfid", "__banchor", "__bver",
+            "__hoodie_part_x", "__hoodie_bucket_x",
+        )
+    )
+
+
 def upsert(df: DataFrame, path: str, **options) -> None:
     """Upsert ``df`` into the MOR table at ``path``.
 
@@ -269,23 +342,43 @@ def upsert(df: DataFrame, path: str, **options) -> None:
     """
     spark = df.sparkSession
     from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.write.bucket import is_bucket_table, num_buckets
+    from hudi_rs_spark.write.writer import _base, _fs
 
-    tc = HudiTableConfig.from_base_path(path)
-    merged_options = {
-        "path": path,
-        "hoodie.table.name": tc.table_name,
-        "recordkey.field": ",".join(tc.record_key_fields),
-        "table.type": tc.table_type.value,
-        "table.version": str(tc.table_version),
-        "operation": "upsert",
-    }
-    if tc.ordering_fields:
-        merged_options["precombine.field"] = tc.ordering_fields[0]
-    if tc.partition_fields:
-        merged_options["partitionpath.field"] = ",".join(tc.partition_fields)
-        merged_options["hive_style_partitioning"] = (
-            "true" if tc.hive_style_partitioning else "false"
-        )
+    base = _base(path)
+    exists = _fs(base).isfile(f"{base}/.hoodie/hoodie.properties")
+    if exists:
+        tc = HudiTableConfig.from_base_path(path)
+        merged_options = {
+            "path": path,
+            "hoodie.table.name": tc.table_name,
+            "recordkey.field": ",".join(tc.record_key_fields),
+            "table.type": tc.table_type.value,
+            "table.version": str(tc.table_version),
+            "operation": "upsert",
+        }
+        if tc.ordering_fields:
+            merged_options["precombine.field"] = tc.ordering_fields[0]
+        if tc.partition_fields:
+            merged_options["partitionpath.field"] = ",".join(tc.partition_fields)
+            merged_options["hive_style_partitioning"] = (
+                "true" if tc.hive_style_partitioning else "false"
+            )
+    else:
+        # fresh-table upsert: only bucket tables, whose SEED is itself an
+        # upsert (every bucket-routed write is a log append — the first
+        # touch of a bucket creates its file group log-only)
+        lowered = {str(k).lower(): v for k, v in options.items()}
+        if str(
+            lowered.get("index.type", lowered.get("hoodie.index.type", ""))
+        ).lower() != "bucket":
+            raise ValueError(
+                f"no Hudi table at {path}: upsert needs an existing table "
+                "(seed with df.write.format('hudi_py')), except bucket "
+                "tables, which seed through upsert with index.type=bucket"
+            )
+        tc = None
+        merged_options = {"path": path, "operation": "upsert"}
     merged_options.update(options)
     # OCC read point: the tag/index join below reads the table state as
     # of NOW — capture it before the index read so any commit landing
@@ -314,35 +407,54 @@ def upsert(df: DataFrame, path: str, **options) -> None:
             .drop("__hoodie_rn")
         )
 
-    index, next_version = _location_index(
-        spark, cfg, df.select(key_expr.alias("k"), part_expr.alias("p"))
+    bucket_mode = (cfg.index_type == "bucket") or (
+        tc is not None and is_bucket_table(tc.props)
     )
-    # per-file-group next log version as a broadcast-joined frame, NOT a
-    # create_map literal: a map literal inlines every file group into
-    # the plan (10^6 entries at 100 TB = plan bloat + analysis cost),
-    # while the join side stays a normal small relation
-    versions = spark.createDataFrame(
-        [(fid, v) for fid, v in sorted(next_version.items())] or
-        spark.sparkContext.emptyRDD(),
-        f"{TARGET_FILE_COL} string, {LOG_VERSION_COL} int",
-    )
+    if bucket_mode:
+        n_buckets = cfg.bucket_index_num_buckets or (
+            num_buckets(tc.props) if tc is not None else 0
+        )
+        if n_buckets < 1:
+            raise ValueError(
+                "bucket table without hoodie.bucket.index.num.buckets"
+            )
+        tagged = _tag_by_bucket(
+            spark, cfg, n_buckets, df, key_expr, part_expr, exists
+        )
+        next_version = {}
+        n_groups = n_buckets
+    else:
+        index, next_version = _location_index(
+            spark, cfg, df.select(key_expr.alias("k"), part_expr.alias("p"))
+        )
+        # per-file-group next log version as a broadcast-joined frame,
+        # NOT a create_map literal: a map literal inlines every file
+        # group into the plan (10^6 entries at 100 TB = plan bloat +
+        # analysis cost), while the join side stays a normal small
+        # relation
+        versions = spark.createDataFrame(
+            [(fid, v) for fid, v in sorted(next_version.items())] or
+            spark.sparkContext.emptyRDD(),
+            f"{TARGET_FILE_COL} string, {LOG_VERSION_COL} int",
+        )
 
-    tagged = (
-        df.withColumn("__hoodie_key_x", key_expr)
-        .withColumn("__hoodie_part_x", part_expr)
-        .join(
-            index,
-            (F.col("__hoodie_key_x") == index["_hoodie_record_key"])
-            & (F.col("__hoodie_part_x") == index["_hoodie_partition_path"]),
-            "left",
+        tagged = (
+            df.withColumn("__hoodie_key_x", key_expr)
+            .withColumn("__hoodie_part_x", part_expr)
+            .join(
+                index,
+                (F.col("__hoodie_key_x") == index["_hoodie_record_key"])
+                & (F.col("__hoodie_part_x") == index["_hoodie_partition_path"]),
+                "left",
+            )
+            .drop("_hoodie_record_key", "_hoodie_partition_path")
+            .join(F.broadcast(versions), TARGET_FILE_COL, "left")
+            .withColumn(
+                LOG_VERSION_COL, F.coalesce(F.col(LOG_VERSION_COL), F.lit(1))
+            )
+            .drop("__hoodie_key_x", "__hoodie_part_x")
         )
-        .drop("_hoodie_record_key", "_hoodie_partition_path")
-        .join(F.broadcast(versions), TARGET_FILE_COL, "left")
-        .withColumn(
-            LOG_VERSION_COL, F.coalesce(F.col(LOG_VERSION_COL), F.lit(1))
-        )
-        .drop("__hoodie_key_x", "__hoodie_part_x")
-    )
+        n_groups = len(next_version)
 
     # non-blocking async compaction (write/async_compact.py): updates
     # routed to a file group with a SCHEDULED compaction anchor their
@@ -356,6 +468,8 @@ def upsert(df: DataFrame, path: str, **options) -> None:
         _HT(path, spark=None, listing="direct")
         .timeline.pending_compaction_plans()
         .items()
+        if exists
+        else ()
     ):
         for g in plan.get("groups", ()):
             plan_anchor[g["fileId"]] = pi
@@ -375,7 +489,7 @@ def upsert(df: DataFrame, path: str, **options) -> None:
 
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     updates = tagged.filter(F.col(TARGET_FILE_COL).isNotNull()).repartition(
-        min(shuffle_n, max(1, len(next_version) or 1)), TARGET_FILE_COL
+        min(shuffle_n, max(1, n_groups or 1)), TARGET_FILE_COL
     )
     inserts = tagged.filter(F.col(TARGET_FILE_COL).isNull())
 

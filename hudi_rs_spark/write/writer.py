@@ -271,39 +271,54 @@ class _TaskWriter:
 
     def _route_updates(self, tbl, keys, part) -> None:
         target = tbl[TARGET_FILE_COL].combine_chunks()
+        # group by (file id, partition) — bucket-indexed tables reuse ONE
+        # fid across partitions (write/bucket.py), so the partition must
+        # be part of the routing key, not sampled from the first row
         for fid_s in pc.unique(target):
             fid = fid_s.as_py()
-            mask = pc.equal(target, fid_s)
-            sub = tbl.filter(mask)
-            sub_keys = keys.filter(mask)
-            pv = part.filter(mask)[0].as_py() if part is not None else ""
-            g = self.log_groups.setdefault(
-                (pv, fid),
-                {
-                    "instant": sub[TARGET_INSTANT_COL][0].as_py(),
-                    "version": int(sub[LOG_VERSION_COL][0].as_py() or 1),
-                    "tables": [],
-                    "deletes": [],
-                },
-            )
-            if DELETE_COL in sub.column_names:
-                dmask = pc.fill_null(
-                    pc.cast(sub[DELETE_COL], pa.bool_()), False
-                ).combine_chunks()
-                dels, dkeys = sub.filter(dmask), sub_keys.filter(dmask)
-                if len(dels):
-                    ordv = (
-                        dels[self.cfg.precombine_field].to_pylist()
-                        if self.cfg.precombine_field in dels.column_names
-                        else [0] * len(dels)
-                    )
-                    g["deletes"].extend(
-                        (k, pv, o) for k, o in zip(dkeys.to_pylist(), ordv)
-                    )
-                live = pc.invert(dmask)
-                sub, sub_keys = sub.filter(live), sub_keys.filter(live)
-            if len(sub):
-                g["tables"].append(sub.append_column("__hoodie_key", sub_keys))
+            fmask = pc.equal(target, fid_s)
+            ftbl = tbl.filter(fmask)
+            fkeys = keys.filter(fmask)
+            fpart = part.filter(fmask) if part is not None else None
+            for pv, pmask in self._partition_masks(fpart, len(ftbl)):
+                sub = ftbl if pmask is None else ftbl.filter(pmask)
+                sub_keys = fkeys if pmask is None else fkeys.filter(pmask)
+                if not len(sub):
+                    continue
+                self._route_update_group(sub, sub_keys, pv, fid)
+
+    def _route_update_group(self, sub, sub_keys, pv: str, fid: str) -> None:
+        g = self.log_groups.setdefault(
+            (pv, fid),
+            {
+                # null anchor = bucket-routed first touch: the group
+                # does not exist yet, so its log-only slice anchors
+                # at this very commit (write/bucket.py)
+                "instant": sub[TARGET_INSTANT_COL][0].as_py()
+                or self.cfg.instant,
+                "version": int(sub[LOG_VERSION_COL][0].as_py() or 1),
+                "tables": [],
+                "deletes": [],
+            },
+        )
+        if DELETE_COL in sub.column_names:
+            dmask = pc.fill_null(
+                pc.cast(sub[DELETE_COL], pa.bool_()), False
+            ).combine_chunks()
+            dels, dkeys = sub.filter(dmask), sub_keys.filter(dmask)
+            if len(dels):
+                ordv = (
+                    dels[self.cfg.precombine_field].to_pylist()
+                    if self.cfg.precombine_field in dels.column_names
+                    else [0] * len(dels)
+                )
+                g["deletes"].extend(
+                    (k, pv, o) for k, o in zip(dkeys.to_pylist(), ordv)
+                )
+            live = pc.invert(dmask)
+            sub, sub_keys = sub.filter(live), sub_keys.filter(live)
+        if len(sub):
+            g["tables"].append(sub.append_column("__hoodie_key", sub_keys))
 
     # -- encode + flush ---------------------------------------------------
     def _data_columns(self, tbl: pa.Table) -> pa.Table:
@@ -918,6 +933,27 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
                 "MERGE_ON_READ table: concurrent log appends are only "
                 "safe under completion-time merge ordering"
             )
+        if TARGET_FILE_COL not in {f.name for f in schema.fields}:
+            # untagged rows would become uuid file groups — on a bucket
+            # table that breaks the one-group-per-bucket invariant
+            from hudi_rs_spark.write.bucket import is_bucket_table
+
+            bucket = self.cfg.index_type == "bucket"
+            if not bucket:
+                try:
+                    from hudi_rs_spark.config.table_config import HudiTableConfig
+
+                    bucket = is_bucket_table(
+                        HudiTableConfig.from_base_path(self.cfg.path).props
+                    )
+                except Exception:
+                    bucket = False  # fresh table / unreadable props
+            if bucket:
+                raise ValueError(
+                    "bucket-indexed tables (hoodie.index.type=BUCKET) are "
+                    "written through write.upsert — the raw writer cannot "
+                    "guarantee one file group per bucket across tasks"
+                )
         # capture the pre-write live file groups NOW (driver, plan time):
         # these are what an overwrite's replacecommit excludes
         self._replaced = (

@@ -1,0 +1,209 @@
+"""Bucket index (write/bucket.py + the upsert bucket-tagging branch):
+hash-routed writes with no index lookup — seed-through-upsert creates
+log-only bucket groups, updates/deletes route map-side, the raw writer
+refuses untagged bucket writes, and compaction folds bucket groups into
+their first bases.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+    spark.dataSource.register(HudiPyDataSource)
+
+
+N_BUCKETS = 4
+
+SEED_OPTS = {
+    "recordkey.field": "id",
+    "precombine.field": "ts",
+    "partitionpath.field": "part",
+    "table.type": "MERGE_ON_READ",
+    "table.version": "8",
+    "index.type": "bucket",
+    "bucket.index.num.buckets": str(N_BUCKETS),
+    "hoodie.table.name": "bkt",
+}
+
+
+def _rows(spark, n=40, start=0, ts=1, name="n"):
+    return spark.createDataFrame(
+        [
+            (start + i, f"{name}{start + i}", ts, "a" if (start + i) % 2 else "b")
+            for i in range(n)
+        ],
+        "id long, name string, ts long, part string",
+    )
+
+
+def _seed(spark, tmp_path, name="t"):
+    from hudi_rs_spark.write.upsert import upsert
+
+    t = str(tmp_path / name)
+    upsert(_rows(spark), t, **SEED_OPTS)
+    return t
+
+
+def _snap(spark, t):
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    return {
+        r.id: (r.name, r.ts)
+        for r in HudiTable(t, spark).read().collect()
+    }
+
+
+def _groups(t):
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    out = {}
+    for s in HudiTable(t, spark=None, listing="direct").get_file_slices():
+        out[(s.partition_path, s.file_id)] = s
+    return out
+
+
+class TestValidation:
+    def test_bucket_requires_mor(self, spark, tmp_path):
+        from hudi_rs_spark.write.config import WriteConfig
+
+        with pytest.raises(ValueError, match="MERGE_ON_READ"):
+            WriteConfig(
+                path=str(tmp_path / "t"), index_type="bucket",
+                bucket_index_num_buckets=4,
+            )
+
+    def test_bucket_requires_count(self, spark, tmp_path):
+        from hudi_rs_spark.write.config import WriteConfig
+
+        with pytest.raises(ValueError, match="num.buckets"):
+            WriteConfig(
+                path=str(tmp_path / "t"), index_type="bucket",
+                table_type="MERGE_ON_READ",
+            )
+
+    def test_fresh_upsert_without_bucket_rejected(self, spark, tmp_path):
+        from hudi_rs_spark.write.upsert import upsert
+
+        with pytest.raises(ValueError, match="existing table"):
+            upsert(_rows(spark), str(tmp_path / "t"),
+                   **{"recordkey.field": "id"})
+
+    def test_raw_writer_rejects_bucket_table(self, spark, tmp_path):
+        t = _seed(spark, tmp_path)
+        with pytest.raises(Exception, match="write.upsert"):
+            (
+                _rows(spark, 4, start=1000).write.format("hudi_py")
+                .option("path", t).mode("append").save()
+            )
+
+
+class TestBucketLifecycle:
+    def test_seed_creates_log_only_bucket_groups(self, spark, tmp_path):
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+        from hudi_rs_spark.write.bucket import parse_bucket
+
+        t = _seed(spark, tmp_path)
+        snap = _snap(spark, t)
+        assert len(snap) == 40 and snap[7] == ("n7", 1)
+        tc = HudiTableConfig.from_base_path(t)
+        assert tc.props["hoodie.index.type"] == "BUCKET"
+        assert tc.props["hoodie.bucket.index.num.buckets"] == str(N_BUCKETS)
+        groups = _groups(t)
+        for (part, fid), s in groups.items():
+            assert parse_bucket(fid) is not None
+            assert s.base_file is None and s.log_files  # log-only
+        per_part: dict = {}
+        for (part, fid) in groups:
+            per_part.setdefault(part, set()).add(fid)
+        assert all(len(fids) <= N_BUCKETS for fids in per_part.values())
+
+    def test_updates_route_to_same_groups_no_index_scan(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import sys
+
+        from hudi_rs_spark.write.upsert import upsert
+
+        # the package __init__ re-exports the upsert FUNCTION under the
+        # same dotted name; go through sys.modules for the module object
+        upsert_mod = sys.modules["hudi_rs_spark.write.upsert"]
+
+        t = _seed(spark, tmp_path)
+        n_before = len(_groups(t))
+
+        def boom(*a, **kw):  # the lookup index must never be consulted
+            raise AssertionError("bucket tagging consulted _location_index")
+
+        monkeypatch.setattr(upsert_mod, "_location_index", boom)
+        upsert(_rows(spark, 10, ts=2, name="u"), t)
+        snap = _snap(spark, t)
+        assert snap[3] == ("u3", 2) and snap[11] == ("n11", 1)
+        assert len(snap) == 40
+        assert len(_groups(t)) == n_before  # no new groups for updates
+
+    def test_delete_and_reinsert(self, spark, tmp_path):
+        from hudi_rs_spark.write.upsert import delete, upsert
+
+        t = _seed(spark, tmp_path)
+        delete(
+            spark.createDataFrame(
+                [(4, "n4", 2, "b"), (5, "n5", 2, "a")],
+                "id long, name string, ts long, part string",
+            ),
+            t,
+        )
+        snap = _snap(spark, t)
+        assert 4 not in snap and 5 not in snap and len(snap) == 38
+        upsert(
+            spark.createDataFrame(
+                [(4, "back", 3, "b")],
+                "id long, name string, ts long, part string",
+            ),
+            t,
+        )
+        assert _snap(spark, t)[4] == ("back", 3)
+
+    def test_compaction_folds_bucket_groups(self, spark, tmp_path):
+        from hudi_rs_spark.write.bucket import parse_bucket
+        from hudi_rs_spark.write.compact import compact
+        from hudi_rs_spark.write.upsert import upsert
+
+        t = _seed(spark, tmp_path)
+        upsert(_rows(spark, 10, ts=2, name="u"), t)
+        before = _snap(spark, t)
+        n = compact(spark, t)
+        assert n >= 1
+        after = _snap(spark, t)
+        assert after == before
+        groups = _groups(t)
+        for (part, fid), s in groups.items():
+            assert s.base_file is not None  # every group folded to a base
+            assert parse_bucket(s.file_id) is not None
+            assert s.base_file.file_id == fid  # bucket identity preserved
+        # post-compaction upserts route onto the new bases
+        upsert(_rows(spark, 4, ts=3, name="w"), t)
+        snap = _snap(spark, t)
+        assert snap[2] == ("w2", 3) and len(snap) == 40
+
+    def test_bucket_assignment_is_stable(self, spark, tmp_path):
+        """Every row's bucket matches pmod(xxhash64(key), N) — the same
+        expression any engine can recompute for bucket-pruned reads."""
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.bucket import parse_bucket
+
+        t = _seed(spark, tmp_path)
+        df = HudiTable(t, spark).read().select(
+            F.col("id"),
+            F.col("_hoodie_file_name").alias("f"),
+            F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(N_BUCKETS))
+            .cast("int").alias("b"),
+        )
+        for r in df.collect():
+            fid = r.f.split("_")[0].lstrip(".")
+            assert parse_bucket(fid) == r.b
