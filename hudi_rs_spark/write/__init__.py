@@ -62,6 +62,11 @@ Surfaces:
   MDT partition; ``HudiTable.read_where_expression`` prunes files by
   the indexed interval with a residual row filter (fail-open on
   unindexed/logged slices);
+- ``hoodie.index.type=BUCKET`` — bucket index (write/bucket.py): keys
+  hash to a fixed number of buckets, one file group per bucket per
+  partition, upsert tagging is a pure map-side hash (no index read, no
+  tag join); bucket tables are written through ``upsert`` (the raw
+  writer rejects untagged rows);
 - ``mdt_bloom.backfill_bloom_filters`` — bloom_filters MDT partition
   for existing tables (the writer emits blooms inline when
   ``metadata.bloomfilter.enable`` is set; upsert tagging then prunes

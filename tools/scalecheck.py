@@ -171,6 +171,10 @@ def main() -> None:
         # fresh-table lifecycles whose cost must track corpus size
         "write_async_compacted",
         "write_dml_predicates",
+        # r10: bucket-index lifecycle — the claim under test is that
+        # hash tagging costs O(batch) with no index scan, so the full
+        # seed+upsert+delete lifecycle must track corpus size
+        "write_bucket_upsert",
     ]
 
     def semdedup_at(k: int):
