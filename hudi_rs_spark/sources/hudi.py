@@ -902,14 +902,20 @@ class HudiTable:
         index maps key -> (partition, file_group), so the scan touches
         ONLY those file slices (plus the key filter) instead of the whole
         table. Requires hoodie.table.metadata.partitions to include
-        record_index."""
+        record_index — except bucket-indexed tables
+        (hoodie.index.type=BUCKET), where the key's file group is a pure
+        hash (write/bucket.py): the lookup prunes to the keys' bucket
+        groups with no index read at all."""
         from hudi_rs_spark.metadata.record_index import (
             has_record_index_partition,
             read_record_index,
         )
+        from hudi_rs_spark.write.bucket import is_bucket_table
 
         options = options or HudiReadOptions()
         if not has_record_index_partition(self.config):
+            if is_bucket_table(self.config.props):
+                return self._bucket_point_lookup(keys, options)
             raise ValueError("table has no record_index metadata partition")
         locations = read_record_index(self.base_path, set(keys))
         targets = set(locations.values())
@@ -930,6 +936,44 @@ class HudiTable:
             "point_lookup on a table without populated meta fields needs a "
             "single hoodie.table.recordkey.fields column present in the "
             f"schema; got {key_fields!r}"
+        )
+
+    def _bucket_point_lookup(
+        self, keys: list[str], options: HudiReadOptions
+    ) -> DataFrame:
+        """Point lookup on a bucket-indexed table: bucket(key) =
+        pmod(xxhash64(key), N) names the only file group (per partition)
+        that can hold the key, so the scan prunes to the keys' bucket
+        groups — zero index I/O. The hash is computed through Spark's
+        own xxhash64 (one tiny job over the key list) so it is
+        bit-identical to the write side's routing expression."""
+        from hudi_rs_spark.write.bucket import num_buckets, parse_bucket
+
+        n = num_buckets(self.config.props)
+        kdf = self.spark.createDataFrame(
+            [(str(k),) for k in keys], "k string"
+        ).select(
+            F.pmod(F.xxhash64(F.col("k")), F.lit(n)).cast("int").alias("b")
+        )
+        wanted = {r.b for r in kdf.distinct().collect()}
+        slices = [
+            s
+            for s in self.get_file_slices()
+            if parse_bucket(s.file_id) in wanted
+        ]
+        if not slices:
+            return self.spark.createDataFrame([], self.get_schema())
+        df = self._execute_slices(slices, None, options)
+        if "_hoodie_record_key" in df.columns:
+            return df.filter(F.col("_hoodie_record_key").isin(list(keys)))
+        key_fields = self.config.record_key_fields
+        if len(key_fields) == 1 and key_fields[0] in df.columns:
+            return df.filter(
+                F.col(key_fields[0]).cast("string").isin([str(k) for k in keys])
+            )
+        raise ValueError(
+            "bucket point lookup without populated meta fields needs a "
+            "single record-key column present in the schema"
         )
 
     def lookup_by_secondary_key(

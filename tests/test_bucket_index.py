@@ -207,3 +207,44 @@ class TestBucketLifecycle:
         for r in df.collect():
             fid = r.f.split("_")[0].lstrip(".")
             assert parse_bucket(fid) == r.b
+
+
+class TestBucketPointLookup:
+    def test_lookup_prunes_to_bucket_groups(self, spark, tmp_path, monkeypatch):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = _seed(spark, tmp_path)
+        ht = HudiTable(t, spark)
+        seen = []
+        orig = HudiTable._execute_slices
+
+        def spy(self, slices, *a, **kw):
+            seen.append(len(slices))
+            return orig(self, slices, *a, **kw)
+
+        monkeypatch.setattr(HudiTable, "_execute_slices", spy)
+        rows = ht.point_lookup(["7", "20"]).collect()
+        assert sorted(r.id for r in rows) == [7, 20]
+        total = len(ht.get_file_slices())
+        assert seen and seen[-1] < total  # pruned below the full slice set
+
+    def test_lookup_sees_updates_and_deletes(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.upsert import delete, upsert
+
+        t = _seed(spark, tmp_path)
+        upsert(
+            spark.createDataFrame(
+                [(7, "u7", 2, "a")], "id long, name string, ts long, part string"
+            ),
+            t,
+        )
+        delete(
+            spark.createDataFrame(
+                [(20, "n20", 2, "b")], "id long, name string, ts long, part string"
+            ),
+            t,
+        )
+        ht = HudiTable(t, spark)
+        rows = {r.id: r.name for r in ht.point_lookup(["7", "20", "21"]).collect()}
+        assert rows == {7: "u7", 21: "n21"}
