@@ -462,6 +462,7 @@ def write_bucket_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "table.version": "8",
             "index.type": "bucket",
             "bucket.index.num.buckets": "8",
+            "metadata.enable": "true",
             "hoodie.table.name": "docs_bucket",
         },
     )

@@ -248,3 +248,31 @@ class TestBucketPointLookup:
         ht = HudiTable(t, spark)
         rows = {r.id: r.name for r in ht.point_lookup(["7", "20", "21"]).collect()}
         assert rows == {7: "u7", 21: "n21"}
+
+
+class TestBucketWithMetadataTable:
+    def test_mdt_listing_parity_on_log_only_groups(self, spark, tmp_path):
+        """Bucket writes maintain the MDT files partition: the
+        listing fast path must see the log-only bucket groups exactly as
+        a direct storage walk does."""
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.upsert import upsert
+
+        t = str(tmp_path / "t")
+        upsert(_rows(spark), t, **{**SEED_OPTS, "metadata.enable": "true"})
+        upsert(_rows(spark, 6, ts=2, name="u"), t)
+
+        def view(listing):
+            return {
+                (s.partition_path, s.file_id,
+                 tuple(lf.file_name for lf in s.log_files))
+                for s in HudiTable(t, spark=None, listing=listing)
+                .get_file_slices()
+            }
+
+        assert view("direct") == view("mdt")
+        snap = {
+            r.id: r.name
+            for r in HudiTable(t, spark, listing="mdt").read().collect()
+        }
+        assert len(snap) == 40 and snap[2] == "u2"
