@@ -89,6 +89,11 @@ def delete_partitions(path: str, partitions, instant: str | None = None) -> int:
     it still reads them, and clean reclaims the bytes by retention.
     Metadata-only: no data is read or rewritten; returns the number of
     file groups dropped (0 = nothing live there, no instant published).
+
+    CDC note: the typed block feed (``read_changes``) only carries
+    writer-emitted change blocks, so a drop produces no 'd' rows there
+    (no bytes were written); ``read_changes_derived`` — the
+    before/after snapshot diff — reports the dropped rows as deletes.
     """
     from hudi_rs_spark.config.table_config import HudiTableConfig
     from hudi_rs_spark.sources.hudi import HudiTable
