@@ -66,7 +66,9 @@ Surfaces:
   hash to a fixed number of buckets, one file group per bucket per
   partition, upsert tagging is a pure map-side hash (no index read, no
   tag join); bucket tables are written through ``upsert`` (the raw
-  writer rejects untagged rows);
+  writer rejects untagged rows); ``bucket.convert_to_bucket`` adopts
+  the index on an existing table via one hash-regrouped rewrite +
+  replacecommit;
 - ``mdt_bloom.backfill_bloom_filters`` — bloom_filters MDT partition
   for existing tables (the writer emits blooms inline when
   ``metadata.bloomfilter.enable`` is set; upsert tagging then prunes
@@ -137,6 +139,7 @@ from hudi_rs_spark.write.dml import (  # noqa: F401
     update_where,
 )
 from hudi_rs_spark.write.merge_into import merge_into  # noqa: F401
+from hudi_rs_spark.write.bucket import convert_to_bucket  # noqa: F401
 from hudi_rs_spark.write.expr_index import (  # noqa: F401
     create_expression_index,
     drop_expression_index,

@@ -68,3 +68,201 @@ def bucket_file_id_expr(bucket_col: Column) -> Column:
     return F.concat(
         F.lpad(bucket_col.cast("string"), 8, "0"), F.lit(BUCKET_FID_SUFFIX)
     )
+
+
+def convert_to_bucket(
+    spark, path: str, num_buckets: int, instant: str | None = None
+) -> int:
+    """Adopt the bucket index on an EXISTING table: one distributed
+    rewrite regroups the current snapshot into bucket-named file groups
+    (one base per (partition, bucket)) and publishes a single
+    ``replacecommit`` excluding every prior group; table properties then
+    pin ``hoodie.index.type=BUCKET`` so all later writes hash-route.
+
+    Spark-first shape: full-snapshot read (the same merged read every
+    query uses) → ONE shuffle on (partition, bucket) → one task per
+    group writes its base file and returns a stat dict — the only
+    all-data pass a bucket conversion fundamentally requires. OCC
+    protects the swap: a commit landing after the snapshot read
+    conflicts instead of being silently dropped.
+
+    Returns the number of file groups replaced."""
+    from pyspark.sql import functions as F
+
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.sources.hudi import HudiTable
+    from hudi_rs_spark.write.concurrency import (
+        check_commit_conflicts,
+        claim_instant,
+        completed_instant_set,
+        release_instant,
+    )
+    from hudi_rs_spark.write.config import WriteConfig, new_instant
+    from hudi_rs_spark.write.writer import commit_instant
+
+    tc = HudiTableConfig.from_base_path(path)
+    if is_bucket_table(tc.props):
+        raise ValueError(f"{path} is already bucket-indexed")
+    if tc.table_type.value != "MERGE_ON_READ":
+        raise ValueError(
+            "bucket conversion requires a MERGE_ON_READ table (all "
+            "post-conversion writes are bucket-routed log appends)"
+        )
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
+    read_point = completed_instant_set(path)
+    table = HudiTable(path, spark)
+    replaced: dict[str, list[str]] = {}
+    for sl in table.get_file_slices():
+        replaced.setdefault(sl.partition_path or "", []).append(sl.file_id)
+    if not replaced:
+        raise ValueError("nothing to convert: the table has no file groups")
+    for k in replaced:
+        replaced[k] = sorted(set(replaced[k]))
+    cfg = WriteConfig(
+        path=path,
+        table_name=tc.table_name,
+        record_key_fields=tuple(tc.record_key_fields) or ("id",),
+        precombine_field=(tc.ordering_fields or [None])[0],
+        partition_fields=tuple(tc.partition_fields),
+        table_type=tc.table_type.value,
+        table_version=tc.table_version,
+        instant=instant or new_instant(),
+        instant_pinned=instant is not None,
+        operation="cluster",
+    )
+    claim_instant(cfg, "replacecommit")
+    instant = cfg.instant
+    snap = table.read()
+    spark_schema = snap.schema
+    schema_json = table.schema_json()
+    base_path = cfg.path
+    n = num_buckets
+    meta_parts = tc.props.get("hoodie.table.metadata.partitions", "")
+    with_stats = "column_stats" in meta_parts
+    with_bloom = "bloom_filters" in meta_parts
+    index_shards = (
+        int(tc.props.get("hoodie.metadata.record.index.shards", "0"))
+        if "record_index" in meta_parts
+        else 0
+    )
+
+    def write_group(pdf):
+        import base64
+        import json as _json
+
+        import pandas as pd
+        import pyarrow as pa
+        from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from hudi_rs_spark.write.writer import _fs, write_parquet
+
+        part = pdf["_hoodie_partition_path"].iloc[0] or ""
+        b = int(pdf["__hoodie_bucket_x"].iloc[0])
+        fid = bucket_file_id(b)
+        tctx = TaskContext.get()
+        token = (
+            f"{tctx.partitionId()}-{tctx.stageId()}-{tctx.attemptNumber()}"
+            if tctx else "0-0-0"
+        )
+        name = f"{fid}_{token}_{instant}.parquet"
+        rel = f"{part}/{name}" if part else name
+        pdf = pdf.drop(columns=["__hoodie_bucket_x"])
+        pdf["_hoodie_file_name"] = name
+        # arrow-schema-faithful encode: pandas upcasts nullable ints to
+        # float — convert back against the table's exact arrow schema
+        arrow_schema = to_arrow_schema(spark_schema)
+        tbl = pa.Table.from_pandas(
+            pdf, schema=arrow_schema, preserve_index=False
+        )
+        size = write_parquet(tbl, f"{base_path}/{rel}", _fs(base_path))
+        keys = tbl["_hoodie_record_key"].combine_chunks()
+        cs = bf_b64 = None
+        if with_stats:
+            from hudi_rs_spark.write.mdt_stats import compute_column_stats
+
+            cs = _json.dumps(compute_column_stats(tbl))
+        if with_bloom:
+            from hudi_rs_spark.bloomfilter import build_bloom
+
+            bf_b64 = base64.b64encode(
+                build_bloom(k.as_py() for k in keys)
+            ).decode("ascii")
+        if index_shards:
+            # the conversion MOVES every record: rewrite its record-index
+            # location so point lookups keep resolving (the clustering
+            # service's own rule, write/cluster.py::_cluster_one)
+            from hudi_rs_spark.write.record_index import (
+                append_record_index_log,
+            )
+
+            append_record_index_log(
+                base_path, instant,
+                {k.as_py(): (part, fid) for k in keys},
+                index_shards, token,
+            )
+        return pd.DataFrame(
+            {
+                "fileId": [fid],
+                "path": [rel],
+                "partitionPath": [part],
+                "numWrites": [len(tbl)],
+                "fileSizeInBytes": [size],
+                "totalWriteBytes": [size],
+                "columnStats": [cs],
+                "bloomFilter": [bf_b64],
+            }
+        )
+
+    try:
+        stats_df = (
+            snap.withColumn(
+                "__hoodie_bucket_x",
+                bucket_expr(F.col("_hoodie_record_key"), n),
+            )
+            .groupBy("_hoodie_partition_path", "__hoodie_bucket_x")
+            .applyInPandas(
+                write_group,
+                "fileId string, path string, partitionPath string, "
+                "numWrites long, fileSizeInBytes long, "
+                "totalWriteBytes long, columnStats string, "
+                "bloomFilter string",
+            )
+        )
+        import json as _json
+
+        stats = []
+        for r in stats_df.collect():
+            d = r.asDict()
+            cs, bf = d.pop("columnStats"), d.pop("bloomFilter")
+            if cs:
+                d["columnStats"] = _json.loads(cs)
+            if bf:
+                d["bloomFilter"] = bf
+            stats.append(d)
+        check_commit_conflicts(
+            cfg,
+            read_point,
+            {(p, fid) for p, fids in replaced.items() for fid in fids},
+        )
+    except Exception:
+        release_instant(cfg, "replacecommit")
+        raise
+    commit_instant(
+        cfg, stats, schema_json, replaced=replaced, action="replacecommit"
+    )
+    if "files" in meta_parts:
+        from hudi_rs_spark.write.mdt import apply_commit_to_mdt
+
+        apply_commit_to_mdt(cfg, stats)
+    from hudi_rs_spark.write.record_index import _local_base, _rewrite_props
+
+    def pin_bucket(have: dict) -> dict:
+        have[INDEX_TYPE_PROP] = "BUCKET"
+        have[NUM_BUCKETS_PROP] = str(n)
+        return have
+
+    _rewrite_props(_local_base(path), pin_bucket)
+    release_instant(cfg, "replacecommit")
+    return sum(len(v) for v in replaced.values())

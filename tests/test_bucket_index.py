@@ -276,3 +276,86 @@ class TestBucketWithMetadataTable:
             for r in HudiTable(t, spark, listing="mdt").read().collect()
         }
         assert len(snap) == 40 and snap[2] == "u2"
+
+
+class TestConvertToBucket:
+    def _seed_plain(self, spark, tmp_path, **extra):
+        from hudi_rs_spark.write.upsert import upsert
+
+        t = str(tmp_path / "plain")
+        w = _rows(spark).write.format("hudi_py").option("path", t)
+        for k, v in {
+            "recordkey.field": "id", "precombine.field": "ts",
+            "partitionpath.field": "part", "table.type": "MERGE_ON_READ",
+            "table.version": "8", **extra,
+        }.items():
+            w = w.option(k, v)
+        w.mode("append").save()
+        upsert(
+            spark.createDataFrame(
+                [(1, "u1", 2, "a")], "id long, name string, ts long, part string"
+            ),
+            t,
+        )
+        return t
+
+    def test_conversion_preserves_snapshot_and_reroutes_writes(
+        self, spark, tmp_path
+    ):
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.bucket import convert_to_bucket, parse_bucket
+        from hudi_rs_spark.write.upsert import upsert
+
+        t = self._seed_plain(spark, tmp_path)
+        before = _snap(spark, t)
+        pin = HudiTable(t, spark=None, listing="direct").timeline.instants[-1].timestamp
+        n = convert_to_bucket(spark, t, 4)
+        assert n >= 1
+        assert _snap(spark, t) == before
+        tc = HudiTableConfig.from_base_path(t)
+        assert tc.props["hoodie.index.type"] == "BUCKET"
+        for (part, fid), s in _groups(t).items():
+            assert parse_bucket(fid) is not None and s.base_file is not None
+        # time travel before the conversion reads the OLD layout
+        tt = HudiTable(t, spark).read(HudiReadOptions(as_of_timestamp=pin))
+        assert {r.id: (r.name, r.ts) for r in tt.collect()} == before
+        # post-conversion writes hash-route (no lookup index involved)
+        upsert(
+            spark.createDataFrame(
+                [(2, "w2", 3, "b")], "id long, name string, ts long, part string"
+            ),
+            t,
+        )
+        snap = _snap(spark, t)
+        assert snap[2] == ("w2", 3) and snap[1] == ("u1", 2)
+
+    def test_conversion_rewrites_record_index(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.bucket import convert_to_bucket
+
+        t = self._seed_plain(
+            spark, tmp_path,
+            **{"metadata.enable": "true", "metadata.recordindex.enable": "true"},
+        )
+        convert_to_bucket(spark, t, 4)
+        rows = {
+            r.id: r.name
+            for r in HudiTable(t, spark).point_lookup(["1", "8"]).collect()
+        }
+        assert rows == {1: "u1", 8: "n8"}
+
+    def test_invalid_targets_rejected(self, spark, tmp_path):
+        from hudi_rs_spark.write.bucket import convert_to_bucket
+
+        t = _seed(spark, tmp_path)  # already bucket
+        with pytest.raises(ValueError, match="already bucket"):
+            convert_to_bucket(spark, t, 4)
+        cow = str(tmp_path / "cow")
+        (
+            _rows(spark, 4).write.format("hudi_py").option("path", cow)
+            .option("recordkey.field", "id").mode("append").save()
+        )
+        with pytest.raises(ValueError, match="MERGE_ON_READ"):
+            convert_to_bucket(spark, cow, 4)
