@@ -73,6 +73,10 @@ Surfaces:
   for existing tables (the writer emits blooms inline when
   ``metadata.bloomfilter.enable`` is set; upsert tagging then prunes
   its index scan to bloom-candidate files);
+- ``validate.validate_table`` — metadata validator (Hudi's
+  MetadataTableValidator analog): timeline parse/uniqueness, commit-vs-
+  storage file existence, MDT listing parity, record-index spot checks,
+  stale claims, orphan/suspect files, bucket invariants;
 - ``table.HudiTableWriter`` — low-level file-by-file fixture writer
   (v6 layout-1, v8 layout-2) the services grew out of.
 
@@ -146,4 +150,5 @@ from hudi_rs_spark.write.expr_index import (  # noqa: F401
 )
 from hudi_rs_spark.write.mdt_bloom import backfill_bloom_filters  # noqa: F401
 from hudi_rs_spark.write.ttl import apply_partition_ttl, expired_partitions  # noqa: F401
+from hudi_rs_spark.write.validate import validate_table  # noqa: F401
 from hudi_rs_spark.write.upsert import delete, upsert  # noqa: F401
