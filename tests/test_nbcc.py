@@ -264,3 +264,37 @@ class TestNbccAppends:
         with pytest.raises(ConcurrentWriteError, match="overwrite|conflict"):
             a.commit(msgs)
         a.abort(msgs)
+
+
+class TestNbccOnBucketTables:
+    def test_concurrent_bucket_appends_both_commit(self, spark, tmp_path):
+        """Bucket routing + NBCC compose: two writers hash-route to the
+        SAME bucket group concurrently and both land; the merge resolves
+        by ordering field."""
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.upsert import upsert
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, f"n{i}", 1) for i in range(12)], "id long, name string, ts long"
+        )
+        upsert(df, t, **{
+            "recordkey.field": "id", "precombine.field": "ts",
+            "table.type": "MERGE_ON_READ", "table.version": "8",
+            "index.type": "bucket", "bucket.index.num.buckets": "2",
+            "hoodie.table.name": "b",
+        })
+        # sequential upserts simulating the concurrent interleaving:
+        # both claim AFTER the seed, land in either order under nbcc
+        upsert(
+            spark.createDataFrame([(1, "a1", 9)], "id long, name string, ts long"),
+            t, **{"concurrency.mode": "nbcc"},
+        )
+        upsert(
+            spark.createDataFrame([(1, "b1", 5)], "id long, name string, ts long"),
+            t, **{"concurrency.mode": "nbcc"},
+        )
+        snap = {r.id: (r.name, r.ts)
+                for r in HudiTable(t, spark).read().collect()}
+        assert snap[1] == ("a1", 9)  # higher ordering wins, not commit order
+        assert len(snap) == 12

@@ -117,3 +117,25 @@ class TestValidator:
         report = validate_table(t)
         assert report["healthy"], report
         assert report["checks"]["bucket"]["ok"]
+
+
+class TestValidatorOnLifecycleTables:
+    def test_bench_lifecycle_tables_are_healthy(self, spark, sf_dir):
+        """The oracle rows' cached lifecycle tables (seed + upsert +
+        delete + MDT fold + archival [+ compaction/clustering]) must
+        pass every validator check — the validator is only trustworthy
+        if real multi-service histories come out clean."""
+        from hudi_rs_spark.workloads.write_path import (
+            _ensure_lifecycle_table,
+        )
+        from hudi_rs_spark.write.validate import validate_table
+
+        for kwargs in (
+            {"compacted": False},
+            {"compacted": True},
+            {"compacted": False, "clustered": True},
+            {"compacted": False, "table_version": 9},
+        ):
+            t = _ensure_lifecycle_table(spark, sf_dir, **kwargs)
+            report = validate_table(t)
+            assert report["healthy"], (kwargs, report)
