@@ -227,10 +227,30 @@ def check_commit_conflicts(
             "written after their plan was captured — retry the operation"
         )
     for i in concurrent:
-        try:
-            meta = timeline.metadata_for(i)
-        except Exception:
-            continue  # unparseable metadata: fail open (non-data action)
+        # FAIL CLOSED on unreadable concurrent metadata: every instant in
+        # ``timeline.instants`` is a completed DATA action (non-data
+        # actions never parse into the timeline), so its metadata must be
+        # readable to prove disjointness. Skipping it would silently
+        # disable conflict detection for exactly the instant most likely
+        # to conflict — the lost update this check exists to prevent.
+        # One retry absorbs transient storage errors; then raise the
+        # retryable ConcurrentWriteError.
+        meta = None
+        last_err: Exception | None = None
+        for _attempt in range(2):
+            try:
+                meta = timeline.metadata_for(i)
+                break
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                last_err = e
+        if meta is None:
+            raise ConcurrentWriteError(
+                f"instant {cfg.instant} cannot verify conflicts against "
+                f"concurrently completed instant {i.timestamp} on "
+                f"{cfg.path}: its commit metadata is unreadable "
+                f"({last_err}) — refusing to publish blind; retry the "
+                "write"
+            ) from last_err
         theirs: set[tuple[str, str]] = set()
         for ws in meta.write_stats:
             name = (ws.path or "").rsplit("/", 1)[-1]
