@@ -19,45 +19,41 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Driver-row freshness rotation (all 89 queries pass the identical
-# local DuckDB oracle in tests/test_oracle_diff.py): lead with the 39
-# queries whose newest driver evidence is r8 (they were rotated OUT of
-# r9's 50-row sample) so a prefix-sampling driver refreshes them this
-# round (VERDICT r9 next-round #4) — then the rows whose CODE changed
-# this round (CDC feed decode distributed; rollback/clean/archival/OCC
-# touch every write row), then everything else in stable order.
+# Driver-row freshness rotation (every query passes the identical
+# local DuckDB oracle in tests/test_oracle_diff.py): lead with this
+# round's NEW rows, then the 46 queries whose newest driver evidence
+# is r9 (they were rotated OUT of r10's 50-row sample — VERDICT r10
+# next-round #4) so a prefix-sampling driver refreshes them and no
+# query's evidence ages past 2 rounds; everything else follows in
+# stable registry order.
 _SURFACE_FIRST = [
-    # newest evidence r8 — refresh first
-    "q7_volume_shipping", "q8_market_share", "q9_product_revenue",
-    "q10_returned_items", "q12_priority_lines", "q13_order_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_part_demand",
-    "q17_small_quantity", "q18_large_volume", "q20_heavy_suppliers",
-    "q21_late_suppliers",
-    "win_running_total", "win_user_rank", "win_lag_delta",
-    "win_sessionize", "win_top3_events_per_user",
-    "json_props_stats",
-    "mm_image_features", "mm_resize_features", "mm_frame_sample",
-    "mm_audio_features",
-    "ops_asof_join", "ops_range_join",
-    "sample_stratified", "sample_weighted_mix",
-    "pack_token_shards", "pipeline_curate",
-    "text_decontaminate", "text_rarity_score", "text_tfidf_topterms",
-    "text_length_outliers",
-    "sim_brute_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_kmeans_clusters",
-    "dedup_fuzzy_levenshtein", "q_price_percentiles",
-    # code changed this round: distributed CDC decode + OCC/rollback/
-    # clean/archival surround every write-lifecycle row
-    "write_merge_into",  # NEW r10: MERGE INTO via the bloom tag tier
-    "write_async_compacted",  # NEW r10: non-blocking compaction protocol
-    "write_dml_predicates",  # NEW r10: UPDATE/DELETE ... WHERE
-    "write_zorder_clustered",  # NEW r10: space-filling-curve clustering
-    "write_delete_partition",  # NEW r10: DROP PARTITION replacecommit
-    "write_expr_index_scan",  # NEW r10: functional index + pruned scan
-    "write_bucket_upsert",  # NEW r10: bucket-index hash-routed lifecycle
-    "write_cdc_feed", "write_cow_roundtrip", "write_upsert_roundtrip",
-    "write_v9_lifecycle", "write_lance_roundtrip",
+    # NEW r11 rows — first-time driver evidence
+    "write_async_clustered",  # scheduled clustering + log migration
+    "write_bucket_rescaled",  # bucket split / consistent-hash rescale
+    "write_sql_dml",  # SQL-statement DML router
+    # newest evidence r9 — refresh (46)
+    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q19_disjunctive",
+    "q22_no_order_customers",
+    "merge_append_only", "merge_asof_snapshot", "merge_delete_aware",
+    "merge_incremental_window", "merge_latest_state",
+    "mor_snapshot_merge", "mor_incremental_refresh",
+    "dedup_exact", "dedup_normalized", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_ngram_jaccard", "dedup_cluster_canonical",
+    "dedup_incremental",
+    "text_lang_id", "text_quality", "text_token_stats",
+    "text_fingerprint_groups", "text_repetition", "text_pii_scrub",
+    "text_interdup_score",
+    "sim_embedding_near_dups", "sim_semdedup",
+    "sample_shuffle_shard", "sample_split_leakfree",
+    "sample_temperature_mix",
+    "cube_revenue", "rollup_revenue", "grouping_sets_revenue",
+    "distinct_counts", "except_churned_customers",
+    "intersect_loyal_customers", "salted_revenue_by_status",
+    "scalar_functions",
     "write_compacted_snapshot", "write_clustered_snapshot",
-    "write_point_lookup", "write_secondary_lookup",
+    "write_lance_roundtrip", "write_point_lookup",
+    "write_secondary_lookup",
 ]
 
 

@@ -331,10 +331,11 @@ class HudiTable:
         else:
             part_filter = None if pruner.is_empty else pruner.should_include
         part_filter = self._with_partition_stats_filter(part_filter, filters)
-        # scheduled (pending) compaction instants: logs anchored at one
-        # merge onto the previous committed slice until the compaction
-        # lands (write/async_compact.py non-blocking protocol)
-        anchors = set(self.timeline.pending_compaction_plans())
+        # scheduled (pending) compaction/clustering instants: logs
+        # anchored at one merge onto the previous committed slice until
+        # the service lands (write/async_compact.py +
+        # write/async_cluster.py non-blocking protocols)
+        anchors = self.timeline.pending_service_anchors()
         groups = build_file_groups(
             self.base_path,
             self._completion_times(),

@@ -95,6 +95,13 @@ def _parse_action_and_state(suffix: str) -> tuple[Action, State]:
         # the marker is what keeps the scheduled instant pending (logs
         # anchored at it stay associated, archival stays pinned).
         return Action.COMMIT, _state_from(state_str)
+    if action_str == "clustering":
+        # Hudi 1.0's scheduled-clustering marker: pending states are
+        # {ts}.clustering.requested/.inflight, completion publishes as
+        # {ts}.replacecommit (write/async_cluster.py). Parsing the
+        # pending states keeps the scheduled instant PENDING for the
+        # same reasons as compaction above.
+        return Action.REPLACE_COMMIT, _state_from(state_str)
     if state_str:
         return Action(action_str), _state_from(state_str)
     if suffix == "inflight":  # commit inflight has no action part

@@ -42,6 +42,8 @@ class Timeline:
     _archived_skipped: bool = False
     # memoized pending_compaction_plans (one timeline-dir list per view)
     _pending_compactions: dict | None = None
+    # memoized pending_clustering_plans (same lifecycle)
+    _pending_clusterings: dict | None = None
 
     @classmethod
     def load(cls, base_path: str, config: HudiTableConfig) -> "Timeline":
@@ -107,6 +109,45 @@ class Timeline:
                 out[ts] = {}
         object.__setattr__(self, "_pending_compactions", out)
         return out
+
+    def pending_clustering_plans(self) -> dict[str, dict]:
+        """{instant: plan} for scheduled-but-not-completed clustering —
+        ``{ts}.clustering.requested`` marker files carrying a JSON plan
+        (write/async_cluster.py). Same contract as
+        pending_compaction_plans: the instant set feeds the readers'
+        pending-anchor log association; the plan bodies drive
+        run_scheduled_clustering."""
+        if self._pending_clusterings is not None:
+            return self._pending_clusterings
+        import json as _json
+
+        from hudi_rs_spark.fs.storage import storage_for
+
+        completed = {i.timestamp for i in self.instants}
+        out: dict[str, dict] = {}
+        st = storage_for(self.base_path)
+        for entry in st.list_dir(self.timeline_dir):
+            name = entry.name
+            if entry.is_dir or not name.endswith(".clustering.requested"):
+                continue
+            ts = name.split(".", 1)[0]
+            if not ts or ts in completed:
+                continue
+            try:
+                payload = st.read_bytes(f"{self.timeline_dir}/{name}")
+                out[ts] = _json.loads(payload) if payload else {}
+            except (OSError, ValueError):
+                out[ts] = {}
+        object.__setattr__(self, "_pending_clusterings", out)
+        return out
+
+    def pending_service_anchors(self) -> set[str]:
+        """Instants of every pending table-service plan (compaction +
+        clustering): committed logs anchored at one of these merge onto
+        the previous committed slice until the service lands."""
+        return set(self.pending_compaction_plans()) | set(
+            self.pending_clustering_plans()
+        )
 
     def _archived_enabled(self) -> bool:
         return self.config is not None and self.config.archived_read_enabled

@@ -666,6 +666,52 @@ def write_async_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def write_async_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-blocking (scheduled) clustering lifecycle on a fresh scratch
+    table with the full index family + CDC: seed, upsert/delete round,
+    SCHEDULE a clustering plan pinning the input slices, land a second
+    upsert round (%7, excluding the tombstoned %11) WHILE the plan is
+    pending — its logs anchor at the plan instant and are MIGRATED onto
+    the rewritten groups at execution (write/async_cluster.py; unlike
+    compaction the file id changes, so re-parenting is the protocol's
+    crux) — then execute and read the snapshot. Oracle = both rounds
+    applied: the pending-window writes must survive the group rewrite."""
+    from hudi_rs_spark.write.async_cluster import (
+        run_scheduled_clustering,
+        schedule_clustering,
+    )
+    from hudi_rs_spark.write.upsert import upsert
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_asyncl_bench_")
+    path = os.path.join(tmp, "t")
+    w = _docs(spark, sf_dir).write.format("hudi_py").option("path", path)
+    for k, v in _seed_options().items():
+        w = w.option(k, v)
+    w.mode("append").save()
+    _apply_upserts(spark, sf_dir, path)
+    inst = schedule_clustering(
+        path, sort_columns=("doc_id",), min_group_slices=1
+    )
+    assert inst is not None, "lifecycle table must have groups to plan"
+    docs = _docs(spark, sf_dir)
+    upsert(
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 0))
+        .withColumn("text", F.concat(F.col("text"), F.lit("#p")))
+        .withColumn("ts", F.lit(4)),
+        path,
+    )
+    run_scheduled_clustering(spark, path)
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 DML_SQL = """
 SELECT doc_id,
        CASE WHEN doc_id % 13 = 0 THEN text || '#w' ELSE text END AS text,
@@ -738,6 +784,9 @@ for _n, _f, _s, _d in [
      "z-order (space-filling-curve) clustering, snapshot-transparent"),
     ("write_async_compacted", write_async_compacted, ASYNC_COMPACT_SQL,
      "non-blocking compaction: ingest during a pending plan, then execute"),
+    ("write_async_clustered", write_async_clustered, ASYNC_COMPACT_SQL,
+     "non-blocking clustering: pending-window logs migrated onto the "
+     "rewritten groups"),
     ("write_dml_predicates", write_dml_predicates, DML_SQL,
      "UPDATE ... WHERE / DELETE ... WHERE via pruned scan + MOR upsert"),
 ]:

@@ -57,6 +57,13 @@ Surfaces:
   the plan instant, readers merge them onto the committed slice, and
   execution upgrades the slice in place (ingestion never blocks or
   aborts on a scheduled compaction);
+- ``async_cluster.schedule_clustering`` /
+  ``run_scheduled_clustering`` — non-blocking clustering: a
+  ``{I}.clustering.requested`` plan pinning the input slices; writers
+  anchor new logs at the plan instant, execution rewrites the pinned
+  inputs into new groups and MIGRATES the pending-window logs onto
+  them (the file id changes, so unlike compaction the anchored logs
+  must be re-parented), publishing one replacecommit;
 - ``expr_index.create_expression_index`` — Hudi 1.0 functional index:
   per-base-file min/max of a SQL EXPRESSION in an ``expr_index_{name}``
   MDT partition; ``HudiTable.read_where_expression`` prunes files by
@@ -125,6 +132,10 @@ from hudi_rs_spark.write.concurrency import (  # noqa: F401
     StorageLockProvider,
     check_commit_conflicts,
     completed_instant_set,
+)
+from hudi_rs_spark.write.async_cluster import (  # noqa: F401
+    run_scheduled_clustering,
+    schedule_clustering,
 )
 from hudi_rs_spark.write.async_compact import (  # noqa: F401
     run_scheduled_compaction,

@@ -67,6 +67,12 @@ def schedule_compaction(path: str, instant: str | None = None) -> str | None:
     for plan in table.timeline.pending_compaction_plans().values():
         for g in plan.get("groups", ()):
             planned_already.add(g["fileId"])
+    # a group under a pending CLUSTERING plan is about to be replaced —
+    # compacting it would race the rewrite for no benefit
+    for plan in table.timeline.pending_clustering_plans().values():
+        for g in plan.get("groups", ()):
+            for inp in g.get("inputs", ()):
+                planned_already.add(inp["fileId"])
     groups = []
     for sl in table.get_file_slices():
         if sl.base_file is None or not sl.log_files:

@@ -179,8 +179,11 @@ def rollback_failed_writes(path: str, instant: str | None = None) -> list[str]:
                 pass
         elif name.endswith(".requested"):
             ts = name.split(".", 1)[0].split("_", 1)[0]
-            if name.endswith(".compaction.requested"):
-                # a SCHEDULED compaction plan (write/async_compact.py) is
+            if name.endswith(".compaction.requested") or name.endswith(
+                ".clustering.requested"
+            ):
+                # a SCHEDULED compaction/clustering plan
+                # (write/async_compact.py, write/async_cluster.py) is
                 # a durable intent, not a crashed claim: log files from
                 # committed writes anchor at its instant, and deleting
                 # the marker would orphan them (invisible data). Only a

@@ -456,23 +456,28 @@ def upsert(df: DataFrame, path: str, **options) -> None:
         )
         n_groups = len(next_version)
 
-    # non-blocking async compaction (write/async_compact.py): updates
-    # routed to a file group with a SCHEDULED compaction anchor their
-    # log files at the plan instant — written against the future base,
-    # visible throughout via the readers' pending-anchor merge, and
-    # exempt from the compactor's conflict check
+    # non-blocking async compaction/clustering (write/async_compact.py,
+    # write/async_cluster.py): updates routed to a file group with a
+    # SCHEDULED service plan anchor their log files at the plan instant
+    # — written against the service's future output, visible throughout
+    # via the readers' pending-anchor merge. Compaction keeps them on
+    # top of the new base; clustering migrates them onto the rewritten
+    # group at execution time.
     from hudi_rs_spark.sources.hudi import HudiTable as _HT
 
     plan_anchor: dict[str, str] = {}
-    for pi, plan in (
-        _HT(path, spark=None, listing="direct")
-        .timeline.pending_compaction_plans()
-        .items()
-        if exists
-        else ()
-    ):
-        for g in plan.get("groups", ()):
-            plan_anchor[g["fileId"]] = pi
+    if exists:
+        _tl = _HT(path, spark=None, listing="direct").timeline
+        for plans in (
+            _tl.pending_compaction_plans(),
+            _tl.pending_clustering_plans(),
+        ):
+            for pi, plan in plans.items():
+                for g in plan.get("groups", ()):
+                    if "fileId" in g:  # compaction plan shape
+                        plan_anchor[g["fileId"]] = pi
+                    for inp in g.get("inputs", ()):  # clustering shape
+                        plan_anchor[inp["fileId"]] = pi
     if plan_anchor:
         anchors_df = spark.createDataFrame(
             sorted(plan_anchor.items()),

@@ -200,6 +200,13 @@ def validate_table(path: str, sample_keys: int = 64) -> dict:
         for e in st.list_dir(tdir):
             if e.is_dir or not e.name.endswith(".requested"):
                 continue
+            if e.name.endswith(".compaction.requested") or e.name.endswith(
+                ".clustering.requested"
+            ):
+                # durable scheduled-service plans (write/async_compact.py,
+                # write/async_cluster.py), not crashed claims: committed
+                # logs anchor at their instants while they stay pending
+                continue
             ts = e.name.split(".")[0].split("_")[0]
             if ts < newest and ts not in completed_ts:
                 problems.append(

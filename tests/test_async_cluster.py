@@ -1,0 +1,374 @@
+"""Scheduled (async) clustering protocol (write/async_cluster.py):
+plan markers, log anchoring at the plan instant, non-blocking execution
+under racing ingestion (the migrated-log re-parenting), time-travel
+exactness, crash/retry, rollback/marker lifecycle, and record-index
+re-pointing for migrated keys.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+    spark.dataSource.register(HudiPyDataSource)
+
+
+def _write(df, path, mode="append", **options):
+    w = df.write.format("hudi_py").option("path", path)
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.mode(mode).save()
+
+
+def _people(spark, n=10, start=0, ts=1, name="n"):
+    return spark.createDataFrame(
+        [(start + i, f"{name}{start + i}", ts) for i in range(n)],
+        "id long, name string, ts long",
+    )
+
+
+OPTS = {
+    "recordkey.field": "id", "precombine.field": "ts",
+    "table.type": "MERGE_ON_READ", "table.version": "8",
+}
+
+
+def _seed_two_groups(spark, tmp_path, name="t", **extra):
+    """Two file groups in the root partition (two separate inserts)."""
+    t = str(tmp_path / name)
+    _write(_people(spark, 10).repartition(1), t, **{**OPTS, **extra})
+    _write(_people(spark, 10, start=10).repartition(1), t, **{**OPTS, **extra})
+    return t
+
+
+def _snap(spark, t):
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    return {r.id: r.name for r in HudiTable(t, spark).read().collect()}
+
+
+def _upsert1(spark, t, rid, name, ts):
+    from hudi_rs_spark.write.upsert import upsert
+
+    upsert(
+        spark.createDataFrame(
+            [(rid, name, ts)], "id long, name string, ts long"
+        ),
+        t,
+    )
+
+
+class TestScheduling:
+    def test_single_group_schedules_nothing(self, spark, tmp_path):
+        from hudi_rs_spark.write.async_cluster import schedule_clustering
+
+        t = str(tmp_path / "t")
+        _write(_people(spark).repartition(1), t, **OPTS)
+        assert schedule_clustering(t) is None  # below min_group_slices
+
+    def test_plan_marker_pins_inputs(self, spark, tmp_path):
+        import json
+
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.async_cluster import schedule_clustering
+
+        t = _seed_two_groups(spark, tmp_path)
+        inst = schedule_clustering(t, sort_columns=("id",))
+        assert inst is not None
+        markers = glob.glob(f"{t}/.hoodie/timeline/*.clustering.requested")
+        assert len(markers) == 1 and inst in markers[0]
+        plan = json.loads(open(markers[0]).read())
+        assert plan["instant"] == inst
+        assert plan["sortColumns"] == ["id"]
+        inputs = [i for g in plan["groups"] for i in g["inputs"]]
+        assert len(inputs) == 2
+        assert all(i["baseFile"] and i["logFiles"] == [] for i in inputs)
+        tl = HudiTable(t, spark=None, listing="direct").timeline
+        assert set(tl.pending_clustering_plans()) == {inst}
+        assert inst in tl.pending_service_anchors()
+        # rescheduling plans nothing new (groups already covered)
+        assert schedule_clustering(t) is None
+
+    def test_scheduled_compaction_skips_clustering_planned_groups(
+        self, spark, tmp_path
+    ):
+        from hudi_rs_spark.write.async_cluster import schedule_clustering
+        from hudi_rs_spark.write.async_compact import schedule_compaction
+
+        t = _seed_two_groups(spark, tmp_path)
+        _upsert1(spark, t, 1, "dirty", 5)  # gives a group log files
+        assert schedule_clustering(t) is not None
+        assert schedule_compaction(t) is None  # all groups under the plan
+
+    def test_v6_rejected(self, spark, tmp_path):
+        from hudi_rs_spark.write.async_cluster import schedule_clustering
+
+        t = str(tmp_path / "t")
+        _write(_people(spark), t, **{**OPTS, "table.version": "6"})
+        with pytest.raises(ValueError, match="v8"):
+            schedule_clustering(t)
+
+
+class TestProtocol:
+    def test_nonblocking_lifecycle_with_migration(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.async_cluster import (
+            run_scheduled_clustering,
+            schedule_clustering,
+        )
+
+        t = _seed_two_groups(spark, tmp_path)
+        inst = schedule_clustering(t, sort_columns=("id",))
+        # post-schedule ingestion anchors at the plan instant and stays
+        # visible BEFORE the clustering runs (nobody blocks)
+        _upsert1(spark, t, 1, "post", 6)
+        _upsert1(spark, t, 15, "post15", 6)
+        anchored = [
+            os.path.basename(p)
+            for p in glob.glob(f"{t}/.*.log.*")
+            if f"_{inst}.log." in os.path.basename(p)
+        ]
+        assert anchored, "post-schedule logs must anchor at the plan instant"
+        before = _snap(spark, t)
+        assert before[1] == "post" and before[15] == "post15"
+        assert len(before) == 20
+        assert run_scheduled_clustering(spark, t) == 2
+        after = _snap(spark, t)
+        assert after == before
+        assert not glob.glob(f"{t}/.hoodie/timeline/*.clustering.requested")
+        # one output group now serves the partition, and it carries the
+        # MIGRATED pending-window logs (anchored at the plan instant)
+        slices = HudiTable(t, spark=None, listing="direct").get_file_slices()
+        assert len(slices) == 1
+        sl = slices[0]
+        assert sl.base_file.commit_timestamp == inst
+        assert sl.log_files and all(
+            lf.timestamp == inst for lf in sl.log_files
+        )
+        # table remains fully writable after
+        _upsert1(spark, t, 2, "later", 7)
+        final = _snap(spark, t)
+        assert final[1] == "post" and final[2] == "later"
+
+    def test_time_travel_stays_exact_through_migration(self, spark, tmp_path):
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.async_cluster import (
+            run_scheduled_clustering,
+            schedule_clustering,
+        )
+
+        t = _seed_two_groups(spark, tmp_path)
+        _upsert1(spark, t, 1, "pre", 3)
+        pin = HudiTable(t, spark).timeline.latest_commit_timestamp()
+        schedule_clustering(t)
+        _upsert1(spark, t, 1, "post", 6)  # anchored, later migrated
+        run_scheduled_clustering(spark, t)
+        # as-of BEFORE the pending-window write: the migrated log's
+        # blocks (stamped with their real deltacommit instant) are
+        # excluded, and the pre-update version survives in the output
+        # base — nothing is lost, nothing leaks
+        old = {
+            r.id: r.name
+            for r in HudiTable(t, spark)
+            .read(HudiReadOptions(as_of_timestamp=pin))
+            .collect()
+        }
+        assert old[1] == "pre" and len(old) == 20
+        assert _snap(spark, t)[1] == "post"
+
+    def test_racing_ingestion_mid_execution_is_absorbed(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import hudi_rs_spark.write.async_cluster as ac
+        from hudi_rs_spark.write.async_cluster import (
+            run_scheduled_clustering,
+            schedule_clustering,
+        )
+
+        t = _seed_two_groups(spark, tmp_path)
+        schedule_clustering(t)
+        real = ac.run_slice_tasks if hasattr(ac, "run_slice_tasks") else None
+        import hudi_rs_spark.write.worklist as worklist_mod
+
+        real = worklist_mod.run_slice_tasks
+
+        def racing(spark_, descriptors, shared, fn):
+            # ingestion lands on a planned group WHILE the clusterer
+            # rewrites it: the retry loop must MIGRATE it, not fail
+            # (and never fail the ingestion itself)
+            out = real(spark_, descriptors, shared, fn)
+            _upsert1(spark, t, 1, "racing", 9)
+            return out
+
+        monkeypatch.setattr(worklist_mod, "run_slice_tasks", racing)
+        assert run_scheduled_clustering(spark, t) == 2
+        monkeypatch.undo()
+        snap = _snap(spark, t)
+        assert snap[1] == "racing" and len(snap) == 20
+
+    def test_hard_race_reclaims_and_keeps_plan(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from hudi_rs_spark.write.async_cluster import (
+            run_scheduled_clustering,
+            schedule_clustering,
+        )
+        from hudi_rs_spark.write.compact import compact
+        from hudi_rs_spark.write.concurrency import ConcurrentWriteError
+
+        t = _seed_two_groups(spark, tmp_path)
+        _upsert1(spark, t, 1, "dirty", 5)
+        inst = schedule_clustering(t)
+        import hudi_rs_spark.write.worklist as worklist_mod
+
+        real = worklist_mod.run_slice_tasks
+
+        def racing(spark_, descriptors, shared, fn):
+            out = real(spark_, descriptors, shared, fn)
+            if fn.__module__.endswith("async_cluster"):
+                # an inline compaction rewrites an input BASE mid-run:
+                # hard conflict — outputs reclaimed, plan kept
+                compact(spark, t)
+            return out
+
+        monkeypatch.setattr(worklist_mod, "run_slice_tasks", racing)
+        with pytest.raises(ConcurrentWriteError, match="raced"):
+            run_scheduled_clustering(spark, t)
+        monkeypatch.undo()
+        assert glob.glob(f"{t}/.hoodie/timeline/*.clustering.requested")
+        assert _snap(spark, t)[1] == "dirty"
+
+    def test_changed_base_drops_group_not_data(self, spark, tmp_path):
+        # an inline compaction between schedule and run changes an input
+        # group's base: that group is DROPPED from the rewrite (stays
+        # live), the other is replaced; no data moves twice, none lost
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.async_cluster import (
+            run_scheduled_clustering,
+            schedule_clustering,
+        )
+        from hudi_rs_spark.write.compact import compact
+
+        t = _seed_two_groups(spark, tmp_path)
+        _upsert1(spark, t, 1, "dirty", 5)  # group A gets a log
+        before_fids = {
+            s.file_id
+            for s in HudiTable(t, spark=None, listing="direct").get_file_slices()
+        }
+        schedule_clustering(t)
+        assert compact(spark, t) == 1  # rewrites group A's base
+        assert run_scheduled_clustering(spark, t) == 1  # only group B
+        snap = _snap(spark, t)
+        assert snap[1] == "dirty" and len(snap) == 20
+        after = HudiTable(t, spark=None, listing="direct").get_file_slices()
+        after_fids = {s.file_id for s in after}
+        assert len(after) == 2  # compacted A + clustered B
+        assert len(after_fids & before_fids) == 1  # A kept its file id
+
+
+class TestCrashAndRollback:
+    def test_rollback_preserves_pending_plan(self, spark, tmp_path):
+        from hudi_rs_spark.write.async_cluster import (
+            run_scheduled_clustering,
+            schedule_clustering,
+        )
+        from hudi_rs_spark.write.rollback import rollback_failed_writes
+
+        t = _seed_two_groups(spark, tmp_path)
+        schedule_clustering(t)
+        _upsert1(spark, t, 1, "post", 6)
+        rollback_failed_writes(t)
+        # durable intent: the plan marker survives rollback
+        assert glob.glob(f"{t}/.hoodie/timeline/*.clustering.requested")
+        assert _snap(spark, t)[1] == "post"
+        # ...execution + a second rollback reclaim it
+        assert run_scheduled_clustering(spark, t) == 2
+        rollback_failed_writes(t)
+        assert not glob.glob(f"{t}/.hoodie/timeline/*.clustering.requested")
+        assert _snap(spark, t)[1] == "post"
+
+    def test_crashed_attempt_outputs_reclaimed_on_rerun(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from hudi_rs_spark.write.async_cluster import (
+            _output_file_id,
+            run_scheduled_clustering,
+            schedule_clustering,
+        )
+
+        t = _seed_two_groups(spark, tmp_path)
+        inst = schedule_clustering(t)
+        out_fid = _output_file_id(inst, "", 0)
+        # fake a crashed earlier attempt: an uncommitted output base with
+        # a HIGH write token plus a stale migrated-log copy
+        bogus = f"{t}/{out_fid}_9-999-9_{inst}.parquet"
+        pq.write_table(pa.table({"junk": [1]}), bogus)
+        bogus_log = f"{t}/.{out_fid}_{inst}.log.9_9-999-9"
+        open(bogus_log, "wb").write(b"junk")
+        assert run_scheduled_clustering(spark, t) == 2
+        assert not os.path.exists(bogus)
+        assert not os.path.exists(bogus_log)
+        snap = _snap(spark, t)
+        assert len(snap) == 20
+
+    def test_moot_plan_resolves_marker(self, spark, tmp_path):
+        # all planned groups replaced by an inline clustering before the
+        # run: the plan is moot and its marker must stop pinning archival
+        from hudi_rs_spark.write.async_cluster import (
+            run_scheduled_clustering,
+            schedule_clustering,
+        )
+        from hudi_rs_spark.write.cluster import cluster
+
+        t = _seed_two_groups(spark, tmp_path)
+        schedule_clustering(t)
+        assert cluster(spark, t) == 2  # inline rewrite of both groups
+        assert run_scheduled_clustering(spark, t) == 0
+        assert not glob.glob(f"{t}/.hoodie/timeline/*.clustering.requested")
+        assert len(_snap(spark, t)) == 20
+
+
+class TestRecordIndexMigration:
+    _OPTS = {
+        **OPTS,
+        "metadata.enable": "true",
+        "metadata.recordindex.enable": "true",
+    }
+
+    def test_migrated_keys_repointed(self, spark, tmp_path):
+        from hudi_rs_spark.metadata.record_index import read_record_index
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.async_cluster import (
+            run_scheduled_clustering,
+            schedule_clustering,
+        )
+
+        t = str(tmp_path / "t")
+        _write(_people(spark, 10).repartition(1), t, **self._OPTS)
+        _write(
+            _people(spark, 10, start=10).repartition(1), t, **self._OPTS
+        )
+        schedule_clustering(t)
+        _upsert1(spark, t, 1, "post", 6)  # anchored -> migrated
+        assert run_scheduled_clustering(spark, t) == 2
+        table = HudiTable(t, spark)
+        live = {
+            (s.partition_path, s.file_id) for s in table.get_file_slices()
+        }
+        idx = read_record_index(t)
+        assert set(idx) == {str(i) for i in range(20)}
+        assert set(idx.values()) <= live  # incl. the migrated key "1"
+        got = {r.id: r.name for r in table.point_lookup(["1", "19"]).collect()}
+        assert got == {1: "post", 19: "n19"}
+        # post-clustering upserts route against the new groups
+        _upsert1(spark, t, 1, "newer", 8)
+        assert _snap(spark, t)[1] == "newer"
