@@ -944,23 +944,31 @@ class HudiTable:
     ) -> DataFrame:
         """Point lookup on a bucket-indexed table: bucket(key) =
         pmod(xxhash64(key), N) names the only file group (per partition)
-        that can hold the key, so the scan prunes to the keys' bucket
-        groups — zero index I/O. The hash is computed through Spark's
-        own xxhash64 (one tiny job over the key list) so it is
-        bit-identical to the write side's routing expression."""
-        from hudi_rs_spark.write.bucket import num_buckets, parse_bucket
+        that can hold the key — descending the split trie when the
+        bucket was rescaled (write/bucket.py::split_bucket) — so the
+        scan prunes to the keys' bucket groups, zero index I/O. The hash
+        is computed through Spark's own xxhash64 (one tiny job over the
+        key list) so it is bit-identical to the write side's routing
+        expression."""
+        from hudi_rs_spark.write.bucket import (
+            bucket_route_exprs,
+            num_buckets,
+            parse_bucket_leaf,
+            parse_splits,
+        )
 
         n = num_buckets(self.config.props)
+        b_col, m_col = bucket_route_exprs(
+            F.col("k"), n, parse_splits(self.config.props)
+        )
         kdf = self.spark.createDataFrame(
             [(str(k),) for k in keys], "k string"
-        ).select(
-            F.pmod(F.xxhash64(F.col("k")), F.lit(n)).cast("int").alias("b")
-        )
-        wanted = {r.b for r in kdf.distinct().collect()}
+        ).select(b_col.alias("b"), m_col.alias("m"))
+        wanted = {(r.b, r.m) for r in kdf.distinct().collect()}
         slices = [
             s
             for s in self.get_file_slices()
-            if parse_bucket(s.file_id) in wanted
+            if parse_bucket_leaf(s.file_id, n) in wanted
         ]
         if not slices:
             return self.spark.createDataFrame([], self.get_schema())

@@ -477,6 +477,47 @@ def write_bucket_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def write_bucket_rescaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket rescale lifecycle (write/bucket.py::split_bucket): seed a
+    bucket table through upsert, split bucket 0 into (0,16)/(8,16) —
+    ONE replacecommit over the affected groups only, the extendible-
+    hash split map recorded in table properties — then apply the
+    standard update/delete round (routing now descends the trie) and
+    read the merged snapshot. Same oracle as every lifecycle row: the
+    rescale must be invisible in the data."""
+    from hudi_rs_spark.write.bucket import split_bucket
+    from hudi_rs_spark.write.upsert import upsert
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_bsplit_bench_")
+    path = os.path.join(tmp, "t")
+    upsert(
+        _docs(spark, sf_dir),
+        path,
+        **{
+            "recordkey.field": "doc_id",
+            "precombine.field": "ts",
+            "partitionpath.field": "lang",
+            "table.type": "MERGE_ON_READ",
+            "table.version": "8",
+            "index.type": "bucket",
+            "bucket.index.num.buckets": "8",
+            "metadata.enable": "true",
+            "hoodie.table.name": "docs_bsplit",
+        },
+    )
+    split_bucket(spark, path, 0)
+    _apply_upserts(spark, sf_dir, path)
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 EXPR_INDEX_SQL = """
 SELECT doc_id, lang FROM documents
 WHERE length(text) <= 128
@@ -753,6 +794,59 @@ def write_dml_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+SQL_DML_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 13 = 0 THEN text || '#w' ELSE text END AS text,
+       lang
+FROM documents
+WHERE doc_id % 17 <> 0
+  AND lang <> (SELECT min(lang) FROM documents)
+ORDER BY doc_id
+"""
+
+
+def write_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-statement DML router (write/sql.py::hudi_sql): the exact
+    UPDATE / DELETE FROM / ALTER TABLE DROP PARTITION statements a SQL
+    tool would emit, parsed and dispatched to the pruned-scan DML APIs.
+    Oracle = documents with the %13 suffix, minus %17, minus the
+    min-lang partition (dropped metadata-only)."""
+    from hudi_rs_spark.write.sql import hudi_sql
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_sqldml_bench_")
+    path = os.path.join(tmp, "t")
+    w = _docs(spark, sf_dir).write.format("hudi_py").option("path", path)
+    for k, v in _seed_options().items():
+        w = w.option(k, v)
+    w.mode("append").save()
+    tables = {"docs": path}
+    hudi_sql(
+        spark,
+        "UPDATE docs SET text = concat(text, '#w'), ts = 2 "
+        "WHERE doc_id % 13 = 0;",
+        tables=tables,
+    )
+    hudi_sql(spark, "DELETE FROM docs WHERE doc_id % 17 = 0", tables=tables)
+    min_lang = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .agg(F.min("lang").alias("m")).collect()[0].m
+    )
+    hudi_sql(
+        spark,
+        f"ALTER TABLE docs DROP PARTITION (lang='{min_lang}')",
+        tables=tables,
+    )
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 for _n, _f, _s, _d in [
     ("write_cow_roundtrip", write_cow_roundtrip, WRITE_COW_SQL,
      "df.write COW round trip: fresh distributed write + read-back aggregate"),
@@ -776,6 +870,8 @@ for _n, _f, _s, _d in [
      "MERGE INTO (update/delete/insert clauses) via bloom-tier tagging"),
     ("write_bucket_upsert", write_bucket_upsert, LIFECYCLE_SQL,
      "bucket-index lifecycle: hash-routed writes, no index lookup"),
+    ("write_bucket_rescaled", write_bucket_rescaled, LIFECYCLE_SQL,
+     "bucket split: one-replacecommit rescale, trie-descending routing"),
     ("write_expr_index_scan", write_expr_index_scan, EXPR_INDEX_SQL,
      "functional index build + interval-pruned expression scan"),
     ("write_delete_partition", write_delete_partition, DROP_PARTITION_SQL,
@@ -789,5 +885,7 @@ for _n, _f, _s, _d in [
      "rewritten groups"),
     ("write_dml_predicates", write_dml_predicates, DML_SQL,
      "UPDATE ... WHERE / DELETE ... WHERE via pruned scan + MOR upsert"),
+    ("write_sql_dml", write_sql_dml, SQL_DML_SQL,
+     "SQL-statement router: UPDATE/DELETE/DROP PARTITION text dispatch"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("write", "hudi"), doc=_d))

@@ -47,6 +47,10 @@ Surfaces:
 - ``dml.update_where`` / ``dml.delete_where`` — SQL UPDATE/DELETE
   twins over the pruned snapshot scan; ``dml.delete_partitions`` —
   ALTER TABLE DROP PARTITION as one metadata-only replacecommit;
+- ``sql.hudi_sql`` — SQL-statement router: parses the standard
+  MERGE INTO / UPDATE / DELETE FROM / ALTER TABLE DROP PARTITION
+  grammar and dispatches to the APIs above (expressions pass through
+  verbatim as Catalyst SQL);
 - ``ttl.apply_partition_ttl`` — partition lifecycle (RFC-65
   KEEP_BY_TIME): partitions untouched for the retention window drop
   via delete_partition, epoch = newest data-writing instant
@@ -75,7 +79,10 @@ Surfaces:
   tag join); bucket tables are written through ``upsert`` (the raw
   writer rejects untagged rows); ``bucket.convert_to_bucket`` adopts
   the index on an existing table via one hash-regrouped rewrite +
-  replacecommit;
+  replacecommit; ``bucket.split_bucket`` rescales one bucket into two
+  children via an extendible-hash split map (routing stays one JVM
+  expression) — the incremental answer to Hudi's CONSISTENT_HASHING
+  engine;
 - ``mdt_bloom.backfill_bloom_filters`` — bloom_filters MDT partition
   for existing tables (the writer emits blooms inline when
   ``metadata.bloomfilter.enable`` is set; upsert tagging then prunes
@@ -147,6 +154,7 @@ from hudi_rs_spark.write.compact import compact  # noqa: F401
 from hudi_rs_spark.write.mdt_compact import clean_mdt, compact_mdt  # noqa: F401
 from hudi_rs_spark.write.rollback import rollback_failed_writes  # noqa: F401
 from hudi_rs_spark.write.savepoint import restore, savepoint  # noqa: F401
+from hudi_rs_spark.write.sql import SqlDmlError, hudi_sql  # noqa: F401
 from hudi_rs_spark.write.table import META_COLS, HudiTableWriter  # noqa: F401
 from hudi_rs_spark.write.dml import (  # noqa: F401
     delete_partitions,
@@ -154,7 +162,10 @@ from hudi_rs_spark.write.dml import (  # noqa: F401
     update_where,
 )
 from hudi_rs_spark.write.merge_into import merge_into  # noqa: F401
-from hudi_rs_spark.write.bucket import convert_to_bucket  # noqa: F401
+from hudi_rs_spark.write.bucket import (  # noqa: F401
+    convert_to_bucket,
+    split_bucket,
+)
 from hudi_rs_spark.write.expr_index import (  # noqa: F401
     create_expression_index,
     drop_expression_index,

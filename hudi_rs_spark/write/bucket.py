@@ -34,8 +34,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 BUCKET_FID_SUFFIX = "-0000-4000-8000-000000000000-0"
+LEAF_FID_TAIL = "-4000-8000-000000000000-0"
 NUM_BUCKETS_PROP = "hoodie.bucket.index.num.buckets"
 INDEX_TYPE_PROP = "hoodie.index.type"
+# extendible-hash split map (write/bucket.py::split_bucket): leaf
+# markers "b/m" comma-separated — bucket b AT MODULUS m was split into
+# children (b, 2m) and (b+m, 2m). Routing starts at (pmod(h,N), N) and
+# descends while the current leaf is marked split — Hudi's
+# CONSISTENT_HASHING bucket engine solves the same rescale problem with
+# a hash-ring metadata file; this trie encoding keeps routing a pure
+# JVM-side expression.
+SPLITS_PROP = "hoodie.bucket.index.splits"
+MAX_MODULUS = 9999  # leaf modulus rides in a 4-digit file-id segment
 
 
 def is_bucket_table(props: dict) -> bool:
@@ -46,8 +56,45 @@ def num_buckets(props: dict) -> int:
     return int(props.get(NUM_BUCKETS_PROP, "0"))
 
 
+def parse_splits(props: dict) -> frozenset[tuple[int, int]]:
+    """The table's split set {(bucket, modulus), ...} from properties."""
+    raw = str(props.get(SPLITS_PROP, "") or "").strip()
+    if not raw:
+        return frozenset()
+    out = set()
+    for tok in raw.split(","):
+        b, _, m = tok.strip().partition("/")
+        out.add((int(b), int(m)))
+    return frozenset(out)
+
+
+def splits_str(splits) -> str:
+    return ",".join(f"{b}/{m}" for b, m in sorted(splits))
+
+
+def _split_depth(n: int, splits) -> int:
+    """Max number of routing descents: how many doublings past N the
+    deepest split chain reaches."""
+    depth = 0
+    for _b, m in splits:
+        d = 1
+        while m > n:
+            m //= 2
+            d += 1
+        depth = max(depth, d)
+    return depth
+
+
 def bucket_file_id(bucket: int) -> str:
     return f"{bucket:08d}{BUCKET_FID_SUFFIX}"
+
+
+def leaf_file_id(bucket: int, modulus: int, n: int) -> str:
+    """File id of leaf (bucket, modulus): base-modulus leaves keep the
+    legacy '0000' segment (pre-split tables stay byte-identical), split
+    children encode their modulus in it."""
+    seg = "0000" if modulus == n else f"{modulus:04d}"
+    return f"{bucket:08d}-{seg}{LEAF_FID_TAIL}"
 
 
 def parse_bucket(file_id: str) -> int | None:
@@ -59,14 +106,60 @@ def parse_bucket(file_id: str) -> int | None:
     return None
 
 
+def parse_bucket_leaf(file_id: str, n: int) -> tuple[int, int] | None:
+    """(bucket, modulus) of a bucket-named file group; the legacy
+    '0000' segment means modulus == the table's base N."""
+    b = parse_bucket(file_id)
+    if b is None or len(file_id) < 13:
+        return None
+    seg = file_id[9:13]
+    if not seg.isdigit():
+        return None
+    m = n if seg == "0000" else int(seg)
+    return (b, m)
+
+
 def bucket_expr(key_expr: Column, n: int) -> Column:
-    """The bucket of each row, JVM-side: ``pmod(xxhash64(key), N)``."""
+    """The BASE bucket of each row, JVM-side: ``pmod(xxhash64(key), N)``."""
     return F.pmod(F.xxhash64(key_expr.cast("string")), F.lit(n)).cast("int")
+
+
+def bucket_route_exprs(
+    key_expr: Column, n: int, splits=frozenset()
+) -> tuple[Column, Column]:
+    """(bucket, modulus) leaf columns honoring the split map — still a
+    pure map-side expression: O(|splits| * depth) WHENs folded by
+    Catalyst, no join, no index read. An empty split map degenerates to
+    (pmod(h, N), N)."""
+    h = F.xxhash64(key_expr.cast("string"))
+    b = F.pmod(h, F.lit(n)).cast("int")
+    m = F.lit(n).cast("int")
+    for _ in range(_split_depth(n, splits)):
+        cond = None
+        for sb, sm in sorted(splits):
+            c = (b == F.lit(sb)) & (m == F.lit(sm))
+            cond = c if cond is None else (cond | c)
+        nm = (m * 2).cast("int")
+        nb = F.pmod(h, nm).cast("int")
+        b = F.when(cond, nb).otherwise(b)
+        m = F.when(cond, nm).otherwise(m)
+    return b, m
 
 
 def bucket_file_id_expr(bucket_col: Column) -> Column:
     return F.concat(
         F.lpad(bucket_col.cast("string"), 8, "0"), F.lit(BUCKET_FID_SUFFIX)
+    )
+
+
+def leaf_file_id_expr(bucket_col: Column, modulus_col: Column, n: int) -> Column:
+    return F.concat(
+        F.lpad(bucket_col.cast("string"), 8, "0"),
+        F.lit("-"),
+        F.when(modulus_col == F.lit(n), F.lit("0000")).otherwise(
+            F.lpad(modulus_col.cast("string"), 4, "0")
+        ),
+        F.lit(LEAF_FID_TAIL),
     )
 
 
@@ -264,5 +357,240 @@ def convert_to_bucket(
         return have
 
     _rewrite_props(_local_base(path), pin_bucket)
+    release_instant(cfg, "replacecommit")
+    return sum(len(v) for v in replaced.values())
+
+
+def split_bucket(
+    spark, path: str, bucket: int, modulus: int | None = None,
+    instant: str | None = None,
+) -> int:
+    """Rescale one bucket: rewrite leaf ``(bucket, modulus)``'s file
+    group (in every partition where it exists) into two child groups
+    ``(bucket, 2*modulus)`` and ``(bucket+modulus, 2*modulus)`` via ONE
+    replacecommit, then record the split in table properties so routing
+    (write/upsert.py, point lookups) descends to the children — the
+    operational cure for a bucket that outgrew its target file size
+    without convert_to_bucket's full-table rewrite. Hudi's
+    CONSISTENT_HASHING bucket engine splits/merges buckets through
+    clustering over a hash-ring metadata file
+    (hudi: HoodieConsistentHashingMetadata under
+    .hoodie/.bucket_index/consistent_hashing_metadata); this extendible-
+    hash trie in ``hoodie.bucket.index.splits`` is the same incremental
+    rescale expressed so routing stays one JVM-side expression.
+
+    ``modulus`` defaults to the CURRENT leaf modulus of ``bucket`` (the
+    base N when never split). Partitions that never materialized the
+    parent group simply seed the children lazily on their first write.
+    Bytes touched = the split bucket's data only; one shuffle on
+    (partition, child). Returns the number of file groups replaced.
+    """
+    from hudi_rs_spark.config.read_config import HudiReadOptions
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.sources.hudi import HudiTable
+    from hudi_rs_spark.write.concurrency import (
+        check_commit_conflicts,
+        claim_instant,
+        completed_instant_set,
+        release_instant,
+    )
+    from hudi_rs_spark.write.config import WriteConfig, new_instant
+    from hudi_rs_spark.write.record_index import _local_base, _rewrite_props
+    from hudi_rs_spark.write.writer import commit_instant
+
+    tc = HudiTableConfig.from_base_path(path)
+    if not is_bucket_table(tc.props):
+        raise ValueError(f"{path} is not bucket-indexed")
+    n = num_buckets(tc.props)
+    splits = parse_splits(tc.props)
+    if modulus is None:
+        # descend to the current leaf holding this bucket id
+        modulus = n
+        while (bucket % modulus, modulus) in splits:
+            modulus *= 2
+        if bucket % modulus != bucket:
+            raise ValueError(
+                f"bucket {bucket} is not a leaf id (its id exceeds its "
+                f"leaf modulus {modulus})"
+            )
+    if (bucket, modulus) in splits:
+        raise ValueError(f"bucket ({bucket}, {modulus}) is already split")
+    if bucket >= modulus:
+        raise ValueError(f"bucket {bucket} must be < modulus {modulus}")
+    if modulus != n:
+        # the leaf must exist: its parent chain must be fully split
+        if (bucket % (modulus // 2), modulus // 2) not in splits:
+            raise ValueError(
+                f"({bucket}, {modulus}) is not a current leaf of the "
+                "split trie"
+            )
+    if 2 * modulus > MAX_MODULUS:
+        raise ValueError(
+            f"child modulus {2 * modulus} exceeds the file-id encoding "
+            f"bound {MAX_MODULUS}"
+        )
+
+    parent_fid = leaf_file_id(bucket, modulus, n)
+    read_point = completed_instant_set(path)
+    table = HudiTable(path, spark)
+    parent_slices = [
+        s for s in table.get_file_slices() if s.file_id == parent_fid
+    ]
+    replaced: dict[str, list[str]] = {}
+    for s in parent_slices:
+        replaced.setdefault(s.partition_path or "", []).append(parent_fid)
+
+    cfg = WriteConfig(
+        path=path,
+        table_name=tc.table_name,
+        record_key_fields=tuple(tc.record_key_fields) or ("id",),
+        precombine_field=(tc.ordering_fields or [None])[0],
+        partition_fields=tuple(tc.partition_fields),
+        table_type=tc.table_type.value,
+        table_version=tc.table_version,
+        instant=instant or new_instant(),
+        instant_pinned=instant is not None,
+        operation="cluster",
+    )
+    new_splits = splits | {(bucket, modulus)}
+    if not parent_slices:
+        # no partition materialized the parent: the split is metadata-only
+        def pin_only(have: dict) -> dict:
+            have[SPLITS_PROP] = splits_str(new_splits)
+            return have
+
+        _rewrite_props(_local_base(path), pin_only)
+        return 0
+
+    claim_instant(cfg, "replacecommit")
+    instant = cfg.instant
+    snap = table._execute_slices(parent_slices, None, HudiReadOptions())
+    spark_schema = snap.schema
+    schema_json = table.schema_json()
+    base_path = cfg.path
+    child_mod = 2 * modulus
+    meta_parts = tc.props.get("hoodie.table.metadata.partitions", "")
+    with_stats = "column_stats" in meta_parts
+    with_bloom = "bloom_filters" in meta_parts
+    index_shards = (
+        int(tc.props.get("hoodie.metadata.record.index.shards", "0"))
+        if "record_index" in meta_parts
+        else 0
+    )
+
+    def write_child(pdf):
+        import base64
+        import json as _json
+
+        import pandas as pd
+        import pyarrow as pa
+        from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from hudi_rs_spark.write.writer import _fs, write_parquet
+
+        part = pdf["_hoodie_partition_path"].iloc[0] or ""
+        b = int(pdf["__hoodie_bucket_x"].iloc[0])
+        fid = leaf_file_id(b, child_mod, n)
+        tctx = TaskContext.get()
+        token = (
+            f"{tctx.partitionId()}-{tctx.stageId()}-{tctx.attemptNumber()}"
+            if tctx else "0-0-0"
+        )
+        name = f"{fid}_{token}_{instant}.parquet"
+        rel = f"{part}/{name}" if part else name
+        pdf = pdf.drop(columns=["__hoodie_bucket_x"])
+        pdf["_hoodie_file_name"] = name
+        arrow_schema = to_arrow_schema(spark_schema)
+        tbl = pa.Table.from_pandas(
+            pdf, schema=arrow_schema, preserve_index=False
+        )
+        size = write_parquet(tbl, f"{base_path}/{rel}", _fs(base_path))
+        keys = tbl["_hoodie_record_key"].combine_chunks()
+        cs = bf_b64 = None
+        if with_stats:
+            from hudi_rs_spark.write.mdt_stats import compute_column_stats
+
+            cs = _json.dumps(compute_column_stats(tbl))
+        if with_bloom:
+            from hudi_rs_spark.bloomfilter import build_bloom
+
+            bf_b64 = base64.b64encode(
+                build_bloom(k.as_py() for k in keys)
+            ).decode("ascii")
+        if index_shards:
+            from hudi_rs_spark.write.record_index import (
+                append_record_index_log,
+            )
+
+            append_record_index_log(
+                base_path, instant,
+                {k.as_py(): (part, fid) for k in keys},
+                index_shards, token,
+            )
+        return pd.DataFrame(
+            {
+                "fileId": [fid],
+                "path": [rel],
+                "partitionPath": [part],
+                "numWrites": [len(tbl)],
+                "fileSizeInBytes": [size],
+                "totalWriteBytes": [size],
+                "columnStats": [cs],
+                "bloomFilter": [bf_b64],
+            }
+        )
+
+    try:
+        stats_df = (
+            snap.withColumn(
+                "__hoodie_bucket_x",
+                F.pmod(
+                    F.xxhash64(F.col("_hoodie_record_key")),
+                    F.lit(child_mod),
+                ).cast("int"),
+            )
+            .repartition("_hoodie_partition_path", "__hoodie_bucket_x")
+            .groupBy("_hoodie_partition_path", "__hoodie_bucket_x")
+            .applyInPandas(
+                write_child,
+                "fileId string, path string, partitionPath string, "
+                "numWrites long, fileSizeInBytes long, "
+                "totalWriteBytes long, columnStats string, "
+                "bloomFilter string",
+            )
+        )
+        import json as _json
+
+        stats = []
+        for r in stats_df.collect():
+            d = r.asDict()
+            cs, bf = d.pop("columnStats"), d.pop("bloomFilter")
+            if cs:
+                d["columnStats"] = _json.loads(cs)
+            if bf:
+                d["bloomFilter"] = bf
+            stats.append(d)
+        check_commit_conflicts(
+            cfg,
+            read_point,
+            {(p, fid) for p, fids in replaced.items() for fid in fids},
+        )
+    except Exception:
+        release_instant(cfg, "replacecommit")
+        raise
+    commit_instant(
+        cfg, stats, schema_json, replaced=replaced, action="replacecommit"
+    )
+    if "files" in meta_parts:
+        from hudi_rs_spark.write.mdt import apply_commit_to_mdt
+
+        apply_commit_to_mdt(cfg, stats)
+
+    def pin_split(have: dict) -> dict:
+        have[SPLITS_PROP] = splits_str(new_splits)
+        return have
+
+    _rewrite_props(_local_base(path), pin_split)
     release_instant(cfg, "replacecommit")
     return sum(len(v) for v in replaced.values())

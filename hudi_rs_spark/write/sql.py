@@ -1,0 +1,413 @@
+"""SQL-statement DML router — ``hudi_sql(spark, "MERGE INTO t ...")``.
+
+The Python DataSource API has no catalog/DML hook, so a Spark SQL user
+cannot point ``spark.sql("MERGE INTO ...")`` at a hudi_py table. This
+module parses the standard DML grammar Spark's Hudi docs show —
+
+    MERGE INTO t [AS a] USING s [AS b] ON <equi-cond>
+        WHEN MATCHED [AND c] THEN UPDATE SET * | SET x = e, ...
+        WHEN MATCHED [AND c] THEN DELETE
+        WHEN NOT MATCHED [AND c] THEN INSERT * | (cols) VALUES (exprs)
+    UPDATE t SET x = e, ... [WHERE c]
+    DELETE FROM t [WHERE c]
+    ALTER TABLE t DROP [IF EXISTS] PARTITION (k=v, ...)[, PARTITION ...]
+
+— and dispatches to the existing write APIs (``merge_into.merge_into``,
+``dml.update_where`` / ``delete_where`` / ``delete_partitions``), which
+do the real work as pruned scans + MOR upserts / metadata-only
+replacecommits. Expressions inside SET/WHERE/VALUES are passed through
+VERBATIM as Catalyst SQL (this router parses statement STRUCTURE only,
+never expressions), so anything Spark SQL accepts works.
+
+Table resolution: ``tables={"t": "/path/to/table"}`` maps statement
+names to hudi_py base paths; a quoted path literal also works directly
+(``MERGE INTO '/data/t' ...``). MERGE sources resolve through
+``tables`` (another hudi table), a registered Spark view, or an inline
+``(SELECT ...)`` subquery.
+
+Parsing discipline: keywords are matched only at paren depth 0 and
+outside string/identifier quotes (the ``_mask`` scanner), so
+``WHERE``/``AND``/commas inside subqueries, function calls, or string
+literals never split a clause.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+class SqlDmlError(ValueError):
+    """The statement does not match the supported DML grammar."""
+
+
+# ---------------------------------------------------------------------------
+# top-level scanner
+# ---------------------------------------------------------------------------
+def _mask(s: str) -> str:
+    """Same-length copy of ``s`` where characters inside quotes or
+    nested parens are blanked — regex hits on the mask are positions of
+    TOP-LEVEL tokens in the original."""
+    out = []
+    depth = 0
+    q: str | None = None
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if q:
+            if c == q:
+                if q == "'" and i + 1 < len(s) and s[i + 1] == "'":
+                    out.append("\0")
+                    out.append("\0")
+                    i += 2
+                    continue
+                q = None
+            out.append("\0")
+        elif c in ("'", '"', "`"):
+            q = c
+            out.append("\0")
+        elif c == "(":
+            depth += 1
+            out.append("(" if depth == 1 else "\0")
+        elif c == ")":
+            depth -= 1
+            out.append(")" if depth == 0 else "\0")
+        else:
+            out.append(c if depth == 0 else "\0")
+        i += 1
+    return "".join(out)
+
+
+def _split_top(s: str, sep_pattern: str) -> list[str]:
+    """Split ``s`` on a regex separator matched at top level only."""
+    m = _mask(s)
+    parts, last = [], 0
+    for hit in re.finditer(sep_pattern, m, re.I):
+        parts.append(s[last : hit.start()])
+        last = hit.end()
+    parts.append(s[last:])
+    return [p.strip() for p in parts]
+
+
+def _find_top(s: str, pattern: str, start: int = 0):
+    return re.compile(pattern, re.I).search(_mask(s), start)
+
+
+_IDENT = r"(?:`[^`]+`|'[^']+'|\"[^\"]+\"|[\w.$/\-]+)"
+
+
+def _unquote(tok: str) -> str:
+    tok = tok.strip()
+    if tok[:1] in ("'", '"', "`") and tok[-1:] == tok[:1]:
+        return tok[1:-1]
+    return tok
+
+
+def _resolve_path(name: str, tables: dict | None) -> str:
+    raw = _unquote(name)
+    if tables and raw in tables:
+        return tables[raw]
+    if tables and name in tables:
+        return tables[name]
+    if "/" in raw:  # a literal path
+        return raw
+    raise SqlDmlError(
+        f"unknown table {name!r}: pass tables={{{raw!r}: '/base/path'}} "
+        "or use a quoted path literal"
+    )
+
+
+def _name_and_alias(clause: str) -> tuple[str, str | None]:
+    """``<name> [AS] [alias]`` -> (name, alias)."""
+    toks = clause.strip().split()
+    if not toks:
+        raise SqlDmlError(f"expected a table reference, got {clause!r}")
+    name = toks[0]
+    rest = [t for t in toks[1:] if t.upper() != "AS"]
+    if len(rest) > 1:
+        raise SqlDmlError(f"cannot parse table reference {clause!r}")
+    return name, (rest[0] if rest else None)
+
+
+# ---------------------------------------------------------------------------
+# router
+# ---------------------------------------------------------------------------
+def hudi_sql(spark, statement: str, tables: dict | None = None, **options):
+    """Execute one DML statement against hudi_py table(s).
+
+    Returns the matched/dropped row-or-group count for
+    UPDATE / DELETE / DROP PARTITION, and None for MERGE INTO (Spark
+    SQL MERGE returns no rows). ``options`` forward to the write API."""
+    stmt = statement.strip().rstrip(";").strip()
+    head = stmt[:20].upper()
+    if head.startswith("MERGE"):
+        return _run_merge(spark, stmt, tables, options)
+    if head.startswith("UPDATE"):
+        return _run_update(spark, stmt, tables, options)
+    if head.startswith("DELETE"):
+        return _run_delete(spark, stmt, tables, options)
+    if head.startswith("ALTER"):
+        return _run_drop_partition(spark, stmt, tables, options)
+    raise SqlDmlError(
+        "supported statements: MERGE INTO / UPDATE / DELETE FROM / "
+        "ALTER TABLE ... DROP PARTITION"
+    )
+
+
+def _alias_rewrite(expr: str, renames: dict[str, str]) -> str:
+    """Rewrite ``alias.`` prefixes to the canonical ``t.``/``s.`` the
+    merge executor binds — quote-aware (the mask is rebuilt after every
+    replacement so positions never go stale; an alias can't match its
+    own replacement, so this terminates)."""
+    for alias, to in renames.items():
+        if alias.lower() == to:
+            continue
+        pat = re.compile(rf"\b{re.escape(alias)}\s*\.", re.I)
+        while True:
+            hit = pat.search(_mask(expr))
+            if not hit:
+                break
+            expr = expr[: hit.start()] + f"{to}." + expr[hit.end():]
+    return expr
+
+
+def _run_merge(spark, stmt: str, tables, options):
+    from hudi_rs_spark.write.merge_into import merge_into
+
+    m = re.match(r"MERGE\s+INTO\s+", stmt, re.I)
+    if not m:
+        raise SqlDmlError("malformed MERGE INTO")
+    rest = stmt[m.end():]
+    using = _find_top(rest, r"\bUSING\b")
+    if not using:
+        raise SqlDmlError("MERGE INTO requires USING")
+    target_ref = rest[: using.start()]
+    rest2 = rest[using.end():]
+    on = _find_top(rest2, r"\bON\b")
+    if not on:
+        raise SqlDmlError("MERGE INTO requires ON")
+    source_ref = rest2[: on.start()]
+    rest3 = rest2[on.end():]
+    first_when = _find_top(rest3, r"\bWHEN\b")
+    if not first_when:
+        raise SqlDmlError("MERGE INTO requires at least one WHEN clause")
+    on_cond = rest3[: first_when.start()].strip()
+    clauses_text = rest3[first_when.start():]
+
+    t_name, t_alias = _name_and_alias(target_ref)
+    path = _resolve_path(t_name, tables)
+    src_txt = source_ref.strip()
+    if src_txt.startswith("("):
+        # inline subquery: (SELECT ...) [AS] alias
+        close = _find_top(src_txt, r"\)")
+        sub = src_txt[1 : close.start()]
+        s_alias_txt = src_txt[close.end():].strip()
+        s_alias = None
+        if s_alias_txt:
+            toks = [t for t in s_alias_txt.split() if t.upper() != "AS"]
+            s_alias = toks[0] if toks else None
+        source = spark.sql(sub)
+        s_name = None
+    else:
+        s_name, s_alias = _name_and_alias(src_txt)
+        raw = _unquote(s_name)
+        if tables and raw in tables:
+            source = (
+                spark.read.format("hudi_py").option("path", tables[raw]).load()
+            )
+            source = source.drop(
+                *[c for c in source.columns if c.startswith("_hoodie")]
+            )
+        else:
+            source = spark.table(raw)
+    renames = {}
+    if t_alias and t_alias.lower() != "t":
+        renames[t_alias] = "t"
+    if s_alias and s_alias.lower() != "s":
+        renames[s_alias] = "s"
+    # bare target/source table names used as qualifiers also normalize
+    if not t_alias:
+        bare = _unquote(t_name).split("/")[-1]
+        if bare.lower() not in ("t", "s"):
+            renames[bare] = "t"
+    if s_name and not s_alias:
+        bare = _unquote(s_name)
+        if bare.lower() not in ("t", "s"):
+            renames[bare] = "s"
+
+    on_cols = []
+    for conj in _split_top(on_cond, r"\bAND\b"):
+        eq = _split_top(conj, r"=")
+        if len(eq) != 2:
+            raise SqlDmlError(
+                f"only equi-join ON conditions are supported, got {conj!r}"
+            )
+        cols = set()
+        for side in eq:
+            side = _alias_rewrite(side, renames).strip()
+            col = side.split(".")[-1].strip().strip("`")
+            cols.add(col)
+        if len(cols) != 1:
+            raise SqlDmlError(
+                f"ON must equate the same column on both sides, got {conj!r}"
+            )
+        on_cols.append(cols.pop())
+
+    when_matched_update = None
+    when_matched_delete = None
+    when_not_matched_insert = None
+    matched_condition = None
+    for clause in _split_top(clauses_text, r"\bWHEN\b")[1:]:
+        is_not = re.match(r"\s*NOT\s+MATCHED\b", clause, re.I)
+        body = clause[is_not.end():] if is_not else None
+        if body is None:
+            mm = re.match(r"\s*MATCHED\b", clause, re.I)
+            if not mm:
+                raise SqlDmlError(f"cannot parse WHEN clause {clause!r}")
+            body = clause[mm.end():]
+        then = _find_top(body, r"\bTHEN\b")
+        if not then:
+            raise SqlDmlError(f"WHEN clause missing THEN: {clause!r}")
+        cond_txt = body[: then.start()].strip()
+        cond = None
+        if cond_txt:
+            am = re.match(r"AND\b", cond_txt, re.I)
+            if not am:
+                raise SqlDmlError(f"expected AND <cond>, got {cond_txt!r}")
+            cond = _alias_rewrite(cond_txt[am.end():].strip(), renames)
+        action = body[then.end():].strip()
+        up = action.upper()
+        if is_not:
+            if when_not_matched_insert is not None:
+                raise SqlDmlError("at most one WHEN NOT MATCHED clause")
+            if cond is not None:
+                raise SqlDmlError(
+                    "WHEN NOT MATCHED AND <cond> is not supported: filter "
+                    "the USING source instead"
+                )
+            if up.startswith("INSERT"):
+                ins = action[len("INSERT"):].strip()
+                if ins == "*" or not ins:
+                    when_not_matched_insert = "all"
+                else:
+                    cm = re.match(r"\((?P<cols>[^)]*)\)\s*VALUES\s*\(", ins, re.I)
+                    if not cm:
+                        raise SqlDmlError(
+                            f"cannot parse INSERT clause {action!r}"
+                        )
+                    cols = [
+                        c.strip().strip("`")
+                        for c in cm.group("cols").split(",")
+                    ]
+                    vals_txt = ins[cm.end() - 1:]
+                    close = _find_top(vals_txt, r"\)")
+                    vals = _split_top(vals_txt[1 : close.start()], r",")
+                    if len(cols) != len(vals):
+                        raise SqlDmlError("INSERT columns/VALUES mismatch")
+                    when_not_matched_insert = {
+                        c: _alias_rewrite(v, renames)
+                        for c, v in zip(cols, vals)
+                    }
+            else:
+                raise SqlDmlError(f"unsupported NOT MATCHED action {action!r}")
+        elif up.startswith("DELETE"):
+            if when_matched_delete is not None:
+                raise SqlDmlError("at most one WHEN MATCHED ... DELETE")
+            when_matched_delete = cond if cond is not None else "true"
+        elif up.startswith("UPDATE"):
+            if when_matched_update is not None:
+                raise SqlDmlError("at most one WHEN MATCHED ... UPDATE")
+            setm = re.match(r"UPDATE\s+SET\b", action, re.I)
+            if not setm:
+                raise SqlDmlError(f"cannot parse UPDATE clause {action!r}")
+            assigns = action[setm.end():].strip()
+            if assigns == "*":
+                when_matched_update = "all"
+            else:
+                when_matched_update = {}
+                for a in _split_top(assigns, r","):
+                    kv = _split_top(a, r"=")
+                    if len(kv) != 2:
+                        raise SqlDmlError(f"cannot parse assignment {a!r}")
+                    col = _alias_rewrite(kv[0], renames).strip()
+                    col = col.split(".")[-1].strip().strip("`")
+                    when_matched_update[col] = _alias_rewrite(
+                        kv[1].strip(), renames
+                    )
+            matched_condition = cond
+        else:
+            raise SqlDmlError(f"unsupported MATCHED action {action!r}")
+
+    merge_into(
+        source,
+        path,
+        on=on_cols,
+        when_matched_update=when_matched_update,
+        when_matched_delete=when_matched_delete,
+        when_not_matched_insert=when_not_matched_insert,
+        matched_condition=matched_condition,
+        **options,
+    )
+    return None
+
+
+def _run_update(spark, stmt: str, tables, options):
+    from hudi_rs_spark.write.dml import update_where
+
+    m = re.match(r"UPDATE\s+", stmt, re.I)
+    rest = stmt[m.end():]
+    setkw = _find_top(rest, r"\bSET\b")
+    if not setkw:
+        raise SqlDmlError("UPDATE requires SET")
+    path = _resolve_path(_name_and_alias(rest[: setkw.start()])[0], tables)
+    rest2 = rest[setkw.end():]
+    where = _find_top(rest2, r"\bWHERE\b")
+    assigns_txt = rest2[: where.start()] if where else rest2
+    cond = rest2[where.end():].strip() if where else "true"
+    assignments = {}
+    for a in _split_top(assigns_txt, r","):
+        kv = _split_top(a, r"=")
+        if len(kv) != 2:
+            raise SqlDmlError(f"cannot parse assignment {a!r}")
+        assignments[kv[0].strip().strip("`")] = kv[1].strip()
+    return update_where(spark, path, assignments, cond, **options)
+
+
+def _run_delete(spark, stmt: str, tables, options):
+    from hudi_rs_spark.write.dml import delete_where
+
+    m = re.match(r"DELETE\s+FROM\s+", stmt, re.I)
+    if not m:
+        raise SqlDmlError("expected DELETE FROM <table>")
+    rest = stmt[m.end():]
+    where = _find_top(rest, r"\bWHERE\b")
+    ref = rest[: where.start()] if where else rest
+    path = _resolve_path(_name_and_alias(ref)[0], tables)
+    cond = rest[where.end():].strip() if where else "true"
+    return delete_where(spark, path, cond, **options)
+
+
+def _run_drop_partition(spark, stmt: str, tables, options):
+    from hudi_rs_spark.write.dml import delete_partitions
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+(?P<t>" + _IDENT + r")\s+DROP\s+"
+        r"(?:IF\s+EXISTS\s+)?(?P<parts>PARTITION\s*\(.*)$",
+        stmt, re.I | re.S,
+    )
+    if not m:
+        raise SqlDmlError(
+            "expected ALTER TABLE <t> DROP [IF EXISTS] PARTITION (k=v, ...)"
+        )
+    path = _resolve_path(m.group("t"), tables)
+    parts = []
+    for pm in re.finditer(
+        r"PARTITION\s*\((?P<kv>[^)]*)\)", m.group("parts"), re.I
+    ):
+        fields = []
+        for kv in pm.group("kv").split(","):
+            k, _, v = kv.partition("=")
+            if not _.strip() and not v:
+                raise SqlDmlError(f"cannot parse partition spec {kv!r}")
+            fields.append(f"{k.strip().strip('`')}={_unquote(v)}")
+        parts.append("/".join(fields))
+    return delete_partitions(path, parts, **options)

@@ -259,7 +259,7 @@ def _location_index(
 
 def _tag_by_bucket(
     spark, cfg: WriteConfig, n: int, df: DataFrame, key_expr, part_expr,
-    table_exists: bool,
+    table_exists: bool, splits=frozenset(),
 ) -> DataFrame:
     """Bucket-index tagging (write/bucket.py): target file id is a pure
     map-side hash of the record key — NO index read, NO tag join against
@@ -267,19 +267,21 @@ def _tag_by_bucket(
     joins in (broadcast, one row per live file group, needed for the log
     anchor + next version). Rows landing in a bucket with no group yet
     keep a null anchor — the task writer anchors their log at its own
-    commit instant, creating the group log-only."""
+    commit instant, creating the group log-only. ``splits`` (the
+    extendible-hash rescale map, write/bucket.py::split_bucket) folds
+    into the routing expression — still zero index I/O."""
     from hudi_rs_spark.sources.hudi import HudiTable
     from hudi_rs_spark.write.bucket import (
-        bucket_expr,
-        bucket_file_id_expr,
-        parse_bucket,
+        bucket_route_exprs,
+        leaf_file_id_expr,
+        parse_bucket_leaf,
     )
 
     rows = []
     if table_exists:
         for sl in HudiTable(cfg.path, spark=None, listing="direct").get_file_slices():
-            b = parse_bucket(sl.file_id)
-            if b is None:
+            leaf = parse_bucket_leaf(sl.file_id, n)
+            if leaf is None:
                 raise ValueError(
                     f"file group {sl.file_id} is not bucket-named: this "
                     "table was not written through the bucket index "
@@ -295,7 +297,8 @@ def _tag_by_bucket(
             rows.append(
                 (
                     sl.partition_path or "",
-                    b,
+                    leaf[0],
+                    leaf[1],
                     sl.file_id,
                     anchor,
                     (max(versions) + 1) if versions else 1,
@@ -303,29 +306,35 @@ def _tag_by_bucket(
             )
     mapping = spark.createDataFrame(
         rows or spark.sparkContext.emptyRDD(),
-        "__bp string, __bb int, __bfid string, __banchor string, __bver int",
+        "__bp string, __bb int, __bm int, __bfid string, "
+        "__banchor string, __bver int",
     )
+    b_col, m_col = bucket_route_exprs(key_expr, n, splits)
     return (
         df.withColumn("__hoodie_part_x", part_expr)
-        .withColumn("__hoodie_bucket_x", bucket_expr(key_expr, n))
+        .withColumn("__hoodie_bucket_x", b_col)
+        .withColumn("__hoodie_bmod_x", m_col)
         .join(
             F.broadcast(mapping),
             (F.col("__hoodie_part_x") == F.col("__bp"))
-            & (F.col("__hoodie_bucket_x") == F.col("__bb")),
+            & (F.col("__hoodie_bucket_x") == F.col("__bb"))
+            & (F.col("__hoodie_bmod_x") == F.col("__bm")),
             "left",
         )
         .withColumn(
             TARGET_FILE_COL,
             F.coalesce(
                 F.col("__bfid"),
-                bucket_file_id_expr(F.col("__hoodie_bucket_x")),
+                leaf_file_id_expr(
+                    F.col("__hoodie_bucket_x"), F.col("__hoodie_bmod_x"), n
+                ),
             ),
         )
         .withColumn(TARGET_INSTANT_COL, F.col("__banchor"))
         .withColumn(LOG_VERSION_COL, F.coalesce(F.col("__bver"), F.lit(1)))
         .drop(
-            "__bp", "__bb", "__bfid", "__banchor", "__bver",
-            "__hoodie_part_x", "__hoodie_bucket_x",
+            "__bp", "__bb", "__bm", "__bfid", "__banchor", "__bver",
+            "__hoodie_part_x", "__hoodie_bucket_x", "__hoodie_bmod_x",
         )
     )
 
@@ -411,6 +420,8 @@ def upsert(df: DataFrame, path: str, **options) -> None:
         tc is not None and is_bucket_table(tc.props)
     )
     if bucket_mode:
+        from hudi_rs_spark.write.bucket import parse_splits
+
         n_buckets = cfg.bucket_index_num_buckets or (
             num_buckets(tc.props) if tc is not None else 0
         )
@@ -419,7 +430,8 @@ def upsert(df: DataFrame, path: str, **options) -> None:
                 "bucket table without hoodie.bucket.index.num.buckets"
             )
         tagged = _tag_by_bucket(
-            spark, cfg, n_buckets, df, key_expr, part_expr, exists
+            spark, cfg, n_buckets, df, key_expr, part_expr, exists,
+            splits=parse_splits(tc.props) if tc is not None else frozenset(),
         )
         next_version = {}
         n_groups = n_buckets

@@ -256,17 +256,35 @@ def validate_table(path: str, sample_keys: int = 64) -> dict:
         problems.append(f"orphan data file {rel}")
     record("orphan_files", problems)
 
-    # 7. bucket invariants
+    # 7. bucket invariants (split-trie aware, write/bucket.py)
     problems = []
-    from hudi_rs_spark.write.bucket import is_bucket_table, parse_bucket
+    from hudi_rs_spark.write.bucket import (
+        is_bucket_table,
+        num_buckets,
+        parse_bucket_leaf,
+        parse_splits,
+    )
 
     if is_bucket_table(tc.props):
+        n_buckets = num_buckets(tc.props)
+        splits = parse_splits(tc.props)
         by_bucket: dict[tuple[str, int], set[str]] = {}
         for sl in slices:
-            b = parse_bucket(sl.file_id)
-            if b is None:
+            leaf = parse_bucket_leaf(sl.file_id, n_buckets)
+            if leaf is None:
                 problems.append(f"non-bucket-named group {sl.file_id}")
                 continue
+            b, m = leaf
+            if (b, m) in splits:
+                problems.append(
+                    f"group {sl.file_id} is live for SPLIT bucket "
+                    f"({b}, {m}) — its replacecommit is missing"
+                )
+            if m != n_buckets and (b % (m // 2), m // 2) not in splits:
+                problems.append(
+                    f"group {sl.file_id} names leaf ({b}, {m}) that the "
+                    "split map never created"
+                )
             by_bucket.setdefault((sl.partition_path or "", b), set()).add(
                 sl.file_id
             )

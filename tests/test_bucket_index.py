@@ -359,3 +359,172 @@ class TestConvertToBucket:
         )
         with pytest.raises(ValueError, match="MERGE_ON_READ"):
             convert_to_bucket(spark, cow, 4)
+
+
+class TestSplitBucket:
+    """Incremental bucket rescale (write/bucket.py::split_bucket):
+    extendible-hash split of one bucket into two children via one
+    replacecommit + a split-map table property; routing, point lookups,
+    and the validator all descend the trie."""
+
+    def _bucket_of(self, spark, key: str, m: int) -> int:
+        row = (
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(key)), F.lit(m)).cast("int").alias("b")
+            )
+            .collect()[0]
+        )
+        return row.b
+
+    def test_split_preserves_snapshot_and_reroutes(self, spark, tmp_path):
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.bucket import (
+            parse_bucket_leaf,
+            parse_splits,
+            split_bucket,
+        )
+        from hudi_rs_spark.write.compact import compact
+        from hudi_rs_spark.write.upsert import upsert
+
+        t = _seed(spark, tmp_path)
+        compact(spark, t)  # give the groups real bases
+        before = _snap(spark, t)
+        pin = HudiTable(
+            t, spark=None, listing="direct"
+        ).timeline.instants[-1].timestamp
+        b = self._bucket_of(spark, "1", N_BUCKETS)
+        assert split_bucket(spark, t, b) >= 1
+        tc = HudiTableConfig.from_base_path(t)
+        assert parse_splits(tc.props) == {(b, N_BUCKETS)}
+        assert _snap(spark, t) == before  # split transparency
+        # live leaves: children where the parent lived, no parent left
+        leaves = {
+            parse_bucket_leaf(fid, N_BUCKETS) for (_p, fid) in _groups(t)
+        }
+        assert (b, N_BUCKETS) not in leaves
+        assert leaves & {(b, 2 * N_BUCKETS), (b + N_BUCKETS, 2 * N_BUCKETS)}
+        # time travel before the split reads the old layout
+        tt = HudiTable(t, spark).read(HudiReadOptions(as_of_timestamp=pin))
+        assert {r.id: (r.name, r.ts) for r in tt.collect()} == before
+        # hash-routed upserts now land in the CHILDREN (key 1 is in the
+        # split bucket): no new uuid group, no resurrected parent
+        upsert(
+            spark.createDataFrame(
+                [(1, "post", 9, "a")], "id long, name string, ts long, part string"
+            ),
+            t,
+        )
+        snap = _snap(spark, t)
+        assert snap[1] == ("post", 9) and len(snap) == len(before)
+        cb = self._bucket_of(spark, "1", 2 * N_BUCKETS)
+        child_groups = [
+            (p, fid)
+            for (p, fid) in _groups(t)
+            if parse_bucket_leaf(fid, N_BUCKETS) == (cb, 2 * N_BUCKETS)
+        ]
+        assert any(
+            _groups(t)[g].log_files for g in child_groups
+        ), "the update must land as a log on the child group"
+        # point lookup descends the trie
+        got = {
+            r.id: r.name
+            for r in HudiTable(t, spark).point_lookup(["1", "2"]).collect()
+        }
+        assert got == {1: "post", 2: "n2"}
+
+    def test_chained_split_and_validator(self, spark, tmp_path):
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+        from hudi_rs_spark.write.bucket import parse_splits, split_bucket
+        from hudi_rs_spark.write.upsert import upsert
+        from hudi_rs_spark.write.validate import validate_table
+
+        t = _seed(spark, tmp_path)
+        before = _snap(spark, t)
+        b = self._bucket_of(spark, "3", N_BUCKETS)
+        split_bucket(spark, t, b)
+        cb = self._bucket_of(spark, "3", 2 * N_BUCKETS)
+        split_bucket(spark, t, cb, 2 * N_BUCKETS)  # split the child again
+        tc = HudiTableConfig.from_base_path(t)
+        assert parse_splits(tc.props) == {
+            (b, N_BUCKETS), (cb, 2 * N_BUCKETS)
+        }
+        assert _snap(spark, t) == before
+        upsert(
+            spark.createDataFrame(
+                [(3, "deep", 9, "a")], "id long, name string, ts long, part string"
+            ),
+            t,
+        )
+        assert _snap(spark, t)[3] == ("deep", 9)
+        report = validate_table(t)
+        assert report["healthy"], report["checks"]
+
+    def test_metadata_only_split_seeds_lazily(self, spark, tmp_path):
+        # split a bucket that has no file group anywhere yet: the split
+        # is pure metadata; the first write seeds the child log-only
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.bucket import (
+            parse_bucket_leaf,
+            split_bucket,
+        )
+        from hudi_rs_spark.write.upsert import upsert
+
+        t = str(tmp_path / "t")
+        from hudi_rs_spark.write.upsert import upsert as _up
+
+        _up(_rows(spark, 1), t, **SEED_OPTS)  # one key -> one bucket
+        b1 = self._bucket_of(spark, "0", N_BUCKETS)
+        empty = next(
+            x for x in range(N_BUCKETS) if x != b1
+        )
+        assert split_bucket(spark, t, empty) == 0
+        # route a key into the empty-split bucket's children if any id
+        # hashes there; scan a few ids for one
+        target = None
+        for i in range(1, 200):
+            if self._bucket_of(spark, str(i), N_BUCKETS) == empty:
+                target = i
+                break
+        assert target is not None
+        upsert(
+            spark.createDataFrame(
+                [(target, "lazy", 2, "a")],
+                "id long, name string, ts long, part string",
+            ),
+            t,
+        )
+        cb = self._bucket_of(spark, str(target), 2 * N_BUCKETS)
+        leaves = {
+            parse_bucket_leaf(fid, N_BUCKETS) for (_p, fid) in _groups(t)
+        }
+        assert (cb, 2 * N_BUCKETS) in leaves
+        got = {
+            r.id: r.name
+            for r in HudiTable(t, spark).point_lookup([str(target)]).collect()
+        }
+        assert got == {target: "lazy"}
+
+    def test_invalid_splits_rejected(self, spark, tmp_path):
+        from hudi_rs_spark.write.bucket import split_bucket
+
+        t = _seed(spark, tmp_path)
+        b = self._bucket_of(spark, "1", N_BUCKETS)
+        split_bucket(spark, t, b)
+        with pytest.raises(ValueError, match="already split"):
+            split_bucket(spark, t, b, N_BUCKETS)
+        with pytest.raises(ValueError, match="must be <"):
+            split_bucket(spark, t, N_BUCKETS + 7, N_BUCKETS)
+        with pytest.raises(ValueError, match="not a current leaf"):
+            split_bucket(spark, t, 1 % 16, 16 * N_BUCKETS)
+        plain = str(tmp_path / "plain")
+        (
+            _rows(spark, 4).write.format("hudi_py").option("path", plain)
+            .option("recordkey.field", "id")
+            .option("precombine.field", "ts")
+            .option("table.type", "MERGE_ON_READ").mode("append").save()
+        )
+        with pytest.raises(ValueError, match="not bucket-indexed"):
+            split_bucket(spark, plain, 0)
