@@ -109,6 +109,11 @@ HEADLINE = [
     "write_delete_partition",
     "write_expr_index_scan",
     "write_bucket_upsert",
+    # round-11 write path: scheduled clustering (ingest-during-pending-
+    # plan + log migration), bucket split rescale, SQL-statement DML
+    "write_async_clustered",
+    "write_bucket_rescaled",
+    "write_sql_dml",
     # sample_split_leakfree stays registry/oracle-only: its plan is the
     # dedup_cluster_canonical LSH+CC (already benched twice via
     # pipeline_curate) plus a map-side coin flip.

@@ -460,6 +460,7 @@ def split_bucket(
             return have
 
         _rewrite_props(_local_base(path), pin_only)
+        write_hashing_metadata(path, cfg.instant, n, new_splits, [""])
         return 0
 
     claim_instant(cfg, "replacecommit")
@@ -592,5 +593,103 @@ def split_bucket(
         return have
 
     _rewrite_props(_local_base(path), pin_split)
+    write_hashing_metadata(
+        path, instant, n, new_splits, sorted(replaced) or [""]
+    )
     release_instant(cfg, "replacecommit")
     return sum(len(v) for v in replaced.values())
+
+
+# ---------------------------------------------------------------------------
+# consistent-hashing metadata layout parity
+# ---------------------------------------------------------------------------
+def _leaves(n: int, splits) -> list[tuple[int, int]]:
+    """Every live leaf of the split trie, (bucket, modulus) sorted."""
+    out = []
+
+    def descend(b: int, m: int):
+        if (b, m) in splits:
+            descend(b, 2 * m)
+            descend(b + m, 2 * m)
+        else:
+            out.append((b, m))
+
+    for b in range(n):
+        descend(b, n)
+    return sorted(out)
+
+
+def hashing_meta_dir(path: str) -> str:
+    return f"{path}/.hoodie/.bucket_index/consistent_hashing_metadata"
+
+
+def write_hashing_metadata(
+    path: str, instant: str, n: int, splits, partitions
+) -> None:
+    """Persist the split tree per partition in the ``.hoodie`` layout
+    Hudi's CONSISTENT_HASHING bucket engine uses —
+    ``.hoodie/.bucket_index/consistent_hashing_metadata/<partition>/
+    <instant>.hashing_meta``, a JSON document per Hudi's
+    HoodieConsistentHashingMetadata (which serializes to JSON, suffix
+    ``HASHING_METADATA_FILE_SUFFIX = ".hashing_meta"``). One node per
+    live LEAF with its file-id prefix, exactly how Hudi's engine maps
+    nodes to file groups; the ``value`` field carries this repo's trie
+    leaf tag ``bucket/modulus`` instead of a ring point (the trie is the
+    routing structure here — noted in ``extraMetadata.routing`` so a
+    reader never mistakes it for ring ranges). ``hoodie.properties``
+    stays the routing source of truth; these files are the durable,
+    per-partition, instant-versioned record an operator (or Hudi-side
+    tooling) can inspect."""
+    import json
+
+    from hudi_rs_spark.write.writer import _base, _fs
+
+    base = _base(path)
+    st = _fs(base)
+    doc = {
+        "version": 1,
+        "instant": instant,
+        "numBuckets": n,
+        "seqNo": len(splits),
+        "nodes": [
+            {
+                "value": f"{b}/{m}",
+                "fileIdPrefix": leaf_file_id(b, m, n)[: -len("-0")],
+            }
+            for b, m in _leaves(n, splits)
+        ],
+        "extraMetadata": {
+            "routing": "extendible-hash-trie",
+            "splits": splits_str(splits),
+        },
+    }
+    payload = json.dumps(doc, indent=0).encode()
+    for part in partitions:
+        d = f"{hashing_meta_dir(base)}/{part}" if part else hashing_meta_dir(base)
+        st.publish_bytes(f"{d}/{instant}.hashing_meta", payload)
+
+
+def read_hashing_metadata(path: str, partition: str = "") -> dict | None:
+    """Latest persisted hashing metadata for ``partition`` (None when
+    the table never split)."""
+    import json
+
+    from hudi_rs_spark.write.writer import _base, _fs
+
+    base = _base(path)
+    st = _fs(base)
+    d = (
+        f"{hashing_meta_dir(base)}/{partition}"
+        if partition
+        else hashing_meta_dir(base)
+    )
+    if not st.isdir(d):
+        return None
+    names = sorted(
+        e.name
+        for e in st.list_dir(d)
+        if not e.is_dir and e.name.endswith(".hashing_meta")
+    )
+    if not names:
+        return None
+    return json.loads(st.read_bytes(f"{d}/{names[-1]}"))

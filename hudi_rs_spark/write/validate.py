@@ -19,8 +19,15 @@ Checks (each independent, all driver-side metadata reads):
 6. orphan_files  — data files not reachable from any completed instant
                    and older than the newest completed instant
                    (failed-write residue; rollback reclaims).
-7. bucket        — on bucket tables: every file group is bucket-named
-                   and no (partition, bucket) has two groups.
+7. bucket        — on bucket tables: every file group is bucket-named,
+                   no (partition, bucket) has two groups, and every
+                   leaf is consistent with the split trie.
+8. bloom_filters — sampled live base-file keys test POSITIVE in their
+                   file's bloom (a false negative = wrong tag pruning).
+9. expr_index    — stored expression intervals CONTAIN the recomputed
+                   min/max on sampled files (a shrunk interval = wrong
+                   query pruning); needs ``spark=`` to recompute,
+                   reported as skipped otherwise.
 
 Returns ``{"healthy": bool, "checks": {name: {"ok": bool, "problems":
 [...]}}}`` — problems are capped per check (the report is a signal, not
@@ -35,7 +42,7 @@ import os
 _CAP = 20  # max problems reported per check
 
 
-def validate_table(path: str, sample_keys: int = 64) -> dict:
+def validate_table(path: str, sample_keys: int = 64, spark=None) -> dict:
     from hudi_rs_spark.config.table_config import HudiTableConfig
     from hudi_rs_spark.sources.hudi import HudiTable
     from hudi_rs_spark.write.writer import _base, _fs
@@ -295,10 +302,135 @@ def validate_table(path: str, sample_keys: int = 64) -> dict:
                 )
     record("bucket", problems)
 
+    # 8. bloom_filters spot check: every sampled live base-file key must
+    # test POSITIVE in its file's bloom — a false negative means the
+    # upsert tag path would wrongly prune the file and route an update
+    # as an insert (silent duplicate). Stale entries for dead files are
+    # harmless (candidates are intersected with the live listing).
+    problems = []
+    if "bloom_filters" in meta_parts:
+        import pyarrow.parquet as pq
+
+        from hudi_rs_spark.bloomfilter import _parse, bloom_contains
+        from hudi_rs_spark.metadata.bloom_filters import read_bloom_filters
+
+        try:
+            blooms = read_bloom_filters(base)
+        except Exception as e:  # noqa: BLE001
+            blooms = None
+            problems.append(f"bloom_filters partition unreadable: {e}")
+        if blooms is not None:
+            probed = 0
+            for sl in slices:
+                if probed >= sample_keys or sl.base_file is None:
+                    continue
+                blob = blooms.get(sl.base_file.file_name)
+                if blob is None:
+                    continue  # file written before the bloom partition
+                try:
+                    _parse(blob)
+                except Exception as e:  # noqa: BLE001
+                    problems.append(
+                        f"unparseable bloom for {sl.base_file.file_name}: {e}"
+                    )
+                    continue
+                rel = sl.base_file_relative_path()
+                try:
+                    keys = pq.read_table(
+                        f"{base}/{rel}", columns=["_hoodie_record_key"]
+                    )["_hoodie_record_key"].to_pylist()
+                except Exception:  # noqa: BLE001 — existence checked above
+                    continue
+                per_file = max(1, sample_keys // max(1, len(slices)))
+                for k in keys[:per_file]:
+                    probed += 1
+                    if not bloom_contains(blob, k):
+                        problems.append(
+                            f"bloom FALSE NEGATIVE: live key {k!r} of "
+                            f"{sl.base_file.file_name} tests absent — "
+                            "tagging would wrongly prune this file"
+                        )
+    record("bloom_filters", problems)
+
+    # 9. expression-index intervals: the stored [min, max] must CONTAIN
+    # the expression's actual values on the file — a shrunk interval
+    # wrongly prunes (wrong query results); a widened one only costs
+    # I/O. Recomputation needs a SparkSession (the expression is
+    # Catalyst SQL); without one the check is skipped, not passed
+    # silently.
+    problems = []
+    from hudi_rs_spark.write.expr_index import PROP_PREFIX
+
+    expr_indexes = {
+        k[len(PROP_PREFIX):]: v
+        for k, v in tc.props.items()
+        if k.startswith(PROP_PREFIX)
+    }
+    skipped_expr = bool(expr_indexes) and spark is None
+    if expr_indexes and spark is not None:
+        from hudi_rs_spark.metadata.column_stats import read_column_stats
+
+        live_files = {
+            sl.base_file.file_name: sl.base_file_relative_path()
+            for sl in slices
+            if sl.base_file is not None
+        }
+        for name, expr in sorted(expr_indexes.items()):
+            try:
+                stats = read_column_stats(
+                    base, partition=f"expr_index_{name}"
+                )
+            except Exception as e:  # noqa: BLE001
+                problems.append(f"expr_index_{name} unreadable: {e}")
+                continue
+            checked = 0
+            for fname, cols in sorted(stats.items()):
+                if checked >= 4:  # a spot check, not a rebuild
+                    break
+                rel = live_files.get(fname)
+                if rel is None:
+                    continue  # entry for a dead file: harmless residue
+                for stored_expr, (lo, hi) in cols.items():
+                    from pyspark.sql import functions as F
+
+                    row = (
+                        spark.read.parquet(f"{base}/{rel}")
+                        .select(F.expr(stored_expr).alias("v"))
+                        .agg(
+                            F.min("v").alias("lo"), F.max("v").alias("hi")
+                        )
+                        .collect()[0]
+                    )
+                    checked += 1
+                    if row.lo is None:
+                        continue
+                    if _stat_lt(row.lo, lo) or _stat_lt(hi, row.hi):
+                        problems.append(
+                            f"expr_index_{name} interval [{lo!r}, {hi!r}] "
+                            f"on {fname} does not contain the recomputed "
+                            f"[{row.lo!r}, {row.hi!r}] — pruning would "
+                            "drop matching files"
+                        )
+    record("expr_index", problems)
+    if skipped_expr:
+        checks["expr_index"]["skipped"] = (
+            "expression recomputation needs spark=; pass a session to "
+            "verify intervals"
+        )
+
     return {
         "healthy": all(c["ok"] for c in checks.values()),
         "checks": checks,
     }
+
+
+def _stat_lt(a, b) -> bool:
+    """a < b with the loose typing of MDT stat cells (numbers may round-
+    trip as strings)."""
+    try:
+        return float(a) < float(b)
+    except (TypeError, ValueError):
+        return str(a) < str(b)
 
 
 def _data_files(st, base: str):

@@ -528,3 +528,38 @@ class TestSplitBucket:
         )
         with pytest.raises(ValueError, match="not bucket-indexed"):
             split_bucket(spark, plain, 0)
+
+    def test_hashing_metadata_layout_persisted(self, spark, tmp_path):
+        # stretch parity: the split tree also lands in Hudi's
+        # consistent-hashing metadata layout
+        # (.hoodie/.bucket_index/consistent_hashing_metadata/...)
+        import os
+
+        from hudi_rs_spark.write.bucket import (
+            leaf_file_id,
+            read_hashing_metadata,
+            split_bucket,
+        )
+
+        t = _seed(spark, tmp_path)
+        assert read_hashing_metadata(t) is None
+        b = self._bucket_of(spark, "1", N_BUCKETS)
+        split_bucket(spark, t, b)
+        metas = [
+            read_hashing_metadata(t, p) for p in ("part=a", "part=b")
+        ]
+        metas = [m for m in metas if m is not None]
+        assert metas, "split partitions must carry a .hashing_meta file"
+        meta = metas[0]
+        assert meta["numBuckets"] == N_BUCKETS and meta["seqNo"] == 1
+        values = {nd["value"] for nd in meta["nodes"]}
+        assert f"{b}/{2 * N_BUCKETS}" in values
+        assert f"{b + N_BUCKETS}/{2 * N_BUCKETS}" in values
+        assert f"{b}/{N_BUCKETS}" not in values  # the split leaf is gone
+        prefixes = {nd["fileIdPrefix"] for nd in meta["nodes"]}
+        assert leaf_file_id(b, 2 * N_BUCKETS, N_BUCKETS)[:-2] in prefixes
+        d = f"{t}/.hoodie/.bucket_index/consistent_hashing_metadata"
+        assert any(
+            f.endswith(".hashing_meta")
+            for _r, _d, fs in os.walk(d) for f in fs
+        )

@@ -52,7 +52,7 @@ if _REPO not in sys.path:
 BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 MULT = int(os.environ.get("SCALECHECK_MULT", "5"))
 RUNS = int(os.environ.get("SCALECHECK_RUNS", "1"))
-OUT = os.path.join(_REPO, os.environ.get("SCALECHECK_OUT", "SCALECHECK_r10.json"))
+OUT = os.path.join(_REPO, os.environ.get("SCALECHECK_OUT", "SCALECHECK_r11.json"))
 ID_STRIDE = 10**9
 
 
@@ -175,6 +175,16 @@ def main() -> None:
         # hash tagging costs O(batch) with no index scan, so the full
         # seed+upsert+delete lifecycle must track corpus size
         "write_bucket_upsert",
+        # r11 (VERDICT r10 next-round #5): the expression-index BUILD is
+        # a full distributed scan (column-pruned) that must track corpus
+        # size (the z-order curve cost is measured by the FRESH wrapper
+        # below — the registry row reads a cached lifecycle table)
+        "write_expr_index_scan",
+        # r11 new surfaces: scheduled clustering (plan + pending-window
+        # ingest + rewrite-with-migration) and the bucket split (one
+        # bucket's data only — the flattest-possible row by design)
+        "write_async_clustered",
+        "write_bucket_rescaled",
     ]
 
     def semdedup_at(k: int):
@@ -185,6 +195,41 @@ def main() -> None:
                 k=k, iterations=KMEANS_ITERS, threshold=DUP_THRESHOLD,
             )
         return run
+
+    def zorder_fresh(spark_, sf_dir):
+        # VERDICT r10 #5: the registry's write_zorder_clustered reads a
+        # CACHED lifecycle table, so the curve encode never lands in its
+        # timing. This wrapper runs the full seed + upsert + z-order
+        # clustering rewrite on a scratch table per measurement — the
+        # Morton encode (write/layout.py, vectorized numpy inside each
+        # rewrite task) is inside the timed window.
+        import shutil
+        import tempfile
+
+        from hudi_rs_spark.workloads.write_path import (
+            _apply_upserts,
+            _docs,
+            _seed_options,
+        )
+        from hudi_rs_spark.write.cluster import cluster
+
+        tmp = tempfile.mkdtemp(prefix="hudi_zorder_scale_")
+        path = os.path.join(tmp, "t")
+        w = _docs(spark_, sf_dir).write.format("hudi_py").option("path", path)
+        for k, v in _seed_options().items():
+            w = w.option(k, v)
+        w.mode("append").save()
+        _apply_upserts(spark_, sf_dir, path)
+        cluster(
+            spark_, path, sort_columns=("doc_id", "source"),
+            min_group_slices=1, layout="zorder",
+        )
+        out = (
+            spark_.read.format("hudi_py").option("path", path).load()
+            .select("doc_id").localCheckpoint(eager=True)
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return out
 
     def near_dups_at(n_bands: int, planes: int):
         def run(spark, sf_dir):
@@ -222,6 +267,15 @@ def main() -> None:
             q = report["queries"].setdefault(name, {"group": "fixed-knob"})
             q[tag] = {"sec": s, "rows": rows}
             print(f"# {name}@{tag}: {s}s {rows} rows", file=sys.stderr)
+        s, rows = _measure(spark, zorder_fresh, sf_dir, RUNS)
+        q = report["queries"].setdefault(
+            "write_zorder_clustered[fresh]", {"group": "fixed-knob"}
+        )
+        q[tag] = {"sec": s, "rows": rows}
+        print(
+            f"# write_zorder_clustered[fresh]@{tag}: {s}s {rows} rows",
+            file=sys.stderr,
+        )
         knob_mult = MULT if tag == "scaled" else 1
         planes_extra = max(0, (MULT - 1).bit_length()) if tag == "scaled" else 0
         for name, fn in (
