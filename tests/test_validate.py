@@ -166,10 +166,17 @@ class TestBloomAndExprChecks:
         from hudi_rs_spark.write.validate import validate_table
 
         t = self._seed_indexed(spark, tmp_path)
-        sl = next(
-            s
-            for s in HudiTable(t, spark=None, listing="direct").get_file_slices()
-            if s.base_file is not None
+        # corrupt the FIRST slice in probe order so the capped sampler
+        # always reaches it, however many files the session produced
+        sl = min(
+            (
+                s
+                for s in HudiTable(
+                    t, spark=None, listing="direct"
+                ).get_file_slices()
+                if s.base_file is not None
+            ),
+            key=lambda s: (s.partition_path or "", s.file_id),
         )
         # newest record wins: override the file's bloom with one built
         # from the WRONG keys — live keys now test (mostly) negative
@@ -200,18 +207,28 @@ class TestBloomAndExprChecks:
         from hudi_rs_spark.write.validate import validate_table
 
         t = self._seed_indexed(spark, tmp_path)
-        sl = next(
-            s
-            for s in HudiTable(t, spark=None, listing="direct").get_file_slices()
-            if s.base_file is not None
+        # the validator spot-checks the first files in NAME order — seed
+        # the corruption on the first-sorted base file so it is always
+        # inside the sampled window regardless of how many files the
+        # session's parallelism produced
+        sl = min(
+            (
+                s
+                for s in HudiTable(
+                    t, spark=None, listing="direct"
+                ).get_file_slices()
+                if s.base_file is not None
+            ),
+            key=lambda s: s.base_file.file_name,
         )
-        # names are n0..n19 (length 2-3); store a shrunk [3, 3] interval
+        # names are n0..n19 (length 2-3); store an interval that
+        # cannot contain any real value
         inst = new_instant()
         part = expr_index_partition("len_name")
         append_expr_stats_log(
             t, part, inst,
             [(sl.partition_path or "", sl.base_file.file_name,
-              "length(name)", 3, 3, 10, 0)],
+              "length(name)", 100, 100, 10, 0)],
             "9-9-9",
         )
         publish_mdt_deltacommit(f"{t}/.hoodie/metadata", inst, {part: []})
