@@ -116,6 +116,7 @@ def get_file_slices(
     archived_timestamps: set[str] | None = None,
     archived_load_complete: bool = False,
     compaction_anchors: set[str] | None = None,
+    replaced_groups: dict[tuple[str, str], str] | None = None,
 ) -> list[FileSlice]:
     """As-of slice per group, minus replaced groups
     (table/fs_view.rs:236-254). ``valid_commit_timestamps`` drops base
@@ -134,7 +135,14 @@ def get_file_slices(
     trimmed archive loses its OLDEST instants first, so below the loaded
     minimum absence proves nothing. Every other case keeps the fail-open
     heuristic: dropping visible data on an incomplete load is the worse
-    error (silent data loss on read)."""
+    error (silent data loss on read).
+
+    Replacement exclusion: prefer ``replaced_groups`` — {(partition,
+    file_id): replace instant}, partition-scoped (bucket tables reuse a
+    file id across partitions) and instant-scoped (slices created AFTER
+    the replace resurrect the group — bucket merge recreates a parent
+    under its deterministic id). ``excluded_file_ids`` is the legacy
+    bare-id form: global, permanent exclusion."""
 
     archived_min = min(archived_timestamps) if archived_timestamps else None
 
@@ -156,11 +164,25 @@ def get_file_slices(
 
     out: list[FileSlice] = []
     for (partition, file_id), group in sorted(groups.items()):
-        if excluded_file_ids and file_id in excluded_file_ids:
+        if replaced_groups is not None:
+            replace_ts = replaced_groups.get((partition, file_id))
+        elif excluded_file_ids and file_id in excluded_file_ids:
+            replace_ts = "~"  # sorts after every timestamp: fully excluded
+        else:
+            replace_ts = None
+
+        def _visible(ts: str, _r=replace_ts) -> bool:
+            # slices at/before the group's replacecommit are excluded;
+            # a LATER slice resurrects the group (the replace excluded
+            # the files it saw, never future ones — bucket merge)
+            return _r is None or ts > _r
+
+        keys_vis = sorted(k for k in group.slices if _visible(k))
+        if as_of_timestamp is not None:
+            keys_vis = [k for k in keys_vis if k <= as_of_timestamp]
+        if not keys_vis:
             continue
-        sl = group.get_file_slice_as_of(as_of_timestamp)
-        if sl is None:
-            continue
+        sl = group.slices[keys_vis[-1]]
         if not _committed(sl.commit_timestamp):
             # logs anchored at a SCHEDULED (pending) compaction instant:
             # committed deltacommit data written against the future base
@@ -171,9 +193,7 @@ def get_file_slices(
             # them behind the fallback.
             pend_logs: list[LogFile] = []
             if compaction_anchors:
-                for ts in sorted(group.slices):
-                    if as_of_timestamp is not None and ts > as_of_timestamp:
-                        continue
+                for ts in keys_vis:
                     cand = group.slices[ts]
                     if (
                         cand.base_file is None
@@ -183,9 +203,7 @@ def get_file_slices(
                         pend_logs.extend(cand.log_files)
             # base written by a non-completed commit: fall back to the
             # newest older slice that IS committed
-            keys = sorted(k for k in group.slices if _committed(k))
-            if as_of_timestamp is not None:
-                keys = [k for k in keys if k <= as_of_timestamp]
+            keys = [k for k in keys_vis if _committed(k)]
             if not keys:
                 if pend_logs:
                     # scheduled compaction on a group with no committed

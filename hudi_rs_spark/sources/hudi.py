@@ -345,11 +345,11 @@ class HudiTable:
         )
         instants = self.timeline.instants_as_of(as_of_timestamp)
         valid_commits = {i.timestamp for i in instants}
-        excluded = self.timeline.replaced_file_group_ids_as_of(as_of_timestamp)
+        replaced = self.timeline.replaced_file_groups_as_of(as_of_timestamp)
         return get_file_slices(
             groups,
             as_of_timestamp,
-            excluded_file_ids=excluded,
+            replaced_groups=replaced,
             valid_commit_timestamps=valid_commits,
             archival_boundary=self.timeline.earliest_active_timestamp(),
             pending_timestamps=self.timeline.pending_timestamps,
@@ -947,24 +947,19 @@ class HudiTable:
         that can hold the key — descending the split trie when the
         bucket was rescaled (write/bucket.py::split_bucket) — so the
         scan prunes to the keys' bucket groups, zero index I/O. The hash
-        is computed through Spark's own xxhash64 (one tiny job over the
-        key list) so it is bit-identical to the write side's routing
-        expression."""
+        is computed driver-side (functions/xxhash.py — bit-identical to
+        Spark's xxhash64, parity-pinned in tests), so planning costs
+        pure CPU on the key list, no Spark job."""
         from hudi_rs_spark.write.bucket import (
-            bucket_route_exprs,
             num_buckets,
             parse_bucket_leaf,
             parse_splits,
+            route_key,
         )
 
         n = num_buckets(self.config.props)
-        b_col, m_col = bucket_route_exprs(
-            F.col("k"), n, parse_splits(self.config.props)
-        )
-        kdf = self.spark.createDataFrame(
-            [(str(k),) for k in keys], "k string"
-        ).select(b_col.alias("b"), m_col.alias("m"))
-        wanted = {(r.b, r.m) for r in kdf.distinct().collect()}
+        splits = parse_splits(self.config.props)
+        wanted = {route_key(k, n, splits) for k in keys}
         slices = [
             s
             for s in self.get_file_slices()

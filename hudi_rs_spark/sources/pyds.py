@@ -427,6 +427,27 @@ def _record_index_prune(table, slices, filters):
         keys = vals if keys is None else (keys & vals)
     if keys is None or len(keys) > _RECORD_INDEX_MAX_KEYS:
         return slices
+    # bucket-indexed tables: a key's file group is a pure hash
+    # (write/bucket.py) — prune with zero index I/O and no Spark job
+    # (functions/xxhash.py is bit-identical to the write side's
+    # xxhash64 routing)
+    from hudi_rs_spark.write.bucket import (
+        is_bucket_table,
+        num_buckets,
+        parse_bucket_leaf,
+        parse_splits,
+        route_key,
+    )
+
+    if is_bucket_table(table.config.props):
+        n = num_buckets(table.config.props)
+        if n >= 1:
+            splits = parse_splits(table.config.props)
+            wanted = {route_key(k, n, splits) for k in keys}
+            return [
+                s for s in slices
+                if parse_bucket_leaf(s.file_id, n) in wanted
+            ]
     if not has_record_index_partition(table.config):
         return slices
     try:

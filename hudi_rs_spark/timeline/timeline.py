@@ -379,13 +379,33 @@ class Timeline:
 
     def replaced_file_group_ids_as_of(self, as_of_timestamp: str | None) -> set[str]:
         """File groups excluded by replacecommits <= as_of
-        (timeline/mod.rs:302-320)."""
-        out: set[str] = set()
+        (timeline/mod.rs:302-320) — bare-id view for callers that only
+        need membership."""
+        return {fid for _p, fid in self.replaced_file_groups_as_of(as_of_timestamp)}
+
+    def replaced_file_groups_as_of(
+        self, as_of_timestamp: str | None
+    ) -> dict[tuple[str, str], str]:
+        """{(partition, file_id): latest replace instant} for groups a
+        replacecommit <= as_of excluded. Partition-scoped (bucket-indexed
+        tables reuse ONE file id across partitions — a drop of one
+        partition must not hide siblings) and instant-scoped (a slice
+        created AFTER the replace resurrects the group — the bucket
+        merge service recreates a parent group under its deterministic
+        id; the replacecommit excluded the files it SAW, never future
+        ones). The reference never resurrects ids (fresh uuids), so its
+        bare-id exclusion (timeline/mod.rs:302-320) is the degenerate
+        case of this map."""
+        out: dict[tuple[str, str], str] = {}
         for i in self.instants_as_of(as_of_timestamp):
             if i.is_replacecommit:
                 meta = self.metadata_for(i)
-                for ids in meta.replaced_file_ids.values():
-                    out.update(ids)
+                for part, ids in meta.replaced_file_ids.items():
+                    for fid in ids:
+                        key = (part or "", fid)
+                        prev = out.get(key)
+                        if prev is None or i.timestamp > prev:
+                            out[key] = i.timestamp
         return out
 
     def latest_schema_json(self) -> str | None:

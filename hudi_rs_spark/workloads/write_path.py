@@ -478,14 +478,17 @@ def write_bucket_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def write_bucket_rescaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket rescale lifecycle (write/bucket.py::split_bucket): seed a
-    bucket table through upsert, split bucket 0 into (0,16)/(8,16) —
-    ONE replacecommit over the affected groups only, the extendible-
-    hash split map recorded in table properties — then apply the
-    standard update/delete round (routing now descends the trie) and
-    read the merged snapshot. Same oracle as every lifecycle row: the
-    rescale must be invisible in the data."""
-    from hudi_rs_spark.write.bucket import split_bucket
+    """Bucket rescale lifecycle (write/bucket.py::split_bucket +
+    merge_buckets): seed a bucket table through upsert, split bucket 0
+    into (0,16)/(8,16) — ONE replacecommit over the affected groups
+    only, the extendible-hash split map recorded in table properties —
+    apply the standard update/delete round (routing descends the trie),
+    then MERGE the children back (the shrink half: a per-partition
+    concat, no shuffle, resurrecting the parent group id under the
+    partition/instant-scoped replacement exclusion) and read the
+    snapshot. Same oracle as every lifecycle row: rescaling in either
+    direction must be invisible in the data."""
+    from hudi_rs_spark.write.bucket import merge_buckets, split_bucket
     from hudi_rs_spark.write.upsert import upsert
 
     _register(spark)
@@ -508,6 +511,7 @@ def write_bucket_rescaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     split_bucket(spark, path, 0)
     _apply_upserts(spark, sf_dir, path)
+    merge_buckets(spark, path, 0, 8)
     out = (
         spark.read.format("hudi_py").option("path", path).load()
         .select("doc_id", "text", "lang")

@@ -81,8 +81,11 @@ Surfaces:
   the index on an existing table via one hash-regrouped rewrite +
   replacecommit; ``bucket.split_bucket`` rescales one bucket into two
   children via an extendible-hash split map (routing stays one JVM
-  expression) — the incremental answer to Hudi's CONSISTENT_HASHING
-  engine;
+  expression) and ``bucket.merge_buckets`` folds a split's children
+  back into their parent (no shuffle: both children's keys route to
+  the parent by construction) — the incremental answer to Hudi's
+  CONSISTENT_HASHING engine, whose per-partition
+  ``.hashing_meta`` JSON layout is persisted on every rescale;
 - ``mdt_bloom.backfill_bloom_filters`` — bloom_filters MDT partition
   for existing tables (the writer emits blooms inline when
   ``metadata.bloomfilter.enable`` is set; upsert tagging then prunes
@@ -164,6 +167,7 @@ from hudi_rs_spark.write.dml import (  # noqa: F401
 from hudi_rs_spark.write.merge_into import merge_into  # noqa: F401
 from hudi_rs_spark.write.bucket import (  # noqa: F401
     convert_to_bucket,
+    merge_buckets,
     split_bucket,
 )
 from hudi_rs_spark.write.expr_index import (  # noqa: F401

@@ -146,6 +146,21 @@ def bucket_route_exprs(
     return b, m
 
 
+def route_key(key: str, n: int, splits=frozenset()) -> tuple[int, int]:
+    """Driver-side twin of ``bucket_route_exprs`` for ONE key — pure
+    Python (functions/xxhash.py is bit-identical to Spark's xxhash64),
+    so planners can prune to a key's bucket group without a Spark job."""
+    from hudi_rs_spark.functions.xxhash import spark_xxhash64_string
+
+    h = spark_xxhash64_string(str(key))
+    m = n
+    b = h % m
+    while (b, m) in splits:
+        m *= 2
+        b = h % m
+    return b, m
+
+
 def bucket_file_id_expr(bucket_col: Column) -> Column:
     return F.concat(
         F.lpad(bucket_col.cast("string"), 8, "0"), F.lit(BUCKET_FID_SUFFIX)
@@ -593,6 +608,204 @@ def split_bucket(
         return have
 
     _rewrite_props(_local_base(path), pin_split)
+    write_hashing_metadata(
+        path, instant, n, new_splits, sorted(replaced) or [""]
+    )
+    release_instant(cfg, "replacecommit")
+    return sum(len(v) for v in replaced.values())
+
+
+def merge_buckets(
+    spark, path: str, bucket: int, modulus: int,
+    instant: str | None = None,
+) -> int:
+    """Undo a split: merge leaf ``(bucket, 2*modulus)`` and its sibling
+    ``(bucket+modulus, 2*modulus)`` back into parent ``(bucket,
+    modulus)`` via ONE replacecommit over the affected groups — the
+    shrink half of Hudi's CONSISTENT_HASHING engine (small sibling
+    buckets after deletes/TTL cost per-file overhead forever unless
+    re-merged). Requires ``(bucket, modulus)`` to be a split whose
+    children are current leaves (not further split). Rows need no
+    re-hashing: both children's keys route to the parent by
+    construction, so the rewrite is a per-partition concat — no shuffle
+    at all. Returns the number of file groups replaced."""
+    from hudi_rs_spark.config.read_config import HudiReadOptions
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.sources.hudi import HudiTable
+    from hudi_rs_spark.write.concurrency import (
+        check_commit_conflicts,
+        claim_instant,
+        completed_instant_set,
+        release_instant,
+    )
+    from hudi_rs_spark.write.config import WriteConfig, new_instant
+    from hudi_rs_spark.write.record_index import _local_base, _rewrite_props
+    from hudi_rs_spark.write.writer import commit_instant
+
+    tc = HudiTableConfig.from_base_path(path)
+    if not is_bucket_table(tc.props):
+        raise ValueError(f"{path} is not bucket-indexed")
+    n = num_buckets(tc.props)
+    splits = parse_splits(tc.props)
+    if (bucket, modulus) not in splits:
+        raise ValueError(
+            f"({bucket}, {modulus}) is not a split bucket — nothing to merge"
+        )
+    child_mod = 2 * modulus
+    children = [(bucket, child_mod), (bucket + modulus, child_mod)]
+    for c in children:
+        if c in splits:
+            raise ValueError(
+                f"child {c} is itself split: merge it first (bottom-up)"
+            )
+    child_fids = {leaf_file_id(b, m, n) for b, m in children}
+    parent_fid = leaf_file_id(bucket, modulus, n)
+
+    read_point = completed_instant_set(path)
+    table = HudiTable(path, spark)
+    child_slices = [
+        s for s in table.get_file_slices() if s.file_id in child_fids
+    ]
+    replaced: dict[str, list[str]] = {}
+    for s in child_slices:
+        replaced.setdefault(s.partition_path or "", []).append(s.file_id)
+    new_splits = splits - {(bucket, modulus)}
+    cfg = WriteConfig(
+        path=path,
+        table_name=tc.table_name,
+        record_key_fields=tuple(tc.record_key_fields) or ("id",),
+        precombine_field=(tc.ordering_fields or [None])[0],
+        partition_fields=tuple(tc.partition_fields),
+        table_type=tc.table_type.value,
+        table_version=tc.table_version,
+        instant=instant or new_instant(),
+        instant_pinned=instant is not None,
+        operation="cluster",
+    )
+    if not child_slices:
+
+        def unpin_only(have: dict) -> dict:
+            have[SPLITS_PROP] = splits_str(new_splits)
+            return have
+
+        _rewrite_props(_local_base(path), unpin_only)
+        write_hashing_metadata(path, cfg.instant, n, new_splits, [""])
+        return 0
+
+    claim_instant(cfg, "replacecommit")
+    instant = cfg.instant
+    snap = table._execute_slices(child_slices, None, HudiReadOptions())
+    spark_schema = snap.schema
+    schema_json = table.schema_json()
+    base_path = cfg.path
+    meta_parts = tc.props.get("hoodie.table.metadata.partitions", "")
+    with_stats = "column_stats" in meta_parts
+    with_bloom = "bloom_filters" in meta_parts
+    index_shards = (
+        int(tc.props.get("hoodie.metadata.record.index.shards", "0"))
+        if "record_index" in meta_parts
+        else 0
+    )
+
+    def write_parent(pdf):
+        import base64
+        import json as _json
+
+        import pandas as pd
+        import pyarrow as pa
+        from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from hudi_rs_spark.write.writer import _fs, write_parquet
+
+        part = pdf["_hoodie_partition_path"].iloc[0] or ""
+        tctx = TaskContext.get()
+        token = (
+            f"{tctx.partitionId()}-{tctx.stageId()}-{tctx.attemptNumber()}"
+            if tctx else "0-0-0"
+        )
+        name = f"{parent_fid}_{token}_{instant}.parquet"
+        rel = f"{part}/{name}" if part else name
+        pdf["_hoodie_file_name"] = name
+        arrow_schema = to_arrow_schema(spark_schema)
+        tbl = pa.Table.from_pandas(
+            pdf, schema=arrow_schema, preserve_index=False
+        )
+        size = write_parquet(tbl, f"{base_path}/{rel}", _fs(base_path))
+        keys = tbl["_hoodie_record_key"].combine_chunks()
+        cs = bf_b64 = None
+        if with_stats:
+            from hudi_rs_spark.write.mdt_stats import compute_column_stats
+
+            cs = _json.dumps(compute_column_stats(tbl))
+        if with_bloom:
+            from hudi_rs_spark.bloomfilter import build_bloom
+
+            bf_b64 = base64.b64encode(
+                build_bloom(k.as_py() for k in keys)
+            ).decode("ascii")
+        if index_shards:
+            from hudi_rs_spark.write.record_index import (
+                append_record_index_log,
+            )
+
+            append_record_index_log(
+                base_path, instant,
+                {k.as_py(): (part, parent_fid) for k in keys},
+                index_shards, token,
+            )
+        return pd.DataFrame(
+            {
+                "fileId": [parent_fid],
+                "path": [rel],
+                "partitionPath": [part],
+                "numWrites": [len(tbl)],
+                "fileSizeInBytes": [size],
+                "totalWriteBytes": [size],
+                "columnStats": [cs],
+                "bloomFilter": [bf_b64],
+            }
+        )
+
+    try:
+        stats_df = snap.groupBy("_hoodie_partition_path").applyInPandas(
+            write_parent,
+            "fileId string, path string, partitionPath string, "
+            "numWrites long, fileSizeInBytes long, "
+            "totalWriteBytes long, columnStats string, bloomFilter string",
+        )
+        import json as _json
+
+        stats = []
+        for r in stats_df.collect():
+            d = r.asDict()
+            cs, bf = d.pop("columnStats"), d.pop("bloomFilter")
+            if cs:
+                d["columnStats"] = _json.loads(cs)
+            if bf:
+                d["bloomFilter"] = bf
+            stats.append(d)
+        check_commit_conflicts(
+            cfg,
+            read_point,
+            {(p, fid) for p, fids in replaced.items() for fid in fids},
+        )
+    except Exception:
+        release_instant(cfg, "replacecommit")
+        raise
+    commit_instant(
+        cfg, stats, schema_json, replaced=replaced, action="replacecommit"
+    )
+    if "files" in meta_parts:
+        from hudi_rs_spark.write.mdt import apply_commit_to_mdt
+
+        apply_commit_to_mdt(cfg, stats)
+
+    def unpin_split(have: dict) -> dict:
+        have[SPLITS_PROP] = splits_str(new_splits)
+        return have
+
+    _rewrite_props(_local_base(path), unpin_split)
     write_hashing_metadata(
         path, instant, n, new_splits, sorted(replaced) or [""]
     )

@@ -61,15 +61,31 @@ def clean(path: str, retain_commits: int = 10, instant: str | None = None) -> in
         ts for ts in savepointed_instants(path) if ts <= boundary
     }
     min_retention = min(retention)
-    replaced_fids = timeline.replaced_file_group_ids_as_of(min_retention)
+    replaced_map = timeline.replaced_file_groups_as_of(min_retention)
 
     groups = build_file_groups(path, table._completion_times())
     deleted: dict[str, list[str]] = {}
     to_remove: list[str] = []
     for (partition, fid), group in groups.items():
         slices = sorted(group.slices.items())  # by commit ts ascending
-        if fid in replaced_fids:
-            victims = [s for _, s in slices]
+        replace_ts = replaced_map.get((partition, fid))
+        if replace_ts is not None:
+            # only the slices the replacecommit actually superseded: a
+            # slice created AFTER it (bucket merge resurrection) lives
+            # by the normal retention rules below
+            victims = [s for ts, s in slices if ts <= replace_ts]
+            live = [(ts, s) for ts, s in slices if ts > replace_ts]
+            if live:
+                eligible = [
+                    (ts, s) for ts, s in live
+                    if ts <= boundary and ts in completed_ts
+                ]
+                keep = set()
+                for point in retention:
+                    at = [ts for ts, _ in eligible if ts <= point]
+                    if at:
+                        keep.add(max(at))
+                victims += [s for ts, s in eligible if ts not in keep]
         else:
             eligible = [
                 (ts, s) for ts, s in slices

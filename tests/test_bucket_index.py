@@ -563,3 +563,177 @@ class TestSplitBucket:
             f.endswith(".hashing_meta")
             for _r, _d, fs in os.walk(d) for f in fs
         )
+
+
+class TestPythonXxhashParity:
+    """functions/xxhash.py must be BIT-IDENTICAL to Spark's xxhash64 —
+    bucket routing correctness rests on it."""
+
+    def test_hash_and_pmod_match_spark(self, spark):
+        from pyspark.sql import functions as F
+
+        from hudi_rs_spark.functions.xxhash import (
+            spark_pmod_bucket,
+            spark_xxhash64_string,
+        )
+
+        keys = (
+            [str(i) for i in range(64)]
+            + ["", "a", "key:composite,v=1", "héllo wörld", "日本語テキスト"]
+            + ["x" * n for n in (3, 4, 7, 8, 9, 15, 16, 31, 32, 33, 100)]
+        )
+        df = spark.createDataFrame([(k,) for k in keys], "k string").select(
+            "k",
+            F.xxhash64("k").alias("h"),
+            F.pmod(F.xxhash64("k"), F.lit(13)).cast("int").alias("b"),
+        )
+        for r in df.collect():
+            assert spark_xxhash64_string(r.k) == r.h, repr(r.k)
+            assert spark_pmod_bucket(r.k, 13) == r.b, repr(r.k)
+
+    def test_route_key_matches_route_exprs(self, spark):
+        from pyspark.sql import functions as F
+
+        from hudi_rs_spark.write.bucket import bucket_route_exprs, route_key
+
+        splits = frozenset({(1, 4), (5, 8)})  # chained split under b=1
+        keys = [str(i) for i in range(200)]
+        b_col, m_col = bucket_route_exprs(F.col("k"), 4, splits)
+        df = spark.createDataFrame([(k,) for k in keys], "k string").select(
+            "k", b_col.alias("b"), m_col.alias("m")
+        )
+        for r in df.collect():
+            assert route_key(r.k, 4, splits) == (r.b, r.m), r.k
+
+
+class TestConnectorBucketPruning:
+    def test_key_filter_prunes_plan_time(self, spark, tmp_path):
+        from hudi_rs_spark.plans.partition_pruner import Filter
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.sources.pyds import _record_index_prune
+        from hudi_rs_spark.write.bucket import route_key, split_bucket
+
+        t = _seed(spark, tmp_path)
+        ht = HudiTable(t, spark)
+        slices = ht.get_file_slices()
+        pruned = _record_index_prune(
+            ht, slices, [Filter("id", "IN", "", typed=(7, 20))]
+        )
+        assert 0 < len(pruned) < len(slices)
+        wanted = {route_key(str(k), N_BUCKETS) for k in (7, 20)}
+        from hudi_rs_spark.write.bucket import parse_bucket_leaf
+
+        assert {
+            parse_bucket_leaf(s.file_id, N_BUCKETS) for s in pruned
+        } <= wanted
+        # end to end through the connector: values correct
+        got = sorted(
+            r.id
+            for r in spark.read.format("hudi_py").option("path", t).load()
+            .filter(F.col("id").isin(7, 20)).collect()
+        )
+        assert got == [7, 20]
+        # pruning descends the split trie too
+        b = route_key("7", N_BUCKETS)[0]
+        split_bucket(spark, t, b)
+        ht2 = HudiTable(t, spark)
+        pruned2 = _record_index_prune(
+            ht2, ht2.get_file_slices(), [Filter("id", "=", "7")]
+        )
+        got2 = sorted(
+            r.id
+            for r in spark.read.format("hudi_py").option("path", t).load()
+            .filter(F.col("id") == 7).collect()
+        )
+        assert got2 == [7] and len(pruned2) <= 2
+
+
+class TestMergeBuckets:
+    def _bucket_of(self, spark, key: str, m: int) -> int:
+        from hudi_rs_spark.write.bucket import route_key
+
+        return route_key(key, m)[0] if m else 0
+
+    def test_merge_restores_parent_and_rerouting(self, spark, tmp_path):
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.bucket import (
+            merge_buckets,
+            parse_bucket_leaf,
+            parse_splits,
+            route_key,
+            split_bucket,
+        )
+        from hudi_rs_spark.write.compact import compact
+        from hudi_rs_spark.write.upsert import upsert
+
+        t = _seed(spark, tmp_path)
+        compact(spark, t)
+        before = _snap(spark, t)
+        b = route_key("1", N_BUCKETS)[0]
+        split_bucket(spark, t, b)
+        assert _snap(spark, t) == before
+        n = merge_buckets(spark, t, b, N_BUCKETS)
+        assert n >= 1
+        tc = HudiTableConfig.from_base_path(t)
+        assert parse_splits(tc.props) == frozenset()
+        assert _snap(spark, t) == before  # merge transparency
+        leaves = {
+            parse_bucket_leaf(fid, N_BUCKETS) for (_p, fid) in _groups(t)
+        }
+        assert all(m == N_BUCKETS for (_b, m) in leaves)  # back to base
+        # routing goes to the parent again; updates land there
+        upsert(
+            spark.createDataFrame(
+                [(1, "merged", 9, "a")],
+                "id long, name string, ts long, part string",
+            ),
+            t,
+        )
+        snap = _snap(spark, t)
+        assert snap[1] == ("merged", 9) and len(snap) == len(before)
+        got = {
+            r.id: r.name
+            for r in HudiTable(t, spark).point_lookup(["1"]).collect()
+        }
+        assert got == {1: "merged"}
+
+    def test_merge_requires_split_and_leaf_children(self, spark, tmp_path):
+        from hudi_rs_spark.write.bucket import (
+            merge_buckets,
+            route_key,
+            split_bucket,
+        )
+
+        t = _seed(spark, tmp_path)
+        with pytest.raises(ValueError, match="not a split bucket"):
+            merge_buckets(spark, t, 0, N_BUCKETS)
+        b = route_key("3", N_BUCKETS)[0]
+        split_bucket(spark, t, b)
+        cb = route_key("3", 2 * N_BUCKETS)[0]
+        split_bucket(spark, t, cb, 2 * N_BUCKETS)
+        with pytest.raises(ValueError, match="bottom-up"):
+            merge_buckets(spark, t, b, N_BUCKETS)
+        # bottom-up merges succeed and fully unwind
+        merge_buckets(spark, t, cb, 2 * N_BUCKETS)
+        assert merge_buckets(spark, t, b, N_BUCKETS) >= 1
+
+
+class TestPartitionScopedReplacement:
+    def test_drop_partition_does_not_hide_sibling_bucket_groups(
+        self, spark, tmp_path
+    ):
+        """Regression (r11): bucket tables reuse ONE file id per bucket
+        across partitions; the old bare-id replacement exclusion made
+        ALTER TABLE DROP PARTITION on one partition hide the same-id
+        groups in every other partition — silent data loss."""
+        from hudi_rs_spark.write.dml import delete_partitions
+
+        t = _seed(spark, tmp_path)  # partitions part=a (odd), part=b (even)
+        before = _snap(spark, t)
+        n = delete_partitions(t, ["part=b"])
+        assert n >= 1
+        snap = _snap(spark, t)
+        assert snap == {
+            k: v for k, v in before.items() if k % 2 == 1
+        }, "dropping part=b must keep every part=a row visible"
