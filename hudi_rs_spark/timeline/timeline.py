@@ -40,10 +40,14 @@ class Timeline:
     # A partial load must NOT be treated as authoritative history — absence
     # from it cannot prove an old commit never completed.
     _archived_skipped: bool = False
-    # memoized pending_compaction_plans (one timeline-dir list per view)
+    # memoized pending_compaction_plans (reads payloads only; marker
+    # names come from the load-time listing)
     _pending_compactions: dict | None = None
     # memoized pending_clustering_plans (same lifecycle)
     _pending_clusterings: dict | None = None
+    # service plan marker file names collected by load() — None when
+    # this Timeline was constructed directly (tests): fall back to a list
+    _service_markers: list | None = None
 
     @classmethod
     def load(cls, base_path: str, config: HudiTableConfig) -> "Timeline":
@@ -56,9 +60,18 @@ class Timeline:
 
         instants: list[Instant] = []
         pending: set[str] = set()
+        service_markers: list[str] = []
         for entry in storage_for(base_path).list_dir(timeline_dir):
             if entry.is_dir:
                 continue
+            if entry.name.endswith(
+                (".compaction.requested", ".clustering.requested")
+            ):
+                # scheduled-service plan markers: collected during THIS
+                # list so pending_*_plans never re-lists the dir (one
+                # LIST per table view — the planner's metadata cost on
+                # an object store)
+                service_markers.append(entry.name)
             try:
                 instant = Instant.from_file_name(entry.name)
             except (ValueError, KeyError):
@@ -70,10 +83,12 @@ class Timeline:
         # a completed instant may coexist with stale markers; completion wins
         pending -= {i.timestamp for i in instants}
         instants.sort(key=lambda i: i.sort_key())
-        return cls(
+        tl = cls(
             base_path, timeline_dir, instants, config=config,
             pending_timestamps=pending,
         )
+        object.__setattr__(tl, "_service_markers", service_markers)
+        return tl
 
     # -- archived timeline (timeline/mod.rs:98-135 double gate) -----------
     def earliest_active_timestamp(self) -> str | None:
@@ -88,25 +103,7 @@ class Timeline:
         bodies drive run_scheduled_compaction."""
         if self._pending_compactions is not None:
             return self._pending_compactions
-        import json as _json
-
-        from hudi_rs_spark.fs.storage import storage_for
-
-        completed = {i.timestamp for i in self.instants}
-        out: dict[str, dict] = {}
-        st = storage_for(self.base_path)
-        for entry in st.list_dir(self.timeline_dir):
-            name = entry.name
-            if entry.is_dir or not name.endswith(".compaction.requested"):
-                continue
-            ts = name.split(".", 1)[0]
-            if not ts or ts in completed:
-                continue
-            try:
-                payload = st.read_bytes(f"{self.timeline_dir}/{name}")
-                out[ts] = _json.loads(payload) if payload else {}
-            except (OSError, ValueError):
-                out[ts] = {}
+        out = self._load_service_plans(".compaction.requested")
         object.__setattr__(self, "_pending_compactions", out)
         return out
 
@@ -119,16 +116,34 @@ class Timeline:
         run_scheduled_clustering."""
         if self._pending_clusterings is not None:
             return self._pending_clusterings
+        out = self._load_service_plans(".clustering.requested")
+        object.__setattr__(self, "_pending_clusterings", out)
+        return out
+
+    def _load_service_plans(self, suffix: str) -> dict[str, dict]:
+        """Plan payloads for marker names collected at load() time — no
+        extra LIST; a directly-constructed Timeline (no load) lists
+        lazily once."""
         import json as _json
 
         from hudi_rs_spark.fs.storage import storage_for
 
+        st = storage_for(self.base_path)
+        markers = self._service_markers
+        if markers is None:
+            markers = [
+                e.name
+                for e in st.list_dir(self.timeline_dir)
+                if not e.is_dir
+                and e.name.endswith(
+                    (".compaction.requested", ".clustering.requested")
+                )
+            ]
+            object.__setattr__(self, "_service_markers", markers)
         completed = {i.timestamp for i in self.instants}
         out: dict[str, dict] = {}
-        st = storage_for(self.base_path)
-        for entry in st.list_dir(self.timeline_dir):
-            name = entry.name
-            if entry.is_dir or not name.endswith(".clustering.requested"):
+        for name in markers:
+            if not name.endswith(suffix):
                 continue
             ts = name.split(".", 1)[0]
             if not ts or ts in completed:
@@ -138,7 +153,6 @@ class Timeline:
                 out[ts] = _json.loads(payload) if payload else {}
             except (OSError, ValueError):
                 out[ts] = {}
-        object.__setattr__(self, "_pending_clusterings", out)
         return out
 
     def pending_service_anchors(self) -> set[str]:

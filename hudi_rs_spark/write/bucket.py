@@ -399,6 +399,13 @@ def split_bucket(
     parent group simply seed the children lazily on their first write.
     Bytes touched = the split bucket's data only; one shuffle on
     (partition, child). Returns the number of file groups replaced.
+
+    Crash recovery: a crash between the replacecommit and the props
+    update leaves the trie lagging — the validator's bucket check flags
+    it ("split map never created"), and RE-RUNNING the same call heals
+    it (the parent is already replaced, so the rerun degenerates to the
+    metadata-only path and just pins the trie). Pinned by
+    tests/test_bucket_index.py::TestRescaleCrashRecovery.
     """
     from hudi_rs_spark.config.read_config import HudiReadOptions
     from hudi_rs_spark.config.table_config import HudiTableConfig
@@ -628,7 +635,14 @@ def merge_buckets(
     children are current leaves (not further split). Rows need no
     re-hashing: both children's keys route to the parent by
     construction, so the rewrite is a per-partition concat — no shuffle
-    at all. Returns the number of file groups replaced."""
+    at all. Returns the number of file groups replaced.
+
+    The recreated parent reuses its deterministic file id: visibility
+    rests on the partition/instant-scoped replacement exclusion
+    (timeline.replaced_file_groups_as_of — slices AFTER the split's
+    replacecommit resurrect the group). Crash between replacecommit and
+    props: validator flags ("live for SPLIT bucket"), re-run heals
+    (metadata-only unpin) — TestRescaleCrashRecovery."""
     from hudi_rs_spark.config.read_config import HudiReadOptions
     from hudi_rs_spark.config.table_config import HudiTableConfig
     from hudi_rs_spark.sources.hudi import HudiTable

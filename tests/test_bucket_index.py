@@ -737,3 +737,82 @@ class TestPartitionScopedReplacement:
         assert snap == {
             k: v for k, v in before.items() if k % 2 == 1
         }, "dropping part=b must keep every part=a row visible"
+
+
+class TestRescaleCrashRecovery:
+    """Crash between a rescale's replacecommit and its props update:
+    the validator's bucket check flags the inconsistent trie, and
+    RE-RUNNING the same command heals it — the data path degenerates to
+    metadata-only because the groups it would rewrite are already
+    replaced."""
+
+    def test_split_rerun_heals_missing_props(self, spark, tmp_path, monkeypatch):
+        from hudi_rs_spark.write import record_index as ri
+        from hudi_rs_spark.write.bucket import (
+            parse_splits,
+            route_key,
+            split_bucket,
+        )
+        from hudi_rs_spark.write.validate import validate_table
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+
+        t = _seed(spark, tmp_path)
+        before = _snap(spark, t)
+        b = route_key("1", N_BUCKETS)[0]
+        real = ri._rewrite_props
+
+        def boom(base, fn):
+            raise RuntimeError("injected crash before props update")
+
+        monkeypatch.setattr(ri, "_rewrite_props", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            split_bucket(spark, t, b)
+        monkeypatch.setattr(ri, "_rewrite_props", real)
+        # replacecommit published, props lagging: validator flags it
+        report = validate_table(t)
+        assert not report["checks"]["bucket"]["ok"]
+        assert "split map never created" in str(
+            report["checks"]["bucket"]["problems"]
+        )
+        # re-run heals: the parent is already replaced, so the rerun is
+        # metadata-only and pins the trie
+        assert split_bucket(spark, t, b) == 0
+        tc = HudiTableConfig.from_base_path(t)
+        assert parse_splits(tc.props) == {(b, N_BUCKETS)}
+        assert validate_table(t)["checks"]["bucket"]["ok"]
+        assert _snap(spark, t) == before
+
+    def test_merge_rerun_heals_missing_props(self, spark, tmp_path, monkeypatch):
+        from hudi_rs_spark.write import record_index as ri
+        from hudi_rs_spark.write.bucket import (
+            merge_buckets,
+            parse_splits,
+            route_key,
+            split_bucket,
+        )
+        from hudi_rs_spark.write.validate import validate_table
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+
+        t = _seed(spark, tmp_path)
+        before = _snap(spark, t)
+        b = route_key("1", N_BUCKETS)[0]
+        split_bucket(spark, t, b)
+        real = ri._rewrite_props
+
+        def boom(base, fn):
+            raise RuntimeError("injected crash before props update")
+
+        monkeypatch.setattr(ri, "_rewrite_props", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            merge_buckets(spark, t, b, N_BUCKETS)
+        monkeypatch.setattr(ri, "_rewrite_props", real)
+        report = validate_table(t)
+        assert not report["checks"]["bucket"]["ok"]
+        assert "live for SPLIT bucket" in str(
+            report["checks"]["bucket"]["problems"]
+        )
+        assert merge_buckets(spark, t, b, N_BUCKETS) == 0
+        tc = HudiTableConfig.from_base_path(t)
+        assert parse_splits(tc.props) == frozenset()
+        assert validate_table(t)["checks"]["bucket"]["ok"]
+        assert _snap(spark, t) == before
