@@ -137,6 +137,20 @@ class HudiTableConfig:
         return self.props.get("hoodie.populate.meta.fields", "true").lower() == "true"
 
     @property
+    def payload_class(self) -> str:
+        # Hudi persists the record payload class here (java:
+        # HoodieTableConfig.PAYLOAD_CLASS_NAME); hudi-rs reads the same
+        # key. Empty = default overwrite-with-latest payload.
+        return self.props.get("hoodie.compaction.payload.class", "")
+
+    @property
+    def is_partial_update(self) -> bool:
+        """True when the table merges record versions column-wise
+        (PartialUpdateAvroPayload: a newer version's null fields are
+        filled from older versions instead of overwriting them)."""
+        return "partialupdate" in self.payload_class.lower().replace("_", "")
+
+    @property
     def merge_strategy(self) -> MergeStrategy:
         # record_merger.rs:53-80: explicit strategy, else default by
         # meta-fields: populated -> OVERWRITE_WITH_LATEST, else APPEND_ONLY

@@ -51,6 +51,45 @@ def latest_by_key(
     )
 
 
+def partial_update_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ordering_cols: Sequence[str],
+    fill_cols: Sequence[str],
+) -> DataFrame:
+    """PartialUpdateAvroPayload merge: one surviving row per key whose
+    ``fill_cols`` each take the NEWEST NON-NULL value across the key's
+    versions (ordered desc by ``ordering_cols``); every other column
+    (meta, ordering, keys) comes from the newest row, exactly like
+    ``latest_by_key``.
+
+    Same cost shape as ``latest_by_key`` — ONE shuffle+sort per key
+    partition; the column fills ride the same window as the row_number
+    (whole-partition frame so the newest non-null is visible from the
+    top row). At 100 TB this is the identical plan to the
+    overwrite-with-latest merge plus O(fill_cols) window expressions.
+    """
+    order = [F.col(c).desc_nulls_last() for c in ordering_cols]
+    keys = [F.col(k) for k in key_cols]
+    w_rank = Window.partitionBy(*keys).orderBy(*order)
+    w_fill = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    fill = set(fill_cols)
+    out = df.select(
+        *[
+            (
+                F.first(F.col(c), ignorenulls=True).over(w_fill).alias(c)
+                if c in fill
+                else F.col(c)
+            )
+            for c in df.columns
+        ],
+        F.row_number().over(w_rank).alias("__rn"),
+    )
+    return out.filter(F.col("__rn") == 1).drop("__rn")
+
+
 def merge_with_deletes(
     data: DataFrame,
     deletes: DataFrame,
@@ -59,6 +98,7 @@ def merge_with_deletes(
     commit_col: str,
     tiebreak_cols: Sequence[str] = (),
     broadcast_deletes: bool = False,
+    partial_fill_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Full OVERWRITE_WITH_LATEST merge with delete records.
 
@@ -78,9 +118,13 @@ def merge_with_deletes(
     strategy to Catalyst/AQE, which still broadcasts at runtime when the
     post-aggregation shuffle stats come in under the threshold.
     """
-    survivors = latest_by_key(
-        data, key_cols, [event_col, commit_col, *tiebreak_cols]
-    )
+    ordering = [event_col, commit_col, *tiebreak_cols]
+    if partial_fill_cols:
+        survivors = partial_update_by_key(
+            data, key_cols, ordering, partial_fill_cols
+        )
+    else:
+        survivors = latest_by_key(data, key_cols, ordering)
     if deletes is None:
         return survivors
 

@@ -37,7 +37,11 @@ from hudi_rs_spark.fs.file_group import FileSlice
 from hudi_rs_spark.fs.fs_view import build_file_groups, get_file_slices
 from hudi_rs_spark.functions.filters import apply_filters
 from hudi_rs_spark.logfile import reader as logreader
-from hudi_rs_spark.operators.merge import latest_by_key, merge_with_deletes
+from hudi_rs_spark.operators.merge import (
+    latest_by_key,
+    merge_with_deletes,
+    partial_update_by_key,
+)
 from hudi_rs_spark.plans.partition_pruner import Filter, PartitionPruner
 from hudi_rs_spark.timeline.instant import Action
 from hudi_rs_spark.timeline.timeline import Timeline
@@ -1533,6 +1537,16 @@ class HudiTable:
                 "merge strategy OVERWRITE_WITH_LATEST requires "
                 "hoodie.table.ordering.fields / hoodie.table.precombine.field"
             )
+        # PartialUpdateAvroPayload tables merge versions column-wise:
+        # every data column (not meta / ordering / partition) takes the
+        # newest NON-NULL value instead of the newest row's value
+        # (operators/merge.partial_update_by_key)
+        fill_cols: tuple[str, ...] = ()
+        if self.config.is_partial_update:
+            skip = set(META_FIELDS) | {"__fg", "__src_file", ordering}
+            skip.update(self.config.partition_fields)
+            skip.update(self.config.record_key_fields)
+            fill_cols = tuple(c for c in resolved.names if c not in skip)
 
         # tag base rows with their file group, parsed from the scanned
         # file name ({file_id}_{write_token}_{ts}.{ext} — file ids
@@ -1582,7 +1596,7 @@ class HudiTable:
         if distributed:
             return self._merge_distributed(
                 base_tagged, log_tasks, ordering, strategy, valid_instants,
-                start_exclusive, as_of,
+                start_exclusive, as_of, fill_cols,
             )
 
         data_rows: list[dict] = []
@@ -1648,9 +1662,15 @@ class HudiTable:
             deletes_df = self.spark.createDataFrame(conv, del_schema)
 
         if deletes_df is None:
-            out = latest_by_key(
-                data, merge_keys, [ordering, "_hoodie_commit_seqno"]
-            )
+            if fill_cols:
+                out = partial_update_by_key(
+                    data, merge_keys, [ordering, "_hoodie_commit_seqno"],
+                    fill_cols,
+                )
+            else:
+                out = latest_by_key(
+                    data, merge_keys, [ordering, "_hoodie_commit_seqno"]
+                )
         else:
             out = merge_with_deletes(
                 data,
@@ -1661,6 +1681,7 @@ class HudiTable:
                 tiebreak_cols=["_hoodie_commit_seqno"],
                 # driver-decoded: the count is exact, gate the broadcast
                 broadcast_deletes=len(delete_rows) <= 100_000,
+                partial_fill_cols=fill_cols or None,
             )
         return out.drop("__fg")
 
@@ -1673,6 +1694,7 @@ class HudiTable:
         valid_instants: set[str],
         start_exclusive: str | None,
         end_inclusive: str | None,
+        fill_cols: tuple[str, ...] = (),
     ) -> DataFrame:
         """Executor-side log decode (logfile/distributed.py) feeding the
         same per-file-group merge."""
@@ -1721,6 +1743,7 @@ class HudiTable:
             event_col=ordering,
             commit_col="_hoodie_commit_time",
             tiebreak_cols=["_hoodie_commit_seqno"],
+            partial_fill_cols=fill_cols or None,
         )
         return out.drop("__fg")
 

@@ -108,6 +108,11 @@ class HudiSlicePartition(InputPartition):
     # from the driver's (the reference serializes storage options into
     # every FileGroupReader the same way, storage/mod.rs:26-28)
     storage_options: dict | None = None
+    # PartialUpdateAvroPayload tables: the data columns whose merged
+    # value is the newest NON-NULL across the key's versions (computed
+    # at plan time from the table config so read() needs no props I/O);
+    # None/empty = overwrite-with-latest row semantics
+    partial_fill: list[str] | None = None
 
 
 class HudiPyDataSource(DataSource):
@@ -561,6 +566,15 @@ def _slice_partitions(
     boundary = t.timeline.earliest_active_timestamp()
     pending = sorted(t.timeline.pending_timestamps)
 
+    partial_fill: list[str] | None = None
+    if merge_logs and t.config.is_partial_update and ordering is not None:
+        from hudi_rs_spark.sources.hudi import META_FIELDS
+
+        skip = set(META_FIELDS) | {ordering}
+        skip.update(t.config.partition_fields)
+        skip.update(t.config.record_key_fields)
+        partial_fill = [c for c in resolved.names if c not in skip]
+
     part_vals: dict[str, dict | None] = {}
     if t.config.drops_partition_columns and t.config.partition_fields:
         from hudi_rs_spark.plans.partition_pruner import PartitionPruner
@@ -598,6 +612,7 @@ def _slice_partitions(
             start_exclusive=start_exclusive,
             partition_values=part_vals.get(s.partition_path),
             storage_options=getattr(t, "storage_options", None),
+            partial_fill=partial_fill,
         )
         for s in slices
     ]
@@ -911,4 +926,45 @@ def _merge_slice_table(combined, deletes, partition, struct):
 
     # typed indices: a plain empty list infers null type, which take()
     # has no kernel for
-    return combined.take(pa.array(kept, type=pa.int64()))
+    out = combined.take(pa.array(kept, type=pa.int64()))
+
+    fill_cols = partition.partial_fill or []
+    if fill_cols:
+        # PartialUpdateAvroPayload: a winner row's null fill-column takes
+        # the newest non-null value among the key's OLDER versions.
+        # Column-at-a-time with numpy null masks — only multi-version
+        # keys with a null winner cell pay any python work; single-
+        # version keys (the bulk of a slice) ride the take() above.
+        import numpy as np
+        import pyarrow.compute as pc
+
+        versions: dict[str, list[int]] = {}
+        for i in order:
+            versions.setdefault(keys[i], []).append(i)
+        multi = {k: v for k, v in versions.items() if len(v) > 1}
+        if multi:
+            for c in fill_cols:
+                if c not in combined.column_names:
+                    continue
+                col = combined.column(c)
+                nulls = np.asarray(
+                    pc.is_null(col).combine_chunks().to_numpy(
+                        zero_copy_only=False
+                    )
+                )
+                adj = None
+                for pos, i in enumerate(kept):
+                    if not nulls[i]:
+                        continue
+                    for j in multi.get(keys[i], ()):
+                        if not nulls[j]:
+                            if adj is None:
+                                adj = list(kept)
+                            adj[pos] = j
+                            break
+                if adj is not None:
+                    ci = out.column_names.index(c)
+                    out = out.set_column(
+                        ci, c, col.take(pa.array(adj, type=pa.int64()))
+                    )
+    return out

@@ -48,6 +48,21 @@ def new_instant() -> str:
     return now.strftime("%Y%m%d%H%M%S") + f"{now.microsecond // 1000:03d}"
 
 
+PARTIAL_UPDATE_PAYLOAD = (
+    "org.apache.hudi.common.model.PartialUpdateAvroPayload"
+)
+
+
+def _normalize_payload_class(raw) -> str:
+    v = str(raw or "").strip()
+    if not v:
+        return ""
+    if v.lower().replace("_", "") in ("partialupdate", "partialupdatepayload",
+                                      "partialupdateavropayload"):
+        return PARTIAL_UPDATE_PAYLOAD
+    return v
+
+
 def _normalize_concurrency_mode(raw) -> str:
     v = str(raw).strip().lower()
     if v in ("nbcc", "non_blocking_concurrency_control"):
@@ -131,6 +146,13 @@ class WriteConfig:
     # rewrites (compaction) and replacements (clustering/overwrite)
     # still conflict in either mode.
     concurrency_mode: str = "occ"
+    # record payload class (hoodie.datasource.write.payload.class /
+    # shorthand payload.class=partial_update): persisted as
+    # hoodie.compaction.payload.class like Hudi proper. The partial
+    # payload makes upserts SPARSE — an update row may carry only the
+    # key/ordering columns plus the columns it changes; readers fill the
+    # rest from older versions (operators/merge.partial_update_by_key).
+    payload_class: str = ""
     emit_metadata: bool = False
     emit_column_stats: bool = False
     emit_bloom_filters: bool = False
@@ -205,6 +227,24 @@ class WriteConfig:
                 "secondary indexes resolve through the record index; "
                 "enable metadata.recordindex.enable too"
             )
+        if "partialupdate" in self.payload_class.lower().replace("_", ""):
+            if self.table_type != "MERGE_ON_READ":
+                raise ValueError(
+                    "payload.class=PartialUpdateAvroPayload requires a "
+                    "MERGE_ON_READ table: partial versions live in log "
+                    "files and merge on read"
+                )
+            if not self.precombine_field:
+                raise ValueError(
+                    "the partial-update payload needs precombine.field: "
+                    "column-wise fill is ordered by the ordering field"
+                )
+            if self.emit_cdc:
+                raise ValueError(
+                    "cdc.enabled is incompatible with the partial-update "
+                    "payload: change blocks carry the written (sparse) "
+                    "after-image, which would misreport the merged row"
+                )
 
     @property
     def action(self) -> str:
@@ -240,6 +280,8 @@ class WriteConfig:
             props["hoodie.bucket.index.num.buckets"] = str(
                 self.bucket_index_num_buckets
             )
+        if self.payload_class:
+            props["hoodie.compaction.payload.class"] = self.payload_class
         if self.precombine_field:
             # v9 renamed precombine -> ordering fields; the reader's
             # ordering_fields property consumes either key
@@ -350,6 +392,11 @@ class WriteConfig:
             concurrency_mode=_normalize_concurrency_mode(
                 _opt(options, "hoodie.write.concurrency.mode",
                      "concurrency.mode", default="occ")
+            ),
+            payload_class=_normalize_payload_class(
+                _opt(options, "hoodie.datasource.write.payload.class",
+                     "hoodie.compaction.payload.class", "payload.class",
+                     default="")
             ),
             index_type=str(
                 _opt(options, "hoodie.index.type", "index.type", default="")

@@ -368,6 +368,8 @@ def upsert(df: DataFrame, path: str, **options) -> None:
         }
         if tc.ordering_fields:
             merged_options["precombine.field"] = tc.ordering_fields[0]
+        if tc.payload_class:
+            merged_options["payload.class"] = tc.payload_class
         if tc.partition_fields:
             merged_options["partitionpath.field"] = ",".join(tc.partition_fields)
             merged_options["hive_style_partitioning"] = (

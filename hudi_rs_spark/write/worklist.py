@@ -71,6 +71,7 @@ def shared_scan_context(p) -> dict:
         "merge_logs": p.merge_logs,
         "start_exclusive": p.start_exclusive,
         "storage_options": p.storage_options,
+        "partial_fill": p.partial_fill,
     }
 
 
@@ -93,4 +94,5 @@ def rebuild_slice(desc: dict, shared: dict):
         partition_values=desc["partition_values"],
         cdc=False,
         storage_options=shared["storage_options"],
+        partial_fill=shared.get("partial_fill"),
     )

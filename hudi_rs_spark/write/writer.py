@@ -671,6 +671,11 @@ def resolve_index_flags(cfg: WriteConfig) -> None:
             cfg.emit_cdc = True
         if existing.props.get("hoodie.table.base.file.format") == "LANCE":
             cfg.base_file_format = "lance"
+        if existing.payload_class and not cfg.payload_class:
+            # merge semantics are a table-level invariant: appends
+            # inherit the payload (partial-update commit-schema handling
+            # keys off it)
+            cfg.payload_class = existing.payload_class
     if not cfg.emit_column_stats:
         from hudi_rs_spark.write.mdt import column_stats_enabled
 
@@ -804,6 +809,15 @@ def init_table(cfg: WriteConfig) -> bool:
                 f"partition fields mismatch: table has "
                 f"{existing.partition_fields}, write requested "
                 f"{list(cfg.partition_fields)}"
+            )
+        if cfg.payload_class and existing.payload_class and (
+            cfg.payload_class != existing.payload_class
+        ):
+            raise ValueError(
+                f"payload class mismatch: table has "
+                f"{existing.payload_class}, write requested "
+                f"{cfg.payload_class} (merge semantics are a table-level "
+                "invariant)"
             )
         return False
     props = cfg.table_properties()
@@ -1004,6 +1018,29 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
             ).schema_json()
             if sj is not None:
                 schema_json = sj
+        elif (
+            "partialupdate" in self.cfg.payload_class.lower().replace("_", "")
+            and total_writes > 0
+        ):
+            # partial-update tables take SPARSE upserts (rows carrying
+            # only the columns they change): publishing the narrow frame
+            # schema would drop every absent column from later
+            # snapshots. Union: table columns first (their types
+            # authoritative), then any genuinely new columns this write
+            # adds.
+            from hudi_rs_spark.sources.hudi import HudiTable
+
+            sj = HudiTable(
+                self.cfg.path, spark=None, listing="direct",
+                storage_options=self.cfg.storage_dict(),
+            ).schema_json()
+            if sj is not None and isinstance(sj.get("fields"), list):
+                have = {f.get("name") for f in sj["fields"]}
+                extra = [
+                    f for f in schema_json.get("fields", [])
+                    if f.get("name") not in have
+                ]
+                schema_json = {**sj, "fields": [*sj["fields"], *extra]}
         replaced = self._replaced
         if (
             replaced is not None

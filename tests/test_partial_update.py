@@ -1,0 +1,316 @@
+"""Partial-update merge payload (Hudi's PartialUpdateAvroPayload,
+persisted as hoodie.compaction.payload.class like Hudi proper).
+
+Semantics under test: upserts on a partial-update table may be SPARSE —
+a row carries the key/partition/ordering columns plus only the columns
+it changes — and every reader merges versions COLUMN-WISE: each data
+column takes the newest non-null value across the key's versions
+(operators/merge.partial_update_by_key; arrow twin in
+sources/pyds._merge_slice_table). Deletes still drop the whole record;
+compaction/clustering bake the merged row into the new base.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_rs_spark.config.read_config import HudiReadOptions
+from hudi_rs_spark.sources.hudi import HudiTable
+from hudi_rs_spark.write.upsert import delete, upsert
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+    spark.dataSource.register(HudiPyDataSource)
+
+
+def _seed(spark, path, rows=None, partitioned=False, **extra):
+    rows = rows if rows is not None else [
+        (1, "a1", "b1", 10, "x", 1),
+        (2, "a2", "b2", 20, "x", 1),
+        (3, "a3", "b3", 30, "y", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, a string, b string, v int, p string, ts int"
+    )
+    w = (
+        df.write.format("hudi_py").option("path", path)
+        .option("recordkey.field", "id")
+        .option("precombine.field", "ts")
+        .option("table.type", "MERGE_ON_READ")
+        .option("table.version", "8")
+        .option("payload.class", "partial_update")
+    )
+    if partitioned:
+        w = w.option("partitionpath.field", "p")
+    for k, v in extra.items():
+        w = w.option(k, v)
+    w.mode("append").save()
+
+
+def _snap(spark, path, **opts):
+    df = spark.read.format("hudi_py").option("path", path)
+    for k, v in opts.items():
+        df = df.option(k, v)
+    return [
+        tuple(r)
+        for r in df.load().select("id", "a", "b", "v").orderBy("id").collect()
+    ]
+
+
+MERGED = [(1, "A1", "b1", 10), (2, "A2", "b2", 200), (3, "a3", "b3", 300)]
+
+
+def _apply_sparse(spark, path):
+    # update only 'a' for 1,2 — no b/v columns at all
+    upsert(
+        spark.createDataFrame(
+            [(1, "A1", "x", 2), (2, "A2", "x", 2)],
+            "id int, a string, p string, ts int",
+        ),
+        path,
+    )
+    # update only 'v' for 2,3
+    upsert(
+        spark.createDataFrame(
+            [(2, 200, "x", 3), (3, 300, "y", 3)],
+            "id int, v int, p string, ts int",
+        ),
+        path,
+    )
+
+
+class TestPartialUpdateMerge:
+    def test_property_persisted_and_shorthand(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+
+        tc = HudiTableConfig.from_base_path(path)
+        assert tc.payload_class == (
+            "org.apache.hudi.common.model.PartialUpdateAvroPayload"
+        )
+        assert tc.is_partial_update
+
+    def test_sparse_upserts_fill_from_older_versions(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        _apply_sparse(spark, path)
+        # connector read
+        assert _snap(spark, path) == MERGED
+        # eager read
+        got = [
+            tuple(r)
+            for r in HudiTable(path, spark).read()
+            .select("id", "a", "b", "v").orderBy("id").collect()
+        ]
+        assert got == MERGED
+
+    def test_distributed_decode_parity(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        _apply_sparse(spark, path)
+        got = [
+            tuple(r)
+            for r in HudiTable(path, spark)
+            .read(HudiReadOptions(log_decode="distributed"))
+            .select("id", "a", "b", "v").orderBy("id").collect()
+        ]
+        assert got == MERGED
+
+    def test_newest_non_null_wins_not_newest_row(self, spark, tmp_path):
+        # two sparse updates to the SAME column: later ordering wins;
+        # a later update to a DIFFERENT column must not resurrect older
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        upsert(
+            spark.createDataFrame(
+                [(1, "first", "x", 2)], "id int, a string, p string, ts int"
+            ),
+            path,
+        )
+        upsert(
+            spark.createDataFrame(
+                [(1, "second", "x", 3)], "id int, a string, p string, ts int"
+            ),
+            path,
+        )
+        upsert(
+            spark.createDataFrame(
+                [(1, 99, "x", 4)], "id int, v int, p string, ts int"
+            ),
+            path,
+        )
+        assert _snap(spark, path) == [
+            (1, "second", "b1", 99),
+            (2, "a2", "b2", 20),
+            (3, "a3", "b3", 30),
+        ]
+
+    def test_delete_beats_partial_updates(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        _apply_sparse(spark, path)
+        delete(
+            spark.createDataFrame([(2, "x", 9)], "id int, p string, ts int"),
+            path,
+        )
+        assert _snap(spark, path) == [MERGED[0], MERGED[2]]
+
+    def test_compaction_bakes_merged_row(self, spark, tmp_path):
+        from hudi_rs_spark.write.compact import compact
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        _apply_sparse(spark, path)
+        assert compact(spark, path) > 0
+        assert _snap(spark, path) == MERGED
+        # further sparse updates on the compacted base still fill
+        upsert(
+            spark.createDataFrame(
+                [(1, "B1x", "x", 4)], "id int, b string, p string, ts int"
+            ),
+            path,
+        )
+        assert _snap(spark, path) == [
+            (1, "A1", "B1x", 10), MERGED[1], MERGED[2],
+        ]
+
+    def test_clustering_preserves_merge(self, spark, tmp_path):
+        from hudi_rs_spark.write.cluster import cluster
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        _apply_sparse(spark, path)
+        cluster(spark, path, sort_columns=("id",), min_group_slices=1)
+        assert _snap(spark, path) == MERGED
+
+    def test_time_travel_mid_lifecycle(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        _apply_sparse(spark, path)
+        t = HudiTable(path, spark)
+        commits = sorted(i.timestamp for i in t.timeline.completed_commits())
+        # after seed + first sparse update, before the second
+        got = [
+            tuple(r)
+            for r in t.read(HudiReadOptions(as_of_timestamp=commits[1]))
+            .select("id", "a", "b", "v").orderBy("id").collect()
+        ]
+        assert got == [
+            (1, "A1", "b1", 10), (2, "A2", "b2", 20), (3, "a3", "b3", 30),
+        ]
+
+    def test_snapshot_schema_stays_full_width(self, spark, tmp_path):
+        # a sparse upsert must not narrow the table's published schema
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        upsert(
+            spark.createDataFrame(
+                [(1, "A1", "x", 2)], "id int, a string, p string, ts int"
+            ),
+            path,
+        )
+        cols = set(
+            spark.read.format("hudi_py").option("path", path).load().columns
+        )
+        assert {"id", "a", "b", "v", "p", "ts"} <= cols
+
+    def test_sparse_insert_of_new_key(self, spark, tmp_path):
+        # a sparse row with an unseen key inserts with nulls elsewhere
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        upsert(
+            spark.createDataFrame(
+                [(7, "a7", "x", 2)], "id int, a string, p string, ts int"
+            ),
+            path,
+        )
+        assert _snap(spark, path)[-1] == (7, "a7", None, None)
+
+    def test_partitioned_table(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path, partitioned=True)
+        _apply_sparse(spark, path)
+        assert _snap(spark, path) == MERGED
+
+    def test_update_where_composes(self, spark, tmp_path):
+        from hudi_rs_spark.write.dml import update_where
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        _apply_sparse(spark, path)
+        n = update_where(
+            spark, path, {"b": "concat(b, '#w')", "ts": "9"}, "id = 2"
+        )
+        assert n == 1
+        assert _snap(spark, path)[1] == (2, "A2", "b2#w", 200)
+
+
+class TestPartialUpdateValidation:
+    def test_requires_mor(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, 1)], "id int, ts int")
+        with pytest.raises(Exception, match="MERGE_ON_READ"):
+            (
+                df.write.format("hudi_py").option("path", path)
+                .option("recordkey.field", "id")
+                .option("precombine.field", "ts")
+                .option("payload.class", "partial_update")
+                .mode("append").save()
+            )
+
+    def test_requires_precombine(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, 1)], "id int, ts int")
+        with pytest.raises(Exception, match="precombine"):
+            (
+                df.write.format("hudi_py").option("path", path)
+                .option("recordkey.field", "id")
+                .option("table.type", "MERGE_ON_READ")
+                .option("payload.class", "partial_update")
+                .mode("append").save()
+            )
+
+    def test_rejects_cdc(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, 1)], "id int, ts int")
+        with pytest.raises(Exception, match="cdc"):
+            (
+                df.write.format("hudi_py").option("path", path)
+                .option("recordkey.field", "id")
+                .option("precombine.field", "ts")
+                .option("table.type", "MERGE_ON_READ")
+                .option("table.version", "8")
+                .option("payload.class", "partial_update")
+                .option("cdc.enabled", "true")
+                .mode("append").save()
+            )
+
+    def test_payload_mismatch_rejected(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        df = spark.createDataFrame(
+            [(9, "a", "b", 1, "x", 1)],
+            "id int, a string, b string, v int, p string, ts int",
+        )
+        with pytest.raises(Exception, match="payload class mismatch"):
+            (
+                df.write.format("hudi_py").option("path", path)
+                .option("recordkey.field", "id")
+                .option("precombine.field", "ts")
+                .option("table.type", "MERGE_ON_READ")
+                .option("table.version", "8")
+                .option(
+                    "payload.class",
+                    "org.apache.hudi.common.model.DefaultHoodieRecordPayload",
+                )
+                .mode("append").save()
+            )
