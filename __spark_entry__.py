@@ -31,6 +31,7 @@ _SURFACE_FIRST = [
     "write_async_clustered",  # scheduled clustering + log migration
     "write_bucket_rescaled",  # bucket split / consistent-hash rescale
     "write_sql_dml",  # SQL-statement DML router
+    "write_partial_update",  # sparse upserts, column-wise merge payload
     # newest evidence r9 — refresh (46)
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q19_disjunctive",

@@ -851,6 +851,78 @@ def write_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+PARTIAL_UPDATE_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 9 = 0 THEN text || '#p' ELSE text END AS text,
+       CASE WHEN doc_id % 6 = 0 THEN source || '#s' ELSE source END AS source,
+       lang
+FROM documents
+WHERE doc_id % 11 <> 0
+ORDER BY doc_id
+"""
+
+
+def write_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update payload (write/config.py PARTIAL_UPDATE_PAYLOAD,
+    Hudi's PartialUpdateAvroPayload): upserts are SPARSE — each frame
+    carries only the key/partition/ordering columns plus the columns it
+    changes — and readers merge column-wise (newest NON-NULL value per
+    column, operators/merge.partial_update_by_key). Sequence: seed →
+    text-only upsert (%9, frame has NO source column) → source-only
+    upsert (%6, frame has NO text column) → delete (%11). Rows divisible
+    by both (18, 36, …) prove the fill: their newest version carries no
+    text, yet the merged row keeps the '#p' text from the older version.
+    Secondary index stays off here: a sparse frame has no value for the
+    indexed column (absent ≠ null), so the payload and that index don't
+    compose — the writer validates the rest (MOR + precombine, no CDC).
+    """
+    from hudi_rs_spark.write.upsert import delete, upsert
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_partial_bench_")
+    path = os.path.join(tmp, "t")
+    seed = _seed_options()
+    # sparse after-images would misreport the change feed; the writer
+    # rejects the combination (write/config.py validation)
+    seed.pop("cdc.enabled", None)
+    seed.pop("metadata.secondaryindex.columns", None)
+    seed["payload.class"] = "partial_update"
+    w = _docs(spark, sf_dir).write.format("hudi_py").option("path", path)
+    for k, v in seed.items():
+        w = w.option(k, v)
+    w.mode("append").save()
+    docs = _docs(spark, sf_dir)
+    upsert(
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .select(
+            "doc_id", F.concat("text", F.lit("#p")).alias("text"),
+            "lang", F.lit(2).alias("ts"),
+        ),
+        path,
+    )
+    upsert(
+        docs.filter(F.col("doc_id") % 6 == 0)
+        .select(
+            "doc_id", F.concat("source", F.lit("#s")).alias("source"),
+            "lang", F.lit(3).alias("ts"),
+        ),
+        path,
+    )
+    delete(
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id", "lang", F.lit(4).alias("ts")),
+        path,
+    )
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "source", "lang")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 for _n, _f, _s, _d in [
     ("write_cow_roundtrip", write_cow_roundtrip, WRITE_COW_SQL,
      "df.write COW round trip: fresh distributed write + read-back aggregate"),
@@ -891,5 +963,7 @@ for _n, _f, _s, _d in [
      "UPDATE ... WHERE / DELETE ... WHERE via pruned scan + MOR upsert"),
     ("write_sql_dml", write_sql_dml, SQL_DML_SQL,
      "SQL-statement router: UPDATE/DELETE/DROP PARTITION text dispatch"),
+    ("write_partial_update", write_partial_update, PARTIAL_UPDATE_SQL,
+     "partial-update payload: sparse upserts, column-wise merge on read"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("write", "hudi"), doc=_d))
