@@ -32,6 +32,8 @@ _SURFACE_FIRST = [
     "write_bucket_rescaled",  # bucket split / consistent-hash rescale
     "write_sql_dml",  # SQL-statement DML router
     "write_partial_update",  # sparse upserts, column-wise merge payload
+    "write_savepoint_restore",  # savepoint/restore rewind lifecycle
+    "write_partition_ttl",  # RFC-65 partition expiry via metadata drop
     # newest evidence r9 — refresh (46)
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q19_disjunctive",

@@ -851,6 +851,105 @@ def write_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def write_savepoint_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Savepoint + restore lifecycle (write/savepoint.py): seed → the
+    standard upsert/delete lifecycle → ``savepoint()`` → a junk upsert
+    that suffixes every %5 row → ``restore()`` back to the savepoint.
+    The snapshot must equal the PRE-JUNK state exactly (LIFECYCLE_SQL),
+    proving restore rewinds data, timeline, and MDT together. Restore
+    is driver-side metadata work + file deletes — O(instants rewound),
+    never a table rewrite."""
+    from hudi_rs_spark.write.savepoint import restore, savepoint
+    from hudi_rs_spark.write.upsert import upsert
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_savepoint_bench_")
+    path = os.path.join(tmp, "t")
+    w = _docs(spark, sf_dir).write.format("hudi_py").option("path", path)
+    for k, v in _seed_options().items():
+        w = w.option(k, v)
+    w.mode("append").save()
+    _apply_upserts(spark, sf_dir, path)
+    sp = savepoint(path)
+    upsert(
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit("#junk")))
+        .withColumn("ts", F.lit(9)),
+        path,
+    )
+    restore(path, sp)
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+PARTITION_TTL_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 9 = 0 THEN text || '#t' ELSE text END AS text,
+       lang
+FROM documents
+WHERE lang <> (SELECT min(lang) FROM documents)
+ORDER BY doc_id
+"""
+
+
+def write_partition_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition TTL (write/ttl.py, RFC-65 KEEP_BY_TIME): seed, then a
+    second commit touching every partition EXCEPT the min-lang one, then
+    ``apply_partition_ttl`` with the boundary placed between the two
+    commit instants (computed from the timeline — the epoch is instant
+    time, never wall clock, so the row is deterministic). The untouched
+    partition expires through the metadata-only delete_partition
+    replacecommit; every touched partition survives."""
+    from hudi_rs_spark.timeline.instant import parse_hudi_timestamp_millis
+    from hudi_rs_spark.sources.hudi import HudiTable
+    from hudi_rs_spark.write.ttl import apply_partition_ttl
+    from hudi_rs_spark.write.upsert import upsert
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_ttl_bench_")
+    path = os.path.join(tmp, "t")
+    w = _docs(spark, sf_dir).write.format("hudi_py").option("path", path)
+    for k, v in _seed_options().items():
+        w = w.option(k, v)
+    w.mode("append").save()
+    docs = _docs(spark, sf_dir)
+    min_lang = docs.agg(F.min("lang").alias("m")).collect()[0].m
+    upsert(
+        docs.filter(
+            (F.col("doc_id") % 9 == 0) & (F.col("lang") != min_lang)
+        )
+        .withColumn("text", F.concat(F.col("text"), F.lit("#t")))
+        .withColumn("ts", F.lit(2)),
+        path,
+    )
+    commits = sorted(
+        i.timestamp
+        for i in HudiTable(path, spark=None, listing="direct")
+        .timeline.completed_commits()
+    )
+    t0 = parse_hudi_timestamp_millis(commits[0])
+    t1 = parse_hudi_timestamp_millis(commits[-1])
+    day_ms = 24 * 60 * 60 * 1000
+    dropped = apply_partition_ttl(
+        path, retain_days=max(t1 - t0, 1) / 2 / day_ms, as_of=commits[-1]
+    )
+    assert dropped, "TTL row must expire the untouched partition"
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 PARTIAL_UPDATE_SQL = """
 SELECT doc_id,
        CASE WHEN doc_id % 9 = 0 THEN text || '#p' ELSE text END AS text,
@@ -965,5 +1064,9 @@ for _n, _f, _s, _d in [
      "SQL-statement router: UPDATE/DELETE/DROP PARTITION text dispatch"),
     ("write_partial_update", write_partial_update, PARTIAL_UPDATE_SQL,
      "partial-update payload: sparse upserts, column-wise merge on read"),
+    ("write_savepoint_restore", write_savepoint_restore, LIFECYCLE_SQL,
+     "savepoint then restore: rewind rewinds data+timeline+MDT together"),
+    ("write_partition_ttl", write_partition_ttl, PARTITION_TTL_SQL,
+     "partition TTL: untouched partition expires via metadata-only drop"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("write", "hudi"), doc=_d))
