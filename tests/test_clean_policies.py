@@ -1,0 +1,170 @@
+"""Cleaner policy variants (write/clean.py): KEEP_LATEST_FILE_VERSIONS
+and KEEP_LATEST_BY_HOURS alongside the default KEEP_LATEST_COMMITS.
+
+Semantics under test (Hudi's hoodie.cleaner.policy):
+- FILE_VERSIONS: per file group, only the newest ``retain_file_versions``
+  completed slices survive — no global boundary; savepoints still pin
+  their serving slice beyond the count; replaced groups keep only
+  savepoint-pinned slices.
+- HOURS: the COMMITS sweep with the boundary placed by instant TIME
+  (earliest completed instant within ``retain_hours`` of the newest).
+Every policy preserves the latest snapshot byte-identically and is
+idempotent.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from tests.test_writer import _load, _people, _register, _write, tdir  # noqa: F401
+
+
+def _versions(spark, tdir, rounds=3):
+    """seed -> (upsert + compact) x rounds: one file group accumulating
+    a base slice per compaction."""
+    from hudi_rs_spark.write.compact import compact
+    from hudi_rs_spark.write.upsert import upsert
+
+    _register(spark)
+    _write(_people(spark, 20).repartition(1), tdir, **{
+        "recordkey.field": "id", "precombine.field": "ts",
+        "table.type": "MERGE_ON_READ",
+    })
+    for r in range(rounds):
+        upsert(
+            spark.createDataFrame(
+                [(1, f"v{r + 2}", "a", r + 2)],
+                "id long, name string, city string, ts long",
+            ),
+            tdir,
+        )
+        compact(spark, tdir)
+
+
+def _base_count(path):
+    return len([
+        p for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if "/.hoodie/" not in p
+    ])
+
+
+class TestFileVersionsPolicy:
+    def test_keeps_newest_n_per_group(self, spark, tdir):
+        from hudi_rs_spark.write.clean import clean
+
+        _versions(spark, tdir, rounds=3)  # 4 base slices in the group
+        pre = sorted(map(tuple, _load(spark, tdir).select("id", "name").collect()))
+        assert _base_count(tdir) == 4
+        n = clean(tdir, policy="file_versions", retain_file_versions=2)
+        assert n > 0
+        assert _base_count(tdir) == 2
+        post = sorted(map(tuple, _load(spark, tdir).select("id", "name").collect()))
+        assert post == pre
+        # idempotent at the same count; tightening reclaims one more
+        assert clean(tdir, policy="file_versions", retain_file_versions=2) == 0
+        assert clean(tdir, policy="file_versions", retain_file_versions=1) > 0
+        assert _base_count(tdir) == 1
+        assert sorted(
+            map(tuple, _load(spark, tdir).select("id", "name").collect())
+        ) == pre
+
+    def test_savepoint_pins_beyond_version_count(self, spark, tdir):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.clean import clean
+        from hudi_rs_spark.write.savepoint import savepoint
+
+        _versions(spark, tdir, rounds=2)
+        seed = sorted(
+            i.timestamp
+            for i in HudiTable(tdir, spark).get_timeline().instants
+        )[0]
+        savepoint(tdir, seed)
+        clean(tdir, policy="file_versions", retain_file_versions=1)
+        # latest slice + the savepoint-pinned seed slice both survive
+        assert _base_count(tdir) == 2
+        by_seed = {
+            r.id: r.name for r in _load(spark, tdir, asOf=seed).collect()
+        }
+        assert by_seed[1] == "n1"
+
+    def test_replaced_groups_reclaimed(self, spark, tdir):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.clean import clean
+        from hudi_rs_spark.write.cluster import cluster
+
+        _register(spark)
+        for a in range(2):
+            df = spark.createDataFrame(
+                [(a * 20 + i, f"n{a * 20 + i}", "a", 1) for i in range(20)],
+                "id long, name string, city string, ts long",
+            )
+            _write(df.repartition(1), tdir, **{
+                "recordkey.field": "id", "precombine.field": "ts",
+            })
+        old_fids = {s.file_id for s in HudiTable(tdir, spark).get_file_slices()}
+        cluster(spark, tdir)
+        pre = _load(spark, tdir).count()
+        assert clean(tdir, policy="file_versions", retain_file_versions=3) > 0
+        live = {
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True)
+            if "/.hoodie/" not in p
+        }
+        for fid in old_fids:
+            assert not any(f.startswith(fid) for f in live)
+        assert _load(spark, tdir).count() == pre
+
+    def test_rejects_zero_versions(self, spark, tdir):
+        from hudi_rs_spark.write.clean import clean
+
+        _versions(spark, tdir, rounds=1)
+        with pytest.raises(ValueError, match="retain_file_versions"):
+            clean(tdir, policy="file_versions", retain_file_versions=0)
+
+
+class TestHoursPolicy:
+    def test_wide_window_cleans_nothing(self, spark, tdir):
+        from hudi_rs_spark.write.clean import clean
+
+        _versions(spark, tdir, rounds=1)
+        assert clean(tdir, policy="hours", retain_hours=24.0) == 0
+
+    def test_tight_window_matches_commits_boundary(self, spark, tdir):
+        from hudi_rs_spark.write.clean import clean
+
+        _versions(spark, tdir, rounds=2)
+        pre = sorted(map(tuple, _load(spark, tdir).select("id", "name").collect()))
+        # a sub-millisecond window places the boundary at the newest
+        # instant — exactly retain_commits=1
+        assert clean(tdir, policy="hours", retain_hours=1e-9) > 0
+        post = sorted(map(tuple, _load(spark, tdir).select("id", "name").collect()))
+        assert post == pre
+        assert clean(tdir, policy="hours", retain_hours=1e-9) == 0
+
+    def test_rejects_nonpositive_hours(self, spark, tdir):
+        from hudi_rs_spark.write.clean import clean
+
+        _versions(spark, tdir, rounds=1)
+        with pytest.raises(ValueError, match="retain_hours"):
+            clean(tdir, policy="hours", retain_hours=0)
+
+
+class TestPolicyValidation:
+    def test_unknown_policy_raises(self, spark, tdir):
+        from hudi_rs_spark.write.clean import clean
+
+        _versions(spark, tdir, rounds=1)
+        with pytest.raises(ValueError, match="cleaner policy"):
+            clean(tdir, policy="KEEP_EVERYTHING")
+
+    def test_aliases_accepted(self, spark, tdir):
+        from hudi_rs_spark.write.clean import clean
+
+        _versions(spark, tdir, rounds=1)
+        # full Hudi names and shorthands both resolve
+        assert clean(tdir, policy="KEEP_LATEST_BY_HOURS", retain_hours=24.0) == 0
+        assert clean(tdir, policy="versions", retain_file_versions=10) == 0
+        assert clean(tdir, policy="KEEP_LATEST_COMMITS", retain_commits=10) == 0
