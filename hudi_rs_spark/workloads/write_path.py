@@ -950,6 +950,50 @@ def write_partition_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def write_dms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-ingest payload (AWSDmsAvroPayload, write/config.py
+    ops_delete_rule): the table carries the replication tool's ``Op``
+    column, full-load rows arrive as I, and ONE mixed change batch
+    applies updates (U) and deletes (D) together — the exact frame AWS
+    DMS emits. Delete routing is a pure column expression inside the
+    same upsert (no second pass, no extra shuffle), so applying a
+    change batch costs exactly one tag-join + one log append at any
+    scale. Oracle = the standard lifecycle shape (#u on %9, %11 rows
+    gone)."""
+    from hudi_rs_spark.write.upsert import upsert
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_dms_bench_")
+    path = os.path.join(tmp, "t")
+    seed = _seed_options()
+    seed["payload.class"] = "aws_dms"
+    w = (
+        _docs(spark, sf_dir).withColumn("Op", F.lit("I"))
+        .write.format("hudi_py").option("path", path)
+    )
+    for k, v in seed.items():
+        w = w.option(k, v)
+    w.mode("append").save()
+    docs = _docs(spark, sf_dir).withColumn("ts", F.lit(2))
+    updates = (
+        docs.filter((F.col("doc_id") % 9 == 0) & (F.col("doc_id") % 11 != 0))
+        .withColumn("text", F.concat(F.col("text"), F.lit("#u")))
+        .withColumn("Op", F.lit("U"))
+    )
+    deletes = docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "Op", F.lit("D")
+    )
+    upsert(updates.unionByName(deletes), path)
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 PARTIAL_UPDATE_SQL = """
 SELECT doc_id,
        CASE WHEN doc_id % 9 = 0 THEN text || '#p' ELSE text END AS text,
@@ -1068,5 +1112,7 @@ for _n, _f, _s, _d in [
      "savepoint then restore: rewind rewinds data+timeline+MDT together"),
     ("write_partition_ttl", write_partition_ttl, PARTITION_TTL_SQL,
      "partition TTL: untouched partition expires via metadata-only drop"),
+    ("write_dms_ingest", write_dms_ingest, LIFECYCLE_SQL,
+     "AWS DMS / Debezium ops-column payload: one mixed I/U/D change batch"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("write", "hudi"), doc=_d))

@@ -51,16 +51,46 @@ def new_instant() -> str:
 PARTIAL_UPDATE_PAYLOAD = (
     "org.apache.hudi.common.model.PartialUpdateAvroPayload"
 )
+AWS_DMS_PAYLOAD = "org.apache.hudi.payload.AWSDmsAvroPayload"
+POSTGRES_DEBEZIUM_PAYLOAD = (
+    "org.apache.hudi.common.model.debezium.PostgresDebeziumAvroPayload"
+)
+MYSQL_DEBEZIUM_PAYLOAD = (
+    "org.apache.hudi.common.model.debezium.MySqlDebeziumAvroPayload"
+)
 
 
 def _normalize_payload_class(raw) -> str:
     v = str(raw or "").strip()
     if not v:
         return ""
-    if v.lower().replace("_", "") in ("partialupdate", "partialupdatepayload",
-                                      "partialupdateavropayload"):
+    key = v.lower().replace("_", "")
+    if key in ("partialupdate", "partialupdatepayload",
+               "partialupdateavropayload"):
         return PARTIAL_UPDATE_PAYLOAD
+    if key in ("awsdms", "awsdmspayload", "awsdmsavropayload"):
+        return AWS_DMS_PAYLOAD
+    if key in ("postgresdebezium", "postgresdebeziumavropayload"):
+        return POSTGRES_DEBEZIUM_PAYLOAD
+    if key in ("mysqldebezium", "mysqldebeziumavropayload"):
+        return MYSQL_DEBEZIUM_PAYLOAD
     return v
+
+
+def ops_delete_rule(payload_class: str) -> tuple[str, str] | None:
+    """(op column name, delete marker) for CDC-ingest payloads that
+    carry the source operation in a data column: AWS DMS emits ``Op``
+    with ``D`` for deletes (AWSDmsAvroPayload checks exactly that);
+    Debezium emits lowercase ``op`` with ``d``. None = the payload has
+    no op-column semantics. Matching is case-insensitive on both the
+    column name and the marker; inserts/updates (I/U/c/u/r) flow
+    through the normal upsert path unchanged."""
+    key = (payload_class or "").lower().replace("_", "")
+    if "awsdms" in key:
+        return ("Op", "D")
+    if "debezium" in key:
+        return ("op", "d")
+    return None
 
 
 def _normalize_concurrency_mode(raw) -> str:

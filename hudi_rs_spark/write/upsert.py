@@ -402,6 +402,28 @@ def upsert(df: DataFrame, path: str, **options) -> None:
     )
     cfg = WriteConfig.from_options(merged_options)
 
+    # CDC-ingest payloads (AWS DMS / Debezium): the source operation
+    # rides in a data column, and delete markers become tombstones here
+    # — pure column expression, no extra pass (write/config.py
+    # ops_delete_rule). I/U/c/u/r rows flow through unchanged, the op
+    # column stays part of the record like Hudi's payloads keep it.
+    from hudi_rs_spark.write.config import ops_delete_rule
+
+    _rule = ops_delete_rule(cfg.payload_class)
+    if _rule is not None:
+        _op_col = next(
+            (c for c in df.columns if c.lower() == _rule[0].lower()), None
+        )
+        if _op_col is not None:
+            _is_del = F.coalesce(
+                F.upper(F.col(_op_col).cast("string")) == _rule[1].upper(),
+                F.lit(False),
+            )
+            if DELETE_COL in df.columns:
+                df = df.withColumn(DELETE_COL, F.col(DELETE_COL) | _is_del)
+            else:
+                df = df.withColumn(DELETE_COL, _is_del)
+
     key_expr = _spark_key_expr(cfg.record_key_fields)
     part_expr = _spark_partition_expr(cfg)
 

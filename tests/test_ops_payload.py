@@ -1,0 +1,205 @@
+"""CDC-ingest record payloads (write/config.py::ops_delete_rule):
+AWSDmsAvroPayload (``Op`` column, ``D`` = delete) and the Debezium
+payloads (``op`` column, ``d`` = delete). The source operation rides in
+a data column; ``upsert`` turns delete markers into tombstones with a
+pure column expression (no extra pass), everything else flows through
+the normal tag-and-append path, and the op column stays part of the
+record exactly like Hudi's payload classes keep it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+    spark.dataSource.register(HudiPyDataSource)
+
+
+def _seed(spark, path, payload="aws_dms", op_col="Op"):
+    df = spark.createDataFrame(
+        [(i, f"n{i}", "I", 1) for i in range(1, 6)],
+        f"id int, name string, {op_col} string, ts int",
+    )
+    (
+        df.write.format("hudi_py").option("path", path)
+        .option("recordkey.field", "id")
+        .option("precombine.field", "ts")
+        .option("table.type", "MERGE_ON_READ")
+        .option("table.version", "8")
+        .option("payload.class", payload)
+        .mode("append").save()
+    )
+
+
+def _snap(spark, path, cols=("id", "name")):
+    return [
+        tuple(r)
+        for r in spark.read.format("hudi_py").option("path", path).load()
+        .select(*cols).orderBy("id").collect()
+    ]
+
+
+class TestAwsDmsPayload:
+    def test_payload_normalized_and_persisted(self, spark, tmp_path):
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        tc = HudiTableConfig.from_base_path(path)
+        assert tc.payload_class == "org.apache.hudi.payload.AWSDmsAvroPayload"
+
+    def test_mixed_change_batch_routes_deletes(self, spark, tmp_path):
+        from hudi_rs_spark.write.upsert import upsert
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        # one frame: an update, a delete, an insert — the DMS apply shape
+        upsert(
+            spark.createDataFrame(
+                [(2, "n2x", "U", 2), (3, "n3", "D", 2), (9, "n9", "I", 2)],
+                "id int, name string, Op string, ts int",
+            ),
+            path,
+        )
+        assert _snap(spark, path) == [
+            (1, "n1"), (2, "n2x"), (4, "n4"), (5, "n5"), (9, "n9"),
+        ]
+
+    def test_delete_marker_case_insensitive(self, spark, tmp_path):
+        from hudi_rs_spark.write.upsert import upsert
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        upsert(
+            spark.createDataFrame(
+                [(1, "n1", "d", 2)], "id int, name string, Op string, ts int"
+            ),
+            path,
+        )
+        assert _snap(spark, path)[0] == (2, "n2")
+
+    def test_null_op_upserts_normally(self, spark, tmp_path):
+        from hudi_rs_spark.write.upsert import upsert
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        upsert(
+            spark.createDataFrame(
+                [(2, "n2x", None, 2)], "id int, name string, Op string, ts int"
+            ),
+            path,
+        )
+        assert _snap(spark, path)[1] == (2, "n2x")
+
+    def test_op_column_kept_in_record(self, spark, tmp_path):
+        from hudi_rs_spark.write.upsert import upsert
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        upsert(
+            spark.createDataFrame(
+                [(2, "n2x", "U", 2)], "id int, name string, Op string, ts int"
+            ),
+            path,
+        )
+        got = dict(_snap(spark, path, cols=("id", "Op")))
+        assert got[2] == "U" and got[1] == "I"
+
+    def test_delete_of_unseen_key_is_noop(self, spark, tmp_path):
+        from hudi_rs_spark.write.upsert import upsert
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        upsert(
+            spark.createDataFrame(
+                [(77, "x", "D", 2)], "id int, name string, Op string, ts int"
+            ),
+            path,
+        )
+        assert [i for i, _ in _snap(spark, path)] == [1, 2, 3, 4, 5]
+
+    def test_inherited_without_option(self, spark, tmp_path):
+        # appends read the payload off hoodie.properties: routing works
+        # with zero options passed to upsert
+        from hudi_rs_spark.write.upsert import upsert
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        upsert(
+            spark.createDataFrame(
+                [(4, "n4", "D", 2)], "id int, name string, Op string, ts int"
+            ),
+            path,
+        )
+        assert 4 not in [i for i, _ in _snap(spark, path)]
+
+    def test_explicit_tombstone_still_respected(self, spark, tmp_path):
+        from hudi_rs_spark.write.upsert import delete
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        delete(
+            spark.createDataFrame([(5, 2)], "id int, ts int"), path
+        )
+        assert [i for i, _ in _snap(spark, path)] == [1, 2, 3, 4]
+
+
+class TestDebeziumPayload:
+    def test_lowercase_op_column(self, spark, tmp_path):
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+        from hudi_rs_spark.write.upsert import upsert
+
+        path = str(tmp_path / "t")
+        _seed(spark, path, payload="postgres_debezium", op_col="op")
+        tc = HudiTableConfig.from_base_path(path)
+        assert tc.payload_class == (
+            "org.apache.hudi.common.model.debezium."
+            "PostgresDebeziumAvroPayload"
+        )
+        upsert(
+            spark.createDataFrame(
+                [(1, "n1x", "u", 2), (2, "n2", "d", 2)],
+                "id int, name string, op string, ts int",
+            ),
+            path,
+        )
+        assert _snap(spark, path) == [
+            (1, "n1x"), (3, "n3"), (4, "n4"), (5, "n5"),
+        ]
+
+    def test_mysql_alias(self, spark, tmp_path):
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+
+        path = str(tmp_path / "t")
+        _seed(spark, path, payload="MySqlDebeziumAvroPayload", op_col="op")
+        tc = HudiTableConfig.from_base_path(path)
+        assert "MySqlDebeziumAvroPayload" in tc.payload_class
+
+    def test_plain_table_ignores_op_column(self, spark, tmp_path):
+        # no payload class: an 'Op' data column is just data
+        from hudi_rs_spark.write.upsert import upsert
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "n1", "D", 1)], "id int, name string, Op string, ts int"
+        )
+        (
+            df.write.format("hudi_py").option("path", path)
+            .option("recordkey.field", "id")
+            .option("precombine.field", "ts")
+            .option("table.type", "MERGE_ON_READ")
+            .option("table.version", "8")
+            .mode("append").save()
+        )
+        upsert(
+            spark.createDataFrame(
+                [(2, "n2", "D", 1)], "id int, name string, Op string, ts int"
+            ),
+            path,
+        )
+        assert [i for i, _ in _snap(spark, path)] == [1, 2]
