@@ -994,6 +994,56 @@ def write_dms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+INSERT_OVERWRITE_SQL = """
+SELECT doc_id,
+       CASE WHEN lang = (SELECT min(lang) FROM documents)
+            THEN text || '#o' ELSE text END AS text,
+       lang
+FROM documents
+WHERE lang <> (SELECT min(lang) FROM documents) OR doc_id % 2 = 0
+ORDER BY doc_id
+"""
+
+
+def write_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped INSERT OVERWRITE (``operation=insert_overwrite``,
+    Hudi's dynamic-partition overwrite): the incoming frame REPLACES
+    exactly the partitions it touches via one replacecommit — here the
+    min-lang partition gets only its even doc_ids back (suffixed), so
+    the odd ones must vanish (an upsert would have kept them) while
+    every other partition is untouched. The replace is metadata +
+    new-files-only: untouched partitions cost zero I/O at any scale."""
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_iow_bench_")
+    path = os.path.join(tmp, "t")
+    w = _docs(spark, sf_dir).write.format("hudi_py").option("path", path)
+    for k, v in _seed_options().items():
+        w = w.option(k, v)
+    w.mode("append").save()
+    docs = _docs(spark, sf_dir)
+    min_lang = docs.agg(F.min("lang").alias("m")).collect()[0].m
+    replacement = (
+        docs.filter((F.col("lang") == min_lang) & (F.col("doc_id") % 2 == 0))
+        .withColumn("text", F.concat(F.col("text"), F.lit("#o")))
+        .withColumn("ts", F.lit(2))
+    )
+    w = (
+        replacement.write.format("hudi_py").option("path", path)
+        .option("operation", "insert_overwrite")
+    )
+    for k, v in _seed_options().items():
+        w = w.option(k, v)
+    w.mode("append").save()
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 PARTIAL_UPDATE_SQL = """
 SELECT doc_id,
        CASE WHEN doc_id % 9 = 0 THEN text || '#p' ELSE text END AS text,
@@ -1114,5 +1164,7 @@ for _n, _f, _s, _d in [
      "partition TTL: untouched partition expires via metadata-only drop"),
     ("write_dms_ingest", write_dms_ingest, LIFECYCLE_SQL,
      "AWS DMS / Debezium ops-column payload: one mixed I/U/D change batch"),
+    ("write_insert_overwrite", write_insert_overwrite, INSERT_OVERWRITE_SQL,
+     "partition-scoped INSERT OVERWRITE via one replacecommit"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("write", "hudi"), doc=_d))

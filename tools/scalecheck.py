@@ -185,6 +185,13 @@ def main() -> None:
         # bucket's data only — the flattest-possible row by design)
         "write_async_clustered",
         "write_bucket_rescaled",
+        # r11 late additions: the partial-update payload (sparse upserts
+        # + column-wise merge — the window fill must ride the same one
+        # shuffle as overwrite-with-latest) and the DMS/Debezium ingest
+        # (mixed I/U/D change batch — delete routing is claimed to be a
+        # free column expression inside the one upsert)
+        "write_partial_update",
+        "write_dms_ingest",
     ]
 
     def semdedup_at(k: int):
