@@ -994,6 +994,38 @@ def write_dms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+BOOTSTRAP_SQL = """
+SELECT doc_id, text, lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def write_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA_ONLY bootstrap (write/bootstrap.py): adopt a plain
+    partitionBy(lang) parquet dataset as a Hudi table with hard-linked
+    base files — ZERO data bytes moved, one commit with real per-file
+    write stats, partition values restored from the hive-style paths
+    (the source files do not contain the lang column). The connector
+    read must equal the original dataset exactly."""
+    from hudi_rs_spark.write.bootstrap import bootstrap_table
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_bootstrap_bench_")
+    src = os.path.join(tmp, "src")
+    path = os.path.join(tmp, "t")
+    _docs(spark, sf_dir).write.partitionBy("lang").parquet(src)
+    bootstrap_table(src, path, "doc_id", partition_fields=("lang",))
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 INSERT_OVERWRITE_SQL = """
 SELECT doc_id,
        CASE WHEN lang = (SELECT min(lang) FROM documents)
@@ -1166,5 +1198,7 @@ for _n, _f, _s, _d in [
      "AWS DMS / Debezium ops-column payload: one mixed I/U/D change batch"),
     ("write_insert_overwrite", write_insert_overwrite, INSERT_OVERWRITE_SQL,
      "partition-scoped INSERT OVERWRITE via one replacecommit"),
+    ("write_bootstrap", write_bootstrap, BOOTSTRAP_SQL,
+     "METADATA_ONLY bootstrap: hard-linked adoption, zero data bytes"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("write", "hudi"), doc=_d))
