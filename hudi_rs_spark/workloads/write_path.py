@@ -994,6 +994,40 @@ def write_dms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def write_sql_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL procedures + hudi_table_changes TVF (write/sql.py): the
+    Hudi Spark SQL operational surface driven purely by SQL text —
+    ``CALL run_compaction(table => 't')`` compacts the upserted MOR
+    table, then the Hudi 1.0 incremental TVF ``SELECT ... FROM
+    hudi_table_changes('t', 'latest_state', 'earliest')`` reads the
+    post-compaction state through plain spark.sql over the rewritten
+    statement. Oracle = the standard lifecycle shape."""
+    from hudi_rs_spark.write.sql import hudi_sql
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_sqlproc_bench_")
+    path = os.path.join(tmp, "t")
+    w = _docs(spark, sf_dir).write.format("hudi_py").option("path", path)
+    for k, v in _seed_options().items():
+        w = w.option(k, v)
+    w.mode("append").save()
+    _apply_upserts(spark, sf_dir, path)
+    tables = {"t": path}
+    assert hudi_sql(
+        spark, "CALL run_compaction(table => 't')", tables=tables
+    ) > 0
+    out = hudi_sql(
+        spark,
+        "SELECT doc_id, text, lang FROM "
+        "hudi_table_changes('t', 'latest_state', 'earliest') "
+        "ORDER BY doc_id",
+        tables=tables,
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 BOOTSTRAP_SQL = """
 SELECT doc_id, text, lang
 FROM documents
@@ -1200,5 +1234,7 @@ for _n, _f, _s, _d in [
      "partition-scoped INSERT OVERWRITE via one replacecommit"),
     ("write_bootstrap", write_bootstrap, BOOTSTRAP_SQL,
      "METADATA_ONLY bootstrap: hard-linked adoption, zero data bytes"),
+    ("write_sql_procedures", write_sql_procedures, LIFECYCLE_SQL,
+     "CALL run_compaction + hudi_table_changes TVF, SQL-text driven"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("write", "hudi"), doc=_d))

@@ -72,6 +72,28 @@ def savepointed_instants(path: str) -> set[str]:
     return out
 
 
+def delete_savepoint(path: str, instant: str) -> bool:
+    """Unpin ``instant`` (remove its savepoint marker(s), Hudi's
+    delete_savepoint procedure); returns True when a pin existed. The
+    next clean may then reclaim the slices the pin was protecting."""
+    from hudi_rs_spark.write.writer import _fs
+
+    tdir = _timeline_dir(path)
+    st = _fs(tdir)
+    removed = False
+    for e in st.list_dir(tdir):
+        if not e.name.endswith(f".{SAVEPOINT_ACTION}"):
+            continue
+        try:
+            meta = json.loads(st.read_text(f"{tdir}/{e.name}"))
+        except (OSError, ValueError):
+            continue
+        if meta.get("savepointedInstant") == instant:
+            st.remove(f"{tdir}/{e.name}")
+            removed = True
+    return removed
+
+
 def savepoint(path: str, instant: str | None = None) -> str:
     """Pin ``instant`` (default: the latest completed data instant);
     returns the pinned timestamp."""

@@ -147,9 +147,16 @@ def hudi_sql(spark, statement: str, tables: dict | None = None, **options):
         return _run_delete(spark, stmt, tables, options)
     if head.startswith("ALTER"):
         return _run_drop_partition(spark, stmt, tables, options)
+    if head.startswith("CALL"):
+        return _run_call(spark, stmt, tables, options)
+    if (head.startswith("SELECT") or head.startswith("WITH")) and _TVF.search(
+        stmt
+    ):
+        return _run_tvf_select(spark, stmt, tables, options)
     raise SqlDmlError(
         "supported statements: MERGE INTO / UPDATE / DELETE FROM / "
-        "ALTER TABLE ... DROP PARTITION"
+        "ALTER TABLE ... DROP PARTITION / CALL <procedure>(...) / "
+        "SELECT ... FROM hudi_table_changes(...)"
     )
 
 
@@ -411,3 +418,266 @@ def _run_drop_partition(spark, stmt: str, tables, options):
             fields.append(f"{k.strip().strip('`')}={_unquote(v)}")
         parts.append("/".join(fields))
     return delete_partitions(path, parts, **options)
+
+
+# ---------------------------------------------------------------------------
+# CALL procedures (Hudi's Spark SQL procedure surface) + the
+# hudi_table_changes table-valued function (Hudi 1.0 incremental SQL)
+# ---------------------------------------------------------------------------
+def _parse_call_args(argstr: str) -> tuple[list[str], dict[str, str]]:
+    """``k => v, 'positional', n`` -> (positionals, named); values are
+    unquoted literals (expressions are not part of the CALL grammar)."""
+    pos: list[str] = []
+    named: dict[str, str] = {}
+    if not argstr.strip():
+        return pos, named
+    for piece in _split_top(argstr, r","):
+        if not piece:
+            continue
+        m = re.match(r"^\s*([\w.]+)\s*=>\s*(.+)$", piece, re.S)
+        if m:
+            named[m.group(1).lower()] = _unquote(m.group(2).strip())
+        else:
+            if named:
+                raise SqlDmlError(
+                    f"positional argument {piece!r} after named arguments"
+                )
+            pos.append(_unquote(piece.strip()))
+    return pos, named
+
+
+def _call_table(spark, args: dict, tables) -> str:
+    if "table" not in args:
+        raise SqlDmlError("CALL needs table => '<name or path>'")
+    return _resolve_path(args["table"], tables)
+
+
+def _one_col_df(spark, name: str, values) -> "object":
+    return spark.createDataFrame([(v,) for v in values], f"{name} string")
+
+
+def _run_call(spark, stmt: str, tables, options):
+    m = re.match(r"^CALL\s+([\w.]+)\s*\((?P<args>.*)\)\s*$", stmt,
+                 re.I | re.S)
+    if not m:
+        raise SqlDmlError("expected CALL <procedure>(k => v, ...)")
+    proc = m.group(1).split(".")[-1].lower()
+    pos, args = _parse_call_args(m.group("args"))
+    # Hudi procedures take the table first positionally
+    if pos:
+        args.setdefault("table", pos[0])
+        pos = pos[1:]
+    path = _call_table(spark, args, tables)
+    op = args.get("op", "scheduleandexecute").replace("_", "").lower()
+
+    if proc == "run_compaction":
+        from hudi_rs_spark.write.async_compact import (
+            run_scheduled_compaction,
+            schedule_compaction,
+        )
+        from hudi_rs_spark.write.compact import compact
+
+        if op == "schedule":
+            return schedule_compaction(path)
+        if op in ("run", "execute"):
+            return run_scheduled_compaction(spark, path)
+        return compact(spark, path)
+
+    if proc == "run_clustering":
+        from hudi_rs_spark.write.async_cluster import (
+            run_scheduled_clustering,
+            schedule_clustering,
+        )
+        from hudi_rs_spark.write.cluster import cluster
+
+        order = tuple(
+            c.strip() for c in args.get("order", "").split(",") if c.strip()
+        )
+        layout = args.get("layout", "linear")
+        if op == "schedule":
+            return schedule_clustering(path, sort_columns=order, layout=layout)
+        if op in ("run", "execute"):
+            return run_scheduled_clustering(spark, path)
+        return cluster(
+            spark, path, sort_columns=order, layout=layout,
+            min_group_slices=int(args.get("min_group_slices", 2)),
+        )
+
+    if proc == "run_clean":
+        from hudi_rs_spark.write.clean import clean
+
+        kw = {}
+        if "clean_policy" in args or "policy" in args:
+            kw["policy"] = args.get("clean_policy", args.get("policy"))
+        if "hours_retained" in args:
+            kw["policy"] = kw.get("policy", "KEEP_LATEST_BY_HOURS")
+            kw["retain_hours"] = float(args["hours_retained"])
+        if "file_versions_retained" in args:
+            kw["policy"] = kw.get("policy", "KEEP_LATEST_FILE_VERSIONS")
+            kw["retain_file_versions"] = int(args["file_versions_retained"])
+        return clean(
+            path, retain_commits=int(args.get("retain_commits", 10)), **kw
+        )
+
+    if proc == "create_savepoint":
+        from hudi_rs_spark.write.savepoint import savepoint
+
+        return savepoint(path, args.get("commit_time"))
+
+    if proc == "delete_savepoint":
+        from hudi_rs_spark.write.savepoint import delete_savepoint
+
+        if "instant_time" not in args:
+            raise SqlDmlError("delete_savepoint needs instant_time => '...'")
+        return delete_savepoint(path, args["instant_time"])
+
+    if proc == "rollback_to_savepoint":
+        from hudi_rs_spark.write.savepoint import (
+            restore,
+            savepointed_instants,
+        )
+
+        target = args.get("instant_time")
+        if target is None:
+            pinned = savepointed_instants(path)
+            if not pinned:
+                raise SqlDmlError(f"no savepoints on {path!r}")
+            target = max(pinned)
+        return restore(path, target)
+
+    if proc == "rollback_to_instant":
+        # Hudi semantics: undo the GIVEN instant, which must be the
+        # latest completed one — i.e. rewind to its predecessor
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.savepoint import restore
+
+        if "instant_time" not in args:
+            raise SqlDmlError("rollback_to_instant needs instant_time => '...'")
+        target = args["instant_time"]
+        completed = sorted(
+            i.timestamp
+            for i in HudiTable(path, spark=None, listing="direct")
+            .timeline.instants
+        )
+        if not completed or completed[-1] != target:
+            raise SqlDmlError(
+                f"{target!r} is not the latest completed instant "
+                f"({completed[-1] if completed else None!r}); only the "
+                "latest can be rolled back — use rollback_to_savepoint "
+                "for deeper rewinds"
+            )
+        if len(completed) < 2:
+            raise SqlDmlError("cannot roll back the only commit")
+        return restore(path, completed[-2], force=True)
+
+    if proc == "show_commits":
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t = HudiTable(path, spark=None, listing="direct")
+        pending = set(t.timeline.pending_timestamps)
+        rows = [
+            (i.timestamp, i.action, "COMPLETED")
+            for i in sorted(t.timeline.instants, key=lambda i: i.timestamp)
+        ] + [(ts, None, "PENDING") for ts in sorted(pending)]
+        limit = int(args.get("limit", 10))
+        return spark.createDataFrame(
+            rows[-limit:] if limit else rows,
+            "commit_time string, action string, state string",
+        )
+
+    if proc == "show_savepoints":
+        from hudi_rs_spark.write.savepoint import savepointed_instants
+
+        return _one_col_df(
+            spark, "savepoint_time", sorted(savepointed_instants(path))
+        )
+
+    if proc in ("show_compaction", "show_clustering"):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        tl = HudiTable(path, spark=None, listing="direct").timeline
+        plans = (
+            tl.pending_compaction_plans()
+            if proc == "show_compaction"
+            else tl.pending_clustering_plans()
+        )
+        return spark.createDataFrame(
+            [(ts, len(p.get("groups", []))) for ts, p in sorted(plans.items())]
+            or spark.sparkContext.emptyRDD(),
+            "plan_time string, groups int",
+        )
+
+    raise SqlDmlError(
+        f"unknown procedure {proc!r}; supported: run_compaction, "
+        "run_clustering, run_clean, create_savepoint, delete_savepoint, "
+        "rollback_to_savepoint, rollback_to_instant, show_commits, "
+        "show_savepoints, show_compaction, show_clustering"
+    )
+
+
+_TVF = re.compile(r"hudi_table_changes\s*\(", re.I)
+
+
+def _run_tvf_select(spark, stmt: str, tables, options):
+    """SELECT statements over the ``hudi_table_changes(table, mode,
+    start [, end])`` table-valued function (Hudi 1.0 incremental SQL):
+    each TVF call becomes a temp view fed by the existing incremental /
+    CDC readers, the call text is swapped for the view name, and the
+    rewritten statement runs through plain ``spark.sql`` — so any
+    surrounding SELECT shape (projections, filters, joins, CTEs) works.
+    ``mode``: 'latest_state' (row-level incremental, the default Hudi
+    mode) or 'cdc' (typed change feed); ``start``: 'earliest' or a
+    timestamp; bounds are (start, end]."""
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    out, cursor, n = [], 0, 0
+    while True:
+        m = _TVF.search(stmt, cursor)
+        if not m:
+            out.append(stmt[cursor:])
+            break
+        # scan to the matching close paren (args are literals — quotes
+        # only, no nesting expected, but stay paren-aware anyway)
+        depth, i = 1, m.end()
+        q = None
+        while i < len(stmt) and depth:
+            c = stmt[i]
+            if q:
+                if c == q:
+                    q = None
+            elif c in ("'", '"'):
+                q = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise SqlDmlError("unbalanced parens in hudi_table_changes(...)")
+        argstr = stmt[m.end() : i - 1]
+        parts = [_unquote(p) for p in _split_top(argstr, r",")]
+        if len(parts) not in (3, 4):
+            raise SqlDmlError(
+                "hudi_table_changes(table, mode, start [, end])"
+            )
+        tbl, mode, start = parts[0], parts[1].lower(), parts[2]
+        end = parts[3] if len(parts) == 4 else None
+        path = _resolve_path(tbl, tables)
+        start_ts = None if start.lower() == "earliest" else start
+        t = HudiTable(path, spark)
+        if mode == "cdc":
+            df = t.read_changes(start_ts, end)
+        elif mode in ("latest_state", "latest-state"):
+            df = t.read_incremental(start_ts, end)
+        else:
+            raise SqlDmlError(
+                f"unknown hudi_table_changes mode {mode!r}: "
+                "latest_state | cdc"
+            )
+        view = f"__hudi_table_changes_{n}"
+        n += 1
+        df.createOrReplaceTempView(view)
+        out.append(stmt[cursor : m.start()])
+        out.append(view)
+        cursor = i
+    return spark.sql("".join(out))

@@ -1,0 +1,251 @@
+"""CALL procedures + hudi_table_changes TVF (write/sql.py): the Hudi
+Spark SQL operational surface — run_compaction / run_clustering /
+run_clean / savepoint lifecycle / rollback / show_* — and the Hudi 1.0
+incremental-query TVF, all dispatching to the existing service APIs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_rs_spark.write.sql import SqlDmlError, hudi_sql
+from hudi_rs_spark.write.upsert import upsert
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+    spark.dataSource.register(HudiPyDataSource)
+
+
+def _seed(spark, path, cdc=False, n=30):
+    df = spark.createDataFrame(
+        [(i, f"n{i}", ["a", "b"][i % 2], 1) for i in range(n)],
+        "id int, name string, city string, ts int",
+    )
+    w = (
+        df.repartition(2).write.format("hudi_py").option("path", path)
+        .option("recordkey.field", "id")
+        .option("precombine.field", "ts")
+        .option("table.type", "MERGE_ON_READ")
+        .option("table.version", "8")
+    )
+    if cdc:
+        w = w.option("cdc.enabled", "true")
+    w.mode("append").save()
+
+
+def _upd(spark, path, ids, ts=2, name="u"):
+    upsert(
+        spark.createDataFrame(
+            [(i, f"{name}{i}", ["a", "b"][i % 2], ts) for i in ids],
+            "id int, name string, city string, ts int",
+        ),
+        path,
+    )
+
+
+def _snap(spark, path):
+    return sorted(
+        tuple(r)
+        for r in spark.read.format("hudi_py").option("path", path).load()
+        .select("id", "name").collect()
+    )
+
+
+class TestServiceProcedures:
+    def test_run_compaction_inline(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        _upd(spark, path, [1, 3])
+        pre = _snap(spark, path)
+        n = hudi_sql(
+            spark, "CALL run_compaction(table => 't')", tables={"t": path}
+        )
+        assert n > 0
+        assert _snap(spark, path) == pre
+
+    def test_run_compaction_schedule_then_run(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        tables = {"t": path}
+        _seed(spark, path)
+        _upd(spark, path, [1])
+        plan = hudi_sql(
+            spark, "CALL run_compaction(op => 'schedule', table => 't')",
+            tables=tables,
+        )
+        assert plan
+        shown = hudi_sql(
+            spark, "CALL show_compaction(table => 't')", tables=tables
+        ).collect()
+        assert [r.plan_time for r in shown] == [plan]
+        assert hudi_sql(
+            spark, "CALL run_compaction(op => 'run', table => 't')",
+            tables=tables,
+        ) > 0
+        assert hudi_sql(
+            spark, "CALL show_compaction(table => 't')", tables=tables
+        ).count() == 0
+
+    def test_run_clustering_inline(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        pre = _snap(spark, path)
+        n = hudi_sql(
+            spark,
+            "CALL run_clustering(table => 't', order => 'id', "
+            "min_group_slices => 1)",
+            tables={"t": path},
+        )
+        assert n > 0
+        assert _snap(spark, path) == pre
+
+    def test_run_clean_file_versions(self, spark, tmp_path):
+        import glob
+        import os
+
+        path = str(tmp_path / "t")
+        tables = {"t": path}
+        _seed(spark, path)
+        for r in range(2):
+            _upd(spark, path, [1], ts=r + 2)
+            hudi_sql(spark, "CALL run_compaction(table => 't')", tables=tables)
+        pre = _snap(spark, path)
+        n = hudi_sql(
+            spark,
+            "CALL run_clean(table => 't', file_versions_retained => 1)",
+            tables=tables,
+        )
+        assert n > 0
+        assert _snap(spark, path) == pre
+
+    def test_show_commits(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        _upd(spark, path, [1])
+        rows = hudi_sql(
+            spark, "CALL show_commits(table => 't', limit => 10)",
+            tables={"t": path},
+        ).collect()
+        assert len(rows) == 2
+        assert all(r.state == "COMPLETED" for r in rows)
+
+
+class TestSavepointProcedures:
+    def test_savepoint_lifecycle(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        tables = {"t": path}
+        _seed(spark, path)
+        sp = hudi_sql(
+            spark, "CALL create_savepoint(table => 't')", tables=tables
+        )
+        shown = hudi_sql(
+            spark, "CALL show_savepoints(table => 't')", tables=tables
+        ).collect()
+        assert [r.savepoint_time for r in shown] == [sp]
+        assert hudi_sql(
+            spark,
+            f"CALL delete_savepoint(table => 't', instant_time => '{sp}')",
+            tables=tables,
+        )
+        assert hudi_sql(
+            spark, "CALL show_savepoints(table => 't')", tables=tables
+        ).count() == 0
+
+    def test_rollback_to_savepoint(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        tables = {"t": path}
+        _seed(spark, path)
+        pre = _snap(spark, path)
+        hudi_sql(spark, "CALL create_savepoint(table => 't')", tables=tables)
+        _upd(spark, path, [1, 2, 3], name="junk")
+        hudi_sql(
+            spark, "CALL rollback_to_savepoint(table => 't')", tables=tables
+        )
+        assert _snap(spark, path) == pre
+
+    def test_rollback_to_instant_latest_only(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        path = str(tmp_path / "t")
+        tables = {"t": path}
+        _seed(spark, path)
+        pre = _snap(spark, path)
+        _upd(spark, path, [1], name="junk")
+        commits = sorted(
+            i.timestamp for i in HudiTable(path, spark).timeline.instants
+        )
+        with pytest.raises(SqlDmlError, match="latest"):
+            hudi_sql(
+                spark,
+                f"CALL rollback_to_instant(table => 't', "
+                f"instant_time => '{commits[0]}')",
+                tables=tables,
+            )
+        hudi_sql(
+            spark,
+            f"CALL rollback_to_instant(table => 't', "
+            f"instant_time => '{commits[-1]}')",
+            tables=tables,
+        )
+        assert _snap(spark, path) == pre
+
+
+class TestTableChangesTvf:
+    def test_latest_state_earliest(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        _upd(spark, path, [1, 3])
+        got = hudi_sql(
+            spark,
+            "SELECT id, name FROM "
+            "hudi_table_changes('t', 'latest_state', 'earliest') "
+            "ORDER BY id",
+            tables={"t": path},
+        ).collect()
+        assert len(got) == 30 and got[1].name == "u1"
+
+    def test_latest_state_window(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        first = HudiTable(path, spark).timeline.latest_commit_timestamp()
+        _upd(spark, path, [1, 3])
+        got = hudi_sql(
+            spark,
+            f"SELECT id FROM hudi_table_changes('t', 'latest_state', "
+            f"'{first}') ORDER BY id",
+            tables={"t": path},
+        ).collect()
+        assert [r.id for r in got] == [1, 3]
+
+    def test_cdc_mode(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path, cdc=True, n=10)
+        _upd(spark, path, [1])
+        ops = hudi_sql(
+            spark,
+            "SELECT op, count(*) AS n FROM "
+            "hudi_table_changes('t', 'cdc', 'earliest') GROUP BY op",
+            tables={"t": path},
+        ).collect()
+        assert {r.op: r.n for r in ops} == {"i": 10, "u": 1}
+
+    def test_bad_mode_and_proc(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        with pytest.raises(SqlDmlError, match="mode"):
+            hudi_sql(
+                spark,
+                "SELECT * FROM hudi_table_changes('t', 'sideways', "
+                "'earliest')",
+                tables={"t": path},
+            )
+        with pytest.raises(SqlDmlError, match="unknown procedure"):
+            hudi_sql(
+                spark, "CALL launch_rockets(table => 't')",
+                tables={"t": path},
+            )
