@@ -47,10 +47,19 @@ def _plan_marker(tdir: str, instant: str) -> str:
     return f"{tdir}/{instant}.compaction.requested"
 
 
-def schedule_compaction(path: str, instant: str | None = None) -> str | None:
-    """Publish a compaction plan covering every file slice that has log
+def schedule_compaction(
+    path: str,
+    instant: str | None = None,
+    *,
+    strategy: str = "unbounded",
+    target_io_mb: float | None = None,
+    target_partitions: int = 10,
+) -> str | None:
+    """Publish a compaction plan covering file slices that have log
     files; returns the scheduled instant (None = nothing to plan).
-    Groups already covered by a pending plan are not re-planned."""
+    Groups already covered by a pending plan are not re-planned.
+    ``strategy``/``target_io_mb``/``target_partitions`` bound the plan
+    per write/compact_strategy.py (Hudi's hoodie.compaction.strategy)."""
     from hudi_rs_spark.config.table_config import HudiTableConfig
     from hudi_rs_spark.sources.hudi import HudiTable
     from hudi_rs_spark.write.concurrency import ConcurrentWriteError
@@ -73,19 +82,28 @@ def schedule_compaction(path: str, instant: str | None = None) -> str | None:
         for g in plan.get("groups", ()):
             for inp in g.get("inputs", ()):
                 planned_already.add(inp["fileId"])
-    groups = []
-    for sl in table.get_file_slices():
-        if sl.base_file is None or not sl.log_files:
-            continue
-        if sl.file_id in planned_already:
-            continue
-        groups.append(
-            {
-                "partition": sl.partition_path or "",
-                "fileId": sl.file_id,
-                "baseInstant": sl.base_file.commit_timestamp,
-            }
+    candidates = [
+        sl for sl in table.get_file_slices()
+        if sl.base_file is not None and sl.log_files
+        and sl.file_id not in planned_already
+    ]
+    if strategy != "unbounded" or target_io_mb is not None:
+        from hudi_rs_spark.write.compact_strategy import (
+            select_compaction_slices,
         )
+
+        candidates = select_compaction_slices(
+            candidates, strategy=strategy, target_io_mb=target_io_mb,
+            target_partitions=target_partitions,
+        )
+    groups = [
+        {
+            "partition": sl.partition_path or "",
+            "fileId": sl.file_id,
+            "baseInstant": sl.base_file.commit_timestamp,
+        }
+        for sl in candidates
+    ]
     if not groups:
         return None
     from hudi_rs_spark.write.concurrency import claim_unique_timestamp

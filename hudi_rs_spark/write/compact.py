@@ -115,9 +115,22 @@ def _compact_one(desc: dict, shared: dict) -> dict:
     return stat
 
 
-def compact(spark, path: str, instant: str | None = None) -> int:
-    """Compact every file slice that has log files; returns the number
-    of slices compacted (0 = nothing to do, no instant published)."""
+def compact(
+    spark,
+    path: str,
+    instant: str | None = None,
+    *,
+    strategy: str = "unbounded",
+    target_io_mb: float | None = None,
+    target_partitions: int = 10,
+) -> int:
+    """Compact file slices that have log files; returns the number of
+    slices compacted (0 = nothing to do, no instant published).
+
+    ``strategy`` / ``target_io_mb`` / ``target_partitions`` bound the
+    round per write/compact_strategy.py (Hudi's
+    hoodie.compaction.strategy family); the default compacts every
+    dirty slice."""
     from pyspark.sql import types as T
 
     from hudi_rs_spark.config.table_config import HudiTableConfig
@@ -148,6 +161,26 @@ def compact(spark, path: str, instant: str | None = None) -> int:
     # log-only slices (bucket-routed first touches) compact too: their
     # rewrite writes the group's first base file
     dirty = [p for p in reader.partitions() if p.log_files]
+    if strategy != "unbounded" or target_io_mb is not None:
+        from hudi_rs_spark.write.compact_strategy import (
+            select_compaction_slices,
+        )
+
+        chosen = select_compaction_slices(
+            [sl for sl in table.get_file_slices() if sl.log_files],
+            strategy=strategy,
+            target_io_mb=target_io_mb,
+            target_partitions=target_partitions,
+        )
+        allowed: set[str] = set()
+        for sl in chosen:
+            if sl.base_file is not None:
+                allowed.add(sl.base_file.file_name)
+            allowed.update(lf.file_name for lf in sl.log_files)
+        dirty = [
+            p for p in dirty
+            if os.path.basename(p.base_file or p.log_files[0]) in allowed
+        ]
     if not dirty:
         return 0
     instant = instant or new_instant()

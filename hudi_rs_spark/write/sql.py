@@ -477,11 +477,18 @@ def _run_call(spark, stmt: str, tables, options):
         )
         from hudi_rs_spark.write.compact import compact
 
+        kw = {}
+        if "strategy" in args:
+            kw["strategy"] = args["strategy"]
+        if "target_io_mb" in args:
+            kw["target_io_mb"] = float(args["target_io_mb"])
+        if "target_partitions" in args:
+            kw["target_partitions"] = int(args["target_partitions"])
         if op == "schedule":
-            return schedule_compaction(path)
+            return schedule_compaction(path, **kw)
         if op in ("run", "execute"):
             return run_scheduled_compaction(spark, path)
-        return compact(spark, path)
+        return compact(spark, path, **kw)
 
     if proc == "run_clustering":
         from hudi_rs_spark.write.async_cluster import (
