@@ -339,6 +339,24 @@ def _tag_by_bucket(
     )
 
 
+def _restore_partition_cols(df: DataFrame, cfg, loc_col: str, cond):
+    """Rewrite the partition COLUMNS of rows matching ``cond`` from the
+    located partition path in ``loc_col`` (hive ``k=v`` or bare-value
+    segments, url-decoded, cast back to each column's type) — the
+    global-index 'update stays in its original partition' move."""
+    segs = F.split(F.col(loc_col), "/")
+    out = df
+    for i, field in enumerate(cfg.partition_fields):
+        seg = segs[i]
+        if cfg.hive_style:
+            seg = F.substring_index(seg, "=", -1)
+        val = F.url_decode(seg).cast(out.schema[field].dataType)
+        out = out.withColumn(
+            field, F.when(cond, val).otherwise(F.col(field))
+        )
+    return out
+
+
 def upsert(df: DataFrame, path: str, **options) -> None:
     """Upsert ``df`` into the MOR table at ``path``.
 
@@ -427,11 +445,38 @@ def upsert(df: DataFrame, path: str, **options) -> None:
     key_expr = _spark_key_expr(cfg.record_key_fields)
     part_expr = _spark_partition_expr(cfg)
 
+    # GLOBAL index semantics (Hudi's record index / GLOBAL_* index
+    # types): a key is located WHEREVER it lives, not only in the
+    # incoming row's partition. Partition drift (same key, new
+    # partition value) then follows hoodie.record.index.update.
+    # partition.path: false (Hudi default) = the update lands in the
+    # record's ORIGINAL partition (partition columns rewritten from the
+    # located path); true = tombstone in the old partition + insert in
+    # the new one. Without index.global=true, tagging stays
+    # (key, partition)-scoped and a drifted key duplicates — the
+    # non-global Hudi behavior.
+    def _flag(*names, default="false"):
+        for n in names:
+            if n in merged_options:
+                return str(merged_options[n]).lower() == "true"
+        return default == "true"
+
+    global_index = _flag("hoodie.index.global", "index.global")
+    update_partition_path = _flag(
+        "hoodie.record.index.update.partition.path",
+        "hoodie.global.index.update.partition.path",
+        "update.partition.path",
+    )
+
     # precombine within the batch: keep the highest ordering value per
-    # (key, partition) — rank over the same keys the tag join shuffles on
+    # (key, partition) — rank over the same keys the tag join shuffles
+    # on (key ONLY under a global index: one survivor per key wherever
+    # its versions claim to live, matching the global tag scope)
     if cfg.precombine_field and cfg.precombine_field in df.columns:
         w = (
-            Window.partitionBy(key_expr, part_expr)
+            Window.partitionBy(
+                *( [key_expr] if global_index else [key_expr, part_expr] )
+            )
             .orderBy(F.col(cfg.precombine_field).desc())
         )
         df = (
@@ -443,6 +488,11 @@ def upsert(df: DataFrame, path: str, **options) -> None:
     bucket_mode = (cfg.index_type == "bucket") or (
         tc is not None and is_bucket_table(tc.props)
     )
+    if bucket_mode and global_index:
+        raise ValueError(
+            "index.global does not compose with the bucket index: bucket "
+            "routing is (partition, hash)-scoped by construction"
+        )
     if bucket_mode:
         from hudi_rs_spark.write.bucket import parse_splits
 
@@ -474,22 +524,80 @@ def upsert(df: DataFrame, path: str, **options) -> None:
             f"{TARGET_FILE_COL} string, {LOG_VERSION_COL} int",
         )
 
-        tagged = (
-            df.withColumn("__hoodie_key_x", key_expr)
-            .withColumn("__hoodie_part_x", part_expr)
-            .join(
-                index,
-                (F.col("__hoodie_key_x") == index["_hoodie_record_key"])
-                & (F.col("__hoodie_part_x") == index["_hoodie_partition_path"]),
-                "left",
+        if global_index:
+            # key-only tag join: the located partition rides along so
+            # drift is detectable. Assumes globally-unique keys — the
+            # same contract Hudi's global indexes state.
+            index = index.withColumnRenamed(
+                "_hoodie_partition_path", "__hoodie_loc_part"
             )
-            .drop("_hoodie_record_key", "_hoodie_partition_path")
-            .join(F.broadcast(versions), TARGET_FILE_COL, "left")
-            .withColumn(
-                LOG_VERSION_COL, F.coalesce(F.col(LOG_VERSION_COL), F.lit(1))
+            tagged = (
+                df.withColumn("__hoodie_key_x", key_expr)
+                .withColumn("__hoodie_part_x", part_expr)
+                .join(
+                    index,
+                    F.col("__hoodie_key_x") == index["_hoodie_record_key"],
+                    "left",
+                )
+                .drop("_hoodie_record_key")
+                .join(F.broadcast(versions), TARGET_FILE_COL, "left")
+                .withColumn(
+                    LOG_VERSION_COL,
+                    F.coalesce(F.col(LOG_VERSION_COL), F.lit(1)),
+                )
             )
-            .drop("__hoodie_key_x", "__hoodie_part_x")
-        )
+            drifted = F.col("__hoodie_loc_part").isNotNull() & (
+                F.col("__hoodie_loc_part") != F.col("__hoodie_part_x")
+            )
+            if update_partition_path:
+                # Hudi update.partition.path=true: the record MOVES —
+                # tombstone at the old location + insert at the new one
+                if DELETE_COL not in tagged.columns:
+                    tagged = tagged.withColumn(DELETE_COL, F.lit(False))
+                same = tagged.filter(~drifted)
+                moved = tagged.filter(drifted)
+                tomb = _restore_partition_cols(
+                    moved, cfg, "__hoodie_loc_part", F.lit(True)
+                ).withColumn(DELETE_COL, F.lit(True))
+                ins = (
+                    moved
+                    .withColumn(TARGET_FILE_COL, F.lit(None).cast("string"))
+                    .withColumn(
+                        TARGET_INSTANT_COL, F.lit(None).cast("string")
+                    )
+                    .withColumn(LOG_VERSION_COL, F.lit(1))
+                )
+                tagged = same.unionByName(tomb).unionByName(ins)
+            else:
+                # Hudi default: the update lands in (and keeps) the
+                # record's original partition
+                tagged = _restore_partition_cols(
+                    tagged, cfg, "__hoodie_loc_part", drifted
+                )
+            tagged = tagged.drop(
+                "__hoodie_loc_part", "__hoodie_key_x", "__hoodie_part_x"
+            )
+        else:
+            tagged = (
+                df.withColumn("__hoodie_key_x", key_expr)
+                .withColumn("__hoodie_part_x", part_expr)
+                .join(
+                    index,
+                    (F.col("__hoodie_key_x") == index["_hoodie_record_key"])
+                    & (
+                        F.col("__hoodie_part_x")
+                        == index["_hoodie_partition_path"]
+                    ),
+                    "left",
+                )
+                .drop("_hoodie_record_key", "_hoodie_partition_path")
+                .join(F.broadcast(versions), TARGET_FILE_COL, "left")
+                .withColumn(
+                    LOG_VERSION_COL,
+                    F.coalesce(F.col(LOG_VERSION_COL), F.lit(1)),
+                )
+                .drop("__hoodie_key_x", "__hoodie_part_x")
+            )
         n_groups = len(next_version)
 
     # non-blocking async compaction/clustering (write/async_compact.py,
