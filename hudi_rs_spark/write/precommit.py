@@ -1,0 +1,139 @@
+"""Pre-commit validators — Hudi's ``hoodie.precommit.validators``
+family (SqlQueryEqualityPreCommitValidator /
+SqlQuerySingleResultPreCommitValidator /
+SqlQueryInequalityPreCommitValidator): data-quality gates an ingest
+must pass before its commit is allowed to stand.
+
+Each validator is a SQL query over the placeholder ``<TABLE>``:
+
+- ``equality``: the query must return IDENTICAL rows evaluated against
+  the table BEFORE and AFTER the write (e.g. ``SELECT count(*) FROM
+  <TABLE> WHERE lang = 'de'`` — prove the write didn't touch another
+  tenant's partition).
+- ``inequality``: the results must DIFFER (prove the write actually
+  changed what it claimed to).
+- ``single``: ``<query>#<expected>`` — the first column of the first
+  row must stringify to ``expected`` (e.g. ``SELECT count(*) FROM
+  <TABLE> WHERE text IS NULL#0``).
+
+Execution model: this engine validates AFTER the instant lands and
+REWINDS it on failure (restore to the pre-write instant, then raise
+``PreCommitValidationError``). Hudi proper gates the publish itself;
+the difference is a short window where a concurrent reader could see
+the about-to-be-rewound instant — the single-writer outcome is
+identical, and both sides of every check read through ONE planner pass
+each (before = time travel to the pre-write instant, after = current
+snapshot), so the gate costs two bounded queries, not a table copy.
+"""
+
+from __future__ import annotations
+
+
+class PreCommitValidationError(RuntimeError):
+    """A pre-commit validator rejected the write (already rewound)."""
+
+
+_PLACEHOLDER = "<TABLE>"
+
+
+def extract_validator_options(options: dict) -> dict:
+    """Pull ``precommit.validator.{equality,single,inequality}.sql``
+    (also accepted with the ``hoodie.`` prefix) out of write options;
+    each accepts one query or several separated by ``;;``."""
+    out: dict[str, list[str]] = {}
+    for kind in ("equality", "single", "inequality"):
+        for key in (
+            f"precommit.validator.{kind}.sql",
+            f"hoodie.precommit.validators.{kind}.sql",
+        ):
+            raw = options.get(key)
+            if raw:
+                out.setdefault(kind, []).extend(
+                    q.strip() for q in str(raw).split(";;") if q.strip()
+                )
+    return out
+
+
+def _run(spark, sql: str, view: str):
+    return spark.sql(sql.replace(_PLACEHOLDER, view))
+
+
+def _rows(df) -> list[tuple]:
+    return sorted(tuple(r) for r in df.collect())
+
+
+def run_precommit_validators(
+    spark,
+    path: str,
+    validators: dict,
+    before_instant: str | None,
+) -> list[str]:
+    """Evaluate every validator; returns the list of failure messages
+    (empty = all green). Raises nothing itself — the caller decides to
+    rewind."""
+    from hudi_rs_spark.config.read_config import HudiReadOptions
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    t = HudiTable(path, spark)
+    after = t.read()
+    after.createOrReplaceTempView("__hudi_precommit_after")
+    needs_before = validators.get("equality") or validators.get("inequality")
+    if needs_before:
+        if before_instant is None:
+            raise ValueError(
+                "equality/inequality validators need the pre-write instant"
+            )
+        before = t.read(HudiReadOptions(as_of_timestamp=before_instant))
+        before.createOrReplaceTempView("__hudi_precommit_before")
+    problems: list[str] = []
+    for sql in validators.get("equality", ()):
+        b = _rows(_run(spark, sql, "__hudi_precommit_before"))
+        a = _rows(_run(spark, sql, "__hudi_precommit_after"))
+        if a != b:
+            problems.append(
+                f"equality validator changed: {sql!r} (before={b[:3]}, "
+                f"after={a[:3]})"
+            )
+    for sql in validators.get("inequality", ()):
+        b = _rows(_run(spark, sql, "__hudi_precommit_before"))
+        a = _rows(_run(spark, sql, "__hudi_precommit_after"))
+        if a == b:
+            problems.append(
+                f"inequality validator did not change: {sql!r} "
+                f"(both={a[:3]})"
+            )
+    for spec in validators.get("single", ()):
+        sql, sep, expected = spec.rpartition("#")
+        if not sep or not sql.strip():
+            problems.append(
+                f"malformed single validator {spec!r}: expected "
+                "'<query>#<expected>'"
+            )
+            continue
+        got = _run(spark, sql.strip(), "__hudi_precommit_after").collect()
+        val = str(got[0][0]) if got else None
+        if val != expected.strip():
+            problems.append(
+                f"single-result validator: {sql.strip()!r} returned "
+                f"{val!r}, expected {expected.strip()!r}"
+            )
+    return problems
+
+
+def enforce_precommit(
+    spark, path: str, validators: dict, before_instant: str | None
+) -> None:
+    """Run validators; on any failure rewind the table to
+    ``before_instant`` and raise PreCommitValidationError."""
+    problems = run_precommit_validators(
+        spark, path, validators, before_instant
+    )
+    if not problems:
+        return
+    from hudi_rs_spark.write.savepoint import restore
+
+    if before_instant is not None:
+        restore(path, before_instant, force=True)
+    raise PreCommitValidationError(
+        "write rejected and rewound: " + "; ".join(problems)
+    )

@@ -156,7 +156,7 @@ def hudi_sql(spark, statement: str, tables: dict | None = None, **options):
     raise SqlDmlError(
         "supported statements: MERGE INTO / UPDATE / DELETE FROM / "
         "ALTER TABLE ... DROP PARTITION / CALL <procedure>(...) / "
-        "SELECT ... FROM hudi_table_changes(...)"
+        "SELECT ... FROM hudi_table_changes(...) | hudi_query(...)"
     )
 
 
@@ -622,12 +622,13 @@ def _run_call(spark, stmt: str, tables, options):
     )
 
 
-_TVF = re.compile(r"hudi_table_changes\s*\(", re.I)
+_TVF = re.compile(r"(hudi_table_changes|hudi_query)\s*\(", re.I)
 
 
 def _run_tvf_select(spark, stmt: str, tables, options):
     """SELECT statements over the ``hudi_table_changes(table, mode,
-    start [, end])`` table-valued function (Hudi 1.0 incremental SQL):
+    start [, end])`` and ``hudi_query(table, query_type [, as_of])``
+    table-valued functions (Hudi 1.0 incremental / query-type SQL):
     each TVF call becomes a temp view fed by the existing incremental /
     CDC readers, the call text is swapped for the view name, and the
     rewritten statement runs through plain ``spark.sql`` — so any
@@ -661,8 +662,37 @@ def _run_tvf_select(spark, stmt: str, tables, options):
             i += 1
         if depth:
             raise SqlDmlError("unbalanced parens in hudi_table_changes(...)")
+        fn = m.group(1).lower()
         argstr = stmt[m.end() : i - 1]
         parts = [_unquote(p) for p in _split_top(argstr, r",")]
+        if fn == "hudi_query":
+            # hudi_query(table, query_type [, as_of]) — snapshot /
+            # read_optimized, optionally time-traveled (the as_of arg is
+            # this engine's extension; Hudi exposes time travel through
+            # TIMESTAMP AS OF instead)
+            from hudi_rs_spark.config.read_config import HudiReadOptions
+
+            if len(parts) not in (2, 3):
+                raise SqlDmlError("hudi_query(table, query_type [, as_of])")
+            qt = parts[1].lower()
+            if qt not in ("snapshot", "read_optimized"):
+                raise SqlDmlError(
+                    f"unknown hudi_query type {qt!r}: "
+                    "snapshot | read_optimized"
+                )
+            df = HudiTable(_resolve_path(parts[0], tables), spark).read(
+                HudiReadOptions(
+                    as_of_timestamp=parts[2] if len(parts) == 3 else None,
+                    use_read_optimized_mode=(qt == "read_optimized"),
+                )
+            )
+            view = f"__hudi_query_{n}"
+            n += 1
+            df.createOrReplaceTempView(view)
+            out.append(stmt[cursor : m.start()])
+            out.append(view)
+            cursor = i
+            continue
         if len(parts) not in (3, 4):
             raise SqlDmlError(
                 "hudi_table_changes(table, mode, start [, end])"

@@ -647,6 +647,24 @@ def upsert(df: DataFrame, path: str, **options) -> None:
         writer = writer.option(k, v)
     writer.save()
 
+    # pre-commit validators (write/precommit.py — Hudi's
+    # hoodie.precommit.validators): validate the landed instant against
+    # the pre-write snapshot (time travel), rewind + raise on failure
+    from hudi_rs_spark.write.precommit import (
+        enforce_precommit,
+        extract_validator_options,
+    )
+
+    validators = extract_validator_options(merged_options)
+    if validators:
+        pre = [
+            ts for ts in merged_options.get("occ.readpoint", "").split(",")
+            if ts
+        ]
+        enforce_precommit(
+            spark, path, validators, max(pre) if pre else None
+        )
+
 
 def delete(df_keys: DataFrame, path: str, **options) -> None:
     """Delete by key: ``df_keys`` needs the record key (+ partition +

@@ -249,3 +249,63 @@ class TestTableChangesTvf:
                 spark, "CALL launch_rockets(table => 't')",
                 tables={"t": path},
             )
+
+
+class TestHudiQueryTvf:
+    def test_snapshot_and_read_optimized(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        tables = {"t": path}
+        _seed(spark, path)
+        _upd(spark, path, [1, 3])
+        snap = hudi_sql(
+            spark,
+            "SELECT name FROM hudi_query('t', 'snapshot') WHERE id = 1",
+            tables=tables,
+        ).collect()
+        assert snap[0].name == "u1"
+        # read-optimized ignores the un-compacted log rows
+        ro = hudi_sql(
+            spark,
+            "SELECT name FROM hudi_query('t', 'read_optimized') WHERE id = 1",
+            tables=tables,
+        ).collect()
+        assert ro[0].name == "n1"
+
+    def test_time_travel_arg(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        path = str(tmp_path / "t")
+        tables = {"t": path}
+        _seed(spark, path)
+        first = HudiTable(path, spark).timeline.latest_commit_timestamp()
+        _upd(spark, path, [1])
+        got = hudi_sql(
+            spark,
+            f"SELECT name FROM hudi_query('t', 'snapshot', '{first}') "
+            "WHERE id = 1",
+            tables=tables,
+        ).collect()
+        assert got[0].name == "n1"
+
+    def test_join_two_tvfs(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        tables = {"t": path}
+        _seed(spark, path)
+        _upd(spark, path, [1])
+        got = hudi_sql(
+            spark,
+            "SELECT a.id FROM hudi_query('t', 'snapshot') a "
+            "JOIN hudi_table_changes('t', 'latest_state', 'earliest') b "
+            "ON a.id = b.id WHERE a.id = 1",
+            tables=tables,
+        ).collect()
+        assert [r.id for r in got] == [1]
+
+    def test_bad_query_type(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        with pytest.raises(SqlDmlError, match="hudi_query type"):
+            hudi_sql(
+                spark, "SELECT * FROM hudi_query('t', 'warp')",
+                tables={"t": path},
+            )
