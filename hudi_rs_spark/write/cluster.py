@@ -156,6 +156,8 @@ def cluster(
     min_group_slices: int = 2,
     instant: str | None = None,
     layout: str = "linear",
+    small_file_limit_mb: float | None = None,
+    target_file_size_mb: float = 1024.0,
 ) -> int:
     """Cluster the table's current snapshot: every partition whose live
     file-group count is at least ``min_group_slices`` has its groups
@@ -168,6 +170,14 @@ def cluster(
     each rewrite along the space-filling curve over the same columns
     (write/layout.py) so column_stats min/max pruning bites on EVERY
     sort dimension.
+
+    ``small_file_limit_mb`` (Hudi's SparkSizeBasedClusteringPlanStrategy
+    small.file.limit): when set, only slices whose TOTAL bytes (base +
+    logs) are under the limit are clustered — the small-file compaction
+    use case — binned greedily into groups of at most
+    ``target_file_size_mb`` cumulative input; big healthy files stay
+    untouched and the replacecommit names only the rewritten groups.
+    Sizes come from the listing already in hand (zero extra I/O).
 
     Returns the number of file groups replaced (0 = nothing to do, no
     instant published). Snapshot content is invariant (clustering
@@ -220,9 +230,52 @@ def cluster(
         index_shards = existing_shard_count(path)
     from hudi_rs_spark.write.worklist import slice_descriptor
 
+    slice_bytes: dict[tuple[str, str], int] = {}
+    if small_file_limit_mb is not None:
+        for sl in table.get_file_slices():
+            part = (sl.partition_path or "").strip("/")
+            slice_bytes[(part, sl.file_id)] = (
+                sl.base_file.size if sl.base_file is not None else 0
+            ) + sum(lf.size for lf in sl.log_files)
+
     work = []
     replaced: dict[str, list[str]] = {}
     for rel_dir, slices in sorted(by_partition.items()):
+        if small_file_limit_mb is not None:
+            limit = small_file_limit_mb * 1024 * 1024
+            pairs = [
+                (p, fid)
+                for p, fid in zip(slices, fids[rel_dir])
+                if slice_bytes.get((rel_dir, fid), 0) < limit
+            ]
+            if len(pairs) < min_group_slices:
+                continue
+            # greedy size binning up to the target output size,
+            # smallest-first so each bin fills as evenly as possible
+            pairs.sort(key=lambda pf: slice_bytes.get((rel_dir, pf[1]), 0))
+            target = target_file_size_mb * 1024 * 1024
+            chunks: list[list] = [[]]
+            acc = 0.0
+            for p, fid in pairs:
+                sz = slice_bytes.get((rel_dir, fid), 0)
+                if chunks[-1] and (
+                    acc + sz > target
+                    or len(chunks[-1]) >= max(1, max_group_slices)
+                ):
+                    chunks.append([])
+                    acc = 0.0
+                chunks[-1].append(p)
+                acc += sz
+            for gi, chunk in enumerate(chunks):
+                if chunk:
+                    work.append({
+                        "rel_dir": rel_dir,
+                        "group_idx": gi,
+                        "slices": [slice_descriptor(s) for s in chunk],
+                    })
+            # partial-partition replace: only the rewritten groups
+            replaced[rel_dir] = sorted({fid for _, fid in pairs})
+            continue
         if len(slices) < min_group_slices:
             continue
         n_groups = -(-len(slices) // max(1, max_group_slices))  # ceil

@@ -505,9 +505,16 @@ def _run_call(spark, stmt: str, tables, options):
             return schedule_clustering(path, sort_columns=order, layout=layout)
         if op in ("run", "execute"):
             return run_scheduled_clustering(spark, path)
+        kw = {}
+        if "small_file_limit_mb" in args or "small_file_limit" in args:
+            kw["small_file_limit_mb"] = float(
+                args.get("small_file_limit_mb", args.get("small_file_limit"))
+            )
+        if "target_file_size_mb" in args:
+            kw["target_file_size_mb"] = float(args["target_file_size_mb"])
         return cluster(
             spark, path, sort_columns=order, layout=layout,
-            min_group_slices=int(args.get("min_group_slices", 2)),
+            min_group_slices=int(args.get("min_group_slices", 2)), **kw,
         )
 
     if proc == "run_clean":

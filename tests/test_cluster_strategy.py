@@ -1,0 +1,133 @@
+"""Size-based clustering plan strategy (write/cluster.py
+small_file_limit_mb — Hudi's SparkSizeBasedClusteringPlanStrategy):
+only small file groups are rewritten, binned up to a target output
+size; big healthy files stay untouched and the replacecommit names
+only the rewritten groups."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+    spark.dataSource.register(HudiPyDataSource)
+
+
+def _write(spark, path, start, n, pad=10):
+    df = spark.createDataFrame(
+        [(i, "x" * pad, 1) for i in range(start, start + n)],
+        "id int, payload string, ts int",
+    )
+    (
+        df.repartition(1).write.format("hudi_py").option("path", path)
+        .option("recordkey.field", "id")
+        .option("precombine.field", "ts")
+        .option("table.type", "MERGE_ON_READ")
+        .option("table.version", "8")
+        .mode("append").save()
+    )
+
+
+def _groups(spark, path):
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    return {
+        sl.file_id: (sl.base_file.size if sl.base_file else 0)
+        for sl in HudiTable(path, spark).get_file_slices()
+    }
+
+
+def _ids(spark, path):
+    return sorted(
+        r.id
+        for r in spark.read.format("hudi_py").option("path", path).load()
+        .select("id").collect()
+    )
+
+
+def _mixed_table(spark, path):
+    # one BIG group (50k rows, wide payload), three small ones
+    _write(spark, path, 0, 50_000, pad=60)
+    for k in range(3):
+        _write(spark, path, 100_000 + k * 10, 5)
+    return list(range(0, 50_000)) + [
+        100_000 + k * 10 + j for k in range(3) for j in range(5)
+    ]
+
+
+class TestSmallFileClustering:
+    def test_only_small_groups_rewritten(self, spark, tmp_path):
+        from hudi_rs_spark.write.cluster import cluster
+
+        path = str(tmp_path / "t")
+        expected = sorted(_mixed_table(spark, path))
+        before = _groups(spark, path)
+        big = {fid for fid, sz in before.items() if sz > 0.2 * 1024 * 1024}
+        assert len(big) == 1 and len(before) == 4
+        n = cluster(spark, path, small_file_limit_mb=0.2)
+        assert n == 3  # the three small groups, not the big one
+        after = _groups(spark, path)
+        assert big <= set(after)  # big group untouched
+        assert len(after) == 2  # big + one merged small group
+        assert _ids(spark, path) == expected
+
+    def test_target_size_bins_outputs(self, spark, tmp_path):
+        from hudi_rs_spark.write.cluster import cluster
+
+        path = str(tmp_path / "t")
+        _mixed_table(spark, path)
+        expected = _ids(spark, path)
+        # target smaller than two small files together -> one output
+        # group per input (no merging possible)
+        n = cluster(
+            spark, path, small_file_limit_mb=0.2,
+            target_file_size_mb=1e-4,
+        )
+        assert n == 3
+        assert len(_groups(spark, path)) == 4  # 1 big + 3 rebinned
+        assert _ids(spark, path) == expected
+
+    def test_min_group_guard(self, spark, tmp_path):
+        from hudi_rs_spark.write.cluster import cluster
+
+        path = str(tmp_path / "t")
+        _write(spark, path, 0, 50_000, pad=60)
+        _write(spark, path, 100_000, 5)
+        # only ONE small group: below min_group_slices=2, nothing to do
+        assert cluster(spark, path, small_file_limit_mb=0.2) == 0
+
+    def test_call_procedure_passthrough(self, spark, tmp_path):
+        from hudi_rs_spark.write.sql import hudi_sql
+
+        path = str(tmp_path / "t")
+        _mixed_table(spark, path)
+        expected = _ids(spark, path)
+        n = hudi_sql(
+            spark,
+            "CALL run_clustering(table => 't', small_file_limit_mb => 0.2)",
+            tables={"t": path},
+        )
+        assert n == 3
+        assert _ids(spark, path) == expected
+
+    def test_time_travel_before_small_file_cluster(self, spark, tmp_path):
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.cluster import cluster
+
+        path = str(tmp_path / "t")
+        _mixed_table(spark, path)
+        t = HudiTable(path, spark)
+        pre_instant = t.timeline.latest_commit_timestamp()
+        cluster(spark, path, small_file_limit_mb=0.2)
+        got = sorted(
+            r.id
+            for r in HudiTable(path, spark)
+            .read(HudiReadOptions(as_of_timestamp=pre_instant))
+            .select("id").collect()
+        )
+        assert got == _ids(spark, path)
