@@ -54,13 +54,16 @@ _SURFACE_FIRST = [
     "sim_embedding_near_dups", "sim_semdedup",
     "sample_shuffle_shard", "sample_split_leakfree",
     "sample_temperature_mix",
+    "write_compacted_snapshot", "write_clustered_snapshot",
+    "write_lance_roundtrip", "write_point_lookup",
+    "write_secondary_lookup",
+    # pure-SQL set-op/aggregate rows last: rock-stable (no table-format
+    # involvement), so they are the right ones to age past the driver's
+    # 50-row sample window now that 7 new write rows lead the list
     "cube_revenue", "rollup_revenue", "grouping_sets_revenue",
     "distinct_counts", "except_churned_customers",
     "intersect_loyal_customers", "salted_revenue_by_status",
     "scalar_functions",
-    "write_compacted_snapshot", "write_clustered_snapshot",
-    "write_lance_roundtrip", "write_point_lookup",
-    "write_secondary_lookup",
 ]
 
 
