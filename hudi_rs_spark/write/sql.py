@@ -584,6 +584,13 @@ def _run_call(spark, stmt: str, tables, options):
             raise SqlDmlError("cannot roll back the only commit")
         return restore(path, completed[-2], force=True)
 
+    if proc in ("upgrade_table", "downgrade_table"):
+        from hudi_rs_spark.write.upgrade import upgrade_table
+
+        if "to_version" not in args:
+            raise SqlDmlError(f"{proc} needs to_version => <6|8|9>")
+        return upgrade_table(path, int(args["to_version"]))
+
     if proc == "show_commits":
         from hudi_rs_spark.sources.hudi import HudiTable
 
@@ -624,8 +631,9 @@ def _run_call(spark, stmt: str, tables, options):
     raise SqlDmlError(
         f"unknown procedure {proc!r}; supported: run_compaction, "
         "run_clustering, run_clean, create_savepoint, delete_savepoint, "
-        "rollback_to_savepoint, rollback_to_instant, show_commits, "
-        "show_savepoints, show_compaction, show_clustering"
+        "rollback_to_savepoint, rollback_to_instant, upgrade_table, "
+        "downgrade_table, show_commits, show_savepoints, show_compaction, "
+        "show_clustering"
     )
 
 
