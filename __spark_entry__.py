@@ -38,6 +38,7 @@ _SURFACE_FIRST = [
     "write_insert_overwrite",  # partition-scoped replace via replacecommit
     "write_bootstrap",  # metadata-only parquet adoption, zero-copy
     "write_sql_procedures",  # CALL procedures + hudi_table_changes TVF
+    "write_upgrade",  # v6 -> v8 upgrade lifecycle
     # newest evidence r9 — refresh (46)
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q19_disjunctive",

@@ -1028,6 +1028,46 @@ def write_sql_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def write_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version upgrade lifecycle (write/upgrade.py): a v6 table (flat
+    timeline, no MDT) takes the standard upsert/delete lifecycle, is
+    upgraded to v8 (every instant moved into `timeline/` with a
+    deterministic completion backfill), then COMPACTED through the v8
+    service path and read back — proving the moved history drives
+    as-of slice selection, merge ordering, and the compactor exactly
+    like a native v8 table. Oracle = the standard lifecycle shape."""
+    from hudi_rs_spark.write.compact import compact
+    from hudi_rs_spark.write.upgrade import upgrade_table
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_upgrade_bench_")
+    path = os.path.join(tmp, "t")
+    seed = {
+        "recordkey.field": "doc_id",
+        "precombine.field": "ts",
+        "partitionpath.field": "lang",
+        "table.type": "MERGE_ON_READ",
+        "hoodie.table.name": "docs_v6",
+        "table.version": "6",
+    }
+    w = _docs(spark, sf_dir).write.format("hudi_py").option("path", path)
+    for k, v in seed.items():
+        w = w.option(k, v)
+    w.mode("append").save()
+    _apply_upserts(spark, sf_dir, path)
+    moved = upgrade_table(path, 8)
+    assert moved >= 3, f"expected the full v6 history moved, got {moved}"
+    assert compact(spark, path) > 0
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 BOOTSTRAP_SQL = """
 SELECT doc_id, text, lang
 FROM documents
@@ -1236,5 +1276,7 @@ for _n, _f, _s, _d in [
      "METADATA_ONLY bootstrap: hard-linked adoption, zero data bytes"),
     ("write_sql_procedures", write_sql_procedures, LIFECYCLE_SQL,
      "CALL run_compaction + hudi_table_changes TVF, SQL-text driven"),
+    ("write_upgrade", write_upgrade, LIFECYCLE_SQL,
+     "v6 -> v8 upgrade: moved timeline drives merge + v8 compaction"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("write", "hudi"), doc=_d))

@@ -584,6 +584,61 @@ def _run_call(spark, stmt: str, tables, options):
             raise SqlDmlError("cannot roll back the only commit")
         return restore(path, completed[-2], force=True)
 
+    if proc == "run_index":
+        # Hudi's async-indexer procedure: build an index on an existing
+        # table. record_index / bloom_filters backfill distributed;
+        # functional indexes need name + expression.
+        itype = args.get("index_type", args.get("type", "")).lower()
+        if itype in ("record_index", "record"):
+            from hudi_rs_spark.write.record_index import (
+                backfill_record_index,
+            )
+
+            return backfill_record_index(
+                spark, path, shards=int(args.get("shards", 4))
+            )
+        if itype in ("bloom_filters", "bloom"):
+            from hudi_rs_spark.write.mdt_bloom import backfill_bloom_filters
+
+            return backfill_bloom_filters(spark, path)
+        if itype in ("expression", "functional", "expr"):
+            from hudi_rs_spark.write.expr_index import (
+                create_expression_index,
+            )
+
+            if "name" not in args or "expr" not in args:
+                raise SqlDmlError(
+                    "run_index(type => 'expression') needs name => and "
+                    "expr =>"
+                )
+            return create_expression_index(
+                spark, path, args["name"], args["expr"]
+            )
+        raise SqlDmlError(
+            f"unknown index_type {itype!r}: record_index | bloom_filters "
+            "| expression"
+        )
+
+    if proc == "drop_index":
+        from hudi_rs_spark.write.expr_index import drop_expression_index
+
+        if "name" not in args:
+            raise SqlDmlError("drop_index needs name => '<index name>'")
+        return drop_expression_index(path, args["name"])
+
+    if proc == "show_indexes":
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+
+        tc2 = HudiTableConfig.from_base_path(path)
+        parts = [
+            p.strip()
+            for p in tc2.props.get(
+                "hoodie.table.metadata.partitions", ""
+            ).split(",")
+            if p.strip() and p.strip() != "files"
+        ]
+        return _one_col_df(spark, "index_name", sorted(parts))
+
     if proc in ("upgrade_table", "downgrade_table"):
         from hudi_rs_spark.write.upgrade import upgrade_table
 
@@ -632,8 +687,8 @@ def _run_call(spark, stmt: str, tables, options):
         f"unknown procedure {proc!r}; supported: run_compaction, "
         "run_clustering, run_clean, create_savepoint, delete_savepoint, "
         "rollback_to_savepoint, rollback_to_instant, upgrade_table, "
-        "downgrade_table, show_commits, show_savepoints, show_compaction, "
-        "show_clustering"
+        "downgrade_table, run_index, drop_index, show_indexes, "
+        "show_commits, show_savepoints, show_compaction, show_clustering"
     )
 
 

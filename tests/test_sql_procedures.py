@@ -309,3 +309,74 @@ class TestHudiQueryTvf:
                 spark, "SELECT * FROM hudi_query('t', 'warp')",
                 tables={"t": path},
             )
+
+
+class TestIndexProcedures:
+    def _seed_mdt(self, spark, path):
+        df = spark.createDataFrame(
+            [(i, f"n{i}", ["a", "b"][i % 2], 1) for i in range(30)],
+            "id int, name string, city string, ts int",
+        )
+        (
+            df.repartition(2).write.format("hudi_py").option("path", path)
+            .option("recordkey.field", "id")
+            .option("precombine.field", "ts")
+            .option("table.type", "MERGE_ON_READ")
+            .option("table.version", "8")
+            .option("metadata.enable", "true")
+            .mode("append").save()
+        )
+
+    def test_run_index_record_and_bloom(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        tables = {"t": path}
+        self._seed_mdt(spark, path)
+        assert hudi_sql(
+            spark,
+            "CALL run_index(table => 't', index_type => 'record_index')",
+            tables=tables,
+        ) > 0
+        assert hudi_sql(
+            spark,
+            "CALL run_index(table => 't', index_type => 'bloom_filters')",
+            tables=tables,
+        ) > 0
+        names = {
+            r.index_name
+            for r in hudi_sql(
+                spark, "CALL show_indexes(table => 't')", tables=tables
+            ).collect()
+        }
+        assert {"record_index", "bloom_filters"} <= names
+
+    def test_expression_index_lifecycle(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        tables = {"t": path}
+        self._seed_mdt(spark, path)
+        n = hudi_sql(
+            spark,
+            "CALL run_index(table => 't', index_type => 'expression', "
+            "name => 'idx_mod', expr => 'id % 7')",
+            tables=tables,
+        )
+        assert n > 0
+        names = {
+            r.index_name
+            for r in hudi_sql(
+                spark, "CALL show_indexes(table => 't')", tables=tables
+            ).collect()
+        }
+        assert any("idx_mod" in x for x in names)
+        assert hudi_sql(
+            spark, "CALL drop_index(table => 't', name => 'idx_mod')",
+            tables=tables,
+        )
+
+    def test_bad_index_type(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._seed_mdt(spark, path)
+        with pytest.raises(SqlDmlError, match="index_type"):
+            hudi_sql(
+                spark, "CALL run_index(table => 't', index_type => 'btree')",
+                tables={"t": path},
+            )
