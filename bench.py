@@ -114,6 +114,18 @@ HEADLINE = [
     "write_async_clustered",
     "write_bucket_rescaled",
     "write_sql_dml",
+    # round-11 late additions: record payloads (sparse partial update,
+    # DMS/Debezium ops-column ingest), savepoint/restore rewind,
+    # partition TTL, insert-overwrite replace, metadata-only bootstrap,
+    # CALL procedures + incremental TVF, v6->v8 upgrade lifecycle
+    "write_partial_update",
+    "write_dms_ingest",
+    "write_savepoint_restore",
+    "write_partition_ttl",
+    "write_insert_overwrite",
+    "write_bootstrap",
+    "write_sql_procedures",
+    "write_upgrade",
     # sample_split_leakfree stays registry/oracle-only: its plan is the
     # dedup_cluster_canonical LSH+CC (already benched twice via
     # pipeline_curate) plus a map-side coin flip.
