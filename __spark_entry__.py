@@ -39,6 +39,8 @@ _SURFACE_FIRST = [
     "write_bootstrap",  # metadata-only parquet adoption, zero-copy
     "write_sql_procedures",  # CALL procedures + hudi_table_changes TVF
     "write_upgrade",  # v6 -> v8 upgrade lifecycle
+    "text_chunk_overlap",  # token-window chunking with overlap
+    "text_gopher_filter",  # Gopher quality-rule filter
     # newest evidence r9 — refresh (46)
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q19_disjunctive",

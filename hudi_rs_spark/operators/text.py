@@ -172,3 +172,91 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         )
         .alias("dup_bigram_ratio"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def chunk_with_overlap(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the standard training-data chunking step (context-window packing's
+    upstream). One narrow projection, one posexplode, zero shuffles;
+    every expression is a JVM array function inside whole-stage codegen
+    (split / sequence / slice / array_join), so chunking 100 TB is a
+    pure map with output ≈ input·(1 + overlap/stride).
+
+    Output: (id, chunk_id, chunk_text, n_tokens), chunk_id 0-based.
+    The last chunk may be shorter; every doc yields at least one chunk.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor(
+            (n - F.lit(overlap) + F.lit(stride) - 1) / F.lit(stride)
+        ).cast("int"),
+    )
+    w = df.select(
+        F.col(id_col).alias("id"),
+        words.alias("__w"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+            "chunk_id", "__i"
+        ),
+    )
+    piece = F.slice(
+        F.col("__w"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return w.select(
+        "id",
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )
+
+
+def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 §A1.1 heuristics, the
+    deterministic subset): word-count bounds, mean word length in
+    [3, 10], >=80% of words containing an alphabetic character, and at
+    least 2 distinct common stop words present. All integer arithmetic
+    (mean word length as floor-micros) so results hash identically
+    across engines; a single projection over one split — no shuffle,
+    no UDF.
+
+    Output: (id, n_words, mean_wlen_micro, alpha_words, stop_hits,
+    keep)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), words.alias("__w"))
+    n = F.size(F.col("__w"))
+    sum_len = F.aggregate(
+        F.col("__w"), F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    alpha = F.size(F.filter(F.col("__w"), lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = sum(
+        F.array_contains(F.col("__w"), s).cast("int")
+        for s in GOPHER_STOPWORDS
+    )
+    out = base.select(
+        "id",
+        n.alias("n_words"),
+        ((sum_len.cast("bigint") * 1_000_000) / n)
+        .cast("bigint").alias("mean_wlen_micro"),
+        alpha.alias("alpha_words"),
+        stop_hits.alias("stop_hits"),
+    )
+    keep = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_wlen_micro").between(3_000_000, 10_000_000)
+        & (F.col("alpha_words") * 10 >= F.col("n_words") * 8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn("keep", keep)

@@ -471,6 +471,85 @@ FROM per_doc ORDER BY doc_id
 """
 
 
+
+
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (operators/text.py
+    chunk_with_overlap): 32-token chunks, 8-token overlap — the
+    training-data chunking step. Pure map (split/sequence/slice inside
+    whole-stage codegen), no shuffle."""
+    from hudi_rs_spark.operators.text import chunk_with_overlap
+
+    d = load(spark, sf_dir, "documents")
+    return chunk_with_overlap(d, "text", "doc_id", 32, 8).orderBy(
+        "id", "chunk_id"
+    )
+
+
+CHUNK_SQL = r"""
+WITH w AS (
+  SELECT doc_id AS id, regexp_extract_all(trim(text), '\S+') AS words
+  FROM documents
+), c AS (
+  SELECT id, words,
+         greatest(1, CAST(floor((len(words) - 8 + 23) / 24.0) AS INT)) AS nc
+  FROM w
+)
+SELECT id,
+       CAST(unnest(range(nc)) AS INTEGER) AS chunk_id,
+       unnest(list_transform(range(nc),
+              i -> array_to_string(list_slice(words, i*24+1, i*24+32), ' ')))
+           AS chunk_text,
+       CAST(unnest(list_transform(range(nc),
+              i -> len(list_slice(words, i*24+1, i*24+32)))) AS INTEGER)
+           AS n_tokens
+FROM c
+ORDER BY id, chunk_id
+"""
+
+
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (operators/text.py gopher_rules): word
+    bounds, mean word length, alphabetic fraction, stop-word presence —
+    all integer arithmetic for cross-engine hash parity, one projection,
+    no shuffle."""
+    from hudi_rs_spark.operators.text import gopher_rules
+
+    d = load(spark, sf_dir, "documents")
+    return gopher_rules(d, "text", "doc_id").orderBy("id")
+
+
+GOPHER_SQL = r"""
+WITH w AS (
+  SELECT doc_id AS id, regexp_extract_all(trim(text), '\S+') AS words
+  FROM documents
+), m AS (
+  SELECT id,
+         CAST(len(words) AS INTEGER) AS n_words,
+         CAST(floor(list_sum(list_transform(words, x -> length(x)))
+                    * 1000000.0 / len(words)) AS BIGINT) AS mean_wlen_micro,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+              AS INTEGER) AS alpha_words,
+         CAST((CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(words, 'a')   THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(words, 'of')  THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(words, 'to')  THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(words, 'in')  THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(words, 'is')  THEN 1 ELSE 0 END)
+              AS INTEGER) AS stop_hits
+  FROM w
+)
+SELECT id, n_words, mean_wlen_micro, alpha_words, stop_hits,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_wlen_micro BETWEEN 3000000 AND 10000000
+        AND alpha_words * 10 >= n_words * 8
+        AND stop_hits >= 2) AS keep
+FROM m
+ORDER BY id
+"""
+
+
 for _n, _f, _s, _d in [
     ("text_token_stats", text_token_stats, TOKEN_SQL, "token + BPE-ish counting"),
     ("text_quality", text_quality, QUALITY_SQL, "quality scoring"),
@@ -482,5 +561,9 @@ for _n, _f, _s, _d in [
     ("text_length_outliers", text_length_outliers, OUTLIER_SQL, "z-score length outliers"),
     ("text_rarity_score", text_rarity_score, RARITY_SQL,
      "unigram-rarity quality score (deterministic CCNet-perplexity analog)"),
+    ("text_chunk_overlap", text_chunk_overlap, CHUNK_SQL,
+     "token-window chunking with overlap (training-data chunker)"),
+    ("text_gopher_filter", text_gopher_filter, GOPHER_SQL,
+     "Gopher quality-rule filter (deterministic heuristic subset)"),
 ]:
     register(QuerySpec(name=_n, build=_f, oracle=_s, tags=("text",), doc=_d))
