@@ -894,6 +894,56 @@ def existing_file_group_ids(cfg: WriteConfig) -> dict[str, list[str]]:
     return out
 
 
+_IDENTITY_ALIASES: tuple[tuple[tuple[str, ...], object], ...] = (
+    (("hoodie.datasource.write.recordkey.field", "recordkey.field"),
+     lambda tc: ",".join(tc.record_key_fields)),
+    (("hoodie.datasource.write.precombine.field", "precombine.field"),
+     lambda tc: (tc.ordering_fields or [""])[0]),
+    (("hoodie.datasource.write.partitionpath.field", "partitionpath.field"),
+     lambda tc: ",".join(tc.partition_fields)),
+    (("hoodie.datasource.write.hive_style_partitioning",
+      "hive_style_partitioning"),
+     lambda tc: "true" if tc.hive_style_partitioning else "false"),
+    (("hoodie.table.type", "table.type"), lambda tc: tc.table_type.value),
+    (("hoodie.table.version", "table.version"),
+     lambda tc: str(tc.table_version)),
+    (("hoodie.table.name", "table.name"), lambda tc: tc.table_name),
+)
+
+
+def inherit_table_identity(options: dict) -> dict:
+    """Fill table-identity options absent from ``options`` from the
+    existing table's hoodie.properties. This is what lets a bare
+    ``INSERT INTO <hudi_py view>`` (whose OPTIONS carry only the path)
+    or a minimal ``df.write`` append land on an existing table without
+    restating keys/type/version — the table is authoritative for its
+    own identity, exactly like upsert()'s merged options."""
+    path = _opt(options, "path")
+    if not path:
+        return options
+    base = _base(str(path))
+    storage = {
+        str(k)[len("storage."):]: str(v)
+        for k, v in options.items()
+        if str(k).lower().startswith("storage.") and str(k)[len("storage."):]
+    }
+    st = _fs(base, storage or None)
+    if not st.isfile(f"{base}/.hoodie/hoodie.properties"):
+        return options
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+
+    tc = HudiTableConfig.from_base_path(base)
+    lowered = {str(k).lower() for k in options}
+    out = dict(options)
+    for aliases, getter in _IDENTITY_ALIASES:
+        if any(a in lowered for a in aliases):
+            continue
+        v = getter(tc)
+        if v:
+            out[aliases[-1]] = v
+    return out
+
+
 class HudiPyBatchWriter(DataSourceArrowWriter):
     """Batch writer behind ``df.write.format("hudi_py")``.
 
@@ -904,6 +954,7 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
     """
 
     def __init__(self, options: dict, schema, overwrite: bool):
+        options = inherit_table_identity(options)
         self.cfg = WriteConfig.from_options(options, overwrite=overwrite)
         # executor-side MDT appenders reuse any anchor they find on
         # disk; a failed prior write's never-committed anchor would
