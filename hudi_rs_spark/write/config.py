@@ -183,6 +183,11 @@ class WriteConfig:
     # key/ordering columns plus the columns it changes; readers fill the
     # rest from older versions (operators/merge.partial_update_by_key).
     payload_class: str = ""
+    # post-commit notification sink (write/callbacks.py — the analog of
+    # hoodie.write.commit.callback.*): append one JSON event line per
+    # published instant; persisted as a table property when set at
+    # creation so services fire it too
+    callback_file: str = ""
     emit_metadata: bool = False
     emit_column_stats: bool = False
     emit_bloom_filters: bool = False
@@ -312,6 +317,8 @@ class WriteConfig:
             )
         if self.payload_class:
             props["hoodie.compaction.payload.class"] = self.payload_class
+        if self.callback_file:
+            props["hoodie.write.commit.callback.file"] = self.callback_file
         if self.precombine_field:
             # v9 renamed precombine -> ordering fields; the reader's
             # ordering_fields property consumes either key
@@ -427,6 +434,10 @@ class WriteConfig:
                 _opt(options, "hoodie.datasource.write.payload.class",
                      "hoodie.compaction.payload.class", "payload.class",
                      default="")
+            ),
+            callback_file=str(
+                _opt(options, "hoodie.write.commit.callback.file",
+                     "commit.callback.file", default="")
             ),
             index_type=str(
                 _opt(options, "hoodie.index.type", "index.type", default="")

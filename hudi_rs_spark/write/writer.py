@@ -872,6 +872,11 @@ def commit_instant(
     path = f"{tdir}/{name}"
     # atomic publish: a reader sees a complete instant or none at all
     _fs(tdir, cfg.storage_dict()).publish_bytes(path, json.dumps(meta).encode())
+    # post-publish notification (write/callbacks.py) — never fails the
+    # commit; O(commits) driver work
+    from hudi_rs_spark.write.callbacks import fire
+
+    fire(cfg, instant, action, stats)
     return path
 
 
