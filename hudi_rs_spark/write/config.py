@@ -188,6 +188,16 @@ class WriteConfig:
     # published instant; persisted as a table property when set at
     # creation so services fire it too
     callback_file: str = ""
+    # automatic cleaning (hoodie.clean.automatic + hoodie.cleaner.*):
+    # run the cleaner inline after commits. Opt-in here (Hudi defaults
+    # it on) because this is an embedded single-writer engine where
+    # destructive reclamation stays explicit unless asked for;
+    # persisted as table properties so appends/services inherit.
+    clean_automatic: bool = False
+    cleaner_policy: str = ""
+    clean_retain_commits: int = 10
+    clean_retain_file_versions: int = 3
+    clean_retain_hours: float = 168.0
     emit_metadata: bool = False
     emit_column_stats: bool = False
     emit_bloom_filters: bool = False
@@ -319,6 +329,19 @@ class WriteConfig:
             props["hoodie.compaction.payload.class"] = self.payload_class
         if self.callback_file:
             props["hoodie.write.commit.callback.file"] = self.callback_file
+        if self.clean_automatic:
+            props["hoodie.clean.automatic"] = "true"
+            props["hoodie.cleaner.commits.retained"] = str(
+                self.clean_retain_commits
+            )
+            if self.cleaner_policy:
+                props["hoodie.cleaner.policy"] = self.cleaner_policy
+            props["hoodie.cleaner.fileversions.retained"] = str(
+                self.clean_retain_file_versions
+            )
+            props["hoodie.cleaner.hours.retained"] = str(
+                self.clean_retain_hours
+            )
         if self.precombine_field:
             # v9 renamed precombine -> ordering fields; the reader's
             # ordering_fields property consumes either key
@@ -438,6 +461,26 @@ class WriteConfig:
             callback_file=str(
                 _opt(options, "hoodie.write.commit.callback.file",
                      "commit.callback.file", default="")
+            ),
+            clean_automatic=str(
+                _opt(options, "hoodie.clean.automatic", "clean.automatic",
+                     default="false")
+            ).lower() == "true",
+            cleaner_policy=str(
+                _opt(options, "hoodie.cleaner.policy", "cleaner.policy",
+                     default="")
+            ),
+            clean_retain_commits=int(
+                _opt(options, "hoodie.cleaner.commits.retained",
+                     "cleaner.commits.retained", default=10)
+            ),
+            clean_retain_file_versions=int(
+                _opt(options, "hoodie.cleaner.fileversions.retained",
+                     "cleaner.fileversions.retained", default=3)
+            ),
+            clean_retain_hours=float(
+                _opt(options, "hoodie.cleaner.hours.retained",
+                     "cleaner.hours.retained", default=168.0)
             ),
             index_type=str(
                 _opt(options, "hoodie.index.type", "index.type", default="")

@@ -39,6 +39,49 @@ def maybe_auto_maintain(cfg) -> None:
         _maybe_fold_mdt(cfg)
     except Exception as e:  # noqa: BLE001
         warnings.warn(f"auto MDT compaction skipped: {e}", stacklevel=2)
+    try:
+        _maybe_clean(cfg)
+    except Exception as e:  # noqa: BLE001
+        warnings.warn(f"auto clean skipped: {e}", stacklevel=2)
+
+
+def _maybe_clean(cfg) -> None:
+    """hoodie.clean.automatic: run the cleaner inline after the commit.
+    Enablement + policy come from the write options, else the persisted
+    table properties (so appends/services inherit the table's cleaning
+    contract). The cleaner itself is metadata-sized and early-exits
+    when retention holds, so the per-commit cost is one listing."""
+    enabled = getattr(cfg, "clean_automatic", False)
+    policy = getattr(cfg, "cleaner_policy", "") or "KEEP_LATEST_COMMITS"
+    retain_commits = getattr(cfg, "clean_retain_commits", 10)
+    retain_versions = getattr(cfg, "clean_retain_file_versions", 3)
+    retain_hours = getattr(cfg, "clean_retain_hours", 168.0)
+    if not enabled:
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+
+        props = HudiTableConfig.from_base_path(cfg.path).props
+        if props.get("hoodie.clean.automatic", "").lower() != "true":
+            return
+        policy = props.get("hoodie.cleaner.policy", policy)
+        retain_commits = int(
+            props.get("hoodie.cleaner.commits.retained", retain_commits)
+        )
+        retain_versions = int(
+            props.get("hoodie.cleaner.fileversions.retained",
+                      retain_versions)
+        )
+        retain_hours = float(
+            props.get("hoodie.cleaner.hours.retained", retain_hours)
+        )
+    from hudi_rs_spark.write.clean import clean
+
+    clean(
+        cfg.path,
+        retain_commits=retain_commits,
+        policy=policy,
+        retain_file_versions=retain_versions,
+        retain_hours=retain_hours,
+    )
 
 
 def _maybe_archive(cfg) -> None:

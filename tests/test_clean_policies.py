@@ -168,3 +168,80 @@ class TestPolicyValidation:
         assert clean(tdir, policy="KEEP_LATEST_BY_HOURS", retain_hours=24.0) == 0
         assert clean(tdir, policy="versions", retain_file_versions=10) == 0
         assert clean(tdir, policy="KEEP_LATEST_COMMITS", retain_commits=10) == 0
+
+
+class TestAutoClean:
+    def _seed(self, spark, tdir, **extra):
+        _write(_people(spark, 20).repartition(1), tdir, **{
+            "recordkey.field": "id", "precombine.field": "ts",
+            "table.type": "MERGE_ON_READ",
+            "clean.automatic": "true",
+            "cleaner.commits.retained": "1",
+            **extra,
+        })
+
+    def _round(self, spark, tdir, r):
+        from hudi_rs_spark.write.compact import compact
+        from hudi_rs_spark.write.upsert import upsert
+
+        upsert(
+            spark.createDataFrame(
+                [(1, f"v{r}", "a", r)],
+                "id long, name string, city string, ts long",
+            ),
+            tdir,
+        )
+        compact(spark, tdir)
+
+    def test_inline_clean_bounds_versions(self, spark, tdir):
+        _register(spark)
+        self._seed(spark, tdir)
+        for r in range(2, 5):
+            self._round(spark, tdir, r)
+        # retained=1: every service/append commit ran the cleaner
+        # inline, so old compaction bases are already reclaimed
+        assert _base_count(tdir) <= 2
+        got = {r.id: r.name for r in _load(spark, tdir).collect()}
+        assert got[1] == "v4" and len(got) == 20
+
+    def test_property_inherited_by_plain_appends(self, spark, tdir):
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+
+        _register(spark)
+        self._seed(spark, tdir)
+        tc = HudiTableConfig.from_base_path(tdir)
+        assert tc.props.get("hoodie.clean.automatic") == "true"
+        # rounds driven WITHOUT restating any cleaner option
+        for r in range(2, 5):
+            self._round(spark, tdir, r)
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        cleans = [
+            i for i in HudiTable(tdir, spark).get_timeline().instants
+            if i.action.value == "commit"
+        ]
+        assert _base_count(tdir) <= 2 and cleans
+
+    def test_file_versions_policy_prop(self, spark, tdir):
+        _register(spark)
+        self._seed(
+            spark, tdir,
+            **{"cleaner.policy": "KEEP_LATEST_FILE_VERSIONS",
+               "cleaner.fileversions.retained": "1"},
+        )
+        for r in range(2, 5):
+            self._round(spark, tdir, r)
+        # inline clean fires on WRITE commits (Hudi's contract), so the
+        # final compaction's superseded base waits for the next ingest
+        from hudi_rs_spark.write.upsert import upsert
+
+        upsert(
+            spark.createDataFrame(
+                [(1, "v5", "a", 5)],
+                "id long, name string, city string, ts long",
+            ),
+            tdir,
+        )
+        assert _base_count(tdir) == 1
+        got = {r.id: r.name for r in _load(spark, tdir).collect()}
+        assert got[1] == "v5" and len(got) == 20
