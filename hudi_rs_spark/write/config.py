@@ -198,6 +198,12 @@ class WriteConfig:
     clean_retain_commits: int = 10
     clean_retain_file_versions: int = 3
     clean_retain_hours: float = 168.0
+    # inline compaction (hoodie.compact.inline +
+    # hoodie.compact.inline.max.delta.commits): compact after every
+    # N-th deltacommit since the last compaction — the classic MOR
+    # read-amplification bound; persisted so appends inherit
+    compact_inline: bool = False
+    compact_inline_max_deltas: int = 5
     emit_metadata: bool = False
     emit_column_stats: bool = False
     emit_bloom_filters: bool = False
@@ -329,6 +335,11 @@ class WriteConfig:
             props["hoodie.compaction.payload.class"] = self.payload_class
         if self.callback_file:
             props["hoodie.write.commit.callback.file"] = self.callback_file
+        if self.compact_inline:
+            props["hoodie.compact.inline"] = "true"
+            props["hoodie.compact.inline.max.delta.commits"] = str(
+                self.compact_inline_max_deltas
+            )
         if self.clean_automatic:
             props["hoodie.clean.automatic"] = "true"
             props["hoodie.cleaner.commits.retained"] = str(
@@ -461,6 +472,14 @@ class WriteConfig:
             callback_file=str(
                 _opt(options, "hoodie.write.commit.callback.file",
                      "commit.callback.file", default="")
+            ),
+            compact_inline=str(
+                _opt(options, "hoodie.compact.inline", "compact.inline",
+                     default="false")
+            ).lower() == "true",
+            compact_inline_max_deltas=int(
+                _opt(options, "hoodie.compact.inline.max.delta.commits",
+                     "compact.inline.max.delta.commits", default=5)
             ),
             clean_automatic=str(
                 _opt(options, "hoodie.clean.automatic", "clean.automatic",

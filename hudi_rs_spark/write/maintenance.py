@@ -40,9 +40,70 @@ def maybe_auto_maintain(cfg) -> None:
     except Exception as e:  # noqa: BLE001
         warnings.warn(f"auto MDT compaction skipped: {e}", stacklevel=2)
     try:
+        _maybe_compact(cfg)
+    except Exception as e:  # noqa: BLE001
+        warnings.warn(f"inline compaction skipped: {e}", stacklevel=2)
+    try:
         _maybe_clean(cfg)
     except Exception as e:  # noqa: BLE001
         warnings.warn(f"auto clean skipped: {e}", stacklevel=2)
+
+
+def _active_spark():
+    try:
+        from pyspark.sql import SparkSession
+
+        return SparkSession.getActiveSession()
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _maybe_compact(cfg, spark=None) -> None:
+    """hoodie.compact.inline: compact once ``max_delta_commits``
+    deltacommits have landed since the last compaction commit — the
+    classic MOR read-amplification bound, now self-applying. The
+    trigger check is one timeline listing; the compaction itself is the
+    audited distributed service. Needs a SparkSession: the DataSource
+    WORKER process has none (its publish path silently skips), so
+    ``upsert()`` re-invokes this driver-side right after the save —
+    that call carries the session and does the work; the streaming
+    sink's driver-side hook resolves the active session itself."""
+    enabled = getattr(cfg, "compact_inline", False)
+    max_deltas = getattr(cfg, "compact_inline_max_deltas", 5)
+    if not enabled:
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+
+        props = HudiTableConfig.from_base_path(cfg.path).props
+        if props.get("hoodie.compact.inline", "").lower() != "true":
+            return
+        max_deltas = int(
+            props.get("hoodie.compact.inline.max.delta.commits", max_deltas)
+        )
+    if cfg.table_type != "MERGE_ON_READ":
+        return
+    from hudi_rs_spark.write.writer import _fs, timeline_dir
+
+    tdir = timeline_dir(cfg)
+    names = sorted(
+        e.name for e in _fs(tdir, cfg.storage_dict()).list_dir(tdir)
+    )
+    deltas_since = 0
+    for n in names:  # instant-sorted: count deltas after the last commit
+        if n.endswith(".commit"):
+            deltas_since = 0
+        elif n.endswith(".deltacommit"):
+            deltas_since += 1
+    if deltas_since < max_deltas:
+        return
+    if spark is None and (
+        "://" not in cfg.path or cfg.path.startswith("file://")
+    ):
+        spark = _active_spark()
+    if spark is None:
+        return  # worker-process publish: the driver-side hook compacts
+    from hudi_rs_spark.write.compact import compact
+
+    compact(spark, cfg.path)
 
 
 def _maybe_clean(cfg) -> None:

@@ -665,6 +665,18 @@ def upsert(df: DataFrame, path: str, **options) -> None:
             spark, path, validators, max(pre) if pre else None
         )
 
+    # inline compaction trigger (hoodie.compact.inline): the publish ran
+    # in the DataSource worker (no session there) — re-check driver-side
+    # where the session lives; never fails the upsert
+    try:
+        from hudi_rs_spark.write.maintenance import _maybe_compact
+
+        _maybe_compact(cfg, spark=spark)
+    except Exception as e:  # noqa: BLE001 — the data already committed
+        import warnings
+
+        warnings.warn(f"inline compaction skipped: {e}", stacklevel=2)
+
 
 def delete(df_keys: DataFrame, path: str, **options) -> None:
     """Delete by key: ``df_keys`` needs the record key (+ partition +

@@ -245,3 +245,47 @@ class TestAutoClean:
         assert _base_count(tdir) == 1
         got = {r.id: r.name for r in _load(spark, tdir).collect()}
         assert got[1] == "v5" and len(got) == 20
+
+
+class TestInlineCompaction:
+    def test_compacts_after_n_deltas(self, spark, tdir):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.upsert import upsert
+
+        _register(spark)
+        _write(_people(spark, 20).repartition(1), tdir, **{
+            "recordkey.field": "id", "precombine.field": "ts",
+            "table.type": "MERGE_ON_READ",
+            "compact.inline": "true",
+            "compact.inline.max.delta.commits": "3",
+        })
+        for r in range(2, 6):
+            upsert(
+                spark.createDataFrame(
+                    [(1, f"v{r}", "a", r)],
+                    "id long, name string, city string, ts long",
+                ),
+                tdir,
+            )
+        t = HudiTable(tdir, spark)
+        actions = [i.action.value for i in t.get_timeline().instants]
+        # seed + 4 upserts; the threshold-crossing upsert triggered a
+        # compaction commit inline
+        assert "commit" in actions
+        got = {r.id: r.name for r in _load(spark, tdir).collect()}
+        assert got[1] == "v5" and len(got) == 20
+        # post-compaction the counter reset: no second compaction yet
+        assert actions.count("commit") == 1
+
+    def test_property_inherited(self, spark, tdir):
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+
+        _register(spark)
+        _write(_people(spark, 10).repartition(1), tdir, **{
+            "recordkey.field": "id", "precombine.field": "ts",
+            "table.type": "MERGE_ON_READ",
+            "compact.inline": "true",
+        })
+        tc = HudiTableConfig.from_base_path(tdir)
+        assert tc.props.get("hoodie.compact.inline") == "true"
+        assert tc.props.get("hoodie.compact.inline.max.delta.commits") == "5"
