@@ -97,13 +97,17 @@ def schedule_clustering(
     min_group_slices: int = 2,
     layout: str = "linear",
     instant: str | None = None,
+    small_file_limit_mb: float | None = None,
 ) -> str | None:
     """Publish a clustering plan over the current snapshot: every
     partition with at least ``min_group_slices`` live file groups has
     them bucketed into clustering groups of at most ``max_group_slices``
     (reference ``split_into_chunks`` parity, util/collection.rs:37-49).
     Groups already under a pending compaction or clustering plan are
-    skipped. Returns the scheduled instant (None = nothing to plan)."""
+    skipped. ``small_file_limit_mb`` restricts the plan to under-sized
+    slices (base + logs), same semantics as the inline cluster()'s
+    size-based strategy — big healthy files stay out of the plan.
+    Returns the scheduled instant (None = nothing to plan)."""
     from hudi_rs_spark.config.table_config import HudiTableConfig
     from hudi_rs_spark.sources.hudi import HudiTable
     from hudi_rs_spark.util import split_into_chunks
@@ -130,9 +134,20 @@ def schedule_clustering(
                 planned_already.add(inp["fileId"])
 
     by_partition: dict[str, list] = {}
+    limit = (
+        small_file_limit_mb * 1024 * 1024
+        if small_file_limit_mb is not None
+        else None
+    )
     for sl in table.get_file_slices():
         if sl.file_id in planned_already:
             continue
+        if limit is not None:
+            total = (
+                sl.base_file.size if sl.base_file is not None else 0
+            ) + sum(lf.size for lf in sl.log_files)
+            if total >= limit:
+                continue
         by_partition.setdefault(sl.partition_path or "", []).append(sl)
 
     groups = []

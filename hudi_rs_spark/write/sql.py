@@ -502,7 +502,15 @@ def _run_call(spark, stmt: str, tables, options):
         )
         layout = args.get("layout", "linear")
         if op == "schedule":
-            return schedule_clustering(path, sort_columns=order, layout=layout)
+            skw = {}
+            if "small_file_limit_mb" in args or "small_file_limit" in args:
+                skw["small_file_limit_mb"] = float(
+                    args.get("small_file_limit_mb",
+                             args.get("small_file_limit"))
+                )
+            return schedule_clustering(
+                path, sort_columns=order, layout=layout, **skw
+            )
         if op in ("run", "execute"):
             return run_scheduled_clustering(spark, path)
         kw = {}

@@ -131,3 +131,31 @@ class TestSmallFileClustering:
             .select("id").collect()
         )
         assert got == _ids(spark, path)
+
+
+class TestScheduledSmallFileClustering:
+    def test_plan_covers_only_small_groups(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.async_cluster import (
+            run_scheduled_clustering,
+            schedule_clustering,
+        )
+
+        path = str(tmp_path / "t")
+        expected = sorted(_mixed_table(spark, path))
+        groups = _groups(spark, path)
+        big = {fid for fid, sz in groups.items() if sz > 0.2 * 1024 * 1024}
+        plan_instant = schedule_clustering(
+            path, min_group_slices=2, small_file_limit_mb=0.2
+        )
+        assert plan_instant is not None
+        t = HudiTable(path, spark)
+        plan = t.timeline.pending_clustering_plans()[plan_instant]
+        planned = {
+            i["fileId"] for g in plan["groups"] for i in g["inputs"]
+        }
+        assert planned and not (planned & big)  # only the small groups
+        assert run_scheduled_clustering(spark, path) == 3
+        assert _ids(spark, path) == expected
+        after = _groups(spark, path)
+        assert big <= set(after) and len(after) == 2
