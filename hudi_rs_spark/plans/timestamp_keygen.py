@@ -179,3 +179,97 @@ def path_filter_matches(partition_path: str, f: Filter) -> bool:
     if f.op == "<=":
         return v <= f.value
     return True
+
+
+# ---------------------------------------------------------------------------
+# WRITE-side twins (write/writer.py + write/upsert.py): derive the
+# formatted partition value from the source column, vectorized in both
+# engines — pyarrow kernels for the task writers, Catalyst expressions
+# for tag joins. Same Java-format tokens as the read-side transform, so
+# a table written here prunes through the transform above.
+# ---------------------------------------------------------------------------
+def keygen_from_write_config(cfg) -> "TimestampKeyGen | None":
+    """TimestampKeyGen for an active write, or None when the write is
+    not timestamp-keygen partitioned."""
+    ttype = getattr(cfg, "keygen_timestamp_type", "") or ""
+    out_fmt = getattr(cfg, "keygen_output_format", "") or ""
+    if not ttype or not out_fmt:
+        return None
+    if len(cfg.partition_fields) != 1:
+        raise ValueError(
+            "timestamp keygen partitions on exactly ONE source field, "
+            f"got {list(cfg.partition_fields)}"
+        )
+    if "SSS" in out_fmt:
+        raise ValueError(
+            "millisecond (SSS) output partition formats are unsupported "
+            "on the write side — partition at second granularity or "
+            "coarser"
+        )
+    return TimestampKeyGen(
+        source_field=cfg.partition_fields[0],
+        timestamp_type=ttype.upper(),
+        output_format=out_fmt,
+        input_format=getattr(cfg, "keygen_input_format", "") or None,
+        hive_style=cfg.hive_style,
+    )
+
+
+def _arrow_timestamp(self, arr):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = self.timestamp_type
+    if t in ("UNIX_TIMESTAMP", "SCALAR"):
+        return pc.cast(pc.cast(arr, pa.int64()), pa.timestamp("s"))
+    if t == "EPOCHMILLISECONDS":
+        return pc.cast(pc.cast(arr, pa.int64()), pa.timestamp("ms"))
+    if t == "EPOCHMICROSECONDS":
+        return pc.cast(pc.cast(arr, pa.int64()), pa.timestamp("us"))
+    if t in ("DATE_STRING", "MIXED"):
+        if not self.input_format:
+            raise ValueError("DATE_STRING keygen requires input.dateformat")
+        return pc.strptime(
+            pc.cast(arr, pa.string()),
+            format=_java_to_strftime(self.input_format),
+            unit="us",
+        )
+    raise ValueError(f"unsupported timestamp type: {t}")
+
+
+def _arrow_partition_values(self, arr):
+    """Formatted partition value per row (no hive prefix, no default
+    fill — the caller composes those like any other partition column)."""
+    import pyarrow.compute as pc
+
+    return pc.strftime(
+        _arrow_timestamp(self, arr),
+        format=_java_to_strftime(self.output_format),
+    )
+
+
+def _spark_partition_value(self):
+    """Catalyst twin of arrow_partition_values — the upsert tag join
+    derives the same formatted value JVM-side (session tz is UTC,
+    matching the arrow/naive-UTC write path)."""
+    from pyspark.sql import functions as F
+
+    col = F.col(self.source_field)
+    t = self.timestamp_type
+    if t in ("UNIX_TIMESTAMP", "SCALAR"):
+        ts = F.timestamp_seconds(col.cast("long"))
+    elif t == "EPOCHMILLISECONDS":
+        ts = F.timestamp_millis(col.cast("long"))
+    elif t == "EPOCHMICROSECONDS":
+        ts = F.timestamp_micros(col.cast("long"))
+    elif t in ("DATE_STRING", "MIXED"):
+        if not self.input_format:
+            raise ValueError("DATE_STRING keygen requires input.dateformat")
+        ts = F.to_timestamp(col.cast("string"), self.input_format)
+    else:
+        raise ValueError(f"unsupported timestamp type: {t}")
+    return F.date_format(ts, self.output_format)
+
+
+TimestampKeyGen.arrow_partition_values = _arrow_partition_values
+TimestampKeyGen.spark_partition_value = _spark_partition_value

@@ -204,6 +204,13 @@ class WriteConfig:
     # read-amplification bound; persisted so appends inherit
     compact_inline: bool = False
     compact_inline_max_deltas: int = 5
+    # timestamp-based key generator (hoodie.keygen.timebased.*): the
+    # single partition field is a timestamp SOURCE column; partition
+    # paths are its formatted value (plans/timestamp_keygen.py — the
+    # read side already prunes through the same transform)
+    keygen_timestamp_type: str = ""
+    keygen_output_format: str = ""
+    keygen_input_format: str = ""
     emit_metadata: bool = False
     emit_column_stats: bool = False
     emit_bloom_filters: bool = False
@@ -278,6 +285,18 @@ class WriteConfig:
                 "secondary indexes resolve through the record index; "
                 "enable metadata.recordindex.enable too"
             )
+        if self.keygen_timestamp_type and self.keygen_output_format:
+            if len(self.partition_fields) != 1:
+                raise ValueError(
+                    "timestamp keygen partitions on exactly ONE source "
+                    f"field, got {list(self.partition_fields)}"
+                )
+            if "SSS" in self.keygen_output_format:
+                raise ValueError(
+                    "millisecond (SSS) output partition formats are "
+                    "unsupported on the write side — partition at second "
+                    "granularity or coarser"
+                )
         if "partialupdate" in self.payload_class.lower().replace("_", ""):
             if self.table_type != "MERGE_ON_READ":
                 raise ValueError(
@@ -335,6 +354,18 @@ class WriteConfig:
             props["hoodie.compaction.payload.class"] = self.payload_class
         if self.callback_file:
             props["hoodie.write.commit.callback.file"] = self.callback_file
+        if self.keygen_timestamp_type and self.keygen_output_format:
+            props["hoodie.table.keygenerator.type"] = "TIMESTAMP"
+            props["hoodie.keygen.timebased.timestamp.type"] = (
+                self.keygen_timestamp_type.upper()
+            )
+            props["hoodie.keygen.timebased.output.dateformat"] = (
+                self.keygen_output_format
+            )
+            if self.keygen_input_format:
+                props["hoodie.keygen.timebased.input.dateformat"] = (
+                    self.keygen_input_format
+                )
         if self.compact_inline:
             props["hoodie.compact.inline"] = "true"
             props["hoodie.compact.inline.max.delta.commits"] = str(
@@ -472,6 +503,18 @@ class WriteConfig:
             callback_file=str(
                 _opt(options, "hoodie.write.commit.callback.file",
                      "commit.callback.file", default="")
+            ),
+            keygen_timestamp_type=str(
+                _opt(options, "hoodie.keygen.timebased.timestamp.type",
+                     "keygen.timestamp.type", default="")
+            ),
+            keygen_output_format=str(
+                _opt(options, "hoodie.keygen.timebased.output.dateformat",
+                     "keygen.output.dateformat", default="")
+            ),
+            keygen_input_format=str(
+                _opt(options, "hoodie.keygen.timebased.input.dateformat",
+                     "keygen.input.dateformat", default="")
             ),
             compact_inline=str(
                 _opt(options, "hoodie.compact.inline", "compact.inline",

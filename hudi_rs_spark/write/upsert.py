@@ -65,9 +65,16 @@ def _spark_partition_expr(cfg: WriteConfig):
     """Spark twin of the writer's ``_partition_array``."""
     if not cfg.partition_fields:
         return F.lit("")
+    from hudi_rs_spark.plans.timestamp_keygen import keygen_from_write_config
+
+    kg = keygen_from_write_config(cfg)
     parts = []
     for i, f in enumerate(cfg.partition_fields):
-        v = F.col(f).cast("string")
+        v = (
+            kg.spark_partition_value()
+            if kg is not None
+            else F.col(f).cast("string")
+        )
         v = F.when(v.isNull() | (v == ""), F.lit("default")).otherwise(v)
         if i:
             parts.append(F.lit("/"))
@@ -393,6 +400,13 @@ def upsert(df: DataFrame, path: str, **options) -> None:
             merged_options["hive_style_partitioning"] = (
                 "true" if tc.hive_style_partitioning else "false"
             )
+        for k in (
+            "hoodie.keygen.timebased.timestamp.type",
+            "hoodie.keygen.timebased.output.dateformat",
+            "hoodie.keygen.timebased.input.dateformat",
+        ):
+            if tc.props.get(k):
+                merged_options[k] = tc.props[k]
     else:
         # fresh-table upsert: only bucket tables, whose SEED is itself an
         # upsert (every bucket-routed write is a log append — the first

@@ -160,11 +160,19 @@ def _partition_array(tbl: pa.Table, cfg: WriteConfig) -> pa.Array | None:
     table is non-partitioned (every row in the table root)."""
     if not cfg.partition_fields:
         return None
+    from hudi_rs_spark.plans.timestamp_keygen import keygen_from_write_config
+
+    kg = keygen_from_write_config(cfg)
     parts: list = []
     for i, f in enumerate(cfg.partition_fields):
         if f not in tbl.column_names:
             raise ValueError(f"partition field {f!r} missing from data")
-        v = pc.cast(tbl[f], pa.string()).combine_chunks()
+        if kg is not None:
+            # timestamp keygen: the partition value is the formatted
+            # source timestamp (vectorized arrow strptime/strftime)
+            v = kg.arrow_partition_values(tbl[f].combine_chunks())
+        else:
+            v = pc.cast(tbl[f], pa.string()).combine_chunks()
         v = pc.if_else(
             pc.or_(pc.is_null(v), pc.equal(v, pa.scalar(""))),
             pa.scalar("default"),
@@ -913,6 +921,15 @@ _IDENTITY_ALIASES: tuple[tuple[tuple[str, ...], object], ...] = (
     (("hoodie.table.version", "table.version"),
      lambda tc: str(tc.table_version)),
     (("hoodie.table.name", "table.name"), lambda tc: tc.table_name),
+    (("hoodie.keygen.timebased.timestamp.type", "keygen.timestamp.type"),
+     lambda tc: tc.props.get("hoodie.keygen.timebased.timestamp.type", "")),
+    (("hoodie.keygen.timebased.output.dateformat",
+      "keygen.output.dateformat"),
+     lambda tc: tc.props.get(
+         "hoodie.keygen.timebased.output.dateformat", "")),
+    (("hoodie.keygen.timebased.input.dateformat", "keygen.input.dateformat"),
+     lambda tc: tc.props.get(
+         "hoodie.keygen.timebased.input.dateformat", "")),
 )
 
 
