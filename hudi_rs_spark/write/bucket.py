@@ -920,3 +920,55 @@ def read_hashing_metadata(path: str, partition: str = "") -> dict | None:
     if not names:
         return None
     return json.loads(st.read_bytes(f"{d}/{names[-1]}"))
+
+
+def rescale_oversized_buckets(
+    spark,
+    path: str,
+    max_bucket_mb: float,
+    max_splits: int | None = None,
+) -> list[tuple[int, int]]:
+    """Auto-rescale: split every bucket LEAF whose total live bytes
+    (base + logs, summed across partitions) exceed ``max_bucket_mb`` —
+    the policy loop on top of ``split_bucket`` that keeps a
+    consistent-hashing table's buckets near their target size as it
+    grows (Hudi's SparkConsistentBucketClusteringPlanStrategy split
+    trigger). Each split halves one leaf; a leaf that is still too big
+    splits again on a LATER invocation (incremental by design — one
+    bounded rewrite per leaf per round). ``max_splits`` caps the round;
+    the largest leaves go first so a bounded round buys the most.
+
+    Returns the (bucket, modulus) leaves split this round. Decision
+    input is the listing already in hand — zero extra I/O; bytes
+    touched = the split buckets' data only."""
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    if max_bucket_mb <= 0:
+        raise ValueError("max_bucket_mb must be positive")
+    tc = HudiTableConfig.from_base_path(path)
+    if not is_bucket_table(tc.props):
+        raise ValueError(f"{path} is not a bucket-index table")
+    n = num_buckets(tc.props)
+    table = HudiTable(path, spark=None, listing="direct")
+    totals: dict[tuple[int, int], int] = {}
+    for sl in table.get_file_slices():
+        leaf = parse_bucket_leaf(sl.file_id, n)
+        if leaf is None:
+            continue
+        size = (
+            sl.base_file.size if sl.base_file is not None else 0
+        ) + sum(lf.size for lf in sl.log_files)
+        totals[leaf] = totals.get(leaf, 0) + size
+    limit = max_bucket_mb * 1024 * 1024
+    oversized = sorted(
+        (leaf for leaf, total in totals.items() if total > limit),
+        key=lambda leaf: -totals[leaf],
+    )
+    if max_splits is not None:
+        oversized = oversized[: max(0, int(max_splits))]
+    done: list[tuple[int, int]] = []
+    for bucket, modulus in oversized:
+        split_bucket(spark, path, bucket, modulus)
+        done.append((bucket, modulus))
+    return done

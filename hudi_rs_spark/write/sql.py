@@ -647,6 +647,22 @@ def _run_call(spark, stmt: str, tables, options):
         ]
         return _one_col_df(spark, "index_name", sorted(parts))
 
+    if proc == "rescale_buckets":
+        from hudi_rs_spark.write.bucket import rescale_oversized_buckets
+
+        if "max_bucket_mb" not in args:
+            raise SqlDmlError("rescale_buckets needs max_bucket_mb => N")
+        done = rescale_oversized_buckets(
+            spark, path, float(args["max_bucket_mb"]),
+            max_splits=(
+                int(args["max_splits"]) if "max_splits" in args else None
+            ),
+        )
+        return spark.createDataFrame(
+            [(b, m) for b, m in done] or spark.sparkContext.emptyRDD(),
+            "bucket int, modulus int",
+        )
+
     if proc in ("upgrade_table", "downgrade_table"):
         from hudi_rs_spark.write.upgrade import upgrade_table
 
