@@ -168,7 +168,25 @@ from hudi_rs_spark.write.merge_into import merge_into  # noqa: F401
 from hudi_rs_spark.write.bucket import (  # noqa: F401
     convert_to_bucket,
     merge_buckets,
+    rescale_oversized_buckets,
     split_bucket,
+)
+from hudi_rs_spark.write.bootstrap import bootstrap_table  # noqa: F401
+from hudi_rs_spark.write.callbacks import (  # noqa: F401
+    register_commit_callback,
+    unregister_commit_callback,
+)
+from hudi_rs_spark.write.compact_strategy import (  # noqa: F401
+    select_compaction_slices,
+)
+from hudi_rs_spark.write.precommit import (  # noqa: F401
+    PreCommitValidationError,
+    run_precommit_validators,
+)
+from hudi_rs_spark.write.savepoint import delete_savepoint  # noqa: F401
+from hudi_rs_spark.write.upgrade import (  # noqa: F401
+    downgrade_table,
+    upgrade_table,
 )
 from hudi_rs_spark.write.expr_index import (  # noqa: F401
     create_expression_index,
