@@ -58,8 +58,23 @@ def _run(spark, sql: str, view: str):
     return spark.sql(sql.replace(_PLACEHOLDER, view))
 
 
-def _rows(df) -> list[tuple]:
-    return sorted(tuple(r) for r in df.collect())
+def _digest(df) -> tuple:
+    """(row count, order-insensitive hash sum) of a validator query's
+    result — ONE distributed aggregate, two scalars to the driver, so a
+    validator over a 100 TB scope costs a scan + partial agg, never a
+    collect. Column order is normalized by name so `SELECT a, b` and
+    `SELECT b, a` digest identically."""
+    from pyspark.sql import functions as F
+
+    cols = sorted(df.columns)
+    h = F.xxhash64(
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\0null")) for c in cols]
+    )
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(h.cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    return (row.n, row.s)
 
 
 def run_precommit_validators(
@@ -87,20 +102,20 @@ def run_precommit_validators(
         before.createOrReplaceTempView("__hudi_precommit_before")
     problems: list[str] = []
     for sql in validators.get("equality", ()):
-        b = _rows(_run(spark, sql, "__hudi_precommit_before"))
-        a = _rows(_run(spark, sql, "__hudi_precommit_after"))
+        b = _digest(_run(spark, sql, "__hudi_precommit_before"))
+        a = _digest(_run(spark, sql, "__hudi_precommit_after"))
         if a != b:
             problems.append(
-                f"equality validator changed: {sql!r} (before={b[:3]}, "
-                f"after={a[:3]})"
+                f"equality validator changed: {sql!r} (before "
+                f"rows={b[0]}, after rows={a[0]})"
             )
     for sql in validators.get("inequality", ()):
-        b = _rows(_run(spark, sql, "__hudi_precommit_before"))
-        a = _rows(_run(spark, sql, "__hudi_precommit_after"))
+        b = _digest(_run(spark, sql, "__hudi_precommit_before"))
+        a = _digest(_run(spark, sql, "__hudi_precommit_after"))
         if a == b:
             problems.append(
                 f"inequality validator did not change: {sql!r} "
-                f"(both={a[:3]})"
+                f"(rows={a[0]})"
             )
     for spec in validators.get("single", ()):
         sql, sep, expected = spec.rpartition("#")
