@@ -692,6 +692,24 @@ def _run_call(spark, stmt: str, tables, options):
             spark, "savepoint_time", sorted(savepointed_instants(path))
         )
 
+    if proc == "show_partitions":
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        parts = sorted({
+            (sl.partition_path or "")
+            for sl in HudiTable(path, spark=None, listing="direct")
+            .get_file_slices()
+        })
+        return _one_col_df(spark, "partition", [p for p in parts if p])
+
+    if proc == "show_table_properties":
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+
+        props = HudiTableConfig.from_base_path(path).props
+        return spark.createDataFrame(
+            sorted(props.items()), "key string, value string"
+        )
+
     if proc in ("show_compaction", "show_clustering"):
         from hudi_rs_spark.sources.hudi import HudiTable
 

@@ -380,3 +380,35 @@ class TestIndexProcedures:
                 spark, "CALL run_index(table => 't', index_type => 'btree')",
                 tables={"t": path},
             )
+
+
+class TestShowProcedures:
+    def test_show_partitions_and_properties(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "a", "x", 1), (2, "b", "y", 1)],
+            "id int, name string, city string, ts int",
+        )
+        (
+            df.write.format("hudi_py").option("path", path)
+            .option("recordkey.field", "id")
+            .option("precombine.field", "ts")
+            .option("partitionpath.field", "city")
+            .option("table.type", "MERGE_ON_READ")
+            .option("table.version", "8")
+            .mode("append").save()
+        )
+        tables = {"t": path}
+        parts = hudi_sql(
+            spark, "CALL show_partitions(table => 't')", tables=tables
+        ).collect()
+        assert sorted(r.partition for r in parts) == ["city=x", "city=y"]
+        props = {
+            r.key: r.value
+            for r in hudi_sql(
+                spark, "CALL show_table_properties(table => 't')",
+                tables=tables,
+            ).collect()
+        }
+        assert props["hoodie.table.type"] == "MERGE_ON_READ"
+        assert props["hoodie.table.version"] == "8"
