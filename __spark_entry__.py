@@ -21,52 +21,50 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Driver-row freshness rotation (every query passes the identical
 # local DuckDB oracle in tests/test_oracle_diff.py): lead with this
-# round's NEW rows, then the 46 queries whose newest driver evidence
-# is r9 (they were rotated OUT of r10's 50-row sample — VERDICT r10
-# next-round #4) so a prefix-sampling driver refreshes them and no
-# query's evidence ages past 2 rounds; everything else follows in
-# stable registry order.
+# round's NEW row, then the NINE rows whose newest driver evidence is
+# r9 (write_secondary_lookup was cut by r11's 50-row window; the eight
+# pure-SQL set-op rows were deliberately aged out at r11 — VERDICT r11
+# next-round #5), then the rows whose newest evidence is r10, so a
+# prefix-sampling driver keeps every row's evidence <=2 rounds old.
+# The ten STABLE rows listed right after position 50 (pure window SQL
+# + stubbed-decode multimodal) are the ones chosen to age to r13;
+# everything r11-fresh follows in stable registry order.
 _SURFACE_FIRST = [
-    # NEW r11 rows — first-time driver evidence
-    "write_async_clustered",  # scheduled clustering + log migration
-    "write_bucket_rescaled",  # bucket split / consistent-hash rescale
-    "write_sql_dml",  # SQL-statement DML router
-    "write_partial_update",  # sparse upserts, column-wise merge payload
-    "write_savepoint_restore",  # savepoint/restore rewind lifecycle
-    "write_partition_ttl",  # RFC-65 partition expiry via metadata drop
-    "write_dms_ingest",  # AWS DMS / Debezium ops-column CDC ingest
-    "write_insert_overwrite",  # partition-scoped replace via replacecommit
-    "write_bootstrap",  # metadata-only parquet adoption, zero-copy
-    "write_sql_procedures",  # CALL procedures + hudi_table_changes TVF
-    "write_upgrade",  # v6 -> v8 upgrade lifecycle
-    "text_chunk_overlap",  # token-window chunking with overlap
-    "text_gopher_filter",  # Gopher quality-rule filter
-    # newest evidence r9 — refresh (46)
-    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "q19_disjunctive",
-    "q22_no_order_customers",
-    "merge_append_only", "merge_asof_snapshot", "merge_delete_aware",
-    "merge_incremental_window", "merge_latest_state",
-    "mor_snapshot_merge", "mor_incremental_refresh",
-    "dedup_exact", "dedup_normalized", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_ngram_jaccard", "dedup_cluster_canonical",
-    "dedup_incremental",
-    "text_lang_id", "text_quality", "text_token_stats",
-    "text_fingerprint_groups", "text_repetition", "text_pii_scrub",
-    "text_interdup_score",
-    "sim_embedding_near_dups", "sim_semdedup",
-    "sample_shuffle_shard", "sample_split_leakfree",
-    "sample_temperature_mix",
-    "write_compacted_snapshot", "write_clustered_snapshot",
-    "write_lance_roundtrip", "write_point_lookup",
+    # NEW r12 rows — first-time driver evidence
+    "write_schema_evolved",  # type-widening upsert + add-column
+    "write_sql_ctas",  # CREATE TABLE ... USING hudi_py AS SELECT
+    # newest evidence r9 — refresh now (9)
     "write_secondary_lookup",
-    # pure-SQL set-op/aggregate rows last: rock-stable (no table-format
-    # involvement), so they are the right ones to age past the driver's
-    # 50-row sample window now that 7 new write rows lead the list
     "cube_revenue", "rollup_revenue", "grouping_sets_revenue",
     "distinct_counts", "except_churned_customers",
     "intersect_loyal_customers", "salted_revenue_by_status",
     "scalar_functions",
+    # newest evidence r10 — refresh (39 of 50 fit the window; the
+    # write rows and TPC-H head go first)
+    "write_cow_roundtrip", "write_upsert_roundtrip",
+    "write_async_compacted", "write_bucket_upsert", "write_cdc_feed",
+    "write_delete_partition", "write_dml_predicates",
+    "write_expr_index_scan", "write_merge_into", "write_v9_lifecycle",
+    "write_zorder_clustered",
+    "q7_volume_shipping", "q8_market_share", "q9_product_revenue",
+    "q10_returned_items", "q12_priority_lines", "q13_order_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_part_demand",
+    "q17_small_quantity", "q18_large_volume", "q20_heavy_suppliers",
+    "q21_late_suppliers", "q_price_percentiles",
+    "dedup_fuzzy_levenshtein", "ops_asof_join", "ops_range_join",
+    "pack_token_shards", "pipeline_curate",
+    "sample_stratified", "sample_weighted_mix",
+    "sim_brute_topk", "sim_ivf_topk", "sim_kmeans_clusters",
+    "sim_lsh_topk",
+    "text_decontaminate", "text_length_outliers", "text_rarity_score",
+    # --- 50-row window boundary: the eleven stable r10 rows below age
+    # to r13 (tfidf + pure window SQL + stubbed multimodal + json —
+    # least regression surface)
+    "text_tfidf_topterms",
+    "win_lag_delta", "win_running_total", "win_sessionize",
+    "win_top3_events_per_user", "win_user_rank",
+    "mm_audio_features", "mm_frame_sample", "mm_image_features",
+    "mm_resize_features", "json_props_stats",
 ]
 
 

@@ -126,6 +126,9 @@ HEADLINE = [
     "write_bootstrap",
     "write_sql_procedures",
     "write_upgrade",
+    # round-12 write path: type-widening schema evolution, SQL CTAS
+    "write_schema_evolved",
+    "write_sql_ctas",
     # sample_split_leakfree stays registry/oracle-only: its plan is the
     # dedup_cluster_canonical LSH+CC (already benched twice via
     # pipeline_curate) plus a map-side coin flip.
@@ -194,13 +197,20 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 4)
+    # The driver records only the TAIL of this line when it overflows
+    # its capture window (r11's TPC-H per-query times fell off the
+    # front). Serialize the headline TPC-H q-rows LAST so they always
+    # survive truncation — dict insertion order is JSON output order.
+    tpch = {n: t for n, t in timings.items() if n.startswith("q")}
+    ordered = {n: t for n, t in timings.items() if n not in tpch}
+    ordered.update(tpch)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": ordered,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs_per_query": n_runs,
             }

@@ -7,8 +7,8 @@ driver-side lets planners route bucket-indexed keys (write/bucket.py's
 ``pmod(xxhash64(key), N)``) WITHOUT launching a Spark job — plan-time
 point pruning on bucket tables costs pure CPU on a handful of keys.
 
-Parity is pinned by tests/test_sql_dml.py? no — tests/test_bucket_index.py
-::TestPythonXxhashParity compares against Spark over a key corpus.
+Parity is pinned by tests/test_bucket_index.py::TestPythonXxhashParity,
+which compares this implementation against Spark over a key corpus.
 """
 
 from __future__ import annotations

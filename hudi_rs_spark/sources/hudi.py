@@ -264,11 +264,17 @@ class HudiTable:
         footer_fields = (
             {f.name: f for f in footer_schema.fields} if footer_schema else {}
         )
+        from hudi_rs_spark.write.schema_evolve import widest
+
         for f in struct.fields:
             ff = footer_fields.get(f.name)
-            fields.append(
-                T.StructField(f.name, ff.dataType if ff else f.dataType, True)
-            )
+            # footer (physical truth) wins over avro mapping drift,
+            # EXCEPT when the declared type is a legal widening of the
+            # physical one (type-evolved table: newest base still holds
+            # the narrow type, the commit schema already widened —
+            # per-epoch casts upcast old files at scan time)
+            dtype = widest(ff.dataType, f.dataType) if ff else f.dataType
+            fields.append(T.StructField(f.name, dtype, True))
         return T.StructType(fields)
 
     def get_partition_schema(self) -> list[tuple[str, str]]:

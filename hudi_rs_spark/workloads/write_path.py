@@ -851,6 +851,63 @@ def write_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+CTAS_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 13 = 0 THEN text || '#c' ELSE text END AS text,
+       lang
+FROM documents
+WHERE lang >= 'b'
+ORDER BY doc_id
+"""
+
+
+def write_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS through the SQL router (write/sql.py::_run_create — the
+    reference's HudiTableFactory DDL, crates/datafusion/src/lib.rs:
+    936-982): CREATE TABLE ... USING hudi_py OPTIONS(...) PARTITIONED
+    BY (lang) AS SELECT, then one UPDATE through the same router to
+    prove the created table composes with DML. Oracle = the SELECT with
+    the update applied."""
+    from hudi_rs_spark.write.sql import hudi_sql
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_ctas_bench_")
+    path = os.path.join(tmp, "t")
+    src = _docs(spark, sf_dir)
+    src.createOrReplaceTempView("ctas_bench_src")
+    hudi_sql(
+        spark,
+        """
+        CREATE TABLE docs_ctas USING hudi_py
+        OPTIONS (
+            recordkey.field 'doc_id',
+            precombine.field 'ts',
+            table.type 'MERGE_ON_READ',
+            table.version '8',
+            metadata.enable 'true'
+        )
+        PARTITIONED BY (lang)
+        AS SELECT doc_id, text, lang, source, ts
+           FROM ctas_bench_src WHERE lang >= 'b'
+        """,
+        tables={"docs_ctas": path},
+    )
+    hudi_sql(
+        spark,
+        "UPDATE docs_ctas SET text = concat(text, '#c'), ts = 2 "
+        "WHERE doc_id % 13 = 0",
+        tables={"docs_ctas": path},
+    )
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def write_savepoint_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Savepoint + restore lifecycle (write/savepoint.py): seed → the
     standard upsert/delete lifecycle → ``savepoint()`` → a junk upsert
@@ -1150,6 +1207,77 @@ def write_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+SCHEMA_EVOLVED_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 9 = 0 THEN text || '#w' ELSE text END AS text,
+       CASE WHEN doc_id % 9 = 0 THEN (doc_id % 100) + 5000000000
+            ELSE doc_id % 100 END AS score,
+       CASE WHEN doc_id % 9 = 0 THEN CAST(doc_id % 7 AS DOUBLE) * 0.25
+            ELSE CAST(doc_id % 7 AS DOUBLE) * 0.5 END AS weight,
+       CASE WHEN doc_id % 9 = 0 THEN 'g' || CAST(doc_id % 3 AS VARCHAR)
+            ELSE CAST(NULL AS VARCHAR) END AS grade
+FROM documents
+WHERE doc_id % 11 <> 0
+ORDER BY doc_id
+"""
+
+
+def write_schema_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side schema evolution (write/schema_evolve.py, mirroring
+    crates/core/src/schema/resolver.rs:41-114 + the avro promotion
+    rules in schema.rs:63-150): seed with NARROW columns (score int,
+    weight float), then one upsert that (a) WIDENS score->long with
+    values only a bigint can hold and weight->double, and (b) ADDS a
+    string column (grade); finally a tombstone batch whose key column
+    is deliberately narrower (doc_id int where the table holds long) to
+    exercise the upcast path on keys. The merged snapshot must show old
+    rows cast up per-epoch (int base files under a bigint schema) and
+    new rows verbatim — pure SQL over `documents` states the oracle."""
+    from hudi_rs_spark.write.upsert import delete, upsert
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_evolve_bench_")
+    path = os.path.join(tmp, "t")
+    seed_df = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "ts",
+        (F.col("doc_id") % 100).cast("int").alias("score"),
+        ((F.col("doc_id") % 7).cast("double") * 0.5)
+        .cast("float").alias("weight"),
+    )
+    w = seed_df.write.format("hudi_py").option("path", path)
+    for k, v in _seed_options().items():
+        w = w.option(k, v)
+    w.mode("append").save()
+    docs = _docs(spark, sf_dir)
+    upsert(
+        docs.filter(F.col("doc_id") % 9 == 0).select(
+            "doc_id",
+            F.concat("text", F.lit("#w")).alias("text"),
+            "lang", "source", F.lit(2).alias("ts"),
+            ((F.col("doc_id") % 100) + F.lit(5_000_000_000)).alias("score"),
+            ((F.col("doc_id") % 7).cast("double") * 0.25).alias("weight"),
+            F.concat(F.lit("g"), (F.col("doc_id") % 3).cast("string"))
+            .alias("grade"),
+        ),
+        path,
+    )
+    delete(
+        docs.filter(F.col("doc_id") % 11 == 0).select(
+            F.col("doc_id").cast("int").alias("doc_id"),
+            "lang", F.lit(3).alias("ts"),
+        ),
+        path,
+    )
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "score", "weight", "grade")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 PARTIAL_UPDATE_SQL = """
 SELECT doc_id,
        CASE WHEN doc_id % 9 = 0 THEN text || '#p' ELSE text END AS text,
@@ -1264,6 +1392,10 @@ for _n, _f, _s, _d in [
      "SQL-statement router: UPDATE/DELETE/DROP PARTITION text dispatch"),
     ("write_partial_update", write_partial_update, PARTIAL_UPDATE_SQL,
      "partial-update payload: sparse upserts, column-wise merge on read"),
+    ("write_schema_evolved", write_schema_evolved, SCHEMA_EVOLVED_SQL,
+     "type-widening upsert (int->long, float->double) + add-column"),
+    ("write_sql_ctas", write_sql_ctas, CTAS_SQL,
+     "CREATE TABLE ... USING hudi_py AS SELECT via the SQL router"),
     ("write_savepoint_restore", write_savepoint_restore, LIFECYCLE_SQL,
      "savepoint then restore: rewind rewinds data+timeline+MDT together"),
     ("write_partition_ttl", write_partition_ttl, PARTITION_TTL_SQL,

@@ -157,7 +157,11 @@ from hudi_rs_spark.write.compact import compact  # noqa: F401
 from hudi_rs_spark.write.mdt_compact import clean_mdt, compact_mdt  # noqa: F401
 from hudi_rs_spark.write.rollback import rollback_failed_writes  # noqa: F401
 from hudi_rs_spark.write.savepoint import restore, savepoint  # noqa: F401
-from hudi_rs_spark.write.sql import SqlDmlError, hudi_sql  # noqa: F401
+from hudi_rs_spark.write.sql import (  # noqa: F401
+    SqlDmlError,
+    hudi_sql,
+    hudi_sql_script,
+)
 from hudi_rs_spark.write.table import META_COLS, HudiTableWriter  # noqa: F401
 from hudi_rs_spark.write.dml import (  # noqa: F401
     delete_partitions,
@@ -169,6 +173,7 @@ from hudi_rs_spark.write.bucket import (  # noqa: F401
     convert_to_bucket,
     merge_buckets,
     rescale_oversized_buckets,
+    rescale_undersized_buckets,
     split_bucket,
 )
 from hudi_rs_spark.write.bootstrap import bootstrap_table  # noqa: F401
@@ -182,6 +187,11 @@ from hudi_rs_spark.write.compact_strategy import (  # noqa: F401
 from hudi_rs_spark.write.precommit import (  # noqa: F401
     PreCommitValidationError,
     run_precommit_validators,
+)
+from hudi_rs_spark.write.schema_evolve import (  # noqa: F401
+    SchemaEvolutionError,
+    reconcile_frame,
+    union_commit_schema,
 )
 from hudi_rs_spark.write.savepoint import delete_savepoint  # noqa: F401
 from hudi_rs_spark.write.upgrade import (  # noqa: F401

@@ -972,3 +972,71 @@ def rescale_oversized_buckets(
         split_bucket(spark, path, bucket, modulus)
         done.append((bucket, modulus))
     return done
+
+
+def rescale_undersized_buckets(
+    spark,
+    path: str,
+    min_bucket_mb: float,
+    max_merges: int | None = None,
+) -> list[tuple[int, int]]:
+    """The SHRINK half of auto-rescale: fold sibling leaf PAIRS whose
+    combined live bytes sit under ``min_bucket_mb`` back into their
+    parent via the existing ``merge_buckets`` — Hudi's consistent-
+    hashing engine resizes both directions
+    (SparkConsistentBucketClusteringPlanStrategy merge trigger). A
+    table that shrinks after TTL/deletes otherwise accumulates tiny
+    buckets whose per-file overhead (open/footer/seek per leaf) is paid
+    on every scan forever.
+
+    A parent ``(bucket, modulus)`` qualifies when both children are
+    CURRENT leaves (neither split further — merges are bottom-up) and
+    their combined bytes are below the floor, so the restored parent is
+    itself at most floor-sized and cannot immediately re-split.
+    Smallest pairs first — a bounded round (``max_merges``) removes the
+    most per-file overhead per rewrite; deeper fold-ups happen on LATER
+    invocations, incremental like the split loop. Each merge is one
+    per-partition concat (children route to the parent by construction
+    — no shuffle) published as one replacecommit with the same
+    consistent-hashing metadata emission as splits.
+
+    Returns the (bucket, modulus) parents restored this round."""
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    if min_bucket_mb <= 0:
+        raise ValueError("min_bucket_mb must be positive")
+    tc = HudiTableConfig.from_base_path(path)
+    if not is_bucket_table(tc.props):
+        raise ValueError(f"{path} is not a bucket-index table")
+    n = num_buckets(tc.props)
+    splits = parse_splits(tc.props)
+    if not splits:
+        return []
+    table = HudiTable(path, spark=None, listing="direct")
+    totals: dict[tuple[int, int], int] = {}
+    for sl in table.get_file_slices():
+        leaf = parse_bucket_leaf(sl.file_id, n)
+        if leaf is None:
+            continue
+        size = (
+            sl.base_file.size if sl.base_file is not None else 0
+        ) + sum(lf.size for lf in sl.log_files)
+        totals[leaf] = totals.get(leaf, 0) + size
+    limit = min_bucket_mb * 1024 * 1024
+    candidates: list[tuple[tuple[int, int], int]] = []
+    for bucket, modulus in splits:
+        children = ((bucket, 2 * modulus), (bucket + modulus, 2 * modulus))
+        if any(c in splits for c in children):
+            continue  # a child is itself split: fold bottom-up later
+        combined = sum(totals.get(c, 0) for c in children)
+        if combined < limit:
+            candidates.append(((bucket, modulus), combined))
+    candidates.sort(key=lambda kv: kv[1])
+    if max_merges is not None:
+        candidates = candidates[: max(0, int(max_merges))]
+    done: list[tuple[int, int]] = []
+    for (bucket, modulus), _combined in candidates:
+        merge_buckets(spark, path, bucket, modulus)
+        done.append((bucket, modulus))
+    return done

@@ -336,21 +336,72 @@ class StorageLockProvider(LockProvider):
     there."""
 
     def __init__(self, table_path: str, name: str = "table",
-                 options: dict | None = None):
+                 options: dict | None = None, stale_s: float | None = None):
+        import uuid
+
         from hudi_rs_spark.write.writer import _base, _fs
 
         base = _base(table_path)
         self._path = f"{base}/.hoodie/.locks/{name}.lock"
         self._fs = _fs(base, options)
+        self._stale_s = stale_s
+        self._token = uuid.uuid4().hex
 
-    def try_lock(self) -> bool:
+    def _payload(self) -> bytes:
         import os
 
-        payload = f"{os.getpid()}\n".encode()
-        return self._fs.create_new(self._path, payload)
+        return f"{self._token} {os.getpid()} {time.time()}\n".encode()
+
+    def try_lock(self) -> bool:
+        if self._fs.create_new(self._path, self._payload()):
+            return True
+        if self._stale_s is not None:
+            # crashed-holder recovery: the payload embeds the claim
+            # wall-clock; a lock older than stale_s belongs to a writer
+            # that died mid-commit (a live commit section is seconds).
+            # Break it and retry the conditional create once — losing
+            # THAT race to another breaker is fine, someone holds it.
+            try:
+                raw = self._fs.read_bytes(self._path).decode()
+                claimed_at = float(raw.split()[2])
+            except (OSError, IndexError, ValueError):
+                return False
+            if time.time() - claimed_at > self._stale_s:
+                try:
+                    self._fs.remove(self._path)
+                except OSError:
+                    pass
+                return self._fs.create_new(self._path, self._payload())
+        return False
 
     def unlock(self) -> None:
-        self._fs.remove(self._path)
+        # ownership check: if a stale-breaker replaced our lock, removing
+        # the file would release THEIR lock — only remove our own
+        try:
+            raw = self._fs.read_bytes(self._path).decode()
+            if raw.split()[0] != self._token:
+                return
+        except (OSError, IndexError):
+            return
+        try:
+            self._fs.remove(self._path)
+        except OSError:
+            pass
 
     def __repr__(self):
         return f"StorageLockProvider({self._path})"
+
+
+def commit_lock(cfg) -> LockProvider:
+    """Table-level lock guarding the OCC critical section (conflict
+    check -> publish -> MDT apply) — Hudi's TransactionManager around
+    ``commitStats``. Without it two writers can BOTH pass the conflict
+    check before EITHER publishes (check-then-publish is not atomic),
+    and the second publish is a silent lost update. Cost: one
+    conditional create + one delete per commit — metadata-scale at any
+    table size. Stale locks from crashed writers break after 10
+    minutes (a live commit section is seconds of driver metadata
+    work)."""
+    return StorageLockProvider(
+        cfg.path, "commit", cfg.storage_dict(), stale_s=600.0
+    )

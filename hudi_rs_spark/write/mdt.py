@@ -470,7 +470,10 @@ def _append_mdt_records(
         out_dir = f"{mdt}/{part_dir}"
         anchor, version = _next_log_state(out_dir, file_id, cfg.storage_dict())
         anchor = anchor or instant
-        log_name = f".{file_id}_{anchor}.log.{version}_0-0-0"
+        # token embeds the writing instant: a concurrent process that
+        # computed the same (anchor, version) can then never emit the
+        # same NAME (the commit lock serializes the appends themselves)
+        log_name = f".{file_id}_{anchor}.log.{version}_{instant}-0"
         payload = frame_block(
             BLOCK_HFILE_DATA, {KEY_INSTANT_TIME: instant}, hfile_bytes
         )

@@ -125,7 +125,17 @@ def run_precommit_validators(
                 "'<query>#<expected>'"
             )
             continue
-        got = _run(spark, sql.strip(), "__hudi_precommit_after").collect()
+        # the contract is a single-row result: limit(2) bounds the
+        # driver-side materialization at ANY table scale and lets us
+        # flag a >1-row validator as malformed instead of silently
+        # checking row 0 of an unbounded collect
+        got = _run(spark, sql.strip(), "__hudi_precommit_after").limit(2).collect()
+        if len(got) > 1:
+            problems.append(
+                f"malformed single validator {sql.strip()!r}: query "
+                "returned more than one row"
+            )
+            continue
         val = str(got[0][0]) if got else None
         if val != expected.strip():
             problems.append(

@@ -131,6 +131,30 @@ def _name_and_alias(clause: str) -> tuple[str, str | None]:
 # ---------------------------------------------------------------------------
 # router
 # ---------------------------------------------------------------------------
+def hudi_sql_script(
+    spark, script: str, tables: dict | None = None, **options
+) -> list:
+    """Run a ';'-separated SQL script statement-by-statement through
+    :func:`hudi_sql` — what a SQL tool feeds from a file. Statements
+    split at TOP-LEVEL semicolons only (the quote/paren-aware scanner:
+    a ';' inside a string literal or subquery never splits); line
+    comments (``-- …``) are stripped. Returns the per-statement results
+    in order. Fail-fast: a failing statement raises and later ones do
+    not run (each prior statement has already committed — same
+    semantics as feeding a script to any autocommit SQL shell)."""
+    # strip -- comments outside quotes, line by line
+    lines = []
+    for ln in script.splitlines():
+        m = re.search(r"--", _mask(ln))
+        lines.append(ln[: m.start()] if m else ln)
+    cleaned = "\n".join(lines)
+    results = []
+    for stmt in _split_top(cleaned, r";"):
+        if stmt.strip():
+            results.append(hudi_sql(spark, stmt, tables=tables, **options))
+    return results
+
+
 def hudi_sql(spark, statement: str, tables: dict | None = None, **options):
     """Execute one DML statement against hudi_py table(s).
 
@@ -149,6 +173,8 @@ def hudi_sql(spark, statement: str, tables: dict | None = None, **options):
         return _run_drop_partition(spark, stmt, tables, options)
     if head.startswith("CALL"):
         return _run_call(spark, stmt, tables, options)
+    if head.startswith("CREATE"):
+        return _run_create(spark, stmt, tables, options)
     if (head.startswith("SELECT") or head.startswith("WITH")) and _TVF.search(
         stmt
     ):
@@ -156,6 +182,7 @@ def hudi_sql(spark, statement: str, tables: dict | None = None, **options):
     raise SqlDmlError(
         "supported statements: MERGE INTO / UPDATE / DELETE FROM / "
         "ALTER TABLE ... DROP PARTITION / CALL <procedure>(...) / "
+        "CREATE TABLE ... USING hudi_py ... AS SELECT / "
         "SELECT ... FROM hudi_table_changes(...) | hudi_query(...)"
     )
 
@@ -424,6 +451,109 @@ def _run_drop_partition(spark, stmt: str, tables, options):
 # CALL procedures (Hudi's Spark SQL procedure surface) + the
 # hudi_table_changes table-valued function (Hudi 1.0 incremental SQL)
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# CREATE TABLE ... AS SELECT (CTAS)
+# ---------------------------------------------------------------------------
+def _take_parens(s: str, from_idx: int) -> tuple[str, int]:
+    """Content of the first top-level ``(...)`` at/after ``from_idx``
+    and the index just past the closing paren."""
+    m = _mask(s)
+    o = m.find("(", from_idx)
+    if o < 0:
+        raise SqlDmlError(f"expected '(' near {s[from_idx:][:40]!r}")
+    c = m.find(")", o)
+    if c < 0:
+        raise SqlDmlError("unbalanced parentheses")
+    return s[o + 1 : c], c + 1
+
+
+def _run_create(spark, stmt: str, tables, options):
+    """``CREATE TABLE [IF NOT EXISTS] <name> USING hudi_py
+    [OPTIONS(k 'v' | k = 'v', ...)] [PARTITIONED BY (c, ...)]
+    [LOCATION '<path>'] AS SELECT ...`` — CTAS dispatching to the
+    DataFrame writer, mirroring the reference's DDL factory
+    (crates/datafusion/src/lib.rs:936-982 HudiTableFactory). OPTIONS
+    keys pass through VERBATIM as writer options (``recordkey.field``,
+    ``table.type``, …) and persist to hoodie.properties; the target
+    path resolves LOCATION first, then ``tables={name: path}``, then an
+    OPTIONS ``path`` entry, then a path-shaped name literal."""
+    m = re.match(r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?", stmt, re.I)
+    if_not_exists = bool(m.group(1))
+    rest = stmt[m.end():]
+    as_hit = _find_top(rest, r"\bAS\b")
+    if not as_hit:
+        raise SqlDmlError("only CTAS is supported: CREATE TABLE ... AS SELECT")
+    head, select_sql = rest[: as_hit.start()], rest[as_hit.end():].strip()
+    if not re.match(r"(SELECT|WITH)\b", select_sql, re.I):
+        raise SqlDmlError("CREATE TABLE ... AS must be followed by SELECT")
+    toks = head.strip().split(None, 1)
+    if not toks:
+        raise SqlDmlError("CREATE TABLE needs a table name")
+    name = _unquote(toks[0])
+    tail = toks[1] if len(toks) > 1 else ""
+    um = _find_top(tail, r"\bUSING\s+([\w.]+)")
+    if um is None or um.group(1).lower() not in ("hudi_py", "hudi"):
+        raise SqlDmlError("CREATE TABLE requires USING hudi_py")
+    opts: dict[str, str] = {}
+    # OPTIONS(...) and TBLPROPERTIES(...) both feed the writer options
+    # (Spark DDL accepts either spelling for table-level config)
+    for kw in (r"\bOPTIONS\b", r"\bTBLPROPERTIES\b"):
+        om = _find_top(tail, kw)
+        if not om:
+            continue
+        inner, _ = _take_parens(tail, om.end())
+        for piece in _split_top(inner, r","):
+            if not piece:
+                continue
+            pm = re.match(
+                rf"^\s*({_IDENT})\s*(?:=\s*|\s+)({_IDENT})\s*$", piece, re.S
+            )
+            if not pm:
+                raise SqlDmlError(f"cannot parse OPTIONS entry {piece!r}")
+            opts[_unquote(pm.group(1))] = _unquote(pm.group(2))
+    pby = _find_top(tail, r"\bPARTITIONED\s+BY\b")
+    if pby:
+        inner, _ = _take_parens(tail, pby.end())
+        cols = [_unquote(c) for c in _split_top(inner, r",") if c]
+        opts["partitionpath.field"] = ",".join(cols)
+    loc = None
+    lm = _find_top(tail, r"\bLOCATION\b")
+    if lm:
+        vm = re.compile(
+            r"\bLOCATION\s+('[^']*'|\"[^\"]*\"|`[^`]*`|\S+)", re.I
+        ).match(tail, lm.start())
+        if not vm:
+            raise SqlDmlError("cannot parse LOCATION")
+        loc = _unquote(vm.group(1))
+    path = loc
+    if path is None and tables and name in tables:
+        path = tables[name]
+    if path is None and "path" in opts:
+        path = opts["path"]
+    if path is None and "/" in name:
+        path = name
+    if path is None:
+        raise SqlDmlError(
+            f"no location for table {name!r}: give LOCATION '...', "
+            "tables={name: path}, or OPTIONS(path '...')"
+        )
+    opts.pop("path", None)
+    from hudi_rs_spark.write.writer import _base, _fs
+
+    base = _base(path)
+    if _fs(base).isfile(f"{base}/.hoodie/hoodie.properties"):
+        if if_not_exists:
+            return None
+        raise SqlDmlError(f"table {name!r} already exists at {path}")
+    df = spark.sql(select_sql)
+    w = df.write.format("hudi_py").option("path", path)
+    merged = {"hoodie.table.name": name, **opts, **options}
+    for k, v in merged.items():
+        w = w.option(k, str(v))
+    w.mode("append").save()
+    return None
+
+
 def _parse_call_args(argstr: str) -> tuple[list[str], dict[str, str]]:
     """``k => v, 'positional', n`` -> (positionals, named); values are
     unquoted literals (expressions are not part of the CALL grammar)."""
@@ -648,16 +778,31 @@ def _run_call(spark, stmt: str, tables, options):
         return _one_col_df(spark, "index_name", sorted(parts))
 
     if proc == "rescale_buckets":
-        from hudi_rs_spark.write.bucket import rescale_oversized_buckets
-
-        if "max_bucket_mb" not in args:
-            raise SqlDmlError("rescale_buckets needs max_bucket_mb => N")
-        done = rescale_oversized_buckets(
-            spark, path, float(args["max_bucket_mb"]),
-            max_splits=(
-                int(args["max_splits"]) if "max_splits" in args else None
-            ),
+        from hudi_rs_spark.write.bucket import (
+            rescale_oversized_buckets,
+            rescale_undersized_buckets,
         )
+
+        if "max_bucket_mb" not in args and "min_bucket_mb" not in args:
+            raise SqlDmlError(
+                "rescale_buckets needs max_bucket_mb => N (split "
+                "trigger) and/or min_bucket_mb => N (merge trigger)"
+            )
+        done: list[tuple[int, int]] = []
+        if "max_bucket_mb" in args:
+            done += rescale_oversized_buckets(
+                spark, path, float(args["max_bucket_mb"]),
+                max_splits=(
+                    int(args["max_splits"]) if "max_splits" in args else None
+                ),
+            )
+        if "min_bucket_mb" in args:
+            done += rescale_undersized_buckets(
+                spark, path, float(args["min_bucket_mb"]),
+                max_merges=(
+                    int(args["max_merges"]) if "max_merges" in args else None
+                ),
+            )
         return spark.createDataFrame(
             [(b, m) for b, m in done] or spark.sparkContext.emptyRDD(),
             "bucket int, modulus int",

@@ -434,6 +434,24 @@ def upsert(df: DataFrame, path: str, **options) -> None:
     )
     cfg = WriteConfig.from_options(merged_options)
 
+    # write-side type evolution (write/schema_evolve.py, mirroring the
+    # reference resolver + avro promotion rules): frame columns
+    # NARROWER than the table's declared type upcast in-plan to the
+    # table type; legally WIDER columns pass through (the commit
+    # publishes the widened schema); incompatible re-typings are
+    # rejected here, before any file lands
+    if exists:
+        from hudi_rs_spark.avro.spark_schema import avro_record_to_struct
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.schema_evolve import reconcile_frame
+
+        sj = HudiTable(
+            path, spark=None, listing="direct",
+            storage_options=cfg.storage_dict(),
+        ).schema_json()
+        if sj is not None:
+            df = reconcile_frame(df, avro_record_to_struct(sj))
+
     # CDC-ingest payloads (AWS DMS / Debezium): the source operation
     # rides in a data column, and delete markers become tombstones here
     # — pure column expression, no extra pass (write/config.py
@@ -659,7 +677,22 @@ def upsert(df: DataFrame, path: str, **options) -> None:
     writer = updates.unionByName(inserts).write.format("hudi_py").mode("append")
     for k, v in merged_options.items():
         writer = writer.option(k, v)
-    writer.save()
+    try:
+        writer.save()
+    except Exception as e:  # noqa: BLE001 — translated below
+        # Spark wraps a Python DataSource commit failure in
+        # AnalysisException(PYTHON_DATA_SOURCE_ERROR) with the worker
+        # traceback as text. Surface the OCC loss as the typed,
+        # retryable error the caller's retry loop keys on.
+        from hudi_rs_spark.write.concurrency import ConcurrentWriteError
+
+        msg = str(e)
+        marker = "ConcurrentWriteError: "
+        idx = msg.find(marker)
+        if idx < 0:
+            raise
+        detail = msg[idx + len(marker):].splitlines()[0]
+        raise ConcurrentWriteError(detail) from e
 
     # pre-commit validators (write/precommit.py — Hudi's
     # hoodie.precommit.validators): validate the landed instant against

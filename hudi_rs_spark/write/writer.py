@@ -197,7 +197,14 @@ class _TaskWriter:
     def __init__(self, cfg: WriteConfig, task_id: int, token: str):
         self.cfg = cfg
         self.task_id = task_id
-        self.token = token
+        # the write token embeds THIS write's instant: task ids alone
+        # collide ACROSS PROCESSES (fresh sessions hand out the same
+        # partition/stage/attempt ids), and log/MDT appends anchor at a
+        # SHARED instant (the base slice's), so two racing writers would
+        # otherwise emit byte-identical names for the same file group —
+        # and the OCC loser's abort would delete the winner's files.
+        # Instant-first so same-version twins sort in commit order.
+        self.token = f"{cfg.instant}-{token}"
         self.base = _base(cfg.path)
         self.storage = _fs(self.base, cfg.storage_dict())
         self.seq = 0  # rows numbered within the task (commit seqno)
@@ -1057,81 +1064,96 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
         stats = [s for m in messages if m is not None for s in m.stats]
         # OCC: fail BEFORE publishing if a concurrent writer completed an
         # overlapping commit since our read point (write/concurrency.py);
-        # Spark then calls abort(), which reclaims this write's files
-        from hudi_rs_spark.write.concurrency import check_commit_conflicts
+        # Spark then calls abort(), which reclaims this write's files.
+        # The check and the publish run under the table COMMIT LOCK
+        # (Hudi's TransactionManager): check-then-publish is not atomic
+        # on its own, so two processes could both pass the check before
+        # either publishes — the second publish would be a silent lost
+        # update. Under the lock the loser's check re-lists the timeline
+        # AFTER the winner's commit and fails deterministically.
+        from hudi_rs_spark.write.concurrency import (
+            check_commit_conflicts,
+            commit_lock,
+        )
 
         strict = self.cfg.operation in (
             OP_INSERT_OVERWRITE, OP_INSERT_OVERWRITE_PARTITION
         )
-        check_commit_conflicts(
-            self.cfg,
-            self._read_point,
-            {(s.get("partitionPath", "") or "", s["fileId"]) for s in stats},
-            strict=strict,
-            nbcc_log_appends=(
-                self.cfg.concurrency_mode == "nbcc" and not strict
-            ),
-        )
-        emit_mdt = mdt_enabled(self.cfg)
-        init_table(self.cfg)
-        schema_json = data_avro_schema(self.schema, self.cfg.table_name)
-        total_writes = sum(int(s.get("numWrites") or 0) for s in stats)
-        total_deletes = sum(int(s.get("numDeletes") or 0) for s in stats)
-        if total_writes == 0 and total_deletes > 0:
-            # delete-only commit: a tombstone frame usually carries only
-            # key (+ partition + precombine) columns — publishing THAT
-            # as the commit schema would narrow the table's latest
-            # schema and drop every data column from later snapshots.
-            # Deletes never evolve schema; keep the table's current one.
-            from hudi_rs_spark.sources.hudi import HudiTable
+        with commit_lock(self.cfg):
+            check_commit_conflicts(
+                self.cfg,
+                self._read_point,
+                {(s.get("partitionPath", "") or "", s["fileId"])
+                 for s in stats},
+                strict=strict,
+                nbcc_log_appends=(
+                    self.cfg.concurrency_mode == "nbcc" and not strict
+                ),
+            )
+            emit_mdt = mdt_enabled(self.cfg)
+            init_table(self.cfg)
+            schema_json = data_avro_schema(self.schema, self.cfg.table_name)
+            total_writes = sum(int(s.get("numWrites") or 0) for s in stats)
+            total_deletes = sum(int(s.get("numDeletes") or 0) for s in stats)
+            if total_writes == 0 and total_deletes > 0:
+                # delete-only commit: a tombstone frame usually carries
+                # only key (+ partition + precombine) columns —
+                # publishing THAT as the commit schema would narrow the
+                # table's latest schema and drop every data column from
+                # later snapshots. Deletes never evolve schema; keep the
+                # table's current one.
+                from hudi_rs_spark.sources.hudi import HudiTable
 
-            sj = HudiTable(
-                self.cfg.path, spark=None, listing="direct",
-                storage_options=self.cfg.storage_dict(),
-            ).schema_json()
-            if sj is not None:
-                schema_json = sj
-        elif (
-            "partialupdate" in self.cfg.payload_class.lower().replace("_", "")
-            and total_writes > 0
-        ):
-            # partial-update tables take SPARSE upserts (rows carrying
-            # only the columns they change): publishing the narrow frame
-            # schema would drop every absent column from later
-            # snapshots. Union: table columns first (their types
-            # authoritative), then any genuinely new columns this write
-            # adds.
-            from hudi_rs_spark.sources.hudi import HudiTable
+                sj = HudiTable(
+                    self.cfg.path, spark=None, listing="direct",
+                    storage_options=self.cfg.storage_dict(),
+                ).schema_json()
+                if sj is not None:
+                    schema_json = sj
+            elif total_writes > 0:
+                # commit-schema union for EVERY write on an existing
+                # table: table columns first (order authoritative), each
+                # published at the WIDEST of (table, frame) type along
+                # the avro promotion lattice (resolver.rs:41-114 +
+                # schema.rs:63-150 widening rules); frame-only columns
+                # append (add-column evolution). A sparse frame —
+                # partial-update upserts carry only the columns they
+                # change — can therefore never NARROW the published
+                # schema, and a type-widening upsert (int->long,
+                # float->double) publishes the widened type so old base
+                # files cast up per-epoch on read.
+                from hudi_rs_spark.sources.hudi import HudiTable
+                from hudi_rs_spark.write.schema_evolve import (
+                    union_commit_schema,
+                )
 
-            sj = HudiTable(
-                self.cfg.path, spark=None, listing="direct",
-                storage_options=self.cfg.storage_dict(),
-            ).schema_json()
-            if sj is not None and isinstance(sj.get("fields"), list):
-                have = {f.get("name") for f in sj["fields"]}
-                extra = [
-                    f for f in schema_json.get("fields", [])
-                    if f.get("name") not in have
-                ]
-                schema_json = {**sj, "fields": [*sj["fields"], *extra]}
-        replaced = self._replaced
-        if (
-            replaced is not None
-            and self.cfg.operation == OP_INSERT_OVERWRITE_PARTITION
-        ):
-            # dynamic overwrite: only partitions this write actually
-            # touched lose their prior file groups; untouched partitions
-            # keep theirs (insert_overwrite_table replaces everything)
-            touched = {s.get("partitionPath", "") or "" for s in stats}
-            replaced = {p: v for p, v in replaced.items() if p in touched}
-        commit_instant(
-            self.cfg, stats, schema_json,
-            replaced=replaced,
-        )
-        if emit_mdt:
-            from hudi_rs_spark.write.mdt import apply_commit_to_mdt
+                sj = HudiTable(
+                    self.cfg.path, spark=None, listing="direct",
+                    storage_options=self.cfg.storage_dict(),
+                ).schema_json()
+                if sj is not None and isinstance(sj.get("fields"), list):
+                    schema_json = union_commit_schema(sj, schema_json)
+            replaced = self._replaced
+            if (
+                replaced is not None
+                and self.cfg.operation == OP_INSERT_OVERWRITE_PARTITION
+            ):
+                # dynamic overwrite: only partitions this write actually
+                # touched lose their prior file groups; untouched
+                # partitions keep theirs (insert_overwrite_table
+                # replaces everything)
+                touched = {s.get("partitionPath", "") or "" for s in stats}
+                replaced = {
+                    p: v for p, v in replaced.items() if p in touched
+                }
+            commit_instant(
+                self.cfg, stats, schema_json,
+                replaced=replaced,
+            )
+            if emit_mdt:
+                from hudi_rs_spark.write.mdt import apply_commit_to_mdt
 
-            apply_commit_to_mdt(self.cfg, stats)
+                apply_commit_to_mdt(self.cfg, stats)
         from hudi_rs_spark.write.concurrency import release_instant
 
         release_instant(self.cfg)

@@ -11,6 +11,12 @@ REF_DATA = "/root/reference/crates/test/data"
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running (multi-process) tests"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from hudi_rs_spark.session import get_spark

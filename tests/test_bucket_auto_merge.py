@@ -1,0 +1,242 @@
+"""Bucket auto-MERGE (write/bucket.py::rescale_undersized_buckets):
+the shrink half of consistent-hashing rescale. After TTL/deletes leave
+sibling leaves tiny, a `min_bucket_mb` round folds them back into their
+parent via merge_buckets — smallest-pairs-first, bounded, bottom-up.
+Pins the full grow -> split -> shrink -> auto-merge cycle with routing,
+point reads and the table validator green throughout."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_rs_spark.write.bucket import (
+    parse_bucket_leaf,
+    parse_splits,
+    rescale_oversized_buckets,
+    rescale_undersized_buckets,
+    route_key,
+)
+from hudi_rs_spark.write.upsert import delete, upsert
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+    spark.dataSource.register(HudiPyDataSource)
+
+
+N = 2
+OPTS = {
+    "recordkey.field": "id", "precombine.field": "ts",
+    "table.type": "MERGE_ON_READ", "table.version": "8",
+    "index.type": "bucket", "hoodie.bucket.index.num.buckets": str(N),
+    "hoodie.table.name": "b",
+}
+
+
+def _keys_for_bucket(bucket, count, start=0):
+    out, i = [], start
+    while len(out) < count:
+        if route_key(str(i), N)[0] == bucket:
+            out.append(i)
+        i += 1
+    return out
+
+
+def _fat_rows(ids):
+    return [(i, f"{i}:abcdefghijklmnop" * 120, 1) for i in ids]
+
+
+def _grow(spark, path):
+    """Seed bucket 0 fat (split-worthy) and bucket 1 small."""
+    fat = _keys_for_bucket(0, 400)
+    small = _keys_for_bucket(1, 10)
+    upsert(
+        spark.createDataFrame(
+            _fat_rows(fat) + [(i, "y", 1) for i in small],
+            "id int, payload string, ts int",
+        ),
+        path,
+        **OPTS,
+    )
+    from hudi_rs_spark.write.compact import compact
+
+    compact(spark, path)
+    return fat, small
+
+
+def _snap_ids(spark, path):
+    return sorted(
+        r.id
+        for r in spark.read.format("hudi_py").option("path", path).load()
+        .select("id").collect()
+    )
+
+
+def _leaves(spark, path):
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    return {
+        parse_bucket_leaf(sl.file_id, N)
+        for sl in HudiTable(path, spark).get_file_slices()
+    }
+
+
+def _splits(path):
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+
+    return parse_splits(HudiTableConfig.from_base_path(path).props)
+
+
+class TestAutoMerge:
+    def test_grow_split_shrink_merge_cycle(self, spark, tmp_path):
+        from hudi_rs_spark.write.compact import compact
+        from hudi_rs_spark.write.validate import validate_table
+
+        path = str(tmp_path / "t")
+        fat, small = _grow(spark, path)
+        # GROW: the fat leaf splits
+        assert rescale_oversized_buckets(
+            spark, path, max_bucket_mb=0.05
+        ) == [(0, N)]
+        assert (0, N) in _splits(path)
+        # SHRINK: delete most of the fat rows, then compact so leaf
+        # sizes reflect the survivors
+        keep = fat[:5]
+        delete(
+            spark.createDataFrame(
+                [(i, 2) for i in fat[5:]], "id int, ts int"
+            ),
+            path,
+        )
+        compact(spark, path)
+        expected = sorted(keep + small)
+        assert _snap_ids(spark, path) == expected
+        # AUTO-MERGE: the tiny siblings fold back into parent (0, N)
+        done = rescale_undersized_buckets(spark, path, min_bucket_mb=0.05)
+        assert done == [(0, N)]
+        assert _splits(path) == set()
+        leaves = _leaves(spark, path)
+        assert (0, N) in leaves and (0, 2 * N) not in leaves
+        # snapshot identical through the whole cycle
+        assert _snap_ids(spark, path) == expected
+        # routing: an upsert to a restored-parent key lands and reads
+        k = keep[0]
+        upsert(
+            spark.createDataFrame(
+                [(k, "updated", 3)], "id int, payload string, ts int"
+            ),
+            path,
+        )
+        got = (
+            spark.read.format("hudi_py").option("path", path).load()
+            .filter(F.col("id") == k).collect()
+        )
+        assert len(got) == 1 and got[0].payload == "updated"
+        # table validator green after the full cycle
+        report = validate_table(path, spark=spark)
+        assert report["healthy"], report["checks"]
+
+    def test_merge_skipped_when_children_still_big(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _grow(spark, path)
+        rescale_oversized_buckets(spark, path, max_bucket_mb=0.05)
+        # floor far below the children's size: nothing folds
+        assert rescale_undersized_buckets(
+            spark, path, min_bucket_mb=1e-4
+        ) == []
+        assert (0, N) in _splits(path)
+
+    def test_max_merges_bounds_round_smallest_first(self, spark, tmp_path):
+        from hudi_rs_spark.write.compact import compact
+
+        path = str(tmp_path / "t")
+        # make BOTH buckets fat enough to split, then empty bucket 1's
+        # children so its pair is the smallest
+        fat0 = _keys_for_bucket(0, 300)
+        fat1 = _keys_for_bucket(1, 300)
+        upsert(
+            spark.createDataFrame(
+                _fat_rows(fat0 + fat1), "id int, payload string, ts int"
+            ),
+            path,
+            **OPTS,
+        )
+        compact(spark, path)
+        done = rescale_oversized_buckets(spark, path, max_bucket_mb=0.05)
+        assert set(done) == {(0, N), (1, N)}
+        delete(
+            spark.createDataFrame([(i, 2) for i in fat1], "id int, ts int"),
+            path,
+        )
+        compact(spark, path)
+        # huge floor: both pairs qualify; the bounded round takes the
+        # SMALLEST pair — bucket 1, now nearly empty
+        done = rescale_undersized_buckets(
+            spark, path, min_bucket_mb=64, max_merges=1
+        )
+        assert done == [(1, N)]
+        assert _splits(path) == {(0, N)}
+
+    def test_bottom_up_guard(self, spark, tmp_path):
+        from hudi_rs_spark.write.compact import compact
+
+        path = str(tmp_path / "t")
+        fat, _small = _grow(spark, path)
+        rescale_oversized_buckets(spark, path, max_bucket_mb=0.05)
+        # split child (0, 2N) again: parent (0, N) now has a split
+        # child and must NOT be a merge candidate; (0, 2N) itself is
+        rescale_oversized_buckets(spark, path, max_bucket_mb=1e-4,
+                                  max_splits=1)
+        splits = _splits(path)
+        # the larger of (0,N)'s two children split again (whichever it
+        # was): parent (0,N) now has a split child
+        assert (0, N) in splits and len(splits) == 2
+        deep = next(s for s in splits if s != (0, N))
+        assert deep[1] == 2 * N
+        delete(
+            spark.createDataFrame([(i, 2) for i in fat], "id int, ts int"),
+            path,
+        )
+        compact(spark, path)
+        done = rescale_undersized_buckets(spark, path, min_bucket_mb=64)
+        # only the DEEPEST split folds this round
+        assert done == [deep]
+        # the next round folds the now-leaf parent
+        done = rescale_undersized_buckets(spark, path, min_bucket_mb=64)
+        assert done == [(0, N)]
+        assert _splits(path) == set()
+
+    def test_validation_and_noop(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _grow(spark, path)  # bucket table, never split
+        assert rescale_undersized_buckets(
+            spark, path, min_bucket_mb=64
+        ) == []
+        with pytest.raises(ValueError, match="positive"):
+            rescale_undersized_buckets(spark, path, min_bucket_mb=0)
+
+    def test_call_procedure_min_bucket_mb(self, spark, tmp_path):
+        from hudi_rs_spark.write.compact import compact
+        from hudi_rs_spark.write.sql import hudi_sql
+
+        path = str(tmp_path / "t")
+        fat, small = _grow(spark, path)
+        rescale_oversized_buckets(spark, path, max_bucket_mb=0.05)
+        delete(
+            spark.createDataFrame(
+                [(i, 2) for i in fat[5:]], "id int, ts int"
+            ),
+            path,
+        )
+        compact(spark, path)
+        done = hudi_sql(
+            spark,
+            "CALL rescale_buckets(table => 't', min_bucket_mb => 0.05)",
+            tables={"t": path},
+        ).collect()
+        assert [(r.bucket, r.modulus) for r in done] == [(0, N)]
+        assert _splits(path) == set()
+        assert _snap_ids(spark, path) == sorted(fat[:5] + small)

@@ -127,6 +127,22 @@ class TestInequalityAndSingle:
             })
         assert _snap(spark, path) == pre
 
+    def test_multirow_single_validator_is_malformed(self, spark, tmp_path):
+        # a "single" validator returning >1 row is a contract violation;
+        # the collect is bounded (limit 2) so the check never
+        # materializes an unbounded result on the driver
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        pre = _snap(spark, path)
+        with pytest.raises(
+            PreCommitValidationError, match="more than one row"
+        ):
+            _upd(spark, path, [0], **{
+                "precommit.validator.single.sql":
+                    "SELECT id FROM <TABLE>#0",
+            })
+        assert _snap(spark, path) == pre
+
     def test_multiple_validators_and_malformed(self, spark, tmp_path):
         path = str(tmp_path / "t")
         _seed(spark, path)

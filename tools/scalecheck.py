@@ -192,6 +192,11 @@ def main() -> None:
         # free column expression inside the one upsert)
         "write_partial_update",
         "write_dms_ingest",
+        # r12: type-widening schema evolution (the union + per-epoch
+        # cast must stay O(metadata) on top of the plain lifecycle) and
+        # CTAS through the SQL router (one distributed write)
+        "write_schema_evolved",
+        "write_sql_ctas",
     ]
 
     def semdedup_at(k: int):
