@@ -33,13 +33,15 @@ _SURFACE_FIRST = [
     # NEW r12 rows — first-time driver evidence
     "write_schema_evolved",  # type-widening upsert + add-column
     "write_sql_ctas",  # CREATE TABLE ... USING hudi_py AS SELECT
+    "write_ddl_columns",  # ALTER TABLE ADD/DROP COLUMNS schema DDL
+    "dedup_exact_substring",  # Lee-et-al containment dedup
     # newest evidence r9 — refresh now (9)
     "write_secondary_lookup",
     "cube_revenue", "rollup_revenue", "grouping_sets_revenue",
     "distinct_counts", "except_churned_customers",
     "intersect_loyal_customers", "salted_revenue_by_status",
     "scalar_functions",
-    # newest evidence r10 — refresh (39 of 50 fit the window; the
+    # newest evidence r10 — refresh (37 of 50 fit the window; the
     # write rows and TPC-H head go first)
     "write_cow_roundtrip", "write_upsert_roundtrip",
     "write_async_compacted", "write_bucket_upsert", "write_cdc_feed",
@@ -56,11 +58,11 @@ _SURFACE_FIRST = [
     "sample_stratified", "sample_weighted_mix",
     "sim_brute_topk", "sim_ivf_topk", "sim_kmeans_clusters",
     "sim_lsh_topk",
-    "text_decontaminate", "text_length_outliers", "text_rarity_score",
-    # --- 50-row window boundary: the eleven stable r10 rows below age
-    # to r13 (tfidf + pure window SQL + stubbed multimodal + json —
-    # least regression surface)
-    "text_tfidf_topterms",
+    "text_decontaminate",
+    # --- 50-row window boundary: the thirteen stable r10 rows below
+    # age to r13 (length/rarity/tfidf + pure window SQL + stubbed
+    # multimodal + json — least regression surface)
+    "text_length_outliers", "text_rarity_score", "text_tfidf_topterms",
     "win_lag_delta", "win_running_total", "win_sessionize",
     "win_top3_events_per_user", "win_user_rank",
     "mm_audio_features", "mm_frame_sample", "mm_image_features",

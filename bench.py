@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_fuzzy_levenshtein",
+    "dedup_exact_substring",
     "text_quality",
     "sim_brute_topk",
     "sim_lsh_topk",
@@ -126,9 +127,11 @@ HEADLINE = [
     "write_bootstrap",
     "write_sql_procedures",
     "write_upgrade",
-    # round-12 write path: type-widening schema evolution, SQL CTAS
+    # round-12 write path: type-widening schema evolution, SQL CTAS,
+    # ADD/DROP COLUMNS schema DDL
     "write_schema_evolved",
     "write_sql_ctas",
+    "write_ddl_columns",
     # sample_split_leakfree stays registry/oracle-only: its plan is the
     # dedup_cluster_canonical LSH+CC (already benched twice via
     # pipeline_curate) plus a map-side coin flip.

@@ -360,3 +360,85 @@ def simhash_pairs(
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    max_bucket_docs: int = 64,
+) -> DataFrame:
+    """EXACT-substring duplicate pairs: documents sharing any verbatim
+    run of ``window`` normalized words (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the containment
+    complement to the similarity-based dedups: a 50-word passage pasted
+    into an otherwise-unrelated document scores near zero Jaccard but
+    is exactly what substring dedup must catch).
+
+    Plan (all built-ins, stride-1 windows so shared runs at ARBITRARY
+    offsets align): normalize -> word split (materialized attribute
+    behind a repartition boundary — the slice lambda would re-evaluate
+    an inlined pipeline per element) -> md5 per window -> posexplode ->
+    distinct (doc, hash) with first position -> bucket count on the
+    hash -> self-equi-join on the hash. At 100 TB: shingle volume =
+    total corpus tokens (one row per word — the same order as the
+    tokenize pass everything else already pays), two hash-partitioned
+    shuffles, and the join is blocked BY CONSTRUCTION (a bucket = one
+    exact 8-word string). ``max_bucket_docs`` drops boilerplate windows
+    shared by more than N docs (licenses, headers) — Lee et al. filter
+    these too; the cap is part of the operator contract, applied
+    identically in the DuckDB oracle, NOT a silent truncation. The
+    suffix-array formulation is the single-machine analog; this is its
+    shuffle-native equivalent.
+
+    Returns (id_a, id_b, shared_windows, pos_a, pos_b): the number of
+    distinct shared windows and the first (1-based word) position of a
+    shared window in each document.
+    """
+    spark = df.sparkSession
+    # normalize + split BEFORE the repartition boundary: `words` must be
+    # a materialized attribute when the slice lambda reads it, or
+    # CollapseProject inlines the regex+split pipeline into the
+    # per-element lambda (the higher-order-function trap: O(words^2)
+    # splits per document)
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized(F.col(text_col)), " ").alias("words"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    n = F.size("words")
+    idx = F.when(
+        n >= window, F.sequence(F.lit(1), n - (window - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice("words", i, window)))
+    )
+    sh = (
+        tok.select("id", F.posexplode(hashes).alias("p0", "h"))
+        .groupBy("id", "h")
+        .agg((F.min("p0") + 1).alias("pos"))
+    )
+    buckets = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter((F.col("c") >= 2) & (F.col("c") <= max_bucket_docs))
+        .select("h")
+    )
+    shf = sh.join(buckets, "h")
+    shf = shf.localCheckpoint(eager=True)  # one shingle pass, not two
+    a = shf.select(
+        F.col("h"), F.col("id").alias("id_a"), F.col("pos").alias("pa")
+    )
+    b = shf.select(
+        F.col("h"), F.col("id").alias("id_b"), F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared_windows"),
+            F.min("pa").alias("pos_a"),
+            F.min("pb").alias("pos_b"),
+        )
+    )

@@ -88,6 +88,38 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate pairs (Lee et al. 2021 containment
+    dedup): any two documents sharing a verbatim 8-word normalized run,
+    stride-1 windows so arbitrary offsets align; boilerplate windows
+    (>64 docs) excluded — the same rule in both engines."""
+    d = load(spark, sf_dir, "documents")
+    return D.substring_dup_pairs(
+        d, "text", "doc_id", window=8, max_bucket_docs=64
+    ).orderBy("id_a", "id_b")
+
+
+SUBSTRING_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split({SQL_NORM}, ' ') AS words FROM documents
+), sh AS (
+  SELECT doc_id, md5(array_to_string(words[i:i+7], ' ')) AS h,
+         CAST(min(i) AS INT) AS pos
+  FROM w, unnest(range(1, greatest(length(words) - 7, 0) + 1)) AS t(i)
+  GROUP BY doc_id, h
+), ok AS (
+  SELECT h FROM sh GROUP BY h HAVING count(*) BETWEEN 2 AND 64
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS shared_windows,
+       min(a.pos) AS pos_a, min(b.pos) AS pos_b
+FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+WHERE a.h IN (SELECT h FROM ok)
+GROUP BY 1, 2
+ORDER BY id_a, id_b
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands) candidate pairs over word bigrams."""
     d = load(spark, sf_dir, "documents")
@@ -258,6 +290,8 @@ for _n, _f, _s, _d in [
     ("dedup_exact", dedup_exact, EXACT_SQL, "exact hash dedup"),
     ("dedup_normalized", dedup_normalized, NORM_SQL, "canonical-form dedup"),
     ("dedup_ngram_jaccard", dedup_ngram_jaccard, JACCARD_SQL, "ngram jaccard near-dup"),
+    ("dedup_exact_substring", dedup_exact_substring, SUBSTRING_SQL,
+     "exact-substring containment dedup (shared verbatim word runs)"),
     ("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL, "minhash+LSH banding"),
     (
         "dedup_cluster_canonical",

@@ -908,6 +908,59 @@ def write_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+DDL_COLUMNS_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 9 = 0 THEN text || '#u' ELSE text END AS text,
+       CASE WHEN doc_id % 9 = 0 THEN 'g' || CAST(doc_id % 3 AS VARCHAR)
+            ELSE CAST(NULL AS VARCHAR) END AS grade,
+       lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def write_ddl_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema DDL (write/ddl.py): ALTER TABLE ADD COLUMNS publishes a
+    metadata-only schema commit (nulls backfill everywhere), an upsert
+    fills the new column for %9 rows, then DROP COLUMN removes `source`
+    from the published schema — the per-epoch scan projects it out of
+    every file without touching a data byte (resolver.rs:41-47
+    latest-schema-wins). Routed through the SQL ALTER statements."""
+    from hudi_rs_spark.write.sql import hudi_sql
+    from hudi_rs_spark.write.upsert import upsert
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_ddl_bench_")
+    path = os.path.join(tmp, "t")
+    w = _docs(spark, sf_dir).write.format("hudi_py").option("path", path)
+    for k, v in _seed_options().items():
+        w = w.option(k, v)
+    w.mode("append").save()
+    tables = {"docs": path}
+    hudi_sql(spark, "ALTER TABLE docs ADD COLUMNS (grade string)",
+             tables=tables)
+    docs = _docs(spark, sf_dir)
+    upsert(
+        docs.filter(F.col("doc_id") % 9 == 0).select(
+            "doc_id",
+            F.concat("text", F.lit("#u")).alias("text"),
+            "lang", "source", F.lit(2).alias("ts"),
+            F.concat(F.lit("g"), (F.col("doc_id") % 3).cast("string"))
+            .alias("grade"),
+        ),
+        path,
+    )
+    hudi_sql(spark, "ALTER TABLE docs DROP COLUMN source", tables=tables)
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "grade", "lang")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def write_savepoint_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Savepoint + restore lifecycle (write/savepoint.py): seed → the
     standard upsert/delete lifecycle → ``savepoint()`` → a junk upsert
@@ -1396,6 +1449,8 @@ for _n, _f, _s, _d in [
      "type-widening upsert (int->long, float->double) + add-column"),
     ("write_sql_ctas", write_sql_ctas, CTAS_SQL,
      "CREATE TABLE ... USING hudi_py AS SELECT via the SQL router"),
+    ("write_ddl_columns", write_ddl_columns, DDL_COLUMNS_SQL,
+     "ALTER TABLE ADD/DROP COLUMNS as metadata-only schema commits"),
     ("write_savepoint_restore", write_savepoint_restore, LIFECYCLE_SQL,
      "savepoint then restore: rewind rewinds data+timeline+MDT together"),
     ("write_partition_ttl", write_partition_ttl, PARTITION_TTL_SQL,

@@ -169,6 +169,11 @@ from hudi_rs_spark.write.dml import (  # noqa: F401
     update_where,
 )
 from hudi_rs_spark.write.merge_into import merge_into  # noqa: F401
+from hudi_rs_spark.write.ddl import (  # noqa: F401
+    DdlError,
+    add_columns,
+    drop_columns,
+)
 from hudi_rs_spark.write.bucket import (  # noqa: F401
     convert_to_bucket,
     merge_buckets,

@@ -38,7 +38,7 @@ OP_INSERT_OVERWRITE_PARTITION = "insert_overwrite"  # dynamic: touched partition
 OPERATIONS = (
     OP_INSERT, OP_UPSERT, OP_INSERT_OVERWRITE, OP_INSERT_OVERWRITE_PARTITION,
     "bulk_insert", "compact", "cluster", "clean", "rollback",
-    "delete_partition",
+    "delete_partition", "alter_schema",
 )
 
 

@@ -170,7 +170,7 @@ def hudi_sql(spark, statement: str, tables: dict | None = None, **options):
     if head.startswith("DELETE"):
         return _run_delete(spark, stmt, tables, options)
     if head.startswith("ALTER"):
-        return _run_drop_partition(spark, stmt, tables, options)
+        return _run_alter(spark, stmt, tables, options)
     if head.startswith("CALL"):
         return _run_call(spark, stmt, tables, options)
     if head.startswith("CREATE"):
@@ -418,6 +418,48 @@ def _run_delete(spark, stmt: str, tables, options):
     path = _resolve_path(_name_and_alias(ref)[0], tables)
     cond = rest[where.end():].strip() if where else "true"
     return delete_where(spark, path, cond, **options)
+
+
+def _run_alter(spark, stmt: str, tables, options):
+    """ALTER TABLE dispatch: DROP PARTITION (metadata-only
+    replacecommit), ADD COLUMNS / DROP COLUMN(S) (metadata-only schema
+    commits — write/ddl.py)."""
+    m = re.match(
+        r"ALTER\s+TABLE\s+(?P<t>" + _IDENT + r")\s+(?P<rest>.+)$",
+        stmt, re.I | re.S,
+    )
+    if not m:
+        raise SqlDmlError("malformed ALTER TABLE")
+    rest = m.group("rest").strip()
+    up = rest[:20].upper()
+    if up.startswith("ADD COLUMN"):
+        from hudi_rs_spark.write.ddl import add_columns
+
+        path = _resolve_path(m.group("t"), tables)
+        body = re.sub(r"^ADD\s+COLUMNS?\s*", "", rest, flags=re.I).strip()
+        if body.startswith("("):
+            body, _ = _take_parens(body, 0)
+        cols: dict[str, str] = {}
+        for piece in _split_top(body, r","):
+            toks = piece.strip().split(None, 1)
+            if len(toks) != 2:
+                raise SqlDmlError(
+                    f"expected '<name> <type>' in ADD COLUMNS, got {piece!r}"
+                )
+            cols[_unquote(toks[0])] = toks[1].strip()
+        add_columns(path, cols)
+        return len(cols)
+    if up.startswith("DROP COLUMN"):
+        from hudi_rs_spark.write.ddl import drop_columns
+
+        path = _resolve_path(m.group("t"), tables)
+        body = re.sub(r"^DROP\s+COLUMNS?\s*", "", rest, flags=re.I).strip()
+        if body.startswith("("):
+            body, _ = _take_parens(body, 0)
+        cols = [_unquote(c) for c in _split_top(body, r",") if c.strip()]
+        drop_columns(path, cols)
+        return len(cols)
+    return _run_drop_partition(spark, stmt, tables, options)
 
 
 def _run_drop_partition(spark, stmt: str, tables, options):

@@ -1,0 +1,161 @@
+"""ALTER TABLE ADD COLUMNS / DROP COLUMNS (write/ddl.py): metadata-only
+schema commits — the reference resolves the table schema from the
+latest commit metadata (resolver.rs:41-47), so schema DDL is one empty
+commit, zero data I/O."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_rs_spark.write.ddl import DdlError, add_columns, drop_columns
+from hudi_rs_spark.write.upsert import upsert
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+    spark.dataSource.register(HudiPyDataSource)
+
+
+def _seed(spark, path):
+    df = spark.createDataFrame(
+        [(i, f"n{i}", 1.5 * i, ["a", "b"][i % 2], 1) for i in range(6)],
+        "id int, name string, score double, city string, ts int",
+    )
+    (
+        df.write.format("hudi_py").option("path", path)
+        .option("recordkey.field", "id")
+        .option("precombine.field", "ts")
+        .option("partitionpath.field", "city")
+        .option("table.type", "MERGE_ON_READ")
+        .option("table.version", "8")
+        .mode("append").save()
+    )
+
+
+def _read(spark, path):
+    return spark.read.format("hudi_py").option("path", path).load()
+
+
+class TestAddColumns:
+    def test_add_then_backfill_nulls(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        add_columns(path, {"grade": "string", "weight": "double"})
+        df = _read(spark, path)
+        assert df.schema["grade"].dataType.simpleString() == "string"
+        assert df.schema["weight"].dataType.simpleString() == "double"
+        rows = df.select("id", "grade", "weight").collect()
+        assert len(rows) == 6
+        assert all(r.grade is None and r.weight is None for r in rows)
+
+    def test_add_then_upsert_fills(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        add_columns(path, {"grade": "string"})
+        upsert(
+            spark.createDataFrame(
+                [(0, "g1", "a", 2)], "id int, grade string, city string, ts int"
+            ),
+            path,
+        )
+        got = {r.id: r.grade for r in _read(spark, path).collect()}
+        assert got[0] == "g1" and got[2] is None
+
+    def test_duplicate_and_bad_type_rejected(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        with pytest.raises(DdlError, match="already exists"):
+            add_columns(path, {"name": "string"})
+        with pytest.raises(DdlError, match="cannot parse"):
+            add_columns(path, {"x": "not_a_type!!"})
+
+
+class TestDropColumns:
+    def test_drop_projects_out_everywhere(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        drop_columns(path, ["score"])
+        df = _read(spark, path)
+        assert "score" not in df.columns
+        assert df.count() == 6
+        # point lookup and incremental also drop it
+        t = HudiTable(path, spark)
+        assert "score" not in t.read_incremental(None).columns
+
+    def test_protected_and_missing_rejected(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        for col, pat in (
+            ("id", "cannot be dropped"),
+            ("city", "cannot be dropped"),
+            ("ts", "cannot be dropped"),
+            ("ghost", "does not exist"),
+        ):
+            with pytest.raises(DdlError, match=pat):
+                drop_columns(path, [col])
+
+    def test_upsert_after_drop(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        drop_columns(path, ["score"])
+        upsert(
+            spark.createDataFrame(
+                [(1, "upd", "b", 2)],
+                "id int, name string, city string, ts int",
+            ),
+            path,
+        )
+        df = _read(spark, path)
+        assert "score" not in df.columns
+        got = {r.id: r.name for r in df.collect()}
+        assert got[1] == "upd" and got[0] == "n0"
+
+
+class TestSqlRouter:
+    def test_alter_add_and_drop_via_sql(self, spark, tmp_path):
+        from hudi_rs_spark.write.sql import hudi_sql
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        n = hudi_sql(
+            spark,
+            "ALTER TABLE t ADD COLUMNS (grade string, weight double)",
+            tables={"t": path},
+        )
+        assert n == 2
+        df = _read(spark, path)
+        assert "grade" in df.columns and "weight" in df.columns
+        n = hudi_sql(
+            spark, "ALTER TABLE t DROP COLUMN weight", tables={"t": path}
+        )
+        assert n == 1
+        df = _read(spark, path)
+        assert "weight" not in df.columns and "grade" in df.columns
+        # DROP PARTITION still routes through the same ALTER head
+        n = hudi_sql(
+            spark,
+            "ALTER TABLE t DROP PARTITION (city='b')",
+            tables={"t": path},
+        )
+        assert n >= 1
+        assert {r.city for r in _read(spark, path).collect()} == {"a"}
+
+    def test_time_travel_uses_latest_schema(self, spark, tmp_path):
+        # reference semantics: schema resolution is latest-wins even
+        # for as-of reads (resolver.rs; pinned for add-column in
+        # tests/test_schema_evolution.py — same contract for drop)
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        pre = HudiTable(path, spark).timeline.instants[-1].timestamp
+        drop_columns(path, ["score"])
+        old = HudiTable(path, spark).read(HudiReadOptions(as_of_timestamp=pre))
+        assert "score" not in old.columns
+        assert old.count() == 6

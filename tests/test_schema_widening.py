@@ -196,6 +196,30 @@ class TestWiderFrameWidensTable:
         assert got == {1: self.BIG, 2: 20}
 
 
+class TestBareAppendNarrowFrame:
+    def test_append_with_narrow_frame_reads_wide(self, spark, tmp_path):
+        # the bare DataSource append path has no driver-side reconcile:
+        # its files land with the frame's narrow physical type while
+        # the commit-schema union keeps the table's wide declared type.
+        # The epoch-grouped scan must still read those files (upcast at
+        # scan) — pins that the union never produces unreadable commits.
+        path = str(tmp_path / "t")
+        _seed(
+            spark, path, "id int, val long, city string, ts int",
+            [(1, 10, "a", 1)],
+        )
+        (
+            spark.createDataFrame(
+                [(2, 20, "a", 1)], "id int, val int, city string, ts int"
+            )
+            .write.format("hudi_py").option("path", path)
+            .mode("append").save()
+        )
+        assert _types(spark, path)["val"] == "bigint"
+        got = {r["id"]: r["val"] for r in _read(spark, path).collect()}
+        assert got == {1: 10, 2: 20}
+
+
 class TestIncompatibleRejected:
     def test_string_into_int_rejected_before_write(self, spark, tmp_path):
         from hudi_rs_spark.sources.hudi import HudiTable

@@ -197,6 +197,9 @@ def main() -> None:
         # CTAS through the SQL router (one distributed write)
         "write_schema_evolved",
         "write_sql_ctas",
+        # r12: exact-substring dedup — stride-1 window volume is total
+        # corpus tokens, so the shingle pass must track corpus size
+        "dedup_exact_substring",
     ]
 
     def semdedup_at(k: int):
