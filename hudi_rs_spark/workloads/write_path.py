@@ -1281,11 +1281,12 @@ def write_schema_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules in schema.rs:63-150): seed with NARROW columns (score int,
     weight float), then one upsert that (a) WIDENS score->long with
     values only a bigint can hold and weight->double, and (b) ADDS a
-    string column (grade); finally a tombstone batch whose key column
-    is deliberately narrower (doc_id int where the table holds long) to
-    exercise the upcast path on keys. The merged snapshot must show old
-    rows cast up per-epoch (int base files under a bigint schema) and
-    new rows verbatim — pure SQL over `documents` states the oracle."""
+    string column (grade); finally a tombstone batch. The merged
+    snapshot must show old rows cast up per-epoch (int base files under
+    a bigint schema) and new rows verbatim — pure SQL over `documents`
+    states the oracle. (The narrow-KEY upcast path is pytest-pinned in
+    tests/test_schema_widening.py; an int key cast here would overflow
+    on scalecheck's id-shifted synthetic corpus.)"""
     from hudi_rs_spark.write.upsert import delete, upsert
 
     _register(spark)
@@ -1316,8 +1317,7 @@ def write_schema_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     delete(
         docs.filter(F.col("doc_id") % 11 == 0).select(
-            F.col("doc_id").cast("int").alias("doc_id"),
-            "lang", F.lit(3).alias("ts"),
+            "doc_id", "lang", F.lit(3).alias("ts"),
         ),
         path,
     )

@@ -65,7 +65,7 @@ except Exception as e:  # noqa: BLE001 — the assertion needs the type
 """
 
 
-def _seed(spark, path):
+def _seed(spark, path, **extra):
     from hudi_rs_spark.sources.pyds import HudiPyDataSource
 
     spark.dataSource.register(HudiPyDataSource)
@@ -73,15 +73,17 @@ def _seed(spark, path):
         [(i, f"n{i}", 1) for i in range(10)],
         "id int, name string, ts int",
     )
-    (
+    w = (
         df.write.format("hudi_py").option("path", path)
         .option("recordkey.field", "id")
         .option("precombine.field", "ts")
         .option("table.type", "MERGE_ON_READ")
         .option("table.version", "8")
         .option("hoodie.table.name", "occ")
-        .mode("append").save()
     )
+    for k, v in extra.items():
+        w = w.option(k, v)
+    w.mode("append").save()
 
 
 def _race(tmp_path, path, mode):
@@ -156,3 +158,34 @@ class TestTwoProcessOcc:
         # every row comes from the same race, none from the seed
         assert set(snap) == set(range(10))
         assert all(v.startswith("w") for v in snap.values())
+
+    def test_nbcc_with_mdt_and_record_index(self, spark, tmp_path):
+        # executor-side MDT/record-index log appends happen OUTSIDE the
+        # commit lock: two processes appending to the same shard file
+        # group must emit distinct names (instant-stamped tokens) and
+        # leave a consistent index — point routing and the validator
+        # stay green after the race
+        from hudi_rs_spark.write.validate import validate_table
+
+        path = str(tmp_path / "t")
+        _seed(
+            spark, path,
+            **{
+                "metadata.enable": "true",
+                "metadata.recordindex.enable": "true",
+            },
+        )
+        results = _race(tmp_path, path, "nbcc")
+        outcomes = sorted(v.split()[0] for v in results.values())
+        assert outcomes == [
+            "RESULT:COMMITTED", "RESULT:COMMITTED",
+        ], results
+        snap = {
+            r.id: r.name
+            for r in spark.read.format("hudi_py").option("path", path)
+            .load().collect()
+        }
+        assert set(snap) == set(range(10))
+        assert all(v.startswith("w") for v in snap.values())
+        report = validate_table(path, spark=spark)
+        assert report["healthy"], report["checks"]
