@@ -264,10 +264,19 @@ class HudiTable:
         footer_fields = (
             {f.name: f for f in footer_schema.fields} if footer_schema else {}
         )
+        from hudi_rs_spark.write.ddl import rename_chain
         from hudi_rs_spark.write.schema_evolve import widest
 
+        renames = rename_chain(self.config.props)
         for f in struct.fields:
             ff = footer_fields.get(f.name)
+            if ff is None and renames.get(f.name):
+                # renamed column: the newest footer may still hold it
+                # under a PRIOR name (rename is metadata-only)
+                for prior in renames[f.name]:
+                    ff = footer_fields.get(prior)
+                    if ff is not None:
+                        break
             # footer (physical truth) wins over avro mapping drift,
             # EXCEPT when the declared type is a legal widening of the
             # physical one (type-evolved table: newest base still holds
@@ -647,12 +656,15 @@ class HudiTable:
             except Exception:
                 return None
 
+        from hudi_rs_spark.write.ddl import rename_chain
+
+        renames = rename_chain(self.config.props)
         groups: dict[str | None, list[str]] = {}
         for s in slices:
             groups.setdefault(epoch(s), []).append(
                 os.path.join(self.base_path, s.base_file_relative_path())
             )
-        if len(groups) <= 1:
+        if len(groups) <= 1 and not renames:
             paths = next(iter(groups.values()))
             return _src(self.spark.read.schema(resolved).parquet(*paths))
 
@@ -667,9 +679,24 @@ class HudiTable:
                     epoch_types = {f.name: f.dataType for f in struct.fields}
                 except Exception:
                     epoch_types = {}
+
+            def phys_name(fname: str, _types=epoch_types) -> str:
+                # renamed column: files of an epoch written BEFORE the
+                # rename hold the bytes under a prior name
+                if _types and fname not in _types and renames.get(fname):
+                    for prior in renames[fname]:
+                        if prior in _types:
+                            return prior
+                return fname
+
+            names = {f.name: phys_name(f.name) for f in resolved.fields}
             phys = T.StructType(
                 [
-                    T.StructField(f.name, epoch_types.get(f.name, f.dataType), True)
+                    T.StructField(
+                        names[f.name],
+                        epoch_types.get(names[f.name], f.dataType),
+                        True,
+                    )
                     for f in resolved.fields
                 ]
             )
@@ -678,8 +705,10 @@ class HudiTable:
                 _src(
                     df.select(
                         *[
-                            F.col(f.name).cast(f.dataType).alias(f.name)
-                            if phys[f.name].dataType != f.dataType
+                            F.col(names[f.name])
+                            .cast(f.dataType).alias(f.name)
+                            if names[f.name] != f.name
+                            or phys[names[f.name]].dataType != f.dataType
                             else F.col(f.name)
                             for f in resolved.fields
                         ]
@@ -713,7 +742,10 @@ class HudiTable:
             )
         )
         target = to_arrow_schema(resolved)
+        from hudi_rs_spark.write.ddl import rename_chain
+
         opts = self.storage_options
+        renames = rename_chain(self.config.props) or None
         n = min(len(paths), self.spark.sparkContext.defaultParallelism) or 1
         paths_df = self.spark.createDataFrame(
             [(p,) for p in paths],
@@ -729,7 +761,8 @@ class HudiTable:
             for batch in batches:
                 for path in batch.column("path").to_pylist():
                     tbl = _conform_table(
-                        LanceFile.from_path(path, opts).to_table(), target
+                        LanceFile.from_path(path, opts).to_table(), target,
+                        renames=renames,
                     )
                     if with_source:
                         name = path.rsplit("/", 1)[-1]

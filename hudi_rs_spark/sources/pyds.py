@@ -113,6 +113,10 @@ class HudiSlicePartition(InputPartition):
     # at plan time from the table config so read() needs no props I/O);
     # None/empty = overwrite-with-latest row semantics
     partial_fill: list[str] | None = None
+    # renamed columns (write/ddl.py rename_column): {current: [prior
+    # names, newest first]} — conform reads a missing column under its
+    # prior name before null-backfilling (files predate the rename)
+    renames: dict | None = None
 
 
 class HudiPyDataSource(DataSource):
@@ -545,6 +549,9 @@ def _slice_partitions(
         # empty window (e.g. a no-op trailing micro-batch): nothing to
         # read, and schema resolution may be impossible without a footer
         return []
+    from hudi_rs_spark.write.ddl import rename_chain
+
+    renames = rename_chain(t.config.props)
     resolved = _as_nullable(t._resolve_schema(slices))
     merge_logs = (
         not read_optimized and t.config.table_type != TableType.COPY_ON_WRITE
@@ -613,6 +620,7 @@ def _slice_partitions(
             partition_values=part_vals.get(s.partition_path),
             storage_options=getattr(t, "storage_options", None),
             partial_fill=partial_fill,
+            renames=renames or None,
         )
         for s in slices
     ]
@@ -668,7 +676,9 @@ def _read_slice(partition: HudiSlicePartition):
         else:
             with storage.open_seekable(partition.base_file) as f:
                 base = pq.read_table(f)
-    base = _conform_table(base, target, partition.partition_values)
+    base = _conform_table(
+        base, target, partition.partition_values, partition.renames
+    )
     start = partition.start_exclusive
     has_commit = "_hoodie_commit_time" in struct.names
     if start is not None and has_commit:
@@ -782,17 +792,32 @@ def _as_nullable(dt: T.DataType) -> T.DataType:
 # ---------------------------------------------------------------------------
 # executor-side helpers (pure functions; importable in Python workers)
 # ---------------------------------------------------------------------------
-def _conform_table(tbl, target, constants: dict | None = None):
+def _conform_table(
+    tbl, target, constants: dict | None = None, renames: dict | None = None
+):
     """Project/cast an arrow table to the resolved schema: extra columns
-    dropped, missing columns null-backfilled (schema evolution) or
-    filled from ``constants`` (dropped partition columns restored from
-    the slice's partition path), types cast to the declared resolution."""
+    dropped, missing columns read under a PRIOR name (renamed columns —
+    files written before the rename hold the bytes under the old name)
+    or null-backfilled (schema evolution) or filled from ``constants``
+    (dropped partition columns restored from the slice's partition
+    path), types cast to the declared resolution."""
     import pyarrow as pa
 
     cols = []
     for f in target:
         if f.name in tbl.column_names:
             cols.append(tbl.column(f.name).cast(f.type))
+            continue
+        prior = next(
+            (
+                p
+                for p in (renames or {}).get(f.name, ())
+                if p in tbl.column_names
+            ),
+            None,
+        )
+        if prior is not None:
+            cols.append(tbl.column(prior).cast(f.type))
         elif constants and f.name in constants:
             cols.append(pa.array([constants[f.name]] * len(tbl)).cast(f.type))
         else:

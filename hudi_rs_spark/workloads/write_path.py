@@ -910,7 +910,7 @@ def write_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DDL_COLUMNS_SQL = """
 SELECT doc_id,
-       CASE WHEN doc_id % 9 = 0 THEN text || '#u' ELSE text END AS text,
+       CASE WHEN doc_id % 9 = 0 THEN text || '#u' ELSE text END AS body,
        CASE WHEN doc_id % 9 = 0 THEN 'g' || CAST(doc_id % 3 AS VARCHAR)
             ELSE CAST(NULL AS VARCHAR) END AS grade,
        lang
@@ -925,7 +925,10 @@ def write_ddl_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     fills the new column for %9 rows, then DROP COLUMN removes `source`
     from the published schema — the per-epoch scan projects it out of
     every file without touching a data byte (resolver.rs:41-47
-    latest-schema-wins). Routed through the SQL ALTER statements."""
+    latest-schema-wins) — and after a compaction (rename requires a
+    log-free table) RENAME COLUMN text->body maps the bytes to their
+    new name per-epoch. Routed through the SQL ALTER statements."""
+    from hudi_rs_spark.write.compact import compact
     from hudi_rs_spark.write.sql import hudi_sql
     from hudi_rs_spark.write.upsert import upsert
 
@@ -951,9 +954,12 @@ def write_ddl_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
     )
     hudi_sql(spark, "ALTER TABLE docs DROP COLUMN source", tables=tables)
+    compact(spark, path)
+    hudi_sql(spark, "ALTER TABLE docs RENAME COLUMN text TO body",
+             tables=tables)
     out = (
         spark.read.format("hudi_py").option("path", path).load()
-        .select("doc_id", "text", "grade", "lang")
+        .select("doc_id", "body", "grade", "lang")
         .orderBy("doc_id")
     )
     out = out.localCheckpoint(eager=True)

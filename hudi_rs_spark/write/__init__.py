@@ -173,6 +173,7 @@ from hudi_rs_spark.write.ddl import (  # noqa: F401
     DdlError,
     add_columns,
     drop_columns,
+    rename_column,
 )
 from hudi_rs_spark.write.bucket import (  # noqa: F401
     convert_to_bucket,

@@ -128,3 +128,110 @@ def drop_columns(
     if not kept:
         raise DdlError("cannot drop every column")
     _schema_commit(path, {**sj, "fields": kept}, instant)
+
+
+RENAMES_PROP = "hoodie.schema.renames"
+
+
+def rename_chain(props: dict) -> dict[str, list[str]]:
+    """Parse the persisted rename map: {current_name: [prior names,
+    newest first]}. Empty when the table never renamed a column."""
+    import json
+
+    raw = props.get(RENAMES_PROP, "")
+    if not raw:
+        return {}
+    try:
+        out = json.loads(raw)
+        return {k: list(v) for k, v in out.items()} if isinstance(out, dict) else {}
+    except ValueError:
+        return {}
+
+
+def rename_column(
+    path: str, old: str, new: str, instant: str | None = None
+) -> None:
+    """ALTER TABLE RENAME COLUMN: one metadata-only schema commit plus a
+    persisted rename map (``hoodie.schema.renames``) the scan uses to
+    read the column under its PRIOR name in files written before the
+    rename (per-epoch physical-name mapping — zero data I/O, old bytes
+    stay put exactly like type widening).
+
+    Scope guard (loud, like Hudi restricts some evolution ops): the
+    table must be LOG-FREE at rename time — MOR log records embed field
+    names and the record-conform step would null a renamed column's
+    values; compact first. New logs written after the rename carry the
+    new name and merge fine. Key/partition/ordering columns cannot be
+    renamed (they are wired into routing, pruning, and precombine)."""
+    import json
+
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.sources.hudi import HudiTable
+    from hudi_rs_spark.write.record_index import _local_base, _rewrite_props
+
+    tc = HudiTableConfig.from_base_path(path)
+    protected = set(tc.record_key_fields) | set(tc.partition_fields) | set(
+        tc.ordering_fields or []
+    )
+    if old in protected:
+        raise DdlError(
+            f"column {old!r} is a key/partition/ordering column and "
+            "cannot be renamed"
+        )
+    sj = _current_schema(path)
+    names = [f.get("name") for f in sj["fields"]]
+    if old not in names:
+        raise DdlError(f"column {old!r} does not exist")
+    if new in names:
+        raise DdlError(f"column {new!r} already exists")
+    table = HudiTable(path, spark=None, listing="direct")
+    tl = table.timeline
+    if tl.pending_compaction_plans() or tl.pending_clustering_plans():
+        raise DdlError(
+            "cannot rename with pending compaction/clustering plans: "
+            "their inputs were planned under the old schema"
+        )
+    # the scan maps a renamed column to its physical name PER EPOCH
+    # (the writing commit's schema); every live slice's epoch must
+    # therefore be resolvable NOW, or its files would silently read
+    # nulls under the new name — refuse loudly instead (mirror the
+    # scan's epoch pool: active + archived-if-enabled)
+    by_ts = {i.timestamp: i for i in tl.instants}
+    if table.config.archived_read_enabled:
+        for i in tl.archived_instants():
+            by_ts.setdefault(i.timestamp, i)
+    for sl in table.get_file_slices():
+        if sl.log_files:
+            raise DdlError(
+                "cannot rename a column while live file slices carry "
+                "log files (log records embed field names) — run "
+                "compact() first"
+            )
+        inst = by_ts.get(sl.commit_timestamp)
+        ok = False
+        if inst is not None:
+            try:
+                ok = bool(tl.metadata_for(inst).schema_json)
+            except Exception:
+                ok = False
+        if not ok:
+            raise DdlError(
+                f"slice written at {sl.commit_timestamp} has no "
+                "resolvable commit schema (archived beyond the active "
+                "pool?) — its physical column names cannot be mapped; "
+                "rewrite it (cluster/compact) before renaming"
+            )
+    chain = rename_chain(tc.props)
+    prior = chain.pop(old, [])
+    chain[new] = [old, *prior]
+    new_fields = [
+        {**f, "name": new} if f.get("name") == old else f
+        for f in sj["fields"]
+    ]
+    _schema_commit(path, {**sj, "fields": new_fields}, instant)
+
+    def pin(have: dict) -> dict:
+        have[RENAMES_PROP] = json.dumps(chain, sort_keys=True)
+        return have
+
+    _rewrite_props(_local_base(path), pin)

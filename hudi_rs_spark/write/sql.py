@@ -175,6 +175,8 @@ def hudi_sql(spark, statement: str, tables: dict | None = None, **options):
         return _run_call(spark, stmt, tables, options)
     if head.startswith("CREATE"):
         return _run_create(spark, stmt, tables, options)
+    if head.startswith("DESCRIBE") or head.startswith("DESC "):
+        return _run_describe(spark, stmt, tables)
     if (head.startswith("SELECT") or head.startswith("WITH")) and _TVF.search(
         stmt
     ):
@@ -420,6 +422,45 @@ def _run_delete(spark, stmt: str, tables, options):
     return delete_where(spark, path, cond, **options)
 
 
+def _run_describe(spark, stmt: str, tables):
+    """``DESCRIBE [EXTENDED] <t>`` — the resolved schema as a DataFrame
+    (col_name, data_type, comment), partition columns marked; EXTENDED
+    appends table-property rows (type/version/key/precombine)."""
+    m = re.match(
+        r"DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<ext>EXTENDED\s+)?"
+        rf"(?P<t>{_IDENT})\s*$",
+        stmt, re.I,
+    )
+    if not m:
+        raise SqlDmlError("expected DESCRIBE [EXTENDED] <table>")
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    path = _resolve_path(m.group("t"), tables)
+    table = HudiTable(path, spark)
+    tc = HudiTableConfig.from_base_path(path)
+    parts = set(tc.partition_fields)
+    rows = [
+        (
+            f.name,
+            f.dataType.simpleString(),
+            "partition column" if f.name in parts else "",
+        )
+        for f in table.get_schema().fields
+    ]
+    if m.group("ext"):
+        rows += [
+            ("", "", ""),
+            ("# table.type", tc.table_type.value, ""),
+            ("# table.version", str(tc.table_version), ""),
+            ("# recordkey.fields", ",".join(tc.record_key_fields), ""),
+            ("# ordering.fields", ",".join(tc.ordering_fields or []), ""),
+        ]
+    return spark.createDataFrame(
+        rows, "col_name string, data_type string, comment string"
+    )
+
+
 def _run_alter(spark, stmt: str, tables, options):
     """ALTER TABLE dispatch: DROP PARTITION (metadata-only
     replacecommit), ADD COLUMNS / DROP COLUMN(S) (metadata-only schema
@@ -449,6 +490,18 @@ def _run_alter(spark, stmt: str, tables, options):
             cols[_unquote(toks[0])] = toks[1].strip()
         add_columns(path, cols)
         return len(cols)
+    if up.startswith("RENAME COLUMN"):
+        from hudi_rs_spark.write.ddl import rename_column
+
+        path = _resolve_path(m.group("t"), tables)
+        rm = re.match(
+            rf"RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})\s*$",
+            rest, re.I,
+        )
+        if not rm:
+            raise SqlDmlError("expected RENAME COLUMN <old> TO <new>")
+        rename_column(path, _unquote(rm.group(1)), _unquote(rm.group(2)))
+        return 1
     if up.startswith("DROP COLUMN"):
         from hudi_rs_spark.write.ddl import drop_columns
 

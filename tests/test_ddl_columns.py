@@ -116,6 +116,97 @@ class TestDropColumns:
         assert got[1] == "upd" and got[0] == "n0"
 
 
+class TestRenameColumn:
+    def test_rename_reads_old_files_under_new_name(self, spark, tmp_path):
+        from hudi_rs_spark.write.ddl import rename_column
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        rename_column(path, "score", "points")
+        df = _read(spark, path)
+        assert "score" not in df.columns and "points" in df.columns
+        got = {r.id: r.points for r in df.collect()}
+        assert got == {i: 1.5 * i for i in range(6)}
+
+    def test_rename_then_upsert_and_compact(self, spark, tmp_path):
+        from hudi_rs_spark.write.compact import compact
+        from hudi_rs_spark.write.ddl import rename_column
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        rename_column(path, "score", "points")
+        # post-rename writes carry the NEW name; logs merge fine
+        upsert(
+            spark.createDataFrame(
+                [(1, "u1", 99.0, "b", 2)],
+                "id int, name string, points double, city string, ts int",
+            ),
+            path,
+        )
+        got = {r.id: r.points for r in _read(spark, path).collect()}
+        assert got[1] == 99.0 and got[0] == 0.0 and got[2] == 3.0
+        compact(spark, path)
+        got = {r.id: r.points for r in _read(spark, path).collect()}
+        assert got[1] == 99.0 and got[4] == 6.0
+
+    def test_rename_chain(self, spark, tmp_path):
+        from hudi_rs_spark.write.ddl import rename_column
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        rename_column(path, "score", "points")
+        rename_column(path, "points", "grade_points")
+        got = {r.id: r.grade_points for r in _read(spark, path).collect()}
+        assert got == {i: 1.5 * i for i in range(6)}
+
+    def test_rename_guards(self, spark, tmp_path):
+        from hudi_rs_spark.write.ddl import rename_column
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        with pytest.raises(DdlError, match="cannot be renamed"):
+            rename_column(path, "id", "key")
+        with pytest.raises(DdlError, match="does not exist"):
+            rename_column(path, "ghost", "x")
+        with pytest.raises(DdlError, match="already exists"):
+            rename_column(path, "score", "name")
+        # log-bearing slices refuse until compacted
+        upsert(
+            spark.createDataFrame(
+                [(0, "u0", 1.0, "a", 2)],
+                "id int, name string, score double, city string, ts int",
+            ),
+            path,
+        )
+        with pytest.raises(DdlError, match="compact"):
+            rename_column(path, "score", "points")
+        from hudi_rs_spark.write.compact import compact
+
+        compact(spark, path)
+        rename_column(path, "score", "points")
+        assert "points" in _read(spark, path).columns
+
+    def test_rename_via_sql_and_time_travel(self, spark, tmp_path):
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.sql import hudi_sql
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        pre = HudiTable(path, spark).timeline.instants[-1].timestamp
+        assert hudi_sql(
+            spark,
+            "ALTER TABLE t RENAME COLUMN score TO points",
+            tables={"t": path},
+        ) == 1
+        # latest-wins schema resolution: as-of reads use the new name
+        old = HudiTable(path, spark).read(
+            HudiReadOptions(as_of_timestamp=pre)
+        )
+        assert "points" in old.columns and "score" not in old.columns
+        assert {r.points for r in old.collect()} == {1.5 * i for i in range(6)}
+
+
 class TestSqlRouter:
     def test_alter_add_and_drop_via_sql(self, spark, tmp_path):
         from hudi_rs_spark.write.sql import hudi_sql
@@ -144,6 +235,24 @@ class TestSqlRouter:
         )
         assert n >= 1
         assert {r.city for r in _read(spark, path).collect()} == {"a"}
+
+    def test_describe_table(self, spark, tmp_path):
+        from hudi_rs_spark.write.sql import hudi_sql
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        rows = hudi_sql(
+            spark, "DESCRIBE t", tables={"t": path}
+        ).collect()
+        by = {r.col_name: (r.data_type, r.comment) for r in rows}
+        assert by["score"][0] == "double"
+        assert by["city"] == ("string", "partition column")
+        ext = hudi_sql(
+            spark, "DESCRIBE EXTENDED t", tables={"t": path}
+        ).collect()
+        props = {r.col_name: r.data_type for r in ext if r.col_name.startswith("#")}
+        assert props["# table.type"] == "MERGE_ON_READ"
+        assert props["# recordkey.fields"] == "id"
 
     def test_time_travel_uses_latest_schema(self, spark, tmp_path):
         # reference semantics: schema resolution is latest-wins even
