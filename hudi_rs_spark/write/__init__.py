@@ -166,6 +166,7 @@ from hudi_rs_spark.write.table import META_COLS, HudiTableWriter  # noqa: F401
 from hudi_rs_spark.write.dml import (  # noqa: F401
     delete_partitions,
     delete_where,
+    truncate_table,
     update_where,
 )
 from hudi_rs_spark.write.merge_into import merge_into  # noqa: F401

@@ -150,3 +150,60 @@ def delete_partitions(path: str, partitions, instant: str | None = None) -> int:
     )
     release_instant(cfg, "replacecommit")
     return sum(len(v) for v in replaced.values())
+
+
+def truncate_table(path: str, instant: str | None = None) -> int:
+    """TRUNCATE TABLE: drop every live file group via ONE metadata-only
+    replacecommit — zero data I/O regardless of table size (the bytes
+    reclaim by retention, exactly like drop-partition), time travel
+    before the truncate intact, the table identity/schema/properties
+    untouched so the next write starts clean. Returns the number of
+    file groups dropped."""
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.sources.hudi import HudiTable
+    from hudi_rs_spark.write.concurrency import (
+        check_commit_conflicts,
+        claim_instant,
+        completed_instant_set,
+        release_instant,
+    )
+    from hudi_rs_spark.write.config import WriteConfig, new_instant
+    from hudi_rs_spark.write.writer import commit_instant
+
+    read_point = completed_instant_set(path)
+    tc = HudiTableConfig.from_base_path(path)
+    table = HudiTable(path, spark=None, listing="direct")
+    replaced: dict[str, list[str]] = {}
+    for sl in table.get_file_slices():
+        replaced.setdefault(sl.partition_path or "", []).append(sl.file_id)
+    if not replaced:
+        return 0
+    for k in replaced:
+        replaced[k] = sorted(set(replaced[k]))
+    cfg = WriteConfig(
+        path=path,
+        table_name=tc.table_name,
+        record_key_fields=tuple(tc.record_key_fields) or ("id",),
+        partition_fields=tuple(tc.partition_fields),
+        table_type=tc.table_type.value,
+        table_version=tc.table_version,
+        instant=instant or new_instant(),
+        instant_pinned=instant is not None,
+        operation="delete_partition",
+    )
+    claim_instant(cfg, "replacecommit")
+    try:
+        check_commit_conflicts(
+            cfg,
+            read_point,
+            {(p, fid) for p, fids in replaced.items() for fid in fids},
+        )
+        commit_instant(
+            cfg, [], table.schema_json(), replaced=replaced,
+            action="replacecommit",
+        )
+    except Exception:
+        release_instant(cfg, "replacecommit")
+        raise
+    release_instant(cfg, "replacecommit")
+    return sum(len(v) for v in replaced.values())

@@ -177,6 +177,15 @@ def hudi_sql(spark, statement: str, tables: dict | None = None, **options):
         return _run_create(spark, stmt, tables, options)
     if head.startswith("DESCRIBE") or head.startswith("DESC "):
         return _run_describe(spark, stmt, tables)
+    if head.startswith("TRUNCATE"):
+        from hudi_rs_spark.write.dml import truncate_table
+
+        tm = re.match(
+            rf"TRUNCATE\s+TABLE\s+(?P<t>{_IDENT})\s*$", stmt, re.I
+        )
+        if not tm:
+            raise SqlDmlError("expected TRUNCATE TABLE <table>")
+        return truncate_table(_resolve_path(tm.group("t"), tables))
     if (head.startswith("SELECT") or head.startswith("WITH")) and _TVF.search(
         stmt
     ):

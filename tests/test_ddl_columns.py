@@ -254,6 +254,35 @@ class TestSqlRouter:
         assert props["# table.type"] == "MERGE_ON_READ"
         assert props["# recordkey.fields"] == "id"
 
+    def test_truncate_table(self, spark, tmp_path):
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.sql import hudi_sql
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        pre = HudiTable(path, spark).timeline.instants[-1].timestamp
+        n = hudi_sql(spark, "TRUNCATE TABLE t", tables={"t": path})
+        assert n >= 1
+        assert _read(spark, path).count() == 0
+        # time travel before the truncate still reads everything
+        old = HudiTable(path, spark).read(
+            HudiReadOptions(as_of_timestamp=pre)
+        )
+        assert old.count() == 6
+        # the table takes new writes cleanly (identity untouched)
+        upsert(
+            spark.createDataFrame(
+                [(9, "after", 0.0, "a", 5)],
+                "id int, name string, score double, city string, ts int",
+            ),
+            path,
+        )
+        got = _read(spark, path).collect()
+        assert [(r.id, r.name) for r in got] == [(9, "after")]
+        # idempotent-ish: truncating an empty table drops nothing new
+        assert hudi_sql(spark, "TRUNCATE TABLE t", tables={"t": path}) >= 1
+
     def test_time_travel_uses_latest_schema(self, spark, tmp_path):
         # reference semantics: schema resolution is latest-wins even
         # for as-of reads (resolver.rs; pinned for add-column in

@@ -191,7 +191,7 @@ class TestCtas:
                 OPTIONS (recordkey.field 'id', precombine.field 'ts')
                 LOCATION '{t}'
                 AS SELECT id, name, ts, part FROM ctas_src;
-                TRUNCATE TABLE t9;
+                VACUUM t9;
                 DELETE FROM t9 WHERE id = 0;
                 """,
                 tables={"t9": t},

@@ -241,7 +241,7 @@ class TestMergeInto:
                 tables={"t": t},
             )
         with pytest.raises(SqlDmlError, match="supported statements"):
-            hudi_sql(spark, "TRUNCATE TABLE t", tables={"t": t})
+            hudi_sql(spark, "VACUUM t", tables={"t": t})
         with pytest.raises(SqlDmlError, match="at most one"):
             hudi_sql(
                 spark,
