@@ -974,12 +974,81 @@ def _run_call(spark, stmt: str, tables, options):
             "plan_time string, groups int",
         )
 
+    if proc == "show_rollbacks":
+        # rollback instants are maintenance actions (not data commits),
+        # so they live as `.rollback` files in the timeline dir rather
+        # than in timeline.instants — list + parse them directly
+        import json as _json
+
+        from hudi_rs_spark.write.savepoint import _timeline_dir
+        from hudi_rs_spark.write.writer import _fs
+
+        tdir = _timeline_dir(path)
+        st = _fs(tdir)
+        rows = []
+        for e in st.list_dir(tdir):
+            if e.is_dir or not e.name.endswith(".rollback"):
+                continue
+            ts = e.name.split(".")[0].split("_")[0]
+            try:
+                meta = _json.loads(st.read_bytes(f"{tdir}/{e.name}"))
+                undone = ",".join(meta.get("commitsRollback", []))
+                deleted = int(meta.get("totalFilesDeleted", 0))
+            except (OSError, ValueError):
+                undone, deleted = "", 0
+            rows.append((ts, undone, deleted))
+        return spark.createDataFrame(
+            sorted(rows) or spark.sparkContext.emptyRDD(),
+            "rollback_time string, commits_rolled_back string, "
+            "files_deleted int",
+        )
+
+    if proc == "show_archived_commits":
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        tl = HudiTable(path, spark=None, listing="direct").timeline
+        rows = sorted(
+            (i.timestamp, str(getattr(i.action, "value", i.action)))
+            for i in tl.archived_instants()
+        )
+        limit = int(args.get("limit", 0))
+        return spark.createDataFrame(
+            (rows[-limit:] if limit else rows)
+            or spark.sparkContext.emptyRDD(),
+            "commit_time string, action string",
+        )
+
+    if proc == "run_bootstrap":
+        from hudi_rs_spark.write.bootstrap import bootstrap_table
+
+        if "base_path" not in args or "record_key" not in args:
+            raise SqlDmlError(
+                "run_bootstrap needs base_path => '<source parquet dir>' "
+                "and record_key => '<col[,col]>'"
+            )
+        kw: dict = {"mode": args.get("mode", "metadata_only")}
+        if "partition_fields" in args:
+            kw["partition_fields"] = tuple(
+                c.strip() for c in args["partition_fields"].split(",")
+                if c.strip()
+            )
+        if "precombine" in args:
+            kw["precombine"] = args["precombine"]
+        bootstrap_table(
+            args["base_path"], path,
+            tuple(c.strip() for c in args["record_key"].split(",")),
+            spark=spark, **kw,
+        )
+        return None
+
     raise SqlDmlError(
         f"unknown procedure {proc!r}; supported: run_compaction, "
         "run_clustering, run_clean, create_savepoint, delete_savepoint, "
         "rollback_to_savepoint, rollback_to_instant, upgrade_table, "
         "downgrade_table, run_index, drop_index, show_indexes, "
-        "show_commits, show_savepoints, show_compaction, show_clustering"
+        "show_commits, show_savepoints, show_compaction, show_clustering, "
+        "show_partitions, show_table_properties, show_rollbacks, "
+        "show_archived_commits, run_bootstrap, rescale_buckets"
     )
 
 

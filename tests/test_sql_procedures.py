@@ -412,3 +412,63 @@ class TestShowProcedures:
         }
         assert props["hoodie.table.type"] == "MERGE_ON_READ"
         assert props["hoodie.table.version"] == "8"
+
+
+class TestR12Procedures:
+    def test_show_rollbacks_and_archived(self, spark, tmp_path):
+        import os
+
+        from hudi_rs_spark.write.archive import archive_timeline
+        from hudi_rs_spark.write.rollback import rollback_failed_writes
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        _upd(spark, path, [0, 2])
+        # plant a crashed write's orphan data file (no commit), then
+        # rollback_failed_writes publishes a `.rollback` instant
+        orphan = os.path.join(
+            path, "99999999-9999-9999-9999-999999999999-0_0-0-0_"
+            "99991231000000000.parquet",
+        )
+        open(orphan, "wb").close()
+        rolled = rollback_failed_writes(path)
+        assert rolled
+        rb = hudi_sql(
+            spark, "CALL show_rollbacks(table => 't')", tables={"t": path}
+        ).collect()
+        assert len(rb) == 1
+        assert "99991231000000000" in rb[0].commits_rolled_back
+        # archive old instants -> archived listing shows them
+        _upd(spark, path, [4], ts=3)
+        _upd(spark, path, [6], ts=4)
+        archive_timeline(path, keep_active=2)
+        arch = hudi_sql(
+            spark, "CALL show_archived_commits(table => 't')",
+            tables={"t": path},
+        ).collect()
+        assert len(arch) >= 1
+        assert all(r.commit_time and r.action for r in arch)
+
+    def test_run_bootstrap_procedure(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(i, f"n{i}", 1) for i in range(12)],
+            "id int, name string, ts int",
+        ).write.parquet(src)
+        t = str(tmp_path / "t")
+        hudi_sql(
+            spark,
+            f"CALL run_bootstrap(table => 't', base_path => '{src}', "
+            "record_key => 'id', mode => 'metadata_only')",
+            tables={"t": t},
+        )
+        got = sorted(
+            r.id
+            for r in spark.read.format("hudi_py").option("path", t)
+            .load().collect()
+        )
+        assert got == list(range(12))
+        with pytest.raises(SqlDmlError, match="base_path"):
+            hudi_sql(
+                spark, "CALL run_bootstrap(table => 't')", tables={"t": t}
+            )
