@@ -190,6 +190,8 @@ def hudi_sql(spark, statement: str, tables: dict | None = None, **options):
         stmt
     ):
         return _run_tvf_select(spark, stmt, tables, options)
+    if head.startswith("SELECT") or head.startswith("WITH"):
+        return _run_plain_select(spark, stmt, tables)
     raise SqlDmlError(
         "supported statements: MERGE INTO / UPDATE / DELETE FROM / "
         "ALTER TABLE ... DROP PARTITION / CALL <procedure>(...) / "
@@ -1053,6 +1055,25 @@ def _run_call(spark, stmt: str, tables, options):
 
 
 _TVF = re.compile(r"(hudi_table_changes|hudi_query)\s*\(", re.I)
+
+
+def _run_plain_select(spark, stmt: str, tables):
+    """Plain ``SELECT``/``WITH`` over hudi tables: every entry in
+    ``tables`` becomes a snapshot temp view (the connector's merged
+    read, so pushdown/pruning apply) and the statement runs through
+    ``spark.sql`` untouched — hudi_sql is then a complete SQL entry
+    point (DDL + DML + procedures + TVFs + queries). Views are
+    per-statement; Spark-registered views referenced in the statement
+    resolve as usual."""
+    for name, p in (tables or {}).items():
+        raw = _unquote(name)
+        if not re.fullmatch(r"\w+", raw):
+            continue  # path-shaped keys cannot be view names
+        (
+            spark.read.format("hudi_py").option("path", p).load()
+            .createOrReplaceTempView(raw)
+        )
+    return spark.sql(stmt)
 
 
 def _run_tvf_select(spark, stmt: str, tables, options):

@@ -254,6 +254,29 @@ class TestSqlRouter:
         assert props["# table.type"] == "MERGE_ON_READ"
         assert props["# recordkey.fields"] == "id"
 
+    def test_plain_select_through_router(self, spark, tmp_path):
+        from hudi_rs_spark.write.sql import hudi_sql
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        rows = hudi_sql(
+            spark,
+            "SELECT city, count(*) AS n, sum(score) AS total "
+            "FROM t WHERE id < 4 GROUP BY city ORDER BY city",
+            tables={"t": path},
+        ).collect()
+        assert [(r.city, r.n, r.total) for r in rows] == [
+            ("a", 2, 3.0), ("b", 2, 6.0),
+        ]
+        # CTE + join against itself composes too
+        n = hudi_sql(
+            spark,
+            "WITH big AS (SELECT id FROM t WHERE score > 3) "
+            "SELECT count(*) AS n FROM t JOIN big USING (id)",
+            tables={"t": path},
+        ).collect()[0].n
+        assert n == 3
+
     def test_truncate_table(self, spark, tmp_path):
         from hudi_rs_spark.config.read_config import HudiReadOptions
         from hudi_rs_spark.sources.hudi import HudiTable
