@@ -1062,8 +1062,9 @@ def _run_plain_select(spark, stmt: str, tables):
     ``tables`` becomes a snapshot temp view (the connector's merged
     read, so pushdown/pruning apply) and the statement runs through
     ``spark.sql`` untouched — hudi_sql is then a complete SQL entry
-    point (DDL + DML + procedures + TVFs + queries). Views are
-    per-statement; Spark-registered views referenced in the statement
+    point (DDL + DML + procedures + TVFs + queries). The views are
+    created (or replaced) in the session catalog — a later statement
+    may reuse them; Spark-registered views the statement references
     resolve as usual."""
     for name, p in (tables or {}).items():
         raw = _unquote(name)
