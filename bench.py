@@ -138,6 +138,35 @@ HEADLINE = [
 ]
 
 
+def _calibration(spark) -> float:
+    """Fixed-cost pure-Spark job: no table I/O, constant data.
+
+    10M generated rows -> xxhash64 -> 1000-key hash agg -> sort. Pure
+    codegen + one shuffle, identical every round, so its wall time is a
+    direct probe of the MACHINE (BENCHNOTES.md r12: the bench host
+    drifts hotter round-over-round — +32% TPC-H geomean r10->r12 with
+    zero plan changes). Per-query times divided by this row separate
+    plan regressions from environment drift. Best-of-3.
+    """
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 10_000_000, 1, 32)
+        .withColumn("k", F.pmod(F.xxhash64("id"), F.lit(1000)))
+        .withColumn("v", F.xxhash64("id", F.lit(1)))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .orderBy("k")
+    )
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df.count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -183,6 +212,11 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     max_runs = max(n_runs, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "4")))
 
+    # machine-speed probe (fixed job, no table I/O) — measured AFTER
+    # warmup so it sees the same JIT/page-cache state as the queries
+    calibration = _calibration(spark)
+    print(f"# calibration: {calibration:.3f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
@@ -207,15 +241,23 @@ def main() -> None:
     tpch = {n: t for n, t in timings.items() if n.startswith("q")}
     ordered = {n: t for n, t in timings.items() if n not in tpch}
     ordered.update(tpch)
+    # normalized = raw / calibration: unit-free multiples of the fixed
+    # probe job, comparable ACROSS rounds even as the host drifts.
+    # Emitted before "queries" so tail truncation sacrifices it first;
+    # calibration_sec itself rides at the very tail and always survives
+    # (the raw queries + the scalar are enough to recompute it).
+    normalized = {n: round(t / calibration, 3) for n, t in ordered.items()}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
                 "unit": "sec",
+                "normalized": normalized,
                 "queries": ordered,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs_per_query": n_runs,
+                "calibration_sec": calibration,
             }
         )
     )
