@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from hudi_rs_spark.operators.pin import pin
 from pyspark.sql.window import Window
 
 QUANT_SCALE = 1_000_000
@@ -107,8 +109,8 @@ def kmeans_assign(
             # (measured: 20 source scans at iterations=2 when composed
             # downstream). The checkpoint is k rows — one centroid per
             # cluster — materialized immediately.
-            .localCheckpoint(eager=True)
         )
+        centroids = pin(centroids)
 
     return _assign(q, centroids, keep_dist=True)
 
@@ -160,7 +162,7 @@ def _within_cluster_pairs_lsh(
     )
     # Materialized for the same reason as embedding_near_dups: the
     # signature matmul must not run once per self-join side.
-    keys = keys.localCheckpoint(eager=True)
+    keys = pin(keys)
     cand = (
         keys.select("cid", F.col("id").alias("id_a"), "band", "sig")
         .join(
@@ -245,9 +247,7 @@ def semdedup(
     # The assignment feeds three plan branches (both pair-join sides and
     # the final kept-flag join); materialize it once — (id, cid, dist2)
     # rows, corpus-sized but narrow — instead of clustering three times.
-    assigned = kmeans_assign(df, id_col, vec_col, k, iterations).localCheckpoint(
-        eager=True
-    )
+    assigned = pin(kmeans_assign(df, id_col, vec_col, k, iterations))
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     withv = assigned.select("id", "cid").join(vecs, "id")
     pairs = semdedup_candidates(

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hudi_rs_spark.operators.pin import pin
+
 from hudi_rs_spark.operators.dedup import normalized
 
 
@@ -134,7 +136,7 @@ def interdup_score(
     grams = char_ngrams(df, text_col, id_col, n).distinct()
     if hash_grams:
         grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
-    grams = grams.localCheckpoint(eager=True)
+    grams = pin(grams)
     per_id = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     unique_per_id = (
         grams.groupBy("gram")

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hudi_rs_spark.operators.pin import pin
+
 
 def normalized(text: Column) -> Column:
     """Canonical text form for fuzzy matching: lowercase, strip
@@ -86,7 +88,7 @@ def ngram_jaccard_pairs(
     # Materialize before the self-join (no cross-side exchange reuse):
     # the normalize+shingle pass runs once; the join shuffles these same
     # arrays regardless, so no extra data volume is introduced.
-    sh = sh.localCheckpoint(eager=True)
+    sh = pin(sh)
     a = sh.select(
         F.col("id").alias("id_a"),
         *[F.col(c).alias(f"ba_{c}") for c in block_cols],
@@ -242,7 +244,7 @@ def minhash_lsh_pairs(
     # corpus scans. The checkpointed frame is the LSH index itself
     # (bands rows per doc, two small columns), far smaller than the
     # corpus it indexes.
-    buckets = buckets.localCheckpoint(eager=True)
+    buckets = pin(buckets)
     a = buckets.select(F.col("id").alias("id_a"), "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "bucket")
     return (
@@ -343,7 +345,7 @@ def simhash_pairs(
     # Materialize before the self-join (no cross-side exchange reuse):
     # otherwise the token-hash + bit-vote pipeline runs twice. 4 small
     # rows per doc.
-    chunks = chunks.localCheckpoint(eager=True)
+    chunks = pin(chunks)
     a = chunks.select(
         F.col("id").alias("id_a"), F.col("sim").alias("sim_a"), "chunk_idx", "chunk"
     )
@@ -425,7 +427,7 @@ def substring_dup_pairs(
         .select("h")
     )
     shf = sh.join(buckets, "h")
-    shf = shf.localCheckpoint(eager=True)  # one shingle pass, not two
+    shf = pin(shf)  # one shingle pass, not two
     a = shf.select(
         F.col("h"), F.col("id").alias("id_a"), F.col("pos").alias("pa")
     )

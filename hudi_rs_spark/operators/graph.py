@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hudi_rs_spark.operators.pin import pin
+
 
 def connected_components(
     edges: DataFrame,
@@ -66,9 +68,7 @@ def connected_components(
     # symmetrize union would otherwise re-execute it (for LSH pairs that
     # means running the whole minhash pipeline twice — measured ~2x the
     # operator cost), and every propagation round would again.
-    edges = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint(eager=True)
+    edges = pin(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # The edge set is static and small relative to the corpus (near-dup
     # pairs), so persist the symmetric form once and reuse it each round.
@@ -77,11 +77,10 @@ def connected_components(
     sym = sym.persist()
 
     # Round 0 fused: label(u) = min(u, min neighbor).
-    labels = (
+    labels = pin(
         sym.groupBy("u")
         .agg(F.min("v").alias("nmin"))
         .select("u", F.least(F.col("u"), F.col("nmin")).alias("label"))
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_rounds):
@@ -115,7 +114,8 @@ def connected_components(
             .select(
                 "u", "label", (F.col("label") < F.col("prev")).alias("changed")
             )
-        ).localCheckpoint(eager=True)
+        )
+        updated = pin(updated)
         # Convergence probe on the materialized round: isEmpty is a
         # take(1) — it stops at the first changed row instead of
         # scanning every partition the way count() does. Converging

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hudi_rs_spark.operators.pin import pin
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -347,7 +349,7 @@ def embedding_near_dups(
     # exchange is not reused across join sides, so the signature UDF
     # (the expensive matmul pass over every vector) would otherwise run
     # twice. The index is 3 small columns per (row, band).
-    keys = keys.localCheckpoint(eager=True)
+    keys = pin(keys)
     cand = (
         keys.select(F.col("id").alias("id_a"), "band", "sig")
         .join(keys.select(F.col("id").alias("id_b"), "band", "sig"), ["band", "sig"])
