@@ -173,6 +173,10 @@ def hudi_sql(spark, statement: str, tables: dict | None = None, **options):
         return _run_alter(spark, stmt, tables, options)
     if head.startswith("CALL"):
         return _run_call(spark, stmt, tables, options)
+    if re.match(r"CREATE\s+INDEX\b", stmt, re.I):
+        return _run_create_index(spark, stmt, tables, options)
+    if re.match(r"DROP\s+INDEX\b", stmt, re.I):
+        return _run_drop_index(spark, stmt, tables, options)
     if head.startswith("CREATE"):
         return _run_create(spark, stmt, tables, options)
     if head.startswith("DESCRIBE") or head.startswith("DESC "):
@@ -196,6 +200,7 @@ def hudi_sql(spark, statement: str, tables: dict | None = None, **options):
         "supported statements: MERGE INTO / UPDATE / DELETE FROM / "
         "ALTER TABLE ... DROP PARTITION / CALL <procedure>(...) / "
         "CREATE TABLE ... USING hudi_py ... AS SELECT / "
+        "CREATE INDEX ... ON <t> USING <type>(...) / DROP INDEX / "
         "SELECT ... FROM hudi_table_changes(...) | hudi_query(...)"
     )
 
@@ -571,6 +576,133 @@ def _take_parens(s: str, from_idx: int) -> tuple[str, int]:
     if c < 0:
         raise SqlDmlError("unbalanced parentheses")
     return s[o + 1 : c], c + 1
+
+
+def _run_create_index(spark, stmt: str, tables, options):
+    """``CREATE INDEX [IF NOT EXISTS] <name> ON [TABLE] <t> [USING
+    <type>] (<args>) [OPTIONS(k 'v', ...)]`` — Hudi 1.0's index DDL
+    (hudi-spark SQL: CREATE INDEX ... USING bloom_filters|
+    record_index|column_stats), dispatching to the SAME services as
+    ``CALL run_index`` so both spellings build identical MDT
+    partitions:
+
+    - ``USING record_index (<key col>)`` -> record-index backfill
+      (``OPTIONS(shards N)`` sets the shard count);
+    - ``USING bloom_filters (<col>)`` -> bloom backfill;
+    - ``USING column_stats (<col>)`` -> per-file interval stats of the
+      column = an expression index whose expression IS the column;
+    - ``USING expression (<any SQL expr>)`` -> expression index (the
+      engine's functional-index form; Hudi spells it ``column_stats(col)
+      OPTIONS(expr '...')`` — that spelling is accepted too).
+
+    When USING is omitted the NAME selects the type (Hudi's
+    ``CREATE INDEX record_index ON t (id)`` shorthand).
+    """
+    m = re.match(
+        rf"CREATE\s+INDEX\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<n>{_IDENT})"
+        rf"\s+ON\s+(?:TABLE\s+)?(?P<t>{_IDENT})\s*",
+        stmt,
+        re.I,
+    )
+    if not m:
+        raise SqlDmlError(
+            "expected CREATE INDEX <name> ON <table> [USING <type>] (<args>)"
+        )
+    name = _unquote(m.group("n"))
+    path = _resolve_path(m.group("t"), tables)
+    rest = stmt[m.end():]
+    um = re.match(r"USING\s+(\w+)\s*", rest, re.I)
+    itype = um.group(1).lower() if um else name.lower()
+    if um:
+        rest = rest[um.end():]
+    args_str = ""
+    if rest.lstrip().startswith("("):
+        args_str, past = _take_parens(rest, 0)
+        rest = rest[past:]
+    opts: dict[str, str] = {}
+    om = _find_top(rest, r"\bOPTIONS\b")
+    if om:
+        inner, _ = _take_parens(rest, om.end())
+        for piece in _split_top(inner, r","):
+            pm = re.match(
+                rf"^\s*({_IDENT})\s*(?:=\s*|\s+)({_IDENT})\s*$", piece, re.S
+            )
+            if not pm:
+                raise SqlDmlError(f"cannot parse OPTIONS entry {piece!r}")
+            opts[_unquote(pm.group(1))] = _unquote(pm.group(2))
+    cols = [c for c in (_unquote(p) for p in _split_top(args_str, r",")) if c]
+
+    if itype in ("record_index", "record"):
+        from hudi_rs_spark.write.record_index import backfill_record_index
+
+        return backfill_record_index(
+            spark, path, shards=int(opts.get("shards", 4))
+        )
+    if itype in ("bloom_filters", "bloom"):
+        from hudi_rs_spark.write.mdt_bloom import backfill_bloom_filters
+
+        return backfill_bloom_filters(spark, path)
+    if itype in ("column_stats", "expression", "functional", "expr"):
+        from hudi_rs_spark.write.expr_index import (
+            PROP_PREFIX,
+            create_expression_index,
+        )
+
+        expr = opts.get("expr") or args_str.strip()
+        if itype == "column_stats" and "expr" in opts and cols:
+            # Hudi's functional form: column_stats(col) OPTIONS(expr
+            # 'from_unixtime', format '...') — expr names a FUNCTION
+            # applied to the column
+            fmt = opts.get("format")
+            expr = (
+                f"{opts['expr']}({cols[0]}, '{fmt}')"
+                if fmt
+                else f"{opts['expr']}({cols[0]})"
+            )
+        if not expr:
+            raise SqlDmlError(
+                f"CREATE INDEX USING {itype} needs a column or expression"
+            )
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+
+        if HudiTableConfig.from_base_path(path).props.get(PROP_PREFIX + name):
+            if m.group("ine"):
+                return 0  # IF NOT EXISTS: already built, no-op
+            raise SqlDmlError(
+                f"index {name!r} already exists on {path!r} "
+                "(CREATE INDEX IF NOT EXISTS to ignore, or DROP INDEX first)"
+            )
+        return create_expression_index(spark, path, name, expr)
+    raise SqlDmlError(
+        f"unknown index type {itype!r}: record_index | bloom_filters | "
+        "column_stats | expression"
+    )
+
+
+def _run_drop_index(spark, stmt: str, tables, options):
+    """``DROP INDEX [IF EXISTS] <name> ON [TABLE] <t>`` — same dispatch
+    as ``CALL drop_index`` (expression/column_stats indexes; the files/
+    record-index/bloom MDT partitions are table infrastructure, not
+    droppable indexes — same rule as the CALL form)."""
+    m = re.match(
+        rf"DROP\s+INDEX\s+(?P<ie>IF\s+EXISTS\s+)?(?P<n>{_IDENT})"
+        rf"\s+ON\s+(?:TABLE\s+)?(?P<t>{_IDENT})\s*$",
+        stmt,
+        re.I,
+    )
+    if not m:
+        raise SqlDmlError("expected DROP INDEX <name> ON <table>")
+    from hudi_rs_spark.write.expr_index import drop_expression_index
+
+    dropped = drop_expression_index(
+        _resolve_path(m.group("t"), tables), _unquote(m.group("n"))
+    )
+    if not dropped and not m.group("ie"):
+        raise SqlDmlError(
+            f"index {_unquote(m.group('n'))!r} does not exist "
+            "(DROP INDEX IF EXISTS to ignore)"
+        )
+    return dropped
 
 
 def _run_create(spark, stmt: str, tables, options):
@@ -1056,6 +1188,104 @@ def _run_call(spark, stmt: str, tables, options):
 
 _TVF = re.compile(r"(hudi_table_changes|hudi_query)\s*\(", re.I)
 
+# <table> [FOR] [SYSTEM_]TIMESTAMP|VERSION AS OF <literal> — Spark's
+# own time-travel grammar (plus the FOR SYSTEM_TIME form users carry
+# over from SQL:2011); the literal is read from the original statement
+# right after the match.
+_ASOF = re.compile(
+    r"\b(\w+)\s+(?:FOR\s+)?(?:SYSTEM_)?(?:TIMESTAMP|TIME|VERSION)\s+AS\s+OF\s+",
+    re.I,
+)
+
+
+def _quote_mask(s: str) -> str:
+    """Same-length copy of ``s`` with characters inside quoted strings
+    blanked (parens left alone — unlike ``_mask``, subquery bodies stay
+    visible, so ``FROM t TIMESTAMP AS OF ...`` inside a derived table
+    or CTE is still found)."""
+    out, q, i = [], None, 0
+    while i < len(s):
+        c = s[i]
+        if q:
+            if c == q:
+                if q == "'" and i + 1 < len(s) and s[i + 1] == "'":
+                    out.append("\0\0")
+                    i += 2
+                    continue
+                q = None
+            out.append("\0")
+        elif c in ("'", '"', "`"):
+            q = c
+            out.append("\0")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _read_asof_literal(stmt: str, pos: int) -> tuple[str, int]:
+    """The time-travel literal starting at ``pos``: a quoted string or
+    a bare token (unquoted instant / epoch). Returns (value, end)."""
+    while pos < len(stmt) and stmt[pos].isspace():
+        pos += 1
+    if pos < len(stmt) and stmt[pos] in ("'", '"'):
+        q = stmt[pos]
+        end = stmt.find(q, pos + 1)
+        if end < 0:
+            raise SqlDmlError("unterminated string after AS OF")
+        return stmt[pos + 1 : end], end + 1
+    m = re.match(r"[\w.\-:+]+", stmt[pos:])
+    if not m:
+        raise SqlDmlError("expected a timestamp/version literal after AS OF")
+    return m.group(0), pos + m.end()
+
+
+def _rewrite_time_travel(spark, stmt: str, tables) -> str:
+    """Rewrite ``FROM <hudi_table> TIMESTAMP AS OF '<ts>'`` (and the
+    ``VERSION AS OF`` / ``FOR SYSTEM_TIME AS OF`` spellings) to a
+    time-traveled temp view over the connector read, so Spark's own
+    time-travel grammar works on hudi_py tables through ``hudi_sql``.
+
+    Only identifiers named in ``tables`` are rewritten — anything else
+    is left for Spark to resolve (a real catalog table may support the
+    clause natively).  ``VERSION AS OF`` maps to the same instant
+    axis: a Hudi "version" IS the completed commit timestamp, so both
+    clauses feed ``HudiReadOptions(as_of_timestamp=...)``.  Accepted
+    literal formats are the reader's (reference
+    ``docs/reader-spec.md:311-319``): hudi instant ``yyyyMMddHHmmss
+    [SSS]``, unix epoch s/ms/us/ns, RFC 3339 with offset.
+    """
+    names = {
+        _unquote(k): v
+        for k, v in (tables or {}).items()
+        if re.fullmatch(r"\w+", _unquote(k))
+    }
+    if not names:
+        return stmt
+    from hudi_rs_spark.config.read_config import HudiReadOptions
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    mask = _quote_mask(stmt)
+    out, cursor, n = [], 0, 0
+    for m in _ASOF.finditer(mask):
+        if m.start() < cursor:
+            continue
+        name = stmt[m.start(1) : m.end(1)]
+        if name not in names:
+            continue
+        lit, end = _read_asof_literal(stmt, m.end())
+        df = HudiTable(names[name], spark).read(
+            HudiReadOptions(as_of_timestamp=lit)
+        )
+        view = f"__hudi_asof_{n}"
+        n += 1
+        df.createOrReplaceTempView(view)
+        out.append(stmt[cursor : m.start(1)])
+        out.append(view)
+        cursor = end
+    out.append(stmt[cursor:])
+    return "".join(out)
+
 
 def _run_plain_select(spark, stmt: str, tables):
     """Plain ``SELECT``/``WITH`` over hudi tables: every entry in
@@ -1065,7 +1295,10 @@ def _run_plain_select(spark, stmt: str, tables):
     point (DDL + DML + procedures + TVFs + queries). The views are
     created (or replaced) in the session catalog — a later statement
     may reuse them; Spark-registered views the statement references
-    resolve as usual."""
+    resolve as usual. ``TIMESTAMP AS OF`` / ``VERSION AS OF`` clauses
+    on named hudi tables are rewritten to time-traveled views first
+    (see ``_rewrite_time_travel``)."""
+    stmt = _rewrite_time_travel(spark, stmt, tables)
     for name, p in (tables or {}).items():
         raw = _unquote(name)
         if not re.fullmatch(r"\w+", raw):
@@ -1087,8 +1320,11 @@ def _run_tvf_select(spark, stmt: str, tables, options):
     surrounding SELECT shape (projections, filters, joins, CTEs) works.
     ``mode``: 'latest_state' (row-level incremental, the default Hudi
     mode) or 'cdc' (typed change feed); ``start``: 'earliest' or a
-    timestamp; bounds are (start, end]."""
+    timestamp; bounds are (start, end].  ``TIMESTAMP AS OF`` clauses on
+    named hudi tables elsewhere in the statement rewrite first."""
     from hudi_rs_spark.sources.hudi import HudiTable
+
+    stmt = _rewrite_time_travel(spark, stmt, tables)
 
     out, cursor, n = [], 0, 0
     while True:

@@ -994,15 +994,11 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
 
         purge_uncommitted_mdt_logs(self.cfg.path)
         resolve_index_flags(self.cfg)
-        # claim the instant BEFORE any task writes a byte: a second
-        # writer racing the same instant fails loudly here instead of
-        # interleaving with this job's commit (write/concurrency.py)
         from hudi_rs_spark.write.concurrency import (
             claim_instant,
             completed_instant_set,
         )
 
-        claim_instant(self.cfg)
         # OCC read point: completed instants visible when this write
         # planned. upsert() passes the snapshot its tag/index join read
         # (occ.readpoint) — it predates this __init__; everything that
@@ -1018,6 +1014,30 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
             raise ValueError(
                 "operation=upsert requires a MERGE_ON_READ table "
                 "(COW updates go through write.compact or mode('overwrite'))"
+            )
+        if (
+            self.cfg.operation == OP_UPSERT
+            and TARGET_FILE_COL not in {f.name for f in schema.fields}
+            and self._read_point
+            # upsert() coordinates through occ.readpoint; its presence
+            # marks the internal tagged protocol (tag columns may ride
+            # in the task batches without appearing in the DataFrame
+            # schema), not a raw user write
+            and rp is None
+        ):
+            # The sink API hands this writer rows, never the table
+            # index, so it cannot know which file group each key lives
+            # in — appending untagged "upserts" to a non-empty table
+            # would write NEW file groups and silently duplicate every
+            # existing key. (On a fresh table upsert degrades to insert
+            # — nothing to duplicate — so bootstrap writes stay legal.)
+            raise ValueError(
+                "operation=upsert through the raw DataFrame writer is "
+                "only valid on an empty table: rows are not index-"
+                "tagged, so existing keys would be duplicated. Use "
+                "hudi_rs_spark.write.upsert(df, path, ...) — it tags "
+                "rows against the record index / live file groups and "
+                "routes updates as MOR log blocks."
             )
         if self.cfg.concurrency_mode == "nbcc" and (
             self.cfg.table_type != "MERGE_ON_READ" or self.cfg.table_version < 8
@@ -1048,6 +1068,13 @@ class HudiPyBatchWriter(DataSourceArrowWriter):
                     "written through write.upsert — the raw writer cannot "
                     "guarantee one file group per bucket across tasks"
                 )
+        # claim the instant BEFORE any task writes a byte, but AFTER
+        # every validation guard above: a write rejected here must not
+        # leave a stale claim behind (Spark only calls abort() once
+        # tasks have started). A second writer racing the same instant
+        # fails loudly at the claim instead of interleaving with this
+        # job's commit (write/concurrency.py).
+        claim_instant(self.cfg)
         # capture the pre-write live file groups NOW (driver, plan time):
         # these are what an overwrite's replacecommit excludes
         self._replaced = (

@@ -68,6 +68,16 @@ def _upsert_writer(path, mode="nbcc"):
     from hudi_rs_spark.write.writer import HudiPyBatchWriter
 
     time.sleep(0.002)  # distinct ms-precision instants per writer
+    # declare the tag columns the update batches carry (the writer
+    # refuses UNTAGGED upserts on non-empty tables — r13 guard)
+    tagged = T.StructType(
+        list(SCHEMA.fields)
+        + [
+            T.StructField("__hoodie_target_file_id", T.StringType()),
+            T.StructField("__hoodie_target_base_instant", T.StringType()),
+            T.StructField("__hoodie_log_version", T.IntegerType()),
+        ]
+    )
     return HudiPyBatchWriter(
         {
             "path": path,
@@ -75,7 +85,7 @@ def _upsert_writer(path, mode="nbcc"):
             "operation": "upsert",
             "concurrency.mode": mode,
         },
-        SCHEMA,
+        tagged,
         overwrite=False,
     )
 

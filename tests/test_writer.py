@@ -1619,3 +1619,42 @@ class TestDeleteOnlySchema:
         assert {"id", "name", "city", "ts"} <= set(df.columns)
         rows = {r.id: r.name for r in df.collect()}
         assert 3 not in rows and rows[4] == "n4" and len(rows) == 19
+
+
+class TestUntaggedUpsertGuard:
+    """operation=upsert through the raw DataFrame writer is rejected on
+    a non-empty table: the sink API sees rows, not the table index, so
+    untagged "upserts" would land in NEW file groups and silently
+    duplicate every existing key (found via SQL-time-travel test in
+    r13). Fresh tables stay legal (upsert == insert there); the
+    write.upsert API — which tags — is unaffected."""
+
+    MOR = {
+        "recordkey.field": "id", "precombine.field": "ts",
+        "table.type": "MERGE_ON_READ",
+    }
+
+    def test_untagged_upsert_on_nonempty_table_raises(self, spark, tdir):
+        _register(spark)
+        _write(_people(spark, 10), tdir, **self.MOR)
+        with pytest.raises(Exception, match="write.upsert"):
+            _write(
+                _people(spark, 5, ts=2, name="upd"), tdir,
+                operation="upsert", **self.MOR,
+            )
+        # no duplicate keys, no stale claim blocking the next write
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        assert HudiTable(tdir, spark).read().count() == 10
+        from hudi_rs_spark.write.upsert import upsert
+
+        upsert(_people(spark, 5, ts=2, name="upd"), tdir)
+        rows = {r.id: r.name for r in HudiTable(tdir, spark).read().collect()}
+        assert len(rows) == 10 and rows[0] == "upd0" and rows[9] == "n9"
+
+    def test_fresh_table_upsert_degrades_to_insert(self, spark, tdir):
+        _register(spark)
+        _write(_people(spark, 8), tdir, operation="upsert", **self.MOR)
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        assert HudiTable(tdir, spark).read().count() == 8
