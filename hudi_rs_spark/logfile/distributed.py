@@ -110,6 +110,7 @@ def decode_logs_distributed(
     archival_boundary: str | None = None,
     pending_instants: frozenset[str] | None = None,
     storage_options: dict | None = None,
+    renames: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     full_schema = T.StructType(
         list(out_schema.fields) + [T.StructField(DELETE_FLAG, T.BooleanType(), False)]
@@ -134,7 +135,7 @@ def decode_logs_distributed(
         # imports inside: runs on executors
         from hudi_rs_spark.fs.storage import storage_for
         from hudi_rs_spark.logfile import reader as logreader
-        from hudi_rs_spark.sources.conform import conform_row
+        from hudi_rs_spark.sources.conform import apply_renames, conform_row
 
         primed = False
         for pdf in batches:
@@ -155,7 +156,9 @@ def decode_logs_distributed(
                     for r in b.records:
                         r["__fg"] = fg
                         r[DELETE_FLAG] = False
-                        rows.append(conform_row(r, full_schema))
+                        rows.append(
+                            conform_row(apply_renames(r, renames), full_schema)
+                        )
                     for key, part, ordering_val in b.delete_records:
                         d = {name: None for name in field_names}
                         d.update(

@@ -12,6 +12,24 @@ def conform_row(r: dict, struct: T.StructType) -> dict:
     return {f.name: conform_value(r.get(f.name), f.dataType) for f in struct.fields}
 
 
+def apply_renames(r: dict, renames: dict[str, list[str]] | None) -> dict:
+    """Map renamed columns to their CURRENT name in a decoded log
+    record (in place). A record lacking the current name but carrying a
+    prior one was written before the rename: ``rename_column`` refuses
+    to reuse a renamed-away name (write/ddl.py), so the prior name's
+    presence identifies the epoch unambiguously — the log-record twin
+    of the base scan's per-epoch physical-name mapping
+    (sources/hudi.py phys_name / pyds _conform_table)."""
+    if renames:
+        for cur, priors in renames.items():
+            if cur not in r:
+                for p in priors:
+                    if p in r:
+                        r[cur] = r.pop(p)
+                        break
+    return r
+
+
 def conform_value(v, dtype: T.DataType):
     if v is None:
         return None

@@ -1672,7 +1672,14 @@ class HudiTable:
             # one slice) each contribute the columns they carry, missing
             # ones null; same behavior as the distributed decode path
             target = base_tagged.schema
-            rows = [_conform_row(r, target) for r in data_rows]
+            from hudi_rs_spark.sources.conform import apply_renames
+            from hudi_rs_spark.write.ddl import rename_chain
+
+            renames = rename_chain(self.config.props) or None
+            rows = [
+                _conform_row(apply_renames(r, renames), target)
+                for r in data_rows
+            ]
             log_df = self.spark.createDataFrame(rows, target)
             data = base_tagged.unionByName(log_df)
         else:
@@ -1751,6 +1758,8 @@ class HudiTable:
         fg_targets = scan_targets_distributed(
             self.spark, log_tasks, self.storage_options
         )
+        from hudi_rs_spark.write.ddl import rename_chain as _rc
+
         decoded = decode_logs_distributed(
             self.spark,
             log_tasks,
@@ -1763,6 +1772,7 @@ class HudiTable:
             archival_boundary=self.timeline.earliest_active_timestamp(),
             pending_instants=frozenset(self.timeline.pending_timestamps),
             storage_options=self.storage_options,
+            renames=_rc(self.config.props) or None,
         )
         log_df = decoded.filter(~F.col(DELETE_FLAG)).drop(DELETE_FLAG)
         data = base_tagged.unionByName(log_df)

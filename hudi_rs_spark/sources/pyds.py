@@ -829,7 +829,7 @@ def _decode_logs(partition: HudiSlicePartition, struct: T.StructType):
     """Decode + validity-filter this slice's log blocks (same rollback /
     valid-commit / archival rules as the driver and mapInPandas paths)."""
     from hudi_rs_spark.logfile import reader as logreader
-    from hudi_rs_spark.sources.conform import conform_row
+    from hudi_rs_spark.sources.conform import apply_renames, conform_row
 
     file_blocks = [logreader.read_log_file(p) for p in partition.log_files]
     targets: set[str] = set()
@@ -854,7 +854,9 @@ def _decode_logs(partition: HudiSlicePartition, struct: T.StructType):
             pending_instants=set(partition.pending_instants),
         ):
             for r in b.records or []:
-                rows.append(conform_row(r, struct))
+                rows.append(
+                    conform_row(apply_renames(r, partition.renames), struct)
+                )
             for key, _part, ordering_val in b.delete_records:
                 deletes.append((b.instant_time, key, ordering_val))
     return rows, deletes

@@ -910,8 +910,10 @@ def write_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DDL_COLUMNS_SQL = """
 SELECT doc_id,
-       CASE WHEN doc_id % 9 = 0 THEN text || '#u' ELSE text END AS body,
-       CASE WHEN doc_id % 9 = 0 THEN 'g' || CAST(doc_id % 3 AS VARCHAR)
+       CASE WHEN doc_id % 7 = 0 THEN text || '#r'
+            WHEN doc_id % 9 = 0 THEN text || '#u' ELSE text END AS body,
+       CASE WHEN doc_id % 7 = 0 THEN 'r' || CAST(doc_id % 2 AS VARCHAR)
+            WHEN doc_id % 9 = 0 THEN 'g' || CAST(doc_id % 3 AS VARCHAR)
             ELSE CAST(NULL AS VARCHAR) END AS grade,
        lang
 FROM documents
@@ -922,13 +924,17 @@ ORDER BY doc_id
 def write_ddl_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema DDL (write/ddl.py): ALTER TABLE ADD COLUMNS publishes a
     metadata-only schema commit (nulls backfill everywhere), an upsert
-    fills the new column for %9 rows, then DROP COLUMN removes `source`
-    from the published schema — the per-epoch scan projects it out of
-    every file without touching a data byte (resolver.rs:41-47
-    latest-schema-wins) — and after a compaction (rename requires a
-    log-free table) RENAME COLUMN text->body maps the bytes to their
-    new name per-epoch. Routed through the SQL ALTER statements."""
-    from hudi_rs_spark.write.compact import compact
+    fills the new column for %9 rows — leaving LIVE LOG FILES under the
+    old name `text` — then DROP COLUMN removes `source` from the
+    published schema, RENAME COLUMN text->body runs OVER those live
+    logs (the log decoders map a record's prior name to the current one
+    per epoch — sources/conform.py::apply_renames; the base scan maps
+    physical names from each epoch's commit schema, resolver.rs:41-47
+    latest-schema-wins), and a post-rename upsert under the NEW name
+    (%7 rows) merges against the pre-rename log records. The returned
+    snapshot therefore merges base files + pre-rename logs + post-
+    rename logs across three schema epochs with zero data rewrites.
+    Routed through the SQL ALTER statements."""
     from hudi_rs_spark.write.sql import hudi_sql
     from hudi_rs_spark.write.upsert import upsert
 
@@ -954,9 +960,18 @@ def write_ddl_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
     )
     hudi_sql(spark, "ALTER TABLE docs DROP COLUMN source", tables=tables)
-    compact(spark, path)
     hudi_sql(spark, "ALTER TABLE docs RENAME COLUMN text TO body",
              tables=tables)
+    upsert(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            "doc_id",
+            F.concat("text", F.lit("#r")).alias("body"),
+            "lang", F.lit(3).alias("ts"),
+            F.concat(F.lit("r"), (F.col("doc_id") % 2).cast("string"))
+            .alias("grade"),
+        ),
+        path,
+    )
     out = (
         spark.read.format("hudi_py").option("path", path).load()
         .select("doc_id", "body", "grade", "lang")

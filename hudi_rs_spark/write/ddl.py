@@ -78,10 +78,21 @@ def add_columns(
         raise DdlError("ADD COLUMNS needs at least one column")
     sj = _current_schema(path)
     have = {f.get("name") for f in sj["fields"]}
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+
+    chain = rename_chain(HudiTableConfig.from_base_path(path).props)
+    history = {p for priors in chain.values() for p in priors}
     new_fields = []
     for name, ddl in columns.items():
         if name in have:
             raise DdlError(f"column {name!r} already exists")
+        if name in history:
+            # old records still carry this name for the RENAMED column;
+            # a new column under it would silently absorb their values
+            raise DdlError(
+                f"column name {name!r} was previously renamed away and "
+                "cannot be reused"
+            )
         try:
             dt = _parse_datatype_string(ddl)
         except Exception as e:
@@ -157,12 +168,15 @@ def rename_column(
     rename (per-epoch physical-name mapping — zero data I/O, old bytes
     stay put exactly like type widening).
 
-    Scope guard (loud, like Hudi restricts some evolution ops): the
-    table must be LOG-FREE at rename time — MOR log records embed field
-    names and the record-conform step would null a renamed column's
-    values; compact first. New logs written after the rename carry the
-    new name and merge fine. Key/partition/ordering columns cannot be
-    renamed (they are wired into routing, pruning, and precombine)."""
+    MOR log files are handled the same way: log records embed field
+    names, and every log-decode path (eager, connector, distributed)
+    maps a record carrying a prior name onto the current one before
+    conforming (``sources/conform.py::apply_renames``). That mapping is
+    sound because a renamed-away name can NEVER be reused — this
+    function and ``add_columns`` both refuse names in the rename
+    chain's history — so a prior name's presence identifies the
+    record's epoch. Key/partition/ordering columns cannot be renamed
+    (they are wired into routing, pruning, and precombine)."""
     import json
 
     from hudi_rs_spark.config.table_config import HudiTableConfig
@@ -201,12 +215,6 @@ def rename_column(
         for i in tl.archived_instants():
             by_ts.setdefault(i.timestamp, i)
     for sl in table.get_file_slices():
-        if sl.log_files:
-            raise DdlError(
-                "cannot rename a column while live file slices carry "
-                "log files (log records embed field names) — run "
-                "compact() first"
-            )
         inst = by_ts.get(sl.commit_timestamp)
         ok = False
         if inst is not None:
@@ -222,6 +230,16 @@ def rename_column(
                 "rewrite it (cluster/compact) before renaming"
             )
     chain = rename_chain(tc.props)
+    history = {p for priors in chain.values() for p in priors}
+    if new in history:
+        # reusing a renamed-away name would make old log/base records
+        # carrying it ambiguous (which epoch's column is it?) — the
+        # presence-based log mapping depends on this never happening
+        raise DdlError(
+            f"column name {new!r} was previously renamed away and "
+            "cannot be reused (records written before that rename "
+            "still carry it)"
+        )
     prior = chain.pop(old, [])
     chain[new] = [old, *prior]
     new_fields = [

@@ -72,6 +72,7 @@ def shared_scan_context(p) -> dict:
         "start_exclusive": p.start_exclusive,
         "storage_options": p.storage_options,
         "partial_fill": p.partial_fill,
+        "renames": p.renames,
     }
 
 
@@ -95,4 +96,5 @@ def rebuild_slice(desc: dict, shared: dict):
         cdc=False,
         storage_options=shared["storage_options"],
         partial_fill=shared.get("partial_fill"),
+        renames=shared.get("renames"),
     )

@@ -170,21 +170,75 @@ class TestRenameColumn:
             rename_column(path, "ghost", "x")
         with pytest.raises(DdlError, match="already exists"):
             rename_column(path, "score", "name")
-        # log-bearing slices refuse until compacted
+        # a renamed-away name can NEVER be reused: the log decoders'
+        # presence-based epoch mapping depends on it
+        rename_column(path, "score", "points")
+        with pytest.raises(DdlError, match="cannot be reused"):
+            rename_column(path, "points", "score")
+        with pytest.raises(DdlError, match="cannot be reused"):
+            add_columns(path, {"score": "double"})
+
+    def test_rename_with_live_log_slices(self, spark, tmp_path):
+        """r12 refused to rename while live slices carried log files;
+        r13 maps log records' prior names per-epoch instead
+        (sources/conform.py::apply_renames) — rename over a log-bearing
+        MOR table now reads correctly through every path."""
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.compact import compact
+        from hudi_rs_spark.write.ddl import rename_column
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        # live LOG records under the old name
         upsert(
             spark.createDataFrame(
-                [(0, "u0", 1.0, "a", 2)],
+                [(0, "u0", 50.0, "a", 2), (1, "u1", 51.0, "b", 2)],
                 "id int, name string, score double, city string, ts int",
             ),
             path,
         )
-        with pytest.raises(DdlError, match="compact"):
-            rename_column(path, "score", "points")
-        from hudi_rs_spark.write.compact import compact
-
-        compact(spark, path)
+        t = HudiTable(path, spark)
+        assert any(s.log_files for s in t.get_file_slices())
+        pre = t.timeline.instants[-1].timestamp
         rename_column(path, "score", "points")
-        assert "points" in _read(spark, path).columns
+
+        want = {0: 50.0, 1: 51.0, 2: 3.0, 3: 4.5, 4: 6.0, 5: 7.5}
+        # eager read: log rows written pre-rename surface as `points`
+        got = {r.id: r.points for r in HudiTable(path, spark).read().collect()}
+        assert got == want
+        # connector read path
+        got = {r.id: r.points for r in _read(spark, path).collect()}
+        assert got == want
+        # time travel to the pre-rename instant (latest-wins schema)
+        old = HudiTable(path, spark).read(HudiReadOptions(as_of_timestamp=pre))
+        assert {r.id: r.points for r in old.collect()} == want
+        # incremental over the upsert commit decodes its logs too
+        inc = HudiTable(path, spark).read_incremental(None)
+        assert {r.id: r.points for r in inc.collect()} == want
+        # executor-side decode path (decode_logs_distributed) maps too
+        dist = HudiTable(path, spark).read(
+            HudiReadOptions(log_decode="distributed")
+        )
+        assert {r.id: r.points for r in dist.collect()} == want
+
+        # post-rename upsert (new name) merges with pre-rename logs
+        upsert(
+            spark.createDataFrame(
+                [(2, "u2", 99.0, "a", 3)],
+                "id int, name string, points double, city string, ts int",
+            ),
+            path,
+        )
+        got = {r.id: r.points for r in _read(spark, path).collect()}
+        assert got == {**want, 2: 99.0}
+
+        # compaction rewrites pre-rename logs under the NEW name
+        compact(spark, path)
+        t2 = HudiTable(path, spark)
+        assert not any(s.log_files for s in t2.get_file_slices())
+        got = {r.id: r.points for r in t2.read().collect()}
+        assert got == {**want, 2: 99.0}
 
     def test_rename_via_sql_and_time_travel(self, spark, tmp_path):
         from hudi_rs_spark.config.read_config import HudiReadOptions
