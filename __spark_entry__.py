@@ -21,52 +21,52 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Driver-row freshness rotation (every query passes the identical
 # local DuckDB oracle in tests/test_oracle_diff.py): lead with this
-# round's NEW row, then the NINE rows whose newest driver evidence is
-# r9 (write_secondary_lookup was cut by r11's 50-row window; the eight
-# pure-SQL set-op rows were deliberately aged out at r11 — VERDICT r11
-# next-round #5), then the rows whose newest evidence is r10, so a
-# prefix-sampling driver keeps every row's evidence <=2 rounds old.
-# The ten STABLE rows listed right after position 50 (pure window SQL
-# + stubbed-decode multimodal) are the ones chosen to age to r13;
-# everything r11-fresh follows in stable registry order.
+# round's NEW/CHANGED rows, then the THIRTEEN rows whose newest driver
+# evidence is r10 (the planned agers from r12's boundary comment), then
+# 35 of the 50 r11-evidence rows — prioritizing everything the r13 code
+# changes touch (log-decode rename mapping -> mor/write lifecycle rows;
+# pin() backend -> the iterative dedup/similarity rows). The FIFTEEN
+# stable r11 rows listed right after position 50 (pure-SQL TPC-H head,
+# the merge_* window composites, exact/normalized dedup, token stats —
+# zero code touched since r11) age to r14 and lead its window;
+# everything r12-fresh follows in stable registry order.
 _SURFACE_FIRST = [
-    # NEW r12 rows — first-time driver evidence
-    "write_schema_evolved",  # type-widening upsert + add-column
-    "write_sql_ctas",  # CREATE TABLE ... USING hudi_py AS SELECT
-    "write_ddl_columns",  # ALTER TABLE ADD/DROP COLUMNS schema DDL
-    "dedup_exact_substring",  # Lee-et-al containment dedup
-    # newest evidence r9 — refresh now (9)
-    "write_secondary_lookup",
-    "cube_revenue", "rollup_revenue", "grouping_sets_revenue",
-    "distinct_counts", "except_churned_customers",
-    "intersect_loyal_customers", "salted_revenue_by_status",
-    "scalar_functions",
-    # newest evidence r10 — refresh (37 of 50 fit the window; the
-    # write rows and TPC-H head go first)
-    "write_cow_roundtrip", "write_upsert_roundtrip",
-    "write_async_compacted", "write_bucket_upsert", "write_cdc_feed",
-    "write_delete_partition", "write_dml_predicates",
-    "write_expr_index_scan", "write_merge_into", "write_v9_lifecycle",
-    "write_zorder_clustered",
-    "q7_volume_shipping", "q8_market_share", "q9_product_revenue",
-    "q10_returned_items", "q12_priority_lines", "q13_order_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_part_demand",
-    "q17_small_quantity", "q18_large_volume", "q20_heavy_suppliers",
-    "q21_late_suppliers", "q_price_percentiles",
-    "dedup_fuzzy_levenshtein", "ops_asof_join", "ops_range_join",
-    "pack_token_shards", "pipeline_curate",
-    "sample_stratified", "sample_weighted_mix",
-    "sim_brute_topk", "sim_ivf_topk", "sim_kmeans_clusters",
-    "sim_lsh_topk",
-    "text_decontaminate",
-    # --- 50-row window boundary: the thirteen stable r10 rows below
-    # age to r13 (length/rarity/tfidf + pure window SQL + stubbed
-    # multimodal + json — least regression surface)
+    # NEW r13 row — first-time driver evidence
+    "write_sql_timetravel",  # SELECT ... TIMESTAMP AS OF via the router
+    # REWORKED r13 — now renames over LIVE MOR logs (3 schema epochs)
+    "write_ddl_columns",
+    # newest evidence r10 — the planned r12->r13 agers (13)
     "text_length_outliers", "text_rarity_score", "text_tfidf_topterms",
     "win_lag_delta", "win_running_total", "win_sessionize",
     "win_top3_events_per_user", "win_user_rank",
     "mm_audio_features", "mm_frame_sample", "mm_image_features",
     "mm_resize_features", "json_props_stats",
+    # newest evidence r11 — refresh 35 of 50 (rows touching r13's
+    # changed code first: MOR log decode, write lifecycle, pin())
+    "mor_snapshot_merge", "mor_incremental_refresh",
+    "write_compacted_snapshot", "write_clustered_snapshot",
+    "write_point_lookup", "write_lance_roundtrip",
+    "write_bucket_rescaled", "write_async_clustered", "write_sql_dml",
+    "write_partial_update", "write_savepoint_restore",
+    "write_partition_ttl", "write_dms_ingest", "write_insert_overwrite",
+    "write_bootstrap", "write_sql_procedures", "write_upgrade",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_cluster_canonical",
+    "dedup_simhash", "dedup_incremental",
+    "sim_embedding_near_dups", "sim_semdedup",
+    "sample_temperature_mix", "sample_shuffle_shard",
+    "sample_split_leakfree",
+    "text_quality", "text_lang_id", "text_fingerprint_groups",
+    "text_pii_scrub", "text_repetition", "text_chunk_overlap",
+    "text_gopher_filter", "text_interdup_score",
+    # --- 50-row window boundary: the fifteen stable r11 rows below
+    # age to r14 (pure relational SQL + merge composites untouched
+    # since r11 — least regression surface)
+    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q19_disjunctive",
+    "q22_no_order_customers",
+    "merge_latest_state", "merge_incremental_window",
+    "merge_asof_snapshot", "merge_delete_aware", "merge_append_only",
+    "dedup_exact", "dedup_normalized", "text_token_stats",
 ]
 
 

@@ -851,6 +851,62 @@ def write_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+SQL_TIMETRAVEL_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 9 = 0 THEN text || '#u' ELSE text END AS text,
+       lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def write_sql_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL time travel through the plain-SELECT router
+    (write/sql.py::_rewrite_time_travel): seed -> upsert ts=2 (%9
+    '#u') -> capture the instant -> a LATER junk upsert ts=3 (%7
+    '#x') -> ``SELECT ... FROM t TIMESTAMP AS OF '<instant2>'``. The
+    as-of read must include the %9 commit and EXCLUDE the junk —
+    proving the rewrite builds a real time-traveled view, not an alias
+    of the live snapshot. Reference timestamp semantics:
+    docs/reader-spec.md:311-319."""
+    from hudi_rs_spark.sources.hudi import HudiTable
+    from hudi_rs_spark.write.sql import hudi_sql
+    from hudi_rs_spark.write.upsert import upsert
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_ttsql_bench_")
+    path = os.path.join(tmp, "t")
+    w = _docs(spark, sf_dir).write.format("hudi_py").option("path", path)
+    for k, v in _seed_options().items():
+        w = w.option(k, v)
+    w.mode("append").save()
+    docs = _docs(spark, sf_dir)
+    upsert(
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit("#u")))
+        .withColumn("ts", F.lit(2)),
+        path,
+    )
+    mid = HudiTable(
+        path, spark=None, listing="direct"
+    ).timeline.instants[-1].timestamp
+    upsert(
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit("#x")))
+        .withColumn("ts", F.lit(3)),
+        path,
+    )
+    out = hudi_sql(
+        spark,
+        f"SELECT doc_id, text, lang FROM t TIMESTAMP AS OF '{mid}' "
+        "ORDER BY doc_id",
+        tables={"t": path},
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 CTAS_SQL = """
 SELECT doc_id,
        CASE WHEN doc_id % 13 = 0 THEN text || '#c' ELSE text END AS text,
@@ -1470,6 +1526,8 @@ for _n, _f, _s, _d in [
      "type-widening upsert (int->long, float->double) + add-column"),
     ("write_sql_ctas", write_sql_ctas, CTAS_SQL,
      "CREATE TABLE ... USING hudi_py AS SELECT via the SQL router"),
+    ("write_sql_timetravel", write_sql_timetravel, SQL_TIMETRAVEL_SQL,
+     "SELECT ... FROM t TIMESTAMP AS OF via the plain-SELECT router"),
     ("write_ddl_columns", write_ddl_columns, DDL_COLUMNS_SQL,
      "ALTER TABLE ADD/DROP COLUMNS as metadata-only schema commits"),
     ("write_savepoint_restore", write_savepoint_restore, LIFECYCLE_SQL,
