@@ -52,7 +52,7 @@ if _REPO not in sys.path:
 BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 MULT = int(os.environ.get("SCALECHECK_MULT", "5"))
 RUNS = int(os.environ.get("SCALECHECK_RUNS", "1"))
-OUT = os.path.join(_REPO, os.environ.get("SCALECHECK_OUT", "SCALECHECK_r11.json"))
+OUT = os.path.join(_REPO, os.environ.get("SCALECHECK_OUT", "SCALECHECK_r13.json"))
 ID_STRIDE = 10**9
 
 
@@ -200,6 +200,14 @@ def main() -> None:
         # r12: exact-substring dedup — stride-1 window volume is total
         # corpus tokens, so the shingle pass must track corpus size
         "dedup_exact_substring",
+        # r13: rename-over-live-logs — the merged read now maps log
+        # records' prior names per-epoch (apply_renames is O(renamed
+        # cols) per record), and the three-epoch union must stay one
+        # scan per epoch, so the row must track corpus size
+        "write_ddl_columns",
+        # r13: SQL time travel — the rewritten as-of view must cost the
+        # same as the equivalent DataFrame as_of read (one merged scan)
+        "write_sql_timetravel",
     ]
 
     def semdedup_at(k: int):
