@@ -229,13 +229,25 @@ class TestCrossInstantOCC:
     def _upsert_writer(self, path):
         import time
 
+        from pyspark.sql import types as T
+
         from hudi_rs_spark.write.writer import HudiPyBatchWriter
 
         time.sleep(0.002)  # distinct ms-precision instants per writer
+        # declare the tag columns the update batches carry (the writer
+        # refuses UNTAGGED upserts on non-empty tables — r13 guard)
+        tagged = T.StructType(
+            list(self._schema().fields)
+            + [
+                T.StructField("__hoodie_target_file_id", T.StringType()),
+                T.StructField("__hoodie_target_base_instant", T.StringType()),
+                T.StructField("__hoodie_log_version", T.IntegerType()),
+            ]
+        )
         return HudiPyBatchWriter(
             {"path": path, "recordkey.field": "id", "precombine.field": "ts",
              "table.type": "MERGE_ON_READ", "operation": "upsert"},
-            self._schema(), overwrite=False,
+            tagged, overwrite=False,
         )
 
     def test_overlapping_concurrent_upserts_exactly_one_commits(self, tmp_path):
