@@ -128,10 +128,13 @@ HEADLINE = [
     "write_sql_procedures",
     "write_upgrade",
     # round-12 write path: type-widening schema evolution, SQL CTAS,
-    # ADD/DROP COLUMNS schema DDL
+    # ADD/DROP COLUMNS schema DDL (r13: the DDL row now renames over
+    # LIVE logs and merges three schema epochs — costlier by design)
     "write_schema_evolved",
     "write_sql_ctas",
     "write_ddl_columns",
+    # round-13: SQL time travel through the plain-SELECT router
+    "write_sql_timetravel",
     # sample_split_leakfree stays registry/oracle-only: its plan is the
     # dedup_cluster_canonical LSH+CC (already benched twice via
     # pipeline_curate) plus a map-side coin flip.
