@@ -173,6 +173,33 @@ def hudi_sql(spark, statement: str, tables: dict | None = None, **options):
         return _run_alter(spark, stmt, tables, options)
     if head.startswith("CALL"):
         return _run_call(spark, stmt, tables, options)
+    if head.startswith("INSERT"):
+        return _run_insert(spark, stmt, tables, options)
+    if head.startswith("SHOW"):
+        # SHOW <what> FROM|IN|ON <t> — sugar over the CALL procedures
+        # (Hudi SQL: SHOW INDEXES FROM t; Spark: SHOW PARTITIONS t /
+        # SHOW TBLPROPERTIES t)
+        sm = re.match(
+            rf"SHOW\s+(?P<w>INDEXES|INDICES|PARTITIONS|COMMITS|SAVEPOINTS|"
+            rf"ROLLBACKS|TBLPROPERTIES)\s+(?:FROM\s+|IN\s+|ON\s+)?"
+            rf"(?P<t>{_IDENT})\s*$",
+            stmt,
+            re.I,
+        )
+        if not sm:
+            raise SqlDmlError(
+                "expected SHOW INDEXES|PARTITIONS|COMMITS|SAVEPOINTS|"
+                "ROLLBACKS|TBLPROPERTIES [FROM|IN|ON] <table>"
+            )
+        proc = {
+            "INDEXES": "show_indexes", "INDICES": "show_indexes",
+            "PARTITIONS": "show_partitions", "COMMITS": "show_commits",
+            "SAVEPOINTS": "show_savepoints", "ROLLBACKS": "show_rollbacks",
+            "TBLPROPERTIES": "show_table_properties",
+        }[sm.group("w").upper()]
+        return _run_call(
+            spark, f"CALL {proc}(table => {sm.group('t')})", tables, options
+        )
     if re.match(r"CREATE\s+INDEX\b", stmt, re.I):
         return _run_create_index(spark, stmt, tables, options)
     if re.match(r"DROP\s+INDEX\b", stmt, re.I):
@@ -201,6 +228,8 @@ def hudi_sql(spark, statement: str, tables: dict | None = None, **options):
         "ALTER TABLE ... DROP PARTITION / CALL <procedure>(...) / "
         "CREATE TABLE ... USING hudi_py ... AS SELECT / "
         "CREATE INDEX ... ON <t> USING <type>(...) / DROP INDEX / "
+        "INSERT INTO|OVERWRITE <t> SELECT|VALUES ... / "
+        "SHOW INDEXES|PARTITIONS|... FROM <t> / "
         "SELECT ... FROM hudi_table_changes(...) | hudi_query(...)"
     )
 
@@ -576,6 +605,102 @@ def _take_parens(s: str, from_idx: int) -> tuple[str, int]:
     if c < 0:
         raise SqlDmlError("unbalanced parentheses")
     return s[o + 1 : c], c + 1
+
+
+def _run_insert(spark, stmt: str, tables, options):
+    """``INSERT INTO <t> [(c1, …)] SELECT …|VALUES …`` and ``INSERT
+    OVERWRITE [TABLE] <t> …`` through the router.
+
+    The source SELECT runs through the same plain-SELECT machinery —
+    named hudi tables become snapshot views and ``TIMESTAMP AS OF``
+    rewrites apply — so ``INSERT INTO dst SELECT … FROM src TIMESTAMP
+    AS OF '…'`` works. VALUES lists become a Spark inline table aliased
+    to the column list (or the target's data columns). A column list
+    maps source positions onto the named target columns and fills the
+    rest with typed NULLs; without one, a source whose arity matches
+    the target binds positionally (SQL default), otherwise a by-name
+    subset fills missing columns with NULLs. The frame lands through
+    the DataFrame writer — ``inherit_table_identity`` fills
+    keys/type/version from hoodie.properties, so nothing but the path
+    is needed; INTO appends (Hudi INSERT semantics: no key dedup
+    against existing groups — use upsert()/MERGE for that), OVERWRITE
+    is insert_overwrite_table (one replacecommit, time travel intact).
+    Static ``PARTITION (…)`` clauses are not parsed — use
+    delete_partitions / insert_overwrite on a pre-filtered frame."""
+    from pyspark.sql import functions as F
+
+    from hudi_rs_spark.avro.spark_schema import avro_record_to_struct
+    from hudi_rs_spark.write.ddl import _current_schema
+
+    m = re.match(
+        rf"INSERT\s+(?P<ow>OVERWRITE|INTO)\s+(?:TABLE\s+)?(?P<t>{_IDENT})\s*",
+        stmt,
+        re.I,
+    )
+    if not m:
+        raise SqlDmlError("expected INSERT INTO|OVERWRITE <table> ...")
+    overwrite = m.group("ow").upper() == "OVERWRITE"
+    path = _resolve_path(m.group("t"), tables)
+    rest = stmt[m.end():].lstrip()
+    cols: list[str] | None = None
+    if rest.startswith("("):
+        inner, past = _take_parens(rest, 0)
+        if not re.match(r"\s*(SELECT|WITH|VALUES)\b", inner, re.I):
+            cols = [
+                _unquote(c) for c in _split_top(inner, r",") if c.strip()
+            ]
+            rest = rest[past:].lstrip()
+    if not rest:
+        raise SqlDmlError("INSERT needs a SELECT or VALUES source")
+
+    target = avro_record_to_struct(_current_schema(path))
+    data_cols = [f.name for f in target.fields]
+
+    if re.match(r"VALUES\b", rest, re.I):
+        names = cols or data_cols
+        first, _ = _take_parens(rest, 0)
+        arity = len(_split_top(first, r","))
+        if arity != len(names):
+            raise SqlDmlError(
+                f"VALUES arity {arity} != {len(names)} target columns "
+                f"({', '.join(names)})"
+            )
+        df = spark.sql(f"SELECT * FROM ({rest} AS __ins({', '.join(names)}))")
+    elif re.match(r"(SELECT|WITH)\b", rest, re.I):
+        df = _run_plain_select(spark, rest, tables)
+        if cols:
+            if len(df.columns) != len(cols):
+                raise SqlDmlError(
+                    f"source arity {len(df.columns)} != column list "
+                    f"({', '.join(cols)})"
+                )
+            df = df.toDF(*cols)
+        elif len(df.columns) == len(data_cols):
+            df = df.toDF(*data_cols)  # positional bind (SQL default)
+    else:
+        raise SqlDmlError("INSERT source must be SELECT, WITH, or VALUES")
+
+    unknown = [c for c in df.columns if c not in data_cols]
+    if unknown:
+        raise SqlDmlError(
+            f"INSERT columns {unknown} not in the table schema "
+            f"({', '.join(data_cols)}); evolve the schema first "
+            "(ALTER TABLE ADD COLUMNS)"
+        )
+    # conform to the full target row: cast present columns, NULL the rest
+    df = df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target.fields
+        ]
+    )
+    w = df.write.format("hudi_py").option("path", path)
+    for k, v in (options or {}).items():
+        w = w.option(k, str(v))
+    w.mode("overwrite" if overwrite else "append").save()
+    return None
 
 
 def _run_create_index(spark, stmt: str, tables, options):
