@@ -839,21 +839,40 @@ def _run_create(spark, stmt: str, tables, options):
     keys pass through VERBATIM as writer options (``recordkey.field``,
     ``table.type``, …) and persist to hoodie.properties; the target
     path resolves LOCATION first, then ``tables={name: path}``, then an
-    OPTIONS ``path`` entry, then a path-shaped name literal."""
+    OPTIONS ``path`` entry, then a path-shaped name literal.
+
+    The SCHEMA-ONLY form — ``CREATE TABLE t (id BIGINT, name STRING, …)
+    USING hudi_py …`` with no AS — initializes an EMPTY table: one
+    ``hoodie.properties`` publish plus one metadata-only schema commit
+    (write/ddl.py::_schema_commit), so reads return zero rows with the
+    declared columns and a later ``INSERT INTO`` / ``df.write`` append
+    lands with the table's identity already pinned. Key/partition
+    columns must appear in the declared schema."""
     m = re.match(r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?", stmt, re.I)
     if_not_exists = bool(m.group(1))
     rest = stmt[m.end():]
     as_hit = _find_top(rest, r"\bAS\b")
-    if not as_hit:
-        raise SqlDmlError("only CTAS is supported: CREATE TABLE ... AS SELECT")
-    head, select_sql = rest[: as_hit.start()], rest[as_hit.end():].strip()
-    if not re.match(r"(SELECT|WITH)\b", select_sql, re.I):
+    head = rest[: as_hit.start()] if as_hit else rest
+    select_sql = rest[as_hit.end():].strip() if as_hit else None
+    if select_sql is not None and not re.match(
+        r"(SELECT|WITH)\b", select_sql, re.I
+    ):
         raise SqlDmlError("CREATE TABLE ... AS must be followed by SELECT")
-    toks = head.strip().split(None, 1)
-    if not toks:
+    nm = re.match(rf"\s*(?P<n>{_IDENT})\s*", head)
+    if not nm or not nm.group("n"):
         raise SqlDmlError("CREATE TABLE needs a table name")
-    name = _unquote(toks[0])
-    tail = toks[1] if len(toks) > 1 else ""
+    name = _unquote(nm.group("n"))
+    tail = head[nm.end():]
+    schema_cols: list[str] | None = None
+    if tail.lstrip().startswith("("):
+        inner, past = _take_parens(tail, 0)
+        schema_cols = [c for c in _split_top(inner, r",") if c.strip()]
+        tail = tail[past:]
+    if select_sql is None and not schema_cols:
+        raise SqlDmlError(
+            "CREATE TABLE needs a column list (empty-table init) or "
+            "AS SELECT (CTAS)"
+        )
     um = _find_top(tail, r"\bUSING\s+([\w.]+)")
     if um is None or um.group(1).lower() not in ("hudi_py", "hudi"):
         raise SqlDmlError("CREATE TABLE requires USING hudi_py")
@@ -908,12 +927,64 @@ def _run_create(spark, stmt: str, tables, options):
         if if_not_exists:
             return None
         raise SqlDmlError(f"table {name!r} already exists at {path}")
+    merged = {"hoodie.table.name": name, **opts, **options}
+    if select_sql is None:
+        return _create_empty_table(path, name, schema_cols, merged)
     df = spark.sql(select_sql)
     w = df.write.format("hudi_py").option("path", path)
-    merged = {"hoodie.table.name": name, **opts, **options}
     for k, v in merged.items():
         w = w.option(k, str(v))
     w.mode("append").save()
+    return None
+
+
+def _create_empty_table(
+    path: str, name: str, schema_cols: list[str], merged: dict
+) -> None:
+    """Schema-only CREATE TABLE: hoodie.properties + one metadata-only
+    schema commit carrying the declared columns (see _run_create)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from hudi_rs_spark.write.config import WriteConfig
+    from hudi_rs_spark.write.ddl import _schema_commit
+    from hudi_rs_spark.write.writer import _spark_to_avro, init_table
+
+    fields, names = [], []
+    for cdef in schema_cols:
+        cm = re.match(rf"\s*(?P<c>{_IDENT})\s+(?P<t>.+?)\s*$", cdef, re.S)
+        if not cm:
+            raise SqlDmlError(f"cannot parse column definition {cdef!r}")
+        cname = _unquote(cm.group("c"))
+        try:
+            dt = _parse_datatype_string(cm.group("t"))
+        except Exception as e:
+            raise SqlDmlError(
+                f"cannot parse type {cm.group('t')!r} for {cname!r}: {e}"
+            ) from e
+        names.append(cname)
+        fields.append(
+            {
+                "name": cname,
+                "type": ["null", _spark_to_avro(dt, cname)],
+                "default": None,
+            }
+        )
+    cfg = WriteConfig.from_options({"path": path, **merged})
+    missing = [
+        c
+        for c in (*cfg.record_key_fields, *cfg.partition_fields)
+        if c not in names
+    ]
+    if missing:
+        raise SqlDmlError(
+            f"key/partition column(s) {missing} are not in the declared "
+            f"schema ({', '.join(names)})"
+        )
+    init_table(cfg)
+    record_name = re.sub(r"\W", "_", name) or "record"
+    _schema_commit(
+        path, {"type": "record", "name": record_name, "fields": fields}, None
+    )
     return None
 
 

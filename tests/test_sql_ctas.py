@@ -124,10 +124,12 @@ class TestCtas:
                 "CREATE TABLE t5 AS SELECT * FROM ctas_src",
                 tables={"t5": t},
             )
-        with pytest.raises(SqlDmlError, match="CTAS"):
+        # (r13) a column list makes this a legal EMPTY-table init —
+        # the error is now only for neither-columns-nor-AS
+        with pytest.raises(SqlDmlError, match="column list"):
             hudi_sql(
                 spark,
-                "CREATE TABLE t5 (id long) USING hudi_py",
+                "CREATE TABLE t5 USING hudi_py",
                 tables={"t5": t},
             )
         with pytest.raises(SqlDmlError, match="no location"):
@@ -216,3 +218,83 @@ class TestCtas:
         )
         assert all(p == "b" for _, p in _snap(spark, t).values())
         assert _props(t)["hoodie.table.name"] == "renamed"
+
+
+class TestCreateEmptyTable:
+    """Schema-only CREATE TABLE (r13): hoodie.properties + one
+    metadata-only schema commit — reads return 0 rows with the declared
+    columns, and INSERT INTO / upsert land with the identity pinned."""
+
+    def test_create_read_insert_roundtrip(self, spark, tmp_path):
+        from hudi_rs_spark.write.sql import hudi_sql
+
+        t = str(tmp_path / "t")
+        hudi_sql(
+            spark,
+            "CREATE TABLE t (id BIGINT, name STRING, part STRING, ts BIGINT) "
+            "USING hudi_py OPTIONS(recordkey.field 'id', "
+            "precombine.field 'ts', partitionpath.field 'part', "
+            "'table.type' 'MERGE_ON_READ', 'table.version' '8') "
+            f"LOCATION '{t}'",
+        )
+        df = spark.read.format("hudi_py").option("path", t).load()
+        assert df.count() == 0
+        assert {"id", "name", "part", "ts"} <= set(df.columns)
+        hudi_sql(
+            spark,
+            "INSERT INTO t VALUES (1, 'a', 'x', 1), (2, 'b', 'y', 1)",
+            tables={"t": t},
+        )
+        got = {
+            r.id: r.name
+            for r in spark.read.format("hudi_py").option("path", t)
+            .load().collect()
+        }
+        assert got == {1: "a", 2: "b"}
+        # identity persisted: upsert with no options works
+        from hudi_rs_spark.write.upsert import upsert
+
+        upsert(
+            spark.createDataFrame(
+                [(1, "upd", "x", 2)],
+                "id long, name string, part string, ts long",
+            ),
+            t,
+        )
+        got = {
+            r.id: r.name
+            for r in spark.read.format("hudi_py").option("path", t)
+            .load().collect()
+        }
+        assert got == {1: "upd", 2: "b"}
+
+    def test_guards(self, spark, tmp_path):
+        from hudi_rs_spark.write.sql import SqlDmlError, hudi_sql
+
+        t = str(tmp_path / "t")
+        with pytest.raises(SqlDmlError, match="column list"):
+            hudi_sql(spark, f"CREATE TABLE t USING hudi_py LOCATION '{t}'")
+        with pytest.raises(SqlDmlError, match="not in the declared"):
+            hudi_sql(
+                spark,
+                "CREATE TABLE t (name STRING) USING hudi_py "
+                f"OPTIONS(recordkey.field 'id') LOCATION '{t}'",
+            )
+        hudi_sql(
+            spark,
+            "CREATE TABLE t (id BIGINT, ts BIGINT) USING hudi_py "
+            "OPTIONS(recordkey.field 'id', precombine.field 'ts') "
+            f"LOCATION '{t}'",
+        )
+        with pytest.raises(SqlDmlError, match="already exists"):
+            hudi_sql(
+                spark,
+                "CREATE TABLE t (id BIGINT, ts BIGINT) USING hudi_py "
+                f"LOCATION '{t}'",
+            )
+        # IF NOT EXISTS: silent no-op
+        hudi_sql(
+            spark,
+            "CREATE TABLE IF NOT EXISTS t (id BIGINT, ts BIGINT) "
+            f"USING hudi_py LOCATION '{t}'",
+        )
