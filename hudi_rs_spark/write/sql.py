@@ -1371,6 +1371,46 @@ def _run_call(spark, stmt: str, tables, options):
         )
         return None
 
+    if proc in ("run_validation", "validate_table"):
+        # Hudi's validator procedure: every structural check as a row
+        from hudi_rs_spark.write.validate import validate_table
+
+        report = validate_table(path, spark=spark)
+        rows = [
+            (
+                cname,
+                bool(c.get("ok")),
+                "; ".join(str(p) for p in (c.get("problems") or [])[:3]),
+            )
+            for cname, c in report["checks"].items()
+        ]
+        return spark.createDataFrame(
+            rows, "check string, ok boolean, problems string"
+        )
+
+    if proc in ("show_fsview_all", "show_file_slices"):
+        # Hudi's show_fsview_all: one row per live file slice
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t2 = HudiTable(path, spark=None, listing="direct")
+        rows = [
+            (
+                s.partition_path,
+                s.file_id,
+                s.commit_timestamp,
+                s.base_file.file_name if s.base_file else None,
+                int(s.base_file.size) if s.base_file else 0,
+                len(s.log_files),
+                int(sum(lf.size for lf in s.log_files)),
+            )
+            for s in t2.get_file_slices()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "partition string, file_id string, base_instant string, "
+            "base_file string, base_size long, num_logs int, log_size long",
+        )
+
     raise SqlDmlError(
         f"unknown procedure {proc!r}; supported: run_compaction, "
         "run_clustering, run_clean, create_savepoint, delete_savepoint, "
@@ -1378,7 +1418,8 @@ def _run_call(spark, stmt: str, tables, options):
         "downgrade_table, run_index, drop_index, show_indexes, "
         "show_commits, show_savepoints, show_compaction, show_clustering, "
         "show_partitions, show_table_properties, show_rollbacks, "
-        "show_archived_commits, run_bootstrap, rescale_buckets"
+        "show_archived_commits, run_bootstrap, rescale_buckets, "
+        "run_validation, show_fsview_all"
     )
 
 
@@ -1553,23 +1594,41 @@ def _run_tvf_select(spark, stmt: str, tables, options):
             # hudi_query(table, query_type [, as_of]) — snapshot /
             # read_optimized, optionally time-traveled (the as_of arg is
             # this engine's extension; Hudi exposes time travel through
-            # TIMESTAMP AS OF instead)
+            # TIMESTAMP AS OF instead) — or hudi_query(table,
+            # 'incremental', start [, end]): Hudi's incremental query
+            # type, (start, end] row-level latest-state window
             from hudi_rs_spark.config.read_config import HudiReadOptions
 
-            if len(parts) not in (2, 3):
-                raise SqlDmlError("hudi_query(table, query_type [, as_of])")
+            if len(parts) < 2:
+                raise SqlDmlError("hudi_query(table, query_type [, ...])")
             qt = parts[1].lower()
-            if qt not in ("snapshot", "read_optimized"):
+            if qt == "incremental":
+                if len(parts) not in (3, 4):
+                    raise SqlDmlError(
+                        "hudi_query(table, 'incremental', start [, end])"
+                    )
+                start = None if parts[2].lower() == "earliest" else parts[2]
+                df = HudiTable(
+                    _resolve_path(parts[0], tables), spark
+                ).read_incremental(
+                    start, parts[3] if len(parts) == 4 else None
+                )
+            elif qt in ("snapshot", "read_optimized"):
+                if len(parts) not in (2, 3):
+                    raise SqlDmlError(
+                        "hudi_query(table, query_type [, as_of])"
+                    )
+                df = HudiTable(_resolve_path(parts[0], tables), spark).read(
+                    HudiReadOptions(
+                        as_of_timestamp=parts[2] if len(parts) == 3 else None,
+                        use_read_optimized_mode=(qt == "read_optimized"),
+                    )
+                )
+            else:
                 raise SqlDmlError(
                     f"unknown hudi_query type {qt!r}: "
-                    "snapshot | read_optimized"
+                    "snapshot | read_optimized | incremental"
                 )
-            df = HudiTable(_resolve_path(parts[0], tables), spark).read(
-                HudiReadOptions(
-                    as_of_timestamp=parts[2] if len(parts) == 3 else None,
-                    use_read_optimized_mode=(qt == "read_optimized"),
-                )
-            )
             view = f"__hudi_query_{n}"
             n += 1
             df.createOrReplaceTempView(view)

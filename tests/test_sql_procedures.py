@@ -472,3 +472,75 @@ class TestR12Procedures:
             hudi_sql(
                 spark, "CALL run_bootstrap(table => 't')", tables={"t": t}
             )
+
+
+class TestR13Procedures:
+    def _seed(self, spark, path, n=10):
+        df = spark.createDataFrame(
+            [(i, f"n{i}", 1) for i in range(n)],
+            "id long, name string, ts long",
+        )
+        (
+            df.write.format("hudi_py").option("path", path)
+            .option("recordkey.field", "id")
+            .option("precombine.field", "ts")
+            .option("table.type", "MERGE_ON_READ")
+            .option("table.version", "8")
+            .mode("append").save()
+        )
+
+    def test_run_validation(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        rows = hudi_sql(
+            spark, "CALL run_validation(table => 't')", tables={"t": path}
+        ).collect()
+        assert rows and all(r.ok for r in rows)
+        assert {"timeline"} <= {r.check for r in rows} or len(rows) >= 5
+
+    def test_show_fsview_all(self, spark, tmp_path):
+        from hudi_rs_spark.write.upsert import upsert
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        upsert(
+            spark.createDataFrame([(0, "u", 2)], "id long, name string, ts long"),
+            path,
+        )
+        rows = hudi_sql(
+            spark, "CALL show_fsview_all(table => 't')", tables={"t": path}
+        ).collect()
+        assert rows
+        assert all(r.base_instant for r in rows)
+        assert any(r.num_logs > 0 and r.log_size > 0 for r in rows)
+
+    def test_hudi_query_incremental(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.upsert import upsert
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        first = HudiTable(path, spark).timeline.instants[-1].timestamp
+        upsert(
+            spark.createDataFrame(
+                [(0, "u0", 2), (99, "new", 2)], "id long, name string, ts long"
+            ),
+            path,
+        )
+        got = {
+            r.id: r.name
+            for r in hudi_sql(
+                spark,
+                "SELECT id, name FROM "
+                f"hudi_query('t', 'incremental', '{first}')",
+                tables={"t": path},
+            ).collect()
+        }
+        assert got == {0: "u0", 99: "new"}
+        earliest = hudi_sql(
+            spark,
+            "SELECT count(*) AS c FROM "
+            "hudi_query('t', 'incremental', 'earliest')",
+            tables={"t": path},
+        ).collect()[0].c
+        assert earliest == 11
