@@ -642,6 +642,23 @@ def _run_insert(spark, stmt: str, tables, options):
     overwrite = m.group("ow").upper() == "OVERWRITE"
     path = _resolve_path(m.group("t"), tables)
     rest = stmt[m.end():].lstrip()
+    # static PARTITION (k='v', …) clause: values become literal columns;
+    # with OVERWRITE the write runs as a DYNAMIC partition overwrite
+    # (insert_overwrite), so only the named partition is replaced
+    statics: dict[str, str] = {}
+    pm = re.match(r"PARTITION\s*", rest, re.I)
+    if pm:
+        inner, past = _take_parens(rest, pm.end())
+        for piece in _split_top(inner, r","):
+            kv = re.match(
+                rf"^\s*({_IDENT})\s*=\s*({_IDENT})\s*$", piece, re.S
+            )
+            if not kv:
+                raise SqlDmlError(
+                    f"cannot parse PARTITION entry {piece!r} (k = 'v')"
+                )
+            statics[_unquote(kv.group(1))] = _unquote(kv.group(2))
+        rest = rest[past:].lstrip()
     cols: list[str] | None = None
     if rest.startswith("("):
         inner, past = _take_parens(rest, 0)
@@ -655,9 +672,14 @@ def _run_insert(spark, stmt: str, tables, options):
 
     target = avro_record_to_struct(_current_schema(path))
     data_cols = [f.name for f in target.fields]
+    bad_static = [c for c in statics if c not in data_cols]
+    if bad_static:
+        raise SqlDmlError(
+            f"PARTITION column(s) {bad_static} not in the table schema"
+        )
 
     if re.match(r"VALUES\b", rest, re.I):
-        names = cols or data_cols
+        names = cols or [c for c in data_cols if c not in statics]
         first, _ = _take_parens(rest, 0)
         arity = len(_split_top(first, r","))
         if arity != len(names):
@@ -675,8 +697,10 @@ def _run_insert(spark, stmt: str, tables, options):
                     f"({', '.join(cols)})"
                 )
             df = df.toDF(*cols)
-        elif len(df.columns) == len(data_cols):
-            df = df.toDF(*data_cols)  # positional bind (SQL default)
+        else:
+            free = [c for c in data_cols if c not in statics]
+            if len(df.columns) == len(free):
+                df = df.toDF(*free)  # positional bind (SQL default)
     else:
         raise SqlDmlError("INSERT source must be SELECT, WITH, or VALUES")
 
@@ -687,19 +711,26 @@ def _run_insert(spark, stmt: str, tables, options):
             f"({', '.join(data_cols)}); evolve the schema first "
             "(ALTER TABLE ADD COLUMNS)"
         )
-    # conform to the full target row: cast present columns, NULL the rest
-    df = df.select(
-        *[
-            F.col(f.name).cast(f.dataType).alias(f.name)
-            if f.name in df.columns
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in target.fields
-        ]
-    )
+    # conform to the full target row: statics as literals, cast present
+    # columns, NULL the rest
+    def _target_col(f):
+        if f.name in statics:
+            return F.lit(statics[f.name]).cast(f.dataType).alias(f.name)
+        if f.name in df.columns:
+            return F.col(f.name).cast(f.dataType).alias(f.name)
+        return F.lit(None).cast(f.dataType).alias(f.name)
+
+    df = df.select(*[_target_col(f) for f in target.fields])
     w = df.write.format("hudi_py").option("path", path)
     for k, v in (options or {}).items():
         w = w.option(k, str(v))
-    w.mode("overwrite" if overwrite else "append").save()
+    if overwrite and statics:
+        # dynamic partition overwrite: ONE replacecommit over just the
+        # partitions this write touches (= the static partition)
+        w = w.option("operation", "insert_overwrite")
+        w.mode("append").save()
+    else:
+        w.mode("overwrite" if overwrite else "append").save()
     return None
 
 

@@ -166,3 +166,40 @@ class TestShowStatements:
         ).collect() == []
         with pytest.raises(SqlDmlError, match="SHOW"):
             hudi_sql(spark, "SHOW WIDGETS FROM t", tables=tables)
+
+
+class TestInsertPartitionClause:
+    def test_insert_into_partition_statics(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        _seed(spark, t)
+        hudi_sql(
+            spark,
+            "INSERT INTO t PARTITION (part = 'a') VALUES (40, 'p40', 2)",
+            tables={"t": t},
+        )
+        snap = _snap(spark, t)
+        assert snap[40] == ("p40", "a") and len(snap) == 7
+
+    def test_insert_overwrite_partition_is_dynamic(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        _seed(spark, t)  # part=a holds ids 0,2,4; part=b holds 1,3,5
+        hudi_sql(
+            spark,
+            "INSERT OVERWRITE t PARTITION (part = 'a') "
+            "VALUES (50, 'only_a', 9)",
+            tables={"t": t},
+        )
+        snap = _snap(spark, t)
+        # partition a fully replaced, partition b untouched
+        assert {i for i, (_, p) in snap.items() if p == "a"} == {50}
+        assert {i for i, (_, p) in snap.items() if p == "b"} == {1, 3, 5}
+
+    def test_partition_column_validated(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        _seed(spark, t)
+        with pytest.raises(SqlDmlError, match="PARTITION column"):
+            hudi_sql(
+                spark,
+                "INSERT INTO t PARTITION (ghost = 'x') VALUES (1, 'a', 1)",
+                tables={"t": t},
+            )
