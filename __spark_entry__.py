@@ -31,8 +31,9 @@ from pyspark.sql import DataFrame, SparkSession
 # zero code touched since r11) age to r14 and lead its window;
 # everything r12-fresh follows in stable registry order.
 _SURFACE_FIRST = [
-    # NEW r13 row — first-time driver evidence
+    # NEW r13 rows — first-time driver evidence
     "write_sql_timetravel",  # SELECT ... TIMESTAMP AS OF via the router
+    "write_sql_insert",  # empty CREATE TABLE + INSERT SELECT/PARTITION
     # REWORKED r13 — now renames over LIVE MOR logs (3 schema epochs)
     "write_ddl_columns",
     # newest evidence r10 — the planned r12->r13 agers (13)
@@ -57,10 +58,11 @@ _SURFACE_FIRST = [
     "sample_split_leakfree",
     "text_quality", "text_lang_id", "text_fingerprint_groups",
     "text_pii_scrub", "text_repetition", "text_chunk_overlap",
-    "text_gopher_filter", "text_interdup_score",
-    # --- 50-row window boundary: the fifteen stable r11 rows below
-    # age to r14 (pure relational SQL + merge composites untouched
-    # since r11 — least regression surface)
+    "text_interdup_score",
+    # --- 50-row window boundary: the sixteen stable r11 rows below
+    # age to r14 (pure relational SQL + merge composites + gopher
+    # rules untouched since r11 — least regression surface)
+    "text_gopher_filter",
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q19_disjunctive",
     "q22_no_order_customers",

@@ -133,8 +133,11 @@ HEADLINE = [
     "write_schema_evolved",
     "write_sql_ctas",
     "write_ddl_columns",
-    # round-13: SQL time travel through the plain-SELECT router
+    # round-13: SQL time travel through the plain-SELECT router, and
+    # the SQL write surface (empty CREATE TABLE + INSERT INTO SELECT +
+    # dynamic INSERT OVERWRITE PARTITION)
     "write_sql_timetravel",
+    "write_sql_insert",
     # sample_split_leakfree stays registry/oracle-only: its plan is the
     # dedup_cluster_canonical LSH+CC (already benched twice via
     # pipeline_curate) plus a map-side coin flip.

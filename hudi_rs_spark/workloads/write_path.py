@@ -907,6 +907,62 @@ def write_sql_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+SQL_INSERT_SQL = """
+SELECT doc_id, text, lang FROM documents
+WHERE doc_id % 2 = 0 AND lang <> 'de'
+UNION ALL
+SELECT doc_id, text || '#o' AS text, lang FROM documents
+WHERE lang = 'de' AND doc_id % 4 = 0
+ORDER BY doc_id
+"""
+
+
+def write_sql_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r13 SQL write surface end-to-end: schema-only CREATE TABLE
+    (hoodie.properties + one metadata-only schema commit), INSERT INTO
+    … SELECT (source through the plain-SELECT machinery, frame through
+    the DataFrame writer with identity inheritance), then INSERT
+    OVERWRITE … PARTITION — a DYNAMIC partition overwrite publishing
+    ONE replacecommit over just the 'de' partition (every other
+    partition's file groups untouched; zero data rewrites outside it).
+    """
+    from hudi_rs_spark.write.sql import hudi_sql
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_sqlins_bench_")
+    path = os.path.join(tmp, "t")
+    _docs(spark, sf_dir).createOrReplaceTempView("src_docs")
+    hudi_sql(
+        spark,
+        "CREATE TABLE t (doc_id BIGINT, text STRING, lang STRING, "
+        "ts BIGINT) USING hudi_py OPTIONS(recordkey.field 'doc_id', "
+        "precombine.field 'ts', partitionpath.field 'lang', "
+        "'table.type' 'MERGE_ON_READ', 'table.version' '8') "
+        f"LOCATION '{path}'",
+    )
+    hudi_sql(
+        spark,
+        "INSERT INTO t SELECT doc_id, text, lang, 1 FROM src_docs "
+        "WHERE doc_id % 2 = 0",
+        tables={"t": path},
+    )
+    hudi_sql(
+        spark,
+        "INSERT OVERWRITE t PARTITION (lang = 'de') "
+        "SELECT doc_id, text || '#o', 2 FROM src_docs "
+        "WHERE lang = 'de' AND doc_id % 4 = 0",
+        tables={"t": path},
+    )
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 CTAS_SQL = """
 SELECT doc_id,
        CASE WHEN doc_id % 13 = 0 THEN text || '#c' ELSE text END AS text,
@@ -1528,6 +1584,8 @@ for _n, _f, _s, _d in [
      "CREATE TABLE ... USING hudi_py AS SELECT via the SQL router"),
     ("write_sql_timetravel", write_sql_timetravel, SQL_TIMETRAVEL_SQL,
      "SELECT ... FROM t TIMESTAMP AS OF via the plain-SELECT router"),
+    ("write_sql_insert", write_sql_insert, SQL_INSERT_SQL,
+     "empty CREATE TABLE + INSERT INTO SELECT + OVERWRITE PARTITION"),
     ("write_ddl_columns", write_ddl_columns, DDL_COLUMNS_SQL,
      "ALTER TABLE ADD/DROP COLUMNS as metadata-only schema commits"),
     ("write_savepoint_restore", write_savepoint_restore, LIFECYCLE_SQL,
