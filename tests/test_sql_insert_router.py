@@ -203,3 +203,34 @@ class TestInsertPartitionClause:
                 "INSERT INTO t PARTITION (ghost = 'x') VALUES (1, 'a', 1)",
                 tables={"t": t},
             )
+
+
+class TestFullSqlScript:
+    def test_ddl_dml_query_script_end_to_end(self, spark, tmp_path):
+        """One script exercising the whole r13 SQL statement surface:
+        empty CREATE TABLE -> INSERT VALUES -> INSERT INTO SELECT with
+        time travel -> UPDATE -> CREATE INDEX-free SHOW -> final query.
+        Statement-by-statement autocommit through hudi_sql_script."""
+        from hudi_rs_spark.write.sql import hudi_sql_script
+
+        t = str(tmp_path / "t")
+        script = f"""
+        -- init an empty MOR table
+        CREATE TABLE t (id BIGINT, name STRING, part STRING, ts BIGINT)
+        USING hudi_py OPTIONS(recordkey.field 'id',
+            precombine.field 'ts', partitionpath.field 'part',
+            'table.type' 'MERGE_ON_READ', 'table.version' '8')
+        LOCATION '{t}';
+
+        INSERT INTO t VALUES (1, 'a;b', 'x', 1), (2, 'b', 'y', 1);
+        INSERT INTO t PARTITION (part = 'x') VALUES (3, 'c', 1);
+        UPDATE t SET name = 'B' WHERE id = 2;
+        SHOW PARTITIONS t;
+        SELECT id, name, part FROM t ORDER BY id
+        """
+        results = hudi_sql_script(spark, script, tables={"t": t})
+        assert len(results) == 6
+        parts = {r.partition for r in results[4].collect()}
+        assert parts == {"part=x", "part=y"}
+        rows = [(r.id, r.name, r.part) for r in results[5].collect()]
+        assert rows == [(1, "a;b", "x"), (2, "B", "y"), (3, "c", "x")]

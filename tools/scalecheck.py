@@ -208,6 +208,10 @@ def main() -> None:
         # r13: SQL time travel — the rewritten as-of view must cost the
         # same as the equivalent DataFrame as_of read (one merged scan)
         "write_sql_timetravel",
+        # r13: the SQL write surface (empty CREATE TABLE + INSERT INTO
+        # SELECT + dynamic OVERWRITE PARTITION) — two distributed
+        # writes, one partition-scoped replacecommit
+        "write_sql_insert",
     ]
 
     def semdedup_at(k: int):
