@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 # local DuckDB oracle in tests/test_oracle_diff.py): lead with this
 # round's NEW/CHANGED rows, then the THIRTEEN rows whose newest driver
 # evidence is r10 (the planned agers from r12's boundary comment), then
-# 35 of the 50 r11-evidence rows — prioritizing everything the r13 code
+# 34 of the 50 r11-evidence rows — prioritizing everything the r13 code
 # changes touch (log-decode rename mapping -> mor/write lifecycle rows;
 # pin() backend -> the iterative dedup/similarity rows). The FIFTEEN
 # stable r11 rows listed right after position 50 (pure-SQL TPC-H head,
@@ -34,6 +34,7 @@ _SURFACE_FIRST = [
     # NEW r13 rows — first-time driver evidence
     "write_sql_timetravel",  # SELECT ... TIMESTAMP AS OF via the router
     "write_sql_insert",  # empty CREATE TABLE + INSERT SELECT/PARTITION
+    "text_decontam_bloom",  # broadcast-Bloom prefiltered decontamination
     # REWORKED r13 — now renames over LIVE MOR logs (3 schema epochs)
     "write_ddl_columns",
     # newest evidence r10 — the planned r12->r13 agers (13)
@@ -57,12 +58,13 @@ _SURFACE_FIRST = [
     "sample_temperature_mix", "sample_shuffle_shard",
     "sample_split_leakfree",
     "text_quality", "text_lang_id", "text_fingerprint_groups",
-    "text_pii_scrub", "text_repetition", "text_chunk_overlap",
+    "text_pii_scrub", "text_repetition",
     "text_interdup_score",
-    # --- 50-row window boundary: the sixteen stable r11 rows below
-    # age to r14 (pure relational SQL + merge composites + gopher
-    # rules untouched since r11 — least regression surface)
-    "text_gopher_filter",
+    # --- 50-row window boundary: the seventeen stable r11 rows below
+    # age to r14 (pure relational SQL + merge composites + gopher/
+    # chunking rules untouched since r11 — least regression surface;
+    # chunk_overlap traded in for the new bloom-decontam row)
+    "text_chunk_overlap", "text_gopher_filter",
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q19_disjunctive",
     "q22_no_order_customers",

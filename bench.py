@@ -79,6 +79,7 @@ HEADLINE = [
     "ops_asof_join",
     "ops_range_join",
     "text_decontaminate",
+    "text_decontam_bloom",  # r13: broadcast-Bloom prefilter scale path
     "dedup_incremental",
     "grouping_sets_revenue",
     # round-6 quality scoring

@@ -90,6 +90,135 @@ def decontaminate(
     )
 
 
+def _bloom_probe_arrays(hashes, m_bits: int, k: int):
+    """Yield ``k`` (byte_index, bit_mask) numpy array pairs for the
+    double-hashing scheme pos_i = (h1 + i*h2) mod m_bits, where h1/h2 are
+    the two 32-bit halves of one 64-bit gram hash (Kirsch & Mitzenmacher
+    2006: two hash functions simulate k with no independence loss for
+    Bloom filters). ``m_bits`` must be a power of two so the modulo is a
+    mask. ``hashes`` is a uint64 ndarray.
+    """
+    import numpy as np
+
+    mask = np.uint64(m_bits - 1)
+    h1 = hashes >> np.uint64(32)
+    h2 = (hashes & np.uint64(0xFFFFFFFF)) | np.uint64(1)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) & mask
+        yield (pos >> np.uint64(3)).astype(np.int64), (
+            np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
+        )
+
+
+def build_gram_bloom(grams: DataFrame, m_bits: int, k: int) -> bytes:
+    """Fold a (gram) DataFrame into one Bloom bitset of ``m_bits`` bits.
+
+    Distributed build: each partition reduces its grams to ONE
+    ``m_bits/8``-byte partial bitset inside a single mapInPandas pass
+    (the 64-bit gram hash is computed JVM-side with ``xxhash64``), and
+    the driver ORs the O(partitions) partials. Nothing proportional to
+    the gram count ever reaches the driver, so the build holds for eval
+    sets far past collect() range.
+    """
+    import numpy as np
+
+    if m_bits <= 0 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a positive power of two, got {m_bits}")
+    n_bytes = m_bits // 8
+    hashed = grams.select(F.xxhash64("gram").alias("_h"))
+
+    def fold(batches):
+        import pandas as pd
+
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            hv = pdf["_h"].to_numpy(dtype=np.int64).view(np.uint64)
+            for byte_idx, bit_mask in _bloom_probe_arrays(hv, m_bits, k):
+                np.bitwise_or.at(bits, byte_idx, bit_mask)
+        if seen:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    out = np.zeros(n_bytes, dtype=np.uint8)
+    for row in hashed.mapInPandas(fold, schema="bits binary").collect():
+        out |= np.frombuffer(row.bits, dtype=np.uint8)
+    return out.tobytes()
+
+
+def decontaminate_bloom(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_pred: Column,
+    n: int = 13,
+    bits_per_gram: int = 16,
+    k: int = 6,
+) -> DataFrame:
+    """``decontaminate`` with a broadcast Bloom prefilter — the 100 TB
+    plan shape, returning the EXACT same rows.
+
+    ``decontaminate`` broadcast-joins the raw eval gram STRINGS against
+    every corpus gram: at 16 bits/gram a 10^8-gram eval blocklist is a
+    ~200 MB bitset where the raw distinct strings are multiple GB, past
+    broadcast range. Here the corpus gram stream is probed map-side
+    against the broadcast bitset by an Arrow-vectorized pandas UDF
+    (pure numpy bit math on JVM-computed xxhash64 keys — no Python
+    string hashing), and only the ~FP-rate survivors reach the exact
+    confirm join, which removes Bloom false positives. Exactness is why
+    the confirm join stays: the operator's contract (and its oracle) is
+    identical to ``decontaminate``; the bitset only bounds how much of
+    the corpus stream the join ever sees. With bits_per_gram=16, k=6
+    the FP rate is ~0.1%, so the confirm join's input is ~(true hits +
+    0.1% of corpus grams) — broadcastable even when the raw blocklist
+    would not be.
+
+    Returns (id, n_shared) for contaminated non-eval docs only.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    eval_grams = (
+        char_ngrams(df.filter(eval_pred), text_col, id_col, n)
+        .select("gram")
+        .distinct()
+    )
+    eval_grams = pin(eval_grams)
+    n_eval = eval_grams.count()
+    m_bits = 1024
+    while m_bits < n_eval * bits_per_gram:
+        m_bits <<= 1
+    bitset = build_gram_bloom(eval_grams, m_bits, k)
+    bits_bc = spark.sparkContext.broadcast(bitset)
+
+    def _maybe_contaminated(h):
+        bits = np.frombuffer(bits_bc.value, dtype=np.uint8)
+        hv = h.to_numpy(dtype=np.int64).view(np.uint64)
+        ok = np.ones(len(hv), dtype=bool)
+        for byte_idx, bit_mask in _bloom_probe_arrays(hv, m_bits, k):
+            ok &= (bits[byte_idx] & bit_mask) != 0
+        return pd.Series(ok)
+
+    # real annotation objects (module uses `from __future__ import
+    # annotations`, and string hints can't resolve a local `pd`)
+    _maybe_contaminated.__annotations__ = {"h": pd.Series, "return": pd.Series}
+    maybe_contaminated = pandas_udf("boolean")(_maybe_contaminated)
+
+    train_grams = char_ngrams(df.filter(~eval_pred), text_col, id_col, n)
+    survivors = train_grams.filter(
+        maybe_contaminated(F.xxhash64("gram"))
+    )
+    return (
+        survivors.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_shared"))
+    )
+
+
 def interdup_score(
     df: DataFrame, text_col: str, id_col: str, n: int = 13,
     hash_grams: bool = False,

@@ -70,6 +70,34 @@ register(
 )
 
 
+def text_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contamination report via the broadcast-Bloom prefilter path
+    (bitset probe map-side, exact confirm join on the survivors). The
+    operator contract is exact, so the oracle is identical to
+    text_decontaminate — what differs is the plan: at 100 TB the raw
+    eval gram strings outgrow broadcast range while the 16-bit/gram
+    bitset does not, and the corpus gram stream is reduced to ~0.1%
+    before any join."""
+    from hudi_rs_spark.operators.decontam import decontaminate_bloom
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = decontaminate_bloom(
+        d, "text", "doc_id", eval_pred=(F.col("doc_id") % _MOD == 0), n=_N
+    )
+    return rep.select("doc_id", "n_shared").orderBy("doc_id")
+
+
+register(
+    QuerySpec(
+        name="text_decontam_bloom",
+        build=text_decontam_bloom,
+        oracle=DECONTAM_SQL,
+        tags=("text", "decontam"),
+        doc="broadcast-Bloom prefiltered 13-gram contamination report",
+    )
+)
+
+
 def text_interdup_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document within-corpus 13-gram duplication profile.
 

@@ -129,6 +129,90 @@ class TestDecontaminate:
         assert got == {1: 1}
 
 
+class TestBloomDecontam:
+    def test_parity_with_exact_join(self, spark):
+        from pyspark.sql import functions as F
+
+        from hudi_rs_spark.operators.decontam import (
+            decontaminate,
+            decontaminate_bloom,
+        )
+
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps somewhere else now"),
+            (2, "completely unrelated content with no overlap"),
+            (3, "tiny"),
+            (97, "shared eval phrase appears right here in full"),
+            (4, "a shared eval phrase appears right here in full twice over"),
+            (97 * 2, "another eval document entirely"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pred = F.col("doc_id") % 97 == 0
+        exact = {
+            r["doc_id"]: r["n_shared"]
+            for r in decontaminate(df, "text", "doc_id", pred, n=13).collect()
+        }
+        bloom = {
+            r["doc_id"]: r["n_shared"]
+            for r in decontaminate_bloom(df, "text", "doc_id", pred, n=13).collect()
+        }
+        assert bloom == exact and 1 in exact and 4 in exact
+
+    def test_exact_despite_forced_false_positives(self, spark):
+        # a 1024-bit filter over hundreds of grams saturates -> nearly
+        # every probe passes the bitset; the confirm join must still
+        # reduce the result to the exact answer
+        from pyspark.sql import functions as F
+
+        from hudi_rs_spark.operators.decontam import (
+            decontaminate,
+            decontaminate_bloom,
+        )
+
+        rows = [(0, " ".join(f"evalword{i}" for i in range(60)))]
+        rows += [
+            (j, f"doc {j} body " + " ".join(f"trainword{j}x{i}" for i in range(40)))
+            for j in range(1, 8)
+        ]
+        rows.append((8, "evalword3 evalword4 evalword5 evalword6"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pred = F.col("doc_id") == 0
+        exact = {
+            r["doc_id"]: r["n_shared"]
+            for r in decontaminate(df, "text", "doc_id", pred, n=13).collect()
+        }
+        bloom = {
+            r["doc_id"]: r["n_shared"]
+            for r in decontaminate_bloom(
+                df, "text", "doc_id", pred, n=13, bits_per_gram=1, k=2
+            ).collect()
+        }
+        assert bloom == exact and 8 in exact
+
+    def test_empty_eval_side(self, spark):
+        from pyspark.sql import functions as F
+
+        from hudi_rs_spark.operators.decontam import decontaminate_bloom
+
+        df = spark.createDataFrame(
+            [(1, "some training document body here")], "doc_id long, text string"
+        )
+        out = decontaminate_bloom(
+            df, "text", "doc_id", F.col("doc_id") < 0, n=13
+        )
+        assert out.count() == 0
+
+    def test_bitset_build_rejects_non_power_of_two(self, spark):
+        import pytest
+
+        from hudi_rs_spark.operators.decontam import build_gram_bloom
+
+        grams = spark.createDataFrame([("abc",)], "gram string")
+        with pytest.raises(ValueError, match="power of two"):
+            build_gram_bloom(grams, m_bits=1000, k=4)
+
+
 class TestInterdupScore:
     def test_hand_computed_fractions(self, spark):
         from hudi_rs_spark.operators.decontam import interdup_score

@@ -212,6 +212,10 @@ def main() -> None:
         # SELECT + dynamic OVERWRITE PARTITION) — two distributed
         # writes, one partition-scoped replacecommit
         "write_sql_insert",
+        # r13: broadcast-Bloom decontamination — the bitset build is
+        # O(eval grams) and the corpus-side probe is a map-only pandas
+        # UDF, so the row must track corpus size with no join blowup
+        "text_decontam_bloom",
     ]
 
     def semdedup_at(k: int):
