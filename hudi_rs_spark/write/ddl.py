@@ -253,3 +253,91 @@ def rename_column(
         return have
 
     _rewrite_props(_local_base(path), pin)
+
+
+# ---------------------------------------------------------------------------
+# Table properties (ALTER TABLE ... SET/UNSET TBLPROPERTIES)
+# ---------------------------------------------------------------------------
+# Structural keys whose value the engine derives invariants from; each
+# has its dedicated, validated mutation path (upgrade_table for the
+# version, convert_to_bucket for index layout, rename_column for the
+# rename chain, ...). A raw SET would silently desynchronize readers.
+_PROTECTED_PROP_PREFIXES = (
+    "hoodie.table.",        # name/type/version/keys/partitioning/keygen
+    "hoodie.timeline.",     # layout + paths
+    "hoodie.populate.",     # meta-field materialization contract
+    "hoodie.schema.",       # rename chain
+    "hoodie.bucket.index.", # split trie
+    "hoodie.keygen.",       # timestamp keygen wiring
+    "hoodie.datasource.write.hive_style_partitioning",
+    "hoodie.datasource.write.partitionpath.urlencode",
+    "hoodie.datasource.write.drop.partition.columns",
+    "hoodie.archivelog.",
+    "hoodie.internal.",
+    "hoodie.compaction.payload.class",
+)
+
+
+def _check_unprotected(keys) -> None:
+    bad = sorted(
+        k for k in keys
+        if any(k.startswith(p) for p in _PROTECTED_PROP_PREFIXES)
+    )
+    if bad:
+        raise DdlError(
+            f"table properties {bad} are structural and cannot be set/"
+            "unset directly — use the dedicated operation (upgrade_table, "
+            "convert_to_bucket, rename_column, keygen options at create "
+            "time, ...)"
+        )
+
+
+def set_table_properties(path: str, props: dict[str, str]) -> int:
+    """ALTER TABLE SET TBLPROPERTIES: merge free (non-structural) keys
+    into hoodie.properties — tuning knobs (cleaner/compaction triggers,
+    commit.callback.file, precommit validators) and user tags. One
+    read-modify-publish of the properties file; no commit (properties
+    are table config, not data — same as Hudi)."""
+    from hudi_rs_spark.write.record_index import _local_base, _rewrite_props
+
+    if not props:
+        raise DdlError("SET TBLPROPERTIES requires at least one key")
+    _check_unprotected(props)
+
+    def edit(have: dict) -> dict:
+        have.update({str(k): str(v) for k, v in props.items()})
+        return have
+
+    _rewrite_props(_local_base(path), edit)
+    return len(props)
+
+
+def unset_table_properties(
+    path: str, keys, if_exists: bool = False
+) -> int:
+    """ALTER TABLE UNSET TBLPROPERTIES [IF EXISTS]: remove free keys.
+    Without ``if_exists`` a missing key raises (Spark semantics)."""
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.write.record_index import _local_base, _rewrite_props
+
+    keys = [str(k) for k in keys]
+    if not keys:
+        raise DdlError("UNSET TBLPROPERTIES requires at least one key")
+    _check_unprotected(keys)
+    have = HudiTableConfig.from_base_path(path).props
+    missing = sorted(k for k in keys if k not in have)
+    if missing and not if_exists:
+        raise DdlError(
+            f"table properties {missing} do not exist "
+            "(use UNSET TBLPROPERTIES IF EXISTS to ignore)"
+        )
+    present = [k for k in keys if k in have]
+
+    def edit(have: dict) -> dict:
+        for k in present:
+            have.pop(k, None)
+        return have
+
+    if present:
+        _rewrite_props(_local_base(path), edit)
+    return len(present)

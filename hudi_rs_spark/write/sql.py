@@ -179,6 +179,11 @@ def hudi_sql(spark, statement: str, tables: dict | None = None, **options):
         # SHOW <what> FROM|IN|ON <t> — sugar over the CALL procedures
         # (Hudi SQL: SHOW INDEXES FROM t; Spark: SHOW PARTITIONS t /
         # SHOW TBLPROPERTIES t)
+        cm = re.match(
+            rf"SHOW\s+CREATE\s+TABLE\s+(?P<t>{_IDENT})\s*$", stmt, re.I
+        )
+        if cm:
+            return _run_show_create(spark, cm.group("t"), tables)
         sm = re.match(
             rf"SHOW\s+(?P<w>INDEXES|INDICES|PARTITIONS|COMMITS|SAVEPOINTS|"
             rf"ROLLBACKS|TBLPROPERTIES)\s+(?:FROM\s+|IN\s+|ON\s+)?"
@@ -506,6 +511,63 @@ def _run_describe(spark, stmt: str, tables):
     )
 
 
+def _run_show_create(spark, tok: str, tables):
+    """``SHOW CREATE TABLE <t>`` — a re-runnable CREATE TABLE statement
+    reconstructed from the resolved schema + hoodie.properties (Spark's
+    own output shape: one row, column ``createtab_stmt``). Running the
+    emitted statement through this router (schema-only CREATE TABLE)
+    initializes an empty table with the same columns, partitioning, and
+    table properties."""
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    path = _resolve_path(tok, tables)
+    table = HudiTable(path, spark)
+    tc = HudiTableConfig.from_base_path(path)
+
+    def q(v: str) -> str:
+        return "'" + str(v).replace("'", "''") + "'"
+
+    cols = ",\n".join(
+        f"  {f.name} {f.dataType.simpleString().upper()}"
+        for f in table.get_schema().fields
+        if not f.name.startswith("_hoodie_")
+    )
+    out = [f"CREATE TABLE {tc.table_name or _unquote(tok)} (\n{cols})"]
+    out.append("USING hudi_py")
+    if tc.partition_fields:
+        out.append(f"PARTITIONED BY ({', '.join(tc.partition_fields)})")
+    out.append(f"LOCATION {q(path)}")
+    # identity keys in the WRITER option spelling the CREATE path
+    # accepts (raw hoodie.table.* state is initialized by the create,
+    # not replayed), plus any free (non-hoodie) table properties
+    ident: dict[str, str] = {
+        "table.type": tc.table_type.value,
+        "table.version": str(tc.table_version),
+        "recordkey.field": ",".join(tc.record_key_fields),
+    }
+    if tc.ordering_fields:
+        ident["precombine.field"] = ",".join(tc.ordering_fields)
+    if not tc.hive_style_partitioning:
+        ident["hive_style_partitioning"] = "false"
+    from hudi_rs_spark.write.ddl import _PROTECTED_PROP_PREFIXES
+
+    free = {
+        k: v
+        for k, v in tc.props.items()
+        if not k.startswith("hoodie.")
+        and not any(k.startswith(p) for p in _PROTECTED_PROP_PREFIXES)
+    }
+    props = ",\n".join(
+        f"  {q(k)} = {q(v)}"
+        for k, v in [*sorted(ident.items()), *sorted(free.items())]
+    )
+    out.append(f"TBLPROPERTIES (\n{props})")
+    return spark.createDataFrame(
+        [("\n".join(out),)], "createtab_stmt string"
+    )
+
+
 def _run_alter(spark, stmt: str, tables, options):
     """ALTER TABLE dispatch: DROP PARTITION (metadata-only
     replacecommit), ADD COLUMNS / DROP COLUMN(S) (metadata-only schema
@@ -557,6 +619,34 @@ def _run_alter(spark, stmt: str, tables, options):
         cols = [_unquote(c) for c in _split_top(body, r",") if c.strip()]
         drop_columns(path, cols)
         return len(cols)
+    if up.startswith("SET TBLPROPERTIES"):
+        from hudi_rs_spark.write.ddl import set_table_properties
+
+        path = _resolve_path(m.group("t"), tables)
+        inner, _ = _take_parens(rest, 0)
+        props: dict[str, str] = {}
+        for piece in _split_top(inner, r","):
+            if not piece.strip():
+                continue
+            pm = re.match(
+                rf"^\s*({_IDENT})\s*(?:=\s*|\s+)({_IDENT})\s*$", piece, re.S
+            )
+            if not pm:
+                raise SqlDmlError(
+                    f"cannot parse TBLPROPERTIES entry {piece!r}"
+                )
+            props[_unquote(pm.group(1))] = _unquote(pm.group(2))
+        return set_table_properties(path, props)
+    if up.startswith("UNSET TBLPROPERTIES"):
+        from hudi_rs_spark.write.ddl import unset_table_properties
+
+        path = _resolve_path(m.group("t"), tables)
+        if_exists = bool(
+            re.match(r"UNSET\s+TBLPROPERTIES\s+IF\s+EXISTS\b", rest, re.I)
+        )
+        inner, _ = _take_parens(rest, 0)
+        keys = [_unquote(k) for k in _split_top(inner, r",") if k.strip()]
+        return unset_table_properties(path, keys, if_exists=if_exists)
     return _run_drop_partition(spark, stmt, tables, options)
 
 

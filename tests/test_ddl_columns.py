@@ -374,3 +374,105 @@ class TestSqlRouter:
         old = HudiTable(path, spark).read(HudiReadOptions(as_of_timestamp=pre))
         assert "score" not in old.columns
         assert old.count() == 6
+
+
+class TestTableProperties:
+    def test_set_and_unset_roundtrip(self, spark, tmp_path):
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+        from hudi_rs_spark.write.sql import hudi_sql
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        n = hudi_sql(
+            spark,
+            "ALTER TABLE t SET TBLPROPERTIES ("
+            "'owner' = 'data-eng', 'hoodie.clean.commits.retained' = '7')",
+            tables={"t": path},
+        )
+        assert n == 2
+        props = HudiTableConfig.from_base_path(path).props
+        assert props["owner"] == "data-eng"
+        assert props["hoodie.clean.commits.retained"] == "7"
+        # identity survives a property edit
+        assert props["hoodie.table.recordkey.fields"] == "id"
+        assert _read(spark, path).count() == 6
+
+        n = hudi_sql(
+            spark,
+            "ALTER TABLE t UNSET TBLPROPERTIES ('owner')",
+            tables={"t": path},
+        )
+        assert n == 1
+        props = HudiTableConfig.from_base_path(path).props
+        assert "owner" not in props
+        assert props["hoodie.clean.commits.retained"] == "7"
+
+    def test_structural_keys_refused(self, spark, tmp_path):
+        from hudi_rs_spark.write.ddl import (
+            set_table_properties,
+            unset_table_properties,
+        )
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        for key in (
+            "hoodie.table.version",
+            "hoodie.table.recordkey.fields",
+            "hoodie.timeline.path",
+            "hoodie.schema.renames",
+            "hoodie.bucket.index.splits",
+        ):
+            with pytest.raises(DdlError, match="structural"):
+                set_table_properties(path, {key: "x"})
+            with pytest.raises(DdlError, match="structural"):
+                unset_table_properties(path, [key], if_exists=True)
+
+    def test_unset_missing_key_semantics(self, spark, tmp_path):
+        from hudi_rs_spark.write.ddl import unset_table_properties
+        from hudi_rs_spark.write.sql import hudi_sql
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        with pytest.raises(DdlError, match="do not exist"):
+            unset_table_properties(path, ["nope"])
+        # IF EXISTS ignores, returns the removed count (0)
+        assert (
+            hudi_sql(
+                spark,
+                "ALTER TABLE t UNSET TBLPROPERTIES IF EXISTS ('nope')",
+                tables={"t": path},
+            )
+            == 0
+        )
+
+    def test_show_create_table_is_rerunnable(self, spark, tmp_path):
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+        from hudi_rs_spark.write.sql import hudi_sql
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        out = hudi_sql(
+            spark, "SHOW CREATE TABLE t", tables={"t": path}
+        ).collect()
+        assert len(out) == 1
+        stmt = out[0]["createtab_stmt"]
+        assert "USING hudi_py" in stmt
+        assert "PARTITIONED BY (city)" in stmt
+        assert "name STRING" in stmt and "score DOUBLE" in stmt
+        assert "_hoodie_record_key" not in stmt
+        # the emitted statement re-creates an empty twin with the same
+        # identity: swap LOCATION to a fresh path and run it back
+        twin = str(tmp_path / "twin")
+        stmt2 = stmt.replace(f"LOCATION '{path}'", f"LOCATION '{twin}'")
+        hudi_sql(spark, stmt2)
+        tc, tw = (
+            HudiTableConfig.from_base_path(path),
+            HudiTableConfig.from_base_path(twin),
+        )
+        assert tw.record_key_fields == tc.record_key_fields
+        assert tw.partition_fields == tc.partition_fields
+        assert tw.table_type == tc.table_type
+        empty = _read(spark, twin)
+        assert empty.count() == 0
+        for c in ("id", "name", "score", "city", "ts"):
+            assert c in empty.columns
