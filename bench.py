@@ -80,6 +80,7 @@ HEADLINE = [
     "ops_range_join",
     "text_decontaminate",
     "text_decontam_bloom",  # r13: broadcast-Bloom prefilter scale path
+    "sim_int8_topk",  # r13: int8-quantized ANN
     "dedup_incremental",
     "grouping_sets_revenue",
     # round-6 quality scoring

@@ -84,6 +84,107 @@ def brute_force_topk(
     )
 
 
+def int8_quantize(
+    df: DataFrame, vec_col: str, id_col: str, out_id: str
+) -> DataFrame:
+    """Symmetric scalar int8 quantization of a float-vector column:
+    per-vector scale = max|x|/127, q_i = floor(x_i/scale + 0.5)
+    (round-half-up; values land in [-127, 127] by construction, no clip
+    needed). Returns (out_id, qvec array<int>, qnorm bigint).
+
+    The production rationale at 100 TB: an int8 corpus is 4x fewer scan
+    + shuffle + broadcast bytes than float32 and the candidate scoring
+    becomes an integer-SIMD dot product. The quantization itself runs in
+    ONE Arrow-vectorized pandas UDF (a numpy matrix op per batch —
+    per-vector work, map-only, no shuffle); the squared norm folds
+    JVM-side over the quantized array. The dequantization scale is NOT
+    kept: it cancels exactly in cosine, which is what downstream ranks
+    by. All-zero vectors quantize to all-zero (scale pinned to 1) and
+    carry qnorm 0 — consumers must exclude them from cosine ranking
+    (0/0 is engine-dependent).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _quant(col):
+        out = []
+        for v in col:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            maxabs = float(np.max(np.abs(x))) if len(x) else 0.0
+            scale = 1.0 if maxabs == 0.0 else maxabs / 127.0
+            out.append(np.floor(x / scale + 0.5).astype(np.int32))
+        return pd.Series(out, dtype=object)
+
+    _quant.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    quant = pandas_udf("array<int>")(_quant)
+    return df.select(
+        F.col(id_col).alias(out_id), quant(F.col(vec_col)).alias("qvec")
+    ).withColumn(
+        "qnorm",
+        F.aggregate(
+            "qvec",
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x.cast("bigint") * x.cast("bigint"),
+        ),
+    )
+
+
+def int8_brute_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k by cosine over int8-QUANTIZED vectors — the quantized twin
+    of ``brute_force_topk``. Scores are computed entirely from integer
+    dot products (the per-vector dequantization scales cancel in
+    cosine): cos_q = int_dot / sqrt(qnorm_q * qnorm_c), one integer
+    fold per pair plus one sqrt + one division — both IEEE
+    correctly-rounded, so the ranking is bit-reproducible across
+    engines. Zero-norm vectors are excluded on both sides. Returns
+    (query_id, neighbor_id, rank) ranked by (quantized cosine desc,
+    neighbor_id).
+    """
+    from pyspark.sql import Window
+
+    q = int8_quantize(queries, vec_col, id_col, "query_id").filter(
+        F.col("qnorm") > 0
+    ).withColumnsRenamed({"qvec": "qv", "qnorm": "qn"})
+    c = int8_quantize(corpus, vec_col, id_col, "neighbor_id").filter(
+        F.col("qnorm") > 0
+    )
+    int_dot = F.aggregate(
+        F.zip_with("qv", "qvec", lambda a, b: a.cast("bigint") * b.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                int_dot.cast("double")
+                / F.sqrt((F.col("qn") * F.col("qnorm")).cast("double"))
+            ).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def _plane(seed: str, dim: int, j: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from md5 — reproducible
     across engines and runs without Math.random."""

@@ -292,8 +292,66 @@ SELECT id AS vec_id, cid AS cluster, dist2 FROM a3 ORDER BY vec_id
 """
 
 
+def sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k over int8-QUANTIZED vectors (symmetric scalar
+    quantization, scale = max|x|/127 per vector). The score is the
+    quantized cosine — integer dot / sqrt of integer norms, so both
+    engines rank on bit-identical doubles. At 100 TB this is the
+    production ANN rep: 4x fewer corpus bytes in scan/shuffle/broadcast
+    and integer-SIMD scoring, with the same (query_id, neighbor_id,
+    rank) contract as the float path."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.int8_brute_topk(
+        emb, queries, "embedding", "vec_id", k=TOPK
+    ).orderBy("query_id", "rank")
+
+
+_SQL_MAXABS = "list_max(list_transform({v}, x -> abs(CAST(x AS DOUBLE))))"
+
+INT8_TOPK_SQL = f"""
+WITH scl AS (
+  SELECT vec_id, embedding,
+         CASE WHEN {_SQL_MAXABS.format(v="embedding")} = 0 THEN 1.0
+              ELSE {_SQL_MAXABS.format(v="embedding")} / 127.0 END AS s
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)) AS qvec
+  FROM scl
+),
+qn AS (
+  SELECT vec_id, qvec,
+         CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm
+  FROM qz
+),
+q AS (SELECT vec_id AS query_id, qvec AS qv, qnorm AS qq
+      FROM qn WHERE vec_id < {N_QUERIES} AND qnorm > 0),
+c AS (SELECT vec_id AS neighbor_id, qvec AS cv, qnorm AS cc
+      FROM qn WHERE qnorm > 0),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_sum(list_transform(range(1, {DIM} + 1), i -> qv[i] * cv[i])) AS DOUBLE)
+           / sqrt(CAST(qq * cc AS DOUBLE)) AS qcos
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
 for _n, _f, _s, _d in [
     ("sim_brute_topk", sim_brute_topk, BRUTE_SQL, "brute-force cosine top-k"),
+    ("sim_int8_topk", sim_int8_topk, INT8_TOPK_SQL, "int8-quantized cosine top-k"),
     ("sim_lsh_topk", sim_lsh_topk, LSH_TOPK_SQL, "LSH-bucketed ANN top-k"),
     ("sim_ivf_topk", sim_ivf_topk, IVF_TOPK_SQL, "IVF inverted-list ANN top-k"),
     ("sim_embedding_near_dups", sim_embedding_near_dups, NEAR_DUP_SQL, "embedding near-dup pairs"),

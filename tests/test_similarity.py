@@ -274,3 +274,70 @@ class TestSemDedup:
         all_pairs = n * (n - 1) // 2
         assert work[4] < all_pairs
         assert work[16] < work[4]
+
+
+class TestInt8Quantized:
+    def test_quantize_values_and_norm(self, spark):
+        from hudi_rs_spark.operators.similarity import int8_quantize
+
+        df = spark.createDataFrame(
+            [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = {
+            r["vid"]: r
+            for r in int8_quantize(df, "embedding", "vec_id", "vid").collect()
+        }
+        # scale = 1/127; 1.0 -> 127, -0.5 -> floor(-63.5+0.5) = -63,
+        # 0.25 -> floor(31.75+0.5) = 32
+        assert out[1]["qvec"] == [127, -63, 32, 0]
+        assert out[1]["qnorm"] == 127 * 127 + 63 * 63 + 32 * 32
+        # all-zero vector: scale pinned, qvec zero, qnorm 0
+        assert out[2]["qvec"] == [0, 0, 0, 0]
+        assert out[2]["qnorm"] == 0
+
+    def test_topk_matches_float_ranking_on_separated_corpus(self, spark, corpus):
+        # int8 keeps ~7 bits of precision per component; on the planted
+        # corpus (clusters at cosine>0.99, background random) the top-1
+        # neighbor of every planted member must be a same-cluster member
+        # in BOTH the float and the quantized ranking
+        from hudi_rs_spark.operators.similarity import (
+            brute_force_topk,
+            int8_brute_topk,
+        )
+
+        df, planted, dim = corpus
+        queries = df.filter(F.col("vec_id").isin(planted[:4]))
+        fl = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in brute_force_topk(df, queries, k=3).collect()
+        }
+        q8 = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in int8_brute_topk(df, queries, k=3).collect()
+        }
+        cluster0 = set(planted[:4])
+        for q in planted[:4]:
+            assert fl[(q, 1)] in cluster0 - {q}
+            assert q8[(q, 1)] in cluster0 - {q}
+        # quantized top-3 sets agree with float top-3 on this corpus
+        for q in planted[:4]:
+            assert {q8[(q, r)] for r in (1, 2, 3)} == {
+                fl[(q, r)] for r in (1, 2, 3)
+            }
+
+    def test_zero_vectors_excluded(self, spark):
+        from hudi_rs_spark.operators.similarity import int8_brute_topk
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]),
+                (2, [0.9, 0.1]),
+                (3, [0.0, 0.0]),  # zero vector: never a neighbor/query
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        out = int8_brute_topk(df, df, k=2).collect()
+        ids = {r["query_id"] for r in out} | {r["neighbor_id"] for r in out}
+        assert 3 not in ids
+        assert {r["query_id"] for r in out} == {1, 2}
