@@ -1532,6 +1532,252 @@ def _run_call(spark, stmt: str, tables, options):
             "base_file string, base_size long, num_logs int, log_size long",
         )
 
+    if proc == "show_fsview_latest":
+        # Hudi's show_fsview_latest: the serving slice per file group,
+        # scoped to one partition via partition => '...' (all
+        # partitions when omitted); merged-read size = base + logs
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t2 = HudiTable(path, spark=None, listing="direct")
+        want = args.get("partition")
+        rows = [
+            (
+                s.partition_path,
+                s.file_id,
+                s.commit_timestamp,
+                s.base_file.file_name if s.base_file else None,
+                int(s.base_file.size) if s.base_file else 0,
+                len(s.log_files),
+                int(sum(lf.size for lf in s.log_files)),
+                int(s.base_file.size if s.base_file else 0)
+                + int(sum(lf.size for lf in s.log_files)),
+            )
+            for s in t2.get_file_slices()
+            if want is None or (s.partition_path or "") == want
+        ]
+        return spark.createDataFrame(
+            rows or spark.sparkContext.emptyRDD(),
+            "partition string, file_id string, base_instant string, "
+            "base_file string, base_size long, num_logs int, "
+            "log_size long, total_size long",
+        )
+
+    if proc in ("show_logfile_metadata", "show_logfile_records"):
+        # block-level introspection of MOR log files; pattern matches
+        # the file NAME (fnmatch) across live slices' logs
+        import fnmatch
+        import json as _json
+
+        from hudi_rs_spark.logfile.reader import read_log_file
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        pattern = args.get("log_file_path_pattern", args.get("pattern", "*"))
+        limit = int(args.get("limit", 10))
+        t2 = HudiTable(path, spark=None, listing="direct")
+        blocks = []
+        for s in t2.get_file_slices():
+            for lf in s.log_files:
+                if not fnmatch.fnmatch(lf.file_name, pattern):
+                    continue
+                parts = [path, s.partition_path, lf.file_name]
+                full = "/".join(p for p in parts if p)
+                for bi, b in enumerate(read_log_file(full)):
+                    blocks.append((lf.file_name, bi, b))
+        if proc == "show_logfile_metadata":
+            rows = [
+                (
+                    name,
+                    bi,
+                    int(b.block_type),
+                    b.instant_time,
+                    b.target_instant_time,
+                    len(b.records),
+                    len(b.delete_records),
+                )
+                for name, bi, b in blocks
+            ]
+            return spark.createDataFrame(
+                rows or spark.sparkContext.emptyRDD(),
+                "log_file string, block_seq int, block_type int, "
+                "instant_time string, target_instant string, "
+                "num_records int, num_deletes int",
+            )
+        recs = []
+        for name, _bi, b in blocks:
+            for r in b.records:
+                recs.append((name, b.instant_time, _json.dumps(
+                    {k: v for k, v in r.items()}, default=str,
+                    sort_keys=True,
+                )))
+                if len(recs) >= limit:
+                    break
+            if len(recs) >= limit:
+                break
+        return spark.createDataFrame(
+            recs or spark.sparkContext.emptyRDD(),
+            "log_file string, instant_time string, record string",
+        )
+
+    if proc == "stats_file_sizes":
+        # per-partition base/log size profile of the live view — the
+        # input signal for compaction/clustering sizing decisions
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        t2 = HudiTable(path, spark=None, listing="direct")
+        agg: dict[str, list] = {}
+        for s in t2.get_file_slices():
+            a = agg.setdefault(s.partition_path or "", [0, 0, [], 0, 0])
+            if s.base_file:
+                a[2].append(int(s.base_file.size))
+            a[3] += len(s.log_files)
+            a[4] += int(sum(lf.size for lf in s.log_files))
+        rows = [
+            (
+                p,
+                len(sizes),
+                min(sizes) if sizes else 0,
+                max(sizes) if sizes else 0,
+                sum(sizes) // len(sizes) if sizes else 0,
+                sum(sizes),
+                nlogs,
+                logbytes,
+            )
+            for p, (_x, _y, sizes, nlogs, logbytes) in sorted(agg.items())
+        ]
+        return spark.createDataFrame(
+            rows or spark.sparkContext.emptyRDD(),
+            "partition string, num_base_files int, min_base long, "
+            "max_base long, avg_base long, total_base long, "
+            "num_log_files int, total_log long",
+        )
+
+    if proc == "stats_wa":
+        # Hudi's write-amplification stats: per data commit, records
+        # upserted (updates entering) vs records written (rows landed,
+        # incl. rewrite amplification in COW base files)
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        tl = HudiTable(path, spark=None, listing="direct").timeline
+        rows = []
+        for i in sorted(tl.instants, key=lambda i: i.timestamp):
+            action = str(getattr(i.action, "value", i.action))
+            if action not in ("commit", "deltacommit"):
+                continue
+            try:
+                raw = tl.metadata_for(i).raw
+            except Exception:
+                continue
+            up = wr = 0
+            for stats in (raw.get("partitionToWriteStats") or {}).values():
+                for st in stats or []:
+                    up += int(st.get("numUpdateWrites") or 0)
+                    wr += int(st.get("numWrites") or 0)
+            rows.append(
+                (i.timestamp, up, wr, (float(wr) / up) if up else None)
+            )
+        return spark.createDataFrame(
+            rows or spark.sparkContext.emptyRDD(),
+            "commit_time string, total_upserted long, total_written long, "
+            "write_amplification double",
+        )
+
+    if proc == "show_metadata_table_partitions":
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+
+        tc = HudiTableConfig.from_base_path(path)
+        parts = sorted(
+            p.strip()
+            for p in tc.props.get(
+                "hoodie.table.metadata.partitions", ""
+            ).split(",")
+            if p.strip()
+        )
+        return _one_col_df(spark, "partition", parts)
+
+    if proc == "show_metadata_table_stats":
+        # file count + bytes per MDT partition, straight from storage
+        from hudi_rs_spark.write.writer import _fs
+
+        mdt = f"{path}/.hoodie/metadata"
+        st = _fs(path)
+        rows = []
+        if st.exists(mdt):
+            for e in st.list_dir(mdt):
+                # partition dirs (files/record_index/...); skip the
+                # MDT's own .hoodie bookkeeping dir
+                if not e.is_dir or e.name.startswith("."):
+                    continue
+                # MDT data files are DOT-PREFIXED log files (Hudi's
+                # hidden-name convention) plus HFile bases — count all
+                files = [
+                    f for f in st.list_dir(f"{mdt}/{e.name}") if not f.is_dir
+                ]
+                rows.append(
+                    (e.name, len(files), int(sum(f.size for f in files)))
+                )
+        return spark.createDataFrame(
+            sorted(rows) or spark.sparkContext.emptyRDD(),
+            "partition string, num_files int, total_bytes long",
+        )
+
+    if proc == "export_instants":
+        # copy completed instant files from the active timeline to a
+        # local folder (Hudi's export_instants); O(instants) metadata
+        from hudi_rs_spark.write.savepoint import _timeline_dir
+        from hudi_rs_spark.write.writer import _fs
+
+        dest = args.get("local_folder") or args.get("localfolder")
+        if not dest:
+            raise SqlDmlError(
+                "export_instants needs local_folder => '<dir>'"
+            )
+        limit = int(args.get("limit", 0))
+        tdir = _timeline_dir(path)
+        st = _fs(tdir)
+        import os as _os
+
+        _os.makedirs(dest, exist_ok=True)
+        names = sorted(
+            e.name for e in st.list_dir(tdir)
+            if not e.is_dir and "." in e.name
+            and not e.name.endswith((".requested", ".inflight"))
+        )
+        if limit:
+            names = names[-limit:]
+        for n in names:
+            with open(_os.path.join(dest, n), "wb") as f:
+                f.write(st.read_bytes(f"{tdir}/{n}"))
+        return _one_col_df(spark, "exported", names)
+
+    if proc == "copy_to_temp_view":
+        # register a (possibly time-traveled) snapshot read as a Spark
+        # temp view; the TVF/plain-SELECT router offers the same via
+        # SQL — this is the procedure spelling (Hudi parity)
+        from hudi_rs_spark.config.read_config import HudiReadOptions
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        view = args.get("view_name") or args.get("view")
+        if not view:
+            raise SqlDmlError(
+                "copy_to_temp_view needs view_name => '<name>'"
+            )
+        ropts = None
+        if args.get("as_of"):
+            ropts = HudiReadOptions(as_of_timestamp=args["as_of"])
+        df = HudiTable(path, spark).read(ropts)
+        if str(args.get("global", "false")).lower() == "true":
+            df.createOrReplaceGlobalTempView(view)
+        else:
+            df.createOrReplaceTempView(view)
+        return 0
+
+    if proc == "archive_commits":
+        from hudi_rs_spark.write.archive import archive_timeline
+
+        return archive_timeline(
+            path, keep_active=int(args.get("keep_active", 10))
+        )
+
     raise SqlDmlError(
         f"unknown procedure {proc!r}; supported: run_compaction, "
         "run_clustering, run_clean, create_savepoint, delete_savepoint, "
@@ -1540,7 +1786,11 @@ def _run_call(spark, stmt: str, tables, options):
         "show_commits, show_savepoints, show_compaction, show_clustering, "
         "show_partitions, show_table_properties, show_rollbacks, "
         "show_archived_commits, run_bootstrap, rescale_buckets, "
-        "run_validation, show_fsview_all"
+        "run_validation, show_fsview_all, show_fsview_latest, "
+        "show_logfile_metadata, show_logfile_records, stats_file_sizes, "
+        "stats_wa, show_metadata_table_partitions, "
+        "show_metadata_table_stats, export_instants, copy_to_temp_view, "
+        "archive_commits"
     )
 
 

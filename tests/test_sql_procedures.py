@@ -544,3 +544,179 @@ class TestR13Procedures:
             tables={"t": path},
         ).collect()[0].c
         assert earliest == 11
+
+
+class TestOpsProcedures:
+    """The r13 second batch of Hudi operational procedures."""
+
+    def _table_with_logs(self, spark, tmp_path, partitioned=False):
+        path = str(tmp_path / "t")
+        if partitioned:
+            df = spark.createDataFrame(
+                [(i, f"n{i}", ["a", "b"][i % 2], 1) for i in range(30)],
+                "id int, name string, city string, ts int",
+            )
+            (
+                df.repartition(2).write.format("hudi_py")
+                .option("path", path)
+                .option("recordkey.field", "id")
+                .option("precombine.field", "ts")
+                .option("partitionpath.field", "city")
+                .option("table.type", "MERGE_ON_READ")
+                .option("table.version", "8")
+                .mode("append").save()
+            )
+        else:
+            _seed(spark, path)        # base files
+        _upd(spark, path, [0, 1, 2])  # MOR log files
+        return path
+
+    def test_show_fsview_latest_and_partition_scope(self, spark, tmp_path):
+        path = self._table_with_logs(spark, tmp_path, partitioned=True)
+        allr = hudi_sql(
+            spark, "CALL show_fsview_latest(table => 't')", tables={"t": path}
+        ).collect()
+        assert allr and all(r["total_size"] == r["base_size"] + r["log_size"]
+                            for r in allr)
+        parts = sorted({r["partition"] for r in allr})
+        assert len(parts) == 2  # hive-style city=a / city=b
+        one = hudi_sql(
+            spark,
+            f"CALL show_fsview_latest(table => 't', partition => '{parts[0]}')",
+            tables={"t": path},
+        ).collect()
+        assert one and {r["partition"] for r in one} == {parts[0]}
+
+    def test_show_logfile_metadata_and_records(self, spark, tmp_path):
+        path = self._table_with_logs(spark, tmp_path)
+        meta = hudi_sql(
+            spark, "CALL show_logfile_metadata(table => 't')",
+            tables={"t": path},
+        ).collect()
+        assert meta and all(r["instant_time"] for r in meta)
+        assert sum(r["num_records"] for r in meta) == 3  # the 3 upserts
+        recs = hudi_sql(
+            spark,
+            "CALL show_logfile_records(table => 't', limit => 2)",
+            tables={"t": path},
+        ).collect()
+        assert len(recs) == 2
+        assert all("u" in r["record"] for r in recs)  # updated names
+
+    def test_stats_file_sizes(self, spark, tmp_path):
+        path = self._table_with_logs(spark, tmp_path, partitioned=True)
+        rows = {
+            r["partition"]: r
+            for r in hudi_sql(
+                spark, "CALL stats_file_sizes(table => 't')",
+                tables={"t": path},
+            ).collect()
+        }
+        assert len(rows) == 2  # hive-style city=a / city=b
+        for r in rows.values():
+            assert r["num_base_files"] >= 1 and r["total_base"] > 0
+            assert r["min_base"] <= r["avg_base"] <= r["max_base"]
+        # ids 0/1/2 updated -> both cities carry logs
+        assert all(
+            r["num_log_files"] >= 1 and r["total_log"] > 0
+            for r in rows.values()
+        )
+
+    def test_stats_wa(self, spark, tmp_path):
+        path = self._table_with_logs(spark, tmp_path)
+        rows = hudi_sql(
+            spark, "CALL stats_wa(table => 't')", tables={"t": path}
+        ).collect()
+        assert len(rows) == 2  # seed commit + upsert deltacommit
+        seed, upd = rows[0], rows[1]
+        assert seed["total_upserted"] == 0 and seed["total_written"] == 30
+        assert seed["write_amplification"] is None
+        assert upd["total_upserted"] == 3 and upd["write_amplification"] == 1.0
+
+    def test_metadata_table_procedures(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, f"n{i}", 1) for i in range(20)],
+            "id int, name string, ts int",
+        )
+        (
+            df.write.format("hudi_py").option("path", path)
+            .option("recordkey.field", "id")
+            .option("precombine.field", "ts")
+            .option("metadata.enable", "true")
+            .option("table.version", "8")
+            .mode("append").save()
+        )
+        hudi_sql(
+            spark,
+            "CALL run_index(table => 't', index_type => 'record_index')",
+            tables={"t": path},
+        )
+        parts = {
+            r["partition"]
+            for r in hudi_sql(
+                spark, "CALL show_metadata_table_partitions(table => 't')",
+                tables={"t": path},
+            ).collect()
+        }
+        assert "record_index" in parts and "files" in parts
+        stats = {
+            r["partition"]: r
+            for r in hudi_sql(
+                spark, "CALL show_metadata_table_stats(table => 't')",
+                tables={"t": path},
+            ).collect()
+        }
+        assert stats["record_index"]["num_files"] >= 1
+        assert stats["record_index"]["total_bytes"] > 0
+
+    def test_export_instants(self, spark, tmp_path):
+        path = self._table_with_logs(spark, tmp_path)
+        dest = str(tmp_path / "exported")
+        out = hudi_sql(
+            spark,
+            f"CALL export_instants(table => 't', local_folder => '{dest}')",
+            tables={"t": path},
+        ).collect()
+        import os
+
+        names = {r["exported"] for r in out}
+        assert len(names) >= 2  # commit + deltacommit
+        assert all(os.path.getsize(os.path.join(dest, n)) > 0 for n in names)
+        assert not any(n.endswith((".requested", ".inflight")) for n in names)
+
+    def test_copy_to_temp_view(self, spark, tmp_path):
+        path = self._table_with_logs(spark, tmp_path)
+        assert (
+            hudi_sql(
+                spark,
+                "CALL copy_to_temp_view(table => 't', view_name => 'tv13')",
+                tables={"t": path},
+            )
+            == 0
+        )
+        got = {
+            (r["id"], r["name"])
+            for r in spark.sql("SELECT id, name FROM tv13 WHERE id < 3").collect()
+        }
+        assert got == {(0, "u0"), (1, "u1"), (2, "u2")}  # merged view
+        spark.catalog.dropTempView("tv13")
+
+    def test_archive_commits_procedure(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        for ts in range(2, 8):
+            _upd(spark, path, [0], ts=ts)
+        n = hudi_sql(
+            spark,
+            "CALL archive_commits(table => 't', keep_active => 3)",
+            tables={"t": path},
+        )
+        assert n >= 1
+        arch = hudi_sql(
+            spark, "CALL show_archived_commits(table => 't')",
+            tables={"t": path},
+        ).collect()
+        assert len(arch) == n
+        # table still reads correctly after archival
+        assert _snap(spark, path)[0] == (0, "u0")
