@@ -209,6 +209,11 @@ def hudi_sql(spark, statement: str, tables: dict | None = None, **options):
         return _run_create_index(spark, stmt, tables, options)
     if re.match(r"DROP\s+INDEX\b", stmt, re.I):
         return _run_drop_index(spark, stmt, tables, options)
+    if re.match(
+        rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_IDENT}\s+LIKE\b",
+        stmt, re.I,
+    ):
+        return _run_create_like(spark, stmt, tables, options)
     if head.startswith("CREATE"):
         return _run_create(spark, stmt, tables, options)
     if head.startswith("DESCRIBE") or head.startswith("DESC "):
@@ -511,17 +516,13 @@ def _run_describe(spark, stmt: str, tables):
     )
 
 
-def _run_show_create(spark, tok: str, tables):
-    """``SHOW CREATE TABLE <t>`` — a re-runnable CREATE TABLE statement
-    reconstructed from the resolved schema + hoodie.properties (Spark's
-    own output shape: one row, column ``createtab_stmt``). Running the
-    emitted statement through this router (schema-only CREATE TABLE)
-    initializes an empty table with the same columns, partitioning, and
-    table properties."""
+def _create_stmt_for(spark, path: str, name: str, location: str) -> str:
+    """A re-runnable schema-only CREATE TABLE statement for the table
+    at ``path``, emitted under ``name`` with ``location`` — the shared
+    builder behind SHOW CREATE TABLE and CREATE TABLE ... LIKE."""
     from hudi_rs_spark.config.table_config import HudiTableConfig
     from hudi_rs_spark.sources.hudi import HudiTable
 
-    path = _resolve_path(tok, tables)
     table = HudiTable(path, spark)
     tc = HudiTableConfig.from_base_path(path)
 
@@ -533,11 +534,11 @@ def _run_show_create(spark, tok: str, tables):
         for f in table.get_schema().fields
         if not f.name.startswith("_hoodie_")
     )
-    out = [f"CREATE TABLE {tc.table_name or _unquote(tok)} (\n{cols})"]
+    out = [f"CREATE TABLE {name} (\n{cols})"]
     out.append("USING hudi_py")
     if tc.partition_fields:
         out.append(f"PARTITIONED BY ({', '.join(tc.partition_fields)})")
-    out.append(f"LOCATION {q(path)}")
+    out.append(f"LOCATION {q(location)}")
     # identity keys in the WRITER option spelling the CREATE path
     # accepts (raw hoodie.table.* state is initialized by the create,
     # not replayed), plus any free (non-hoodie) table properties
@@ -563,9 +564,65 @@ def _run_show_create(spark, tok: str, tables):
         for k, v in [*sorted(ident.items()), *sorted(free.items())]
     )
     out.append(f"TBLPROPERTIES (\n{props})")
-    return spark.createDataFrame(
-        [("\n".join(out),)], "createtab_stmt string"
+    return "\n".join(out)
+
+
+def _run_show_create(spark, tok: str, tables):
+    """``SHOW CREATE TABLE <t>`` — a re-runnable CREATE TABLE statement
+    reconstructed from the resolved schema + hoodie.properties (Spark's
+    own output shape: one row, column ``createtab_stmt``). Running the
+    emitted statement through this router (schema-only CREATE TABLE)
+    initializes an empty table with the same columns, partitioning, and
+    table properties."""
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+
+    path = _resolve_path(tok, tables)
+    tc = HudiTableConfig.from_base_path(path)
+    stmt = _create_stmt_for(
+        spark, path, tc.table_name or _unquote(tok), path
     )
+    return spark.createDataFrame([(stmt,)], "createtab_stmt string")
+
+
+def _run_create_like(spark, stmt: str, tables, options):
+    """``CREATE TABLE <new> LIKE <src> [USING hudi_py] LOCATION '<dir>'``
+    — an empty identity twin of ``src`` (columns, partitioning, table
+    type/version/keys, free properties; no data). The statement is
+    rebuilt by the SHOW CREATE TABLE builder and routed back through
+    the schema-only CREATE path, so LIKE can never drift from what
+    SHOW CREATE TABLE emits."""
+    m = re.match(
+        rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<new>{_IDENT})\s+"
+        rf"LIKE\s+(?P<src>{_IDENT})(?P<rest>.*)$",
+        stmt, re.I | re.S,
+    )
+    if not m:
+        raise SqlDmlError("expected CREATE TABLE <new> LIKE <src> ...")
+    src_path = _resolve_path(m.group("src"), tables)
+    new_tok = m.group("new")
+    rest = m.group("rest")
+    lm = _find_top(rest, r"\bLOCATION\b")
+    if lm:
+        vm = re.match(rf"\s*({_IDENT})", rest[lm.end():], re.S)
+        if not vm:
+            raise SqlDmlError("LOCATION needs a quoted path")
+        new_path = _unquote(vm.group(1))
+    else:
+        # no LOCATION clause: the new name must resolve via the map
+        if not tables or _unquote(new_tok) not in tables:
+            raise SqlDmlError(
+                "CREATE TABLE ... LIKE needs LOCATION '<dir>' (or the "
+                "new name present in the tables map)"
+            )
+        new_path = tables[_unquote(new_tok)]
+    create = _create_stmt_for(
+        spark, src_path, _unquote(new_tok), new_path
+    )
+    if re.match(r"CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS", stmt, re.I):
+        create = create.replace(
+            "CREATE TABLE ", "CREATE TABLE IF NOT EXISTS ", 1
+        )
+    return hudi_sql(spark, create, tables, **options)
 
 
 def _run_alter(spark, stmt: str, tables, options):

@@ -476,3 +476,68 @@ class TestTableProperties:
         assert empty.count() == 0
         for c in ("id", "name", "score", "city", "ts"):
             assert c in empty.columns
+
+
+class TestCreateTableLike:
+    def test_like_creates_empty_identity_twin(self, spark, tmp_path):
+        from hudi_rs_spark.config.table_config import HudiTableConfig
+        from hudi_rs_spark.write.sql import hudi_sql
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        twin = str(tmp_path / "twin")
+        hudi_sql(
+            spark,
+            f"CREATE TABLE twin LIKE t LOCATION '{twin}'",
+            tables={"t": path},
+        )
+        tc, tw = (
+            HudiTableConfig.from_base_path(path),
+            HudiTableConfig.from_base_path(twin),
+        )
+        assert tw.record_key_fields == tc.record_key_fields
+        assert tw.partition_fields == tc.partition_fields
+        assert tw.table_type == tc.table_type
+        assert tw.table_version == tc.table_version
+        df = _read(spark, twin)
+        assert df.count() == 0
+        assert {"id", "name", "score", "city", "ts"} <= set(df.columns)
+        # twin accepts data under the inherited identity
+        hudi_sql(
+            spark,
+            "INSERT INTO twin SELECT id, name, score, city, ts FROM t",
+            tables={"t": path, "twin": twin},
+        )
+        assert _read(spark, twin).count() == 6
+
+    def test_like_without_location_needs_mapping(self, spark, tmp_path):
+        from hudi_rs_spark.write.sql import SqlDmlError, hudi_sql
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        with pytest.raises(SqlDmlError, match="LOCATION"):
+            hudi_sql(spark, "CREATE TABLE nowhere LIKE t", tables={"t": path})
+        # mapped name works without an explicit LOCATION clause
+        twin = str(tmp_path / "twin2")
+        hudi_sql(
+            spark, "CREATE TABLE twin2 LIKE t",
+            tables={"t": path, "twin2": twin},
+        )
+        assert _read(spark, twin).count() == 0
+
+    def test_ctas_with_like_in_predicate_still_routes_as_ctas(
+        self, spark, tmp_path
+    ):
+        from hudi_rs_spark.write.sql import hudi_sql
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        out = str(tmp_path / "out")
+        hudi_sql(
+            spark,
+            f"CREATE TABLE o USING hudi_py OPTIONS (path '{out}', "
+            "'recordkey.field' 'id', 'precombine.field' 'ts') "
+            "AS SELECT * FROM t WHERE name LIKE 'n%'",
+            tables={"t": path},
+        )
+        assert _read(spark, out).count() == 6
