@@ -1828,6 +1828,18 @@ def _run_call(spark, stmt: str, tables, options):
             df.createOrReplaceTempView(view)
         return 0
 
+    if proc == "repair_orphan_files":
+        # dry-run by default: deleting data files is destructive, so
+        # the caller must pass dry_run => false explicitly
+        from hudi_rs_spark.write.validate import repair_orphan_files
+
+        dry = str(args.get("dry_run", "true")).lower() != "false"
+        rels = repair_orphan_files(path, dry_run=dry)
+        return spark.createDataFrame(
+            [(r, dry) for r in rels] or spark.sparkContext.emptyRDD(),
+            "file string, dry_run boolean",
+        )
+
     if proc == "archive_commits":
         from hudi_rs_spark.write.archive import archive_timeline
 
@@ -1847,7 +1859,7 @@ def _run_call(spark, stmt: str, tables, options):
         "show_logfile_metadata, show_logfile_records, stats_file_sizes, "
         "stats_wa, show_metadata_table_partitions, "
         "show_metadata_table_stats, export_instants, copy_to_temp_view, "
-        "archive_commits"
+        "repair_orphan_files, archive_commits"
     )
 
 

@@ -223,44 +223,13 @@ def validate_table(path: str, sample_keys: int = 64, spark=None) -> dict:
     record("stale_claims", problems)
 
     # 6. orphan data files
-    problems = []
-    reachable: set[str] = set()
-    for i in table.timeline.instants:
-        if not i.is_completed:
-            continue
-        try:
-            meta = table.timeline.metadata_for(i)
-        except Exception:  # noqa: BLE001
-            continue
-        for ws in meta.write_stats:
-            reachable.add((ws.path or "").lstrip("/"))
-    archived_ts = table.timeline.archived_completed_timestamps()
-    archived_complete = (
-        table.timeline.archived_load_complete() if archived_ts is not None
-        else False
-    )
-    earliest_active = min(completed_ts) if completed_ts else ""
-    for rel, name in _data_files(st, base):
-        ts = _instant_of(name)
-        if ts is None or ts >= newest:
-            continue  # in-flight or unparseable: not provably orphaned
-        if ts in completed_ts or rel in reachable:
-            continue
-        if archived_ts is not None and ts in archived_ts:
-            continue  # committed, just archived
-        if ts < earliest_active and (
-            archived_ts is None or not archived_complete
-        ):
-            # pre-active-history with no complete archived record: the
-            # readers' own fail-open rule keeps such files visible
-            # (fs/fs_view.py), so surface them as SUSPECT, not orphaned
-            problems.append(
-                f"suspect pre-history file {rel} (ts {ts} predates the "
-                "active timeline and no complete archived record covers "
-                "it — fabricated or externally-trimmed history)"
-            )
-            continue
-        problems.append(f"orphan data file {rel}")
+    orphans, suspects = classify_orphans(table, st, base)
+    problems = [
+        f"suspect pre-history file {rel} (ts {ts} predates the "
+        "active timeline and no complete archived record covers "
+        "it — fabricated or externally-trimmed history)"
+        for rel, ts in suspects
+    ] + [f"orphan data file {rel}" for rel, _ts in orphans]
     record("orphan_files", problems)
 
     # 7. bucket invariants (split-trie aware, write/bucket.py)
@@ -431,6 +400,82 @@ def _stat_lt(a, b) -> bool:
         return float(a) < float(b)
     except (TypeError, ValueError):
         return str(a) < str(b)
+
+
+def classify_orphans(
+    table, st, base: str
+) -> tuple[list[tuple[str, str]], list[tuple[str, str]]]:
+    """(orphans, suspects) as (rel_path, instant) pairs.
+
+    A data file is PROVABLY orphaned only when its embedded instant is
+    older than the newest completed instant and is neither completed,
+    archived, referenced by any completed commit's write stats, nor
+    pending (a scheduled-but-executing compaction/clustering lands its
+    outputs BEFORE its .commit publishes — deleting those mid-flight
+    would corrupt the service). Files predating the active timeline
+    with an incomplete archived record are SUSPECT, not orphaned — the
+    readers' fail-open rule keeps them visible (fs/fs_view.py)."""
+    completed_ts = {
+        i.timestamp for i in table.timeline.instants if i.is_completed
+    }
+    newest = max(completed_ts) if completed_ts else ""
+    pending_ts = set(table.timeline.pending_timestamps)
+    reachable: set[str] = set()
+    for i in table.timeline.instants:
+        if not i.is_completed:
+            continue
+        try:
+            meta = table.timeline.metadata_for(i)
+        except Exception:  # noqa: BLE001
+            continue
+        for ws in meta.write_stats:
+            reachable.add((ws.path or "").lstrip("/"))
+    archived_ts = table.timeline.archived_completed_timestamps()
+    archived_complete = (
+        table.timeline.archived_load_complete() if archived_ts is not None
+        else False
+    )
+    earliest_active = min(completed_ts) if completed_ts else ""
+    orphans: list[tuple[str, str]] = []
+    suspects: list[tuple[str, str]] = []
+    for rel, name in _data_files(st, base):
+        ts = _instant_of(name)
+        if ts is None or ts >= newest:
+            continue  # in-flight or unparseable: not provably orphaned
+        if ts in completed_ts or ts in pending_ts or rel in reachable:
+            continue
+        if archived_ts is not None and ts in archived_ts:
+            continue  # committed, just archived
+        if ts < earliest_active and (
+            archived_ts is None or not archived_complete
+        ):
+            suspects.append((rel, ts))
+            continue
+        orphans.append((rel, ts))
+    return orphans, suspects
+
+
+def repair_orphan_files(path: str, dry_run: bool = True) -> list[str]:
+    """Delete (or with ``dry_run=True``, just list) provably-orphaned
+    data files — failed-writer leftovers whose instant was rolled back
+    or never completed. Only the conservative ``classify_orphans``
+    verdicts are touched: suspects (pre-history files the readers keep
+    visible) are NEVER deleted. Returns the affected relative paths.
+
+    Hudi analog: the delete_marker/repair family of CALL procedures;
+    the reference's readers apply the same reachability rule per scan
+    (crates/core/src/table/fs_view.rs)."""
+    from hudi_rs_spark.sources.hudi import HudiTable
+    from hudi_rs_spark.write.writer import _base, _fs
+
+    base = _base(path)
+    st = _fs(base)
+    table = HudiTable(base, spark=None, listing="direct")
+    orphans, _suspects = classify_orphans(table, st, base)
+    if not dry_run:
+        for rel, _ts in orphans:
+            st.remove(f"{base}/{rel}")
+    return [rel for rel, _ts in orphans]
 
 
 def _data_files(st, base: str):

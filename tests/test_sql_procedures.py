@@ -720,3 +720,86 @@ class TestOpsProcedures:
         assert len(arch) == n
         # table still reads correctly after archival
         assert _snap(spark, path)[0] == (0, "u0")
+
+
+class TestRepairOrphanFiles:
+    def _orphan_name(self, path, spark, between=True):
+        """Plant a data file whose instant sits INSIDE the active window
+        (older than newest completed, not a commit, not referenced)."""
+        import os
+
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        commits = sorted(
+            i.timestamp
+            for i in HudiTable(path, spark=None, listing="direct")
+            .timeline.instants
+        )
+        # append a digit: lexicographically after the first commit but
+        # before the newest (instants compare as strings), not a commit
+        fake = commits[0] + "1"
+        assert commits[0] < fake < commits[-1]
+        name = f"deadbeef-0000-0000-0000-000000000000-0_0-0-0_{fake}.parquet"
+        with open(os.path.join(path, name), "wb") as f:
+            f.write(b"PAR1junkPAR1")
+        return name
+
+    def test_dry_run_lists_and_keeps(self, spark, tmp_path):
+        import os
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        _upd(spark, path, [1])
+        name = self._orphan_name(path, spark)
+        out = hudi_sql(
+            spark, "CALL repair_orphan_files(table => 't')",
+            tables={"t": path},
+        ).collect()
+        assert [r["file"] for r in out] == [name]
+        assert all(r["dry_run"] for r in out)
+        assert os.path.exists(os.path.join(path, name))  # kept
+
+    def test_delete_then_validator_green(self, spark, tmp_path):
+        import os
+
+        from hudi_rs_spark.write.validate import validate_table
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        _upd(spark, path, [1])
+        pre = _snap(spark, path)
+        name = self._orphan_name(path, spark)
+        assert not validate_table(path)["checks"]["orphan_files"]["ok"]
+        out = hudi_sql(
+            spark,
+            "CALL repair_orphan_files(table => 't', dry_run => false)",
+            tables={"t": path},
+        ).collect()
+        assert [r["file"] for r in out] == [name]
+        assert not os.path.exists(os.path.join(path, name))
+        assert validate_table(path)["checks"]["orphan_files"]["ok"]
+        assert _snap(spark, path) == pre  # data untouched
+
+    def test_pending_service_outputs_protected(self, spark, tmp_path):
+        import os
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        _upd(spark, path, [1, 2])
+        plan = hudi_sql(
+            spark, "CALL run_compaction(op => 'schedule', table => 't')",
+            tables={"t": path},
+        )
+        _upd(spark, path, [3])  # a completed instant NEWER than the plan
+        # a file anchored at the PENDING plan instant (as a mid-flight
+        # compaction execution would produce) must never be deleted
+        name = f"deadbeef-0000-0000-0000-000000000001-0_0-0-0_{plan}.parquet"
+        with open(os.path.join(path, name), "wb") as f:
+            f.write(b"PAR1junkPAR1")
+        out = hudi_sql(
+            spark,
+            "CALL repair_orphan_files(table => 't', dry_run => false)",
+            tables={"t": path},
+        ).collect()
+        assert name not in {r["file"] for r in out}
+        assert os.path.exists(os.path.join(path, name))
