@@ -269,6 +269,55 @@ def write_lance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def write_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-lang count/sum
+    aggregate seeded AS OF the first commit is refreshed from the CDC
+    change window (seed, latest] — net-effect per key, +final-images /
+    −pre-window-rows, delta merge (operators/incremental_view.py). The
+    oracle states the FULL-RECOMPUTE truth, so the row certifies
+    refresh-by-deltas == recompute on a real lifecycle (upserts that
+    keep keys, deletes that shrink groups). The change-window work is
+    proportional to changed rows, never table size — the 100 TB
+    dashboard-refresh path."""
+    from hudi_rs_spark.operators.incremental_view import (
+        agg_state,
+        incremental_agg_refresh,
+    )
+    from hudi_rs_spark.config.read_config import HudiReadOptions
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    _register(spark)
+    path = _ensure_lifecycle_table(spark, sf_dir, compacted=False)
+    t = HudiTable(path, spark)
+    commits = sorted(
+        {i.timestamp for i in t.timeline.instants if i.is_completed}
+        | {i.timestamp for i in t.timeline.archived_instants() or []}
+    )
+    seed = commits[0]
+    pre = t.read(HudiReadOptions(as_of_timestamp=seed))
+    state = agg_state(
+        pre.select("lang", F.col("ts").cast("bigint")), ["lang"], ["ts"]
+    ).localCheckpoint(eager=True)
+    refreshed = incremental_agg_refresh(
+        spark, path, state,
+        group_cols={"lang": "string"}, sum_cols={"ts": "bigint"},
+        key_col="doc_id", key_type="long", from_instant=seed,
+    )
+    return refreshed.select("lang", "n_rows", "sum_ts").orderBy("lang")
+
+
+INCR_VIEW_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 1 END) AS BIGINT)
+         AS sum_ts
+FROM documents
+WHERE doc_id % 11 <> 0
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def write_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lifecycle table's typed change feed (writer-emitted type-6
     CDC blocks -> HudiTable.read_changes): one i per seeded doc, one u
@@ -1555,6 +1604,8 @@ for _n, _f, _s, _d in [
      "fresh v9 write with Lance base files, connector read-back"),
     ("write_cdc_feed", write_cdc_feed, WRITE_CDC_SQL,
      "writer-emitted CDC blocks -> typed change feed (i/u/d)"),
+    ("write_incremental_view", write_incremental_view, INCR_VIEW_SQL,
+     "materialized count/sum view refreshed by CDC deltas == recompute"),
     ("write_merge_into", write_merge_into, MERGE_INTO_SQL,
      "MERGE INTO (update/delete/insert clauses) via bloom-tier tagging"),
     ("write_bucket_upsert", write_bucket_upsert, LIFECYCLE_SQL,

@@ -216,6 +216,10 @@ def main() -> None:
         # O(eval grams) and the corpus-side probe is a map-only pandas
         # UDF, so the row must track corpus size with no join blowup
         "text_decontam_bloom",
+        # r13: incremental view maintenance — the refresh reads the
+        # change window + pre-state of touched keys; with change volume
+        # ∝ corpus (fixed %9/%11 rates) the row must track corpus size
+        "write_incremental_view",
     ]
 
     def semdedup_at(k: int):
