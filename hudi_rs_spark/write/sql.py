@@ -1828,6 +1828,18 @@ def _run_call(spark, stmt: str, tables, options):
             df.createOrReplaceTempView(view)
         return 0
 
+    if proc in ("run_ttl", "run_partition_ttl"):
+        # RFC-65 KEEP_BY_TIME partition TTL as a procedure: drops every
+        # expired partition in ONE replacecommit; returns the victims
+        from hudi_rs_spark.write.ttl import apply_partition_ttl
+
+        if "retain_days" not in args:
+            raise SqlDmlError("run_ttl needs retain_days => <days>")
+        dropped = apply_partition_ttl(
+            path, float(args["retain_days"]), as_of=args.get("as_of")
+        )
+        return _one_col_df(spark, "dropped_partition", dropped)
+
     if proc == "repair_orphan_files":
         # dry-run by default: deleting data files is destructive, so
         # the caller must pass dry_run => false explicitly
@@ -1859,7 +1871,7 @@ def _run_call(spark, stmt: str, tables, options):
         "show_logfile_metadata, show_logfile_records, stats_file_sizes, "
         "stats_wa, show_metadata_table_partitions, "
         "show_metadata_table_stats, export_instants, copy_to_temp_view, "
-        "repair_orphan_files, archive_commits"
+        "run_ttl, repair_orphan_files, archive_commits"
     )
 
 

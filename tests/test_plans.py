@@ -222,3 +222,35 @@ class TestRound5OperatorPlans:
         plan = _plan(SPECS["dedup_incremental"].build(spark, sf_dir))
         assert "LeftAnti" in plan
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestR13Plans:
+    def test_bloom_decontam_filter_precedes_join(self, spark, sf_dir):
+        """The bitset probe is a map-side FILTER on the corpus gram
+        stream; only its survivors reach the (broadcast) confirm join —
+        never a shuffle of the bulk grams, never a nested loop."""
+        plan = _plan(SPECS["text_decontam_bloom"].build(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        # the pandas-UDF probe shows up as ArrowEvalPython and must sit
+        # BELOW the join in the plan text (printed above it)
+        probe = plan.find("ArrowEvalPython")
+        join = plan.find("BroadcastHashJoin")
+        assert probe != -1 and join != -1 and probe > join
+
+    def test_int8_topk_broadcasts_queries(self, spark, sf_dir):
+        """The quantized corpus streams once; the (tiny) query side is
+        broadcast, ranking is one window — no shuffle of the corpus on
+        a join key."""
+        plan = _plan(SPECS["sim_int8_topk"].build(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "Window" in plan
+
+    def test_incremental_view_no_cartesian(self, spark, sf_dir):
+        """The refresh is keyed joins + one delta aggregate — no
+        nested-loop anywhere, and the state merge is a single
+        (full outer) join on the group columns."""
+        plan = _plan(SPECS["write_incremental_view"].build(spark, sf_dir))
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        assert "FullOuter" in plan

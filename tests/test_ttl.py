@@ -97,3 +97,31 @@ class TestPartitionTtl:
             .mode("append").save()
         )
         assert expired_partitions(t, 1) == []
+
+
+class TestRunTtlProcedure:
+    def test_call_matches_api(self, spark, tmp_path):
+        from hudi_rs_spark.write.sql import SqlDmlError, hudi_sql
+
+        t = str(tmp_path / "t")
+        _write(spark, t, "a", OLD, 0)
+        _write(spark, t, "b", NEW, 100)
+        out = hudi_sql(
+            spark, "CALL run_ttl(table => 't', retain_days => 30)",
+            tables={"t": t},
+        ).collect()
+        assert [r["dropped_partition"] for r in out] == ["part=a"]
+        # idempotent: nothing left to expire
+        assert hudi_sql(
+            spark, "CALL run_ttl(table => 't', retain_days => 30)",
+            tables={"t": t},
+        ).count() == 0
+        got = (
+            spark.read.format("hudi_py").option("path", t).load()
+            .select("part").distinct().collect()
+        )
+        assert [r["part"] for r in got] == ["b"]
+        import pytest as _pytest
+
+        with _pytest.raises(SqlDmlError, match="retain_days"):
+            hudi_sql(spark, "CALL run_ttl(table => 't')", tables={"t": t})
