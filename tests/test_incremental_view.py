@@ -137,3 +137,63 @@ class TestIncrementalAggRefresh:
             ["cat"], ["v"],
         )
         assert _as_rows(refreshed) == _as_rows(want)
+
+
+class TestStreamingRefresh:
+    def test_foreachbatch_maintains_view(self, spark, tmp_path):
+        """Streaming composition: the CDC readStream source signals each
+        commit window; foreachBatch applies the SAME delta refresh per
+        micro-batch — the continuously-maintained state must equal the
+        final full recompute."""
+        import time
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        seed_instant = _commits(path)[-1]
+        upsert(_rows(spark, [(0, "y", 11, 2), (100, "z", 5, 2)]), path)
+        delete(_rows(spark, [(4, "x", 50, 3)]), path)
+
+        holder = {
+            "df": _snapshot_state_asof(spark, path, seed_instant)
+            .localCheckpoint(eager=True),
+            "last": seed_instant,
+        }
+
+        def handle(batch, _bid):
+            rows = batch.select(F.max("commit_time").alias("hi")).collect()
+            hi = rows[0]["hi"]
+            if hi is None or hi <= holder["last"]:
+                return
+            holder["df"] = incremental_agg_refresh(
+                spark, path, holder["df"], GROUPS, SUMS, "id", "int",
+                from_instant=holder["last"], to_instant=hi,
+            ).localCheckpoint(eager=True)
+            holder["last"] = hi
+
+        q = (
+            spark.readStream.format("hudi_py").option("path", path)
+            .option("queryType", "cdc")
+            .option("startTimestamp", seed_instant)
+            .load()
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = time.time() + 240
+        while q.isActive and time.time() < deadline:
+            time.sleep(2)
+        assert not q.isActive and q.exception() is None
+        assert _as_rows(holder["df"]) == _as_rows(_snapshot_state(spark, path))
+
+
+def _snapshot_state_asof(spark, path, instant):
+    from hudi_rs_spark.config.read_config import HudiReadOptions
+    from hudi_rs_spark.sources.hudi import HudiTable
+
+    snap = HudiTable(path, spark).read(
+        HudiReadOptions(as_of_timestamp=instant)
+    )
+    return agg_state(
+        snap.select(F.col("cat"), F.col("v").cast("bigint")), ["cat"], ["v"]
+    )
