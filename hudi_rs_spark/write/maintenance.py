@@ -47,6 +47,10 @@ def maybe_auto_maintain(cfg) -> None:
         _maybe_clean(cfg)
     except Exception as e:  # noqa: BLE001
         warnings.warn(f"auto clean skipped: {e}", stacklevel=2)
+    try:
+        _maybe_ttl(cfg)
+    except Exception as e:  # noqa: BLE001
+        warnings.warn(f"auto partition TTL skipped: {e}", stacklevel=2)
 
 
 def _active_spark():
@@ -143,6 +147,29 @@ def _maybe_clean(cfg) -> None:
         retain_file_versions=retain_versions,
         retain_hours=retain_hours,
     )
+
+
+def _maybe_ttl(cfg) -> None:
+    """RFC-65 inline partition-TTL strategy: when the table property
+    ``hoodie.partition.ttl.inline.enabled`` is true (option spelling
+    ``partition.ttl.inline`` at write time also accepted via table
+    properties), expire partitions older than
+    ``hoodie.partition.ttl.days.retained`` after each write commit.
+    Expiry is metadata-sized: per-partition newest-instant epochs from
+    the fs view; nothing to expire publishes nothing (ttl.py)."""
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+
+    props = HudiTableConfig.from_base_path(cfg.path).props
+    if props.get(
+        "hoodie.partition.ttl.inline.enabled", ""
+    ).lower() != "true":
+        return
+    days = float(props.get("hoodie.partition.ttl.days.retained", "0"))
+    if days <= 0:
+        return
+    from hudi_rs_spark.write.ttl import apply_partition_ttl
+
+    apply_partition_ttl(cfg.path, days)
 
 
 def _maybe_archive(cfg) -> None:

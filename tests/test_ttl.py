@@ -125,3 +125,49 @@ class TestRunTtlProcedure:
 
         with _pytest.raises(SqlDmlError, match="retain_days"):
             hudi_sql(spark, "CALL run_ttl(table => 't')", tables={"t": t})
+
+
+class TestInlineTtl:
+    def test_property_driven_expiry_after_write(self, spark, tmp_path):
+        from hudi_rs_spark.write.sql import hudi_sql
+        from hudi_rs_spark.write.upsert import upsert
+
+        t = str(tmp_path / "t")
+        _write(spark, t, "a", OLD, 0)  # 2024 partition: long expired
+        hudi_sql(
+            spark,
+            "ALTER TABLE t SET TBLPROPERTIES ("
+            "'hoodie.partition.ttl.inline.enabled' = 'true', "
+            "'hoodie.partition.ttl.days.retained' = '30')",
+            tables={"t": t},
+        )
+        # a normal write commits at the CURRENT instant -> the epoch
+        # advances -> inline TTL fires and drops the stale partition
+        upsert(
+            spark.createDataFrame(
+                [(200, 1, "b")], "id long, ts long, part string"
+            ),
+            t,
+        )
+        got = (
+            spark.read.format("hudi_py").option("path", t).load()
+            .select("part").distinct().collect()
+        )
+        assert [r["part"] for r in got] == ["b"]
+
+    def test_disabled_without_property(self, spark, tmp_path):
+        from hudi_rs_spark.write.upsert import upsert
+
+        t = str(tmp_path / "t")
+        _write(spark, t, "a", OLD, 0)
+        upsert(
+            spark.createDataFrame(
+                [(200, 1, "b")], "id long, ts long, part string"
+            ),
+            t,
+        )
+        got = (
+            spark.read.format("hudi_py").option("path", t).load()
+            .select("part").distinct().collect()
+        )
+        assert sorted(r["part"] for r in got) == ["a", "b"]
