@@ -836,7 +836,12 @@ def _run_insert(spark, stmt: str, tables, options):
             )
         df = spark.sql(f"SELECT * FROM ({rest} AS __ins({', '.join(names)}))")
     elif re.match(r"(SELECT|WITH)\b", rest, re.I):
-        df = _run_plain_select(spark, rest, tables)
+        # TVF sources (hudi_table_changes / hudi_query) route through
+        # the TVF rewriter; everything else through plain SELECT
+        if _TVF.search(rest):
+            df = _run_tvf_select(spark, rest, tables, options)
+        else:
+            df = _run_plain_select(spark, rest, tables)
         if cols:
             if len(df.columns) != len(cols):
                 raise SqlDmlError(

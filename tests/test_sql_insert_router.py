@@ -234,3 +234,51 @@ class TestFullSqlScript:
         assert parts == {"part=x", "part=y"}
         rows = [(r.id, r.name, r.part) for r in results[5].collect()]
         assert rows == [(1, "a;b", "x"), (2, "B", "y"), (3, "c", "x")]
+
+
+class TestInsertFromTvf:
+    def test_insert_select_from_hudi_query_tvf(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        _seed(spark, src)
+        # empty twin via LIKE, then fill it from the TVF (unquoted AND
+        # quoted table tokens both resolve through the tables map)
+        hudi_sql(
+            spark, f"CREATE TABLE d LIKE s LOCATION '{dst}'",
+            tables={"s": src},
+        )
+        hudi_sql(
+            spark,
+            "INSERT INTO d SELECT id, name, part, ts "
+            "FROM hudi_query(s, 'snapshot')",
+            tables={"s": src, "d": dst},
+        )
+        assert _snap(spark, dst) == _snap(spark, src)
+
+    def test_insert_select_from_table_changes_tvf(self, spark, tmp_path):
+        from hudi_rs_spark.write.upsert import upsert
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        _seed(spark, src)
+        from hudi_rs_spark.sources.hudi import HudiTable
+
+        first = HudiTable(src, spark).timeline.latest_commit_timestamp()
+        upsert(
+            spark.createDataFrame(
+                [(1, "u1", "b", 2)],
+                "id long, name string, part string, ts long",
+            ),
+            src,
+        )
+        hudi_sql(
+            spark, f"CREATE TABLE d LIKE s LOCATION '{dst}'",
+            tables={"s": src},
+        )
+        hudi_sql(
+            spark,
+            "INSERT INTO d SELECT id, name, part, ts FROM "
+            f"hudi_table_changes('s', 'latest_state', '{first}')",
+            tables={"s": src, "d": dst},
+        )
+        assert _snap(spark, dst) == {1: ("u1", "b")}
