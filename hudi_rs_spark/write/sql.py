@@ -287,8 +287,10 @@ def _run_merge(spark, stmt: str, tables, options):
     t_name, t_alias = _name_and_alias(target_ref)
     path = _resolve_path(t_name, tables)
     src_txt = source_ref.strip()
+    tvf_at_start = _TVF.match(src_txt)
     if src_txt.startswith("("):
-        # inline subquery: (SELECT ...) [AS] alias
+        # inline subquery: (SELECT ...) [AS] alias — a TVF inside it
+        # routes through the TVF rewriter (hudi_query / table_changes)
         close = _find_top(src_txt, r"\)")
         sub = src_txt[1 : close.start()]
         s_alias_txt = src_txt[close.end():].strip()
@@ -296,7 +298,23 @@ def _run_merge(spark, stmt: str, tables, options):
         if s_alias_txt:
             toks = [t for t in s_alias_txt.split() if t.upper() != "AS"]
             s_alias = toks[0] if toks else None
-        source = spark.sql(sub)
+        if _TVF.search(sub):
+            source = _run_tvf_select(spark, sub, tables, options)
+        else:
+            source = spark.sql(sub)
+        s_name = None
+    elif tvf_at_start:
+        # bare TVF source: MERGE ... USING hudi_query(s, 'snapshot') x
+        close = _find_top(src_txt, r"\)")
+        call = src_txt[: close.end()]
+        s_alias_txt = src_txt[close.end():].strip()
+        s_alias = None
+        if s_alias_txt:
+            toks = [t for t in s_alias_txt.split() if t.upper() != "AS"]
+            s_alias = toks[0] if toks else None
+        source = _run_tvf_select(
+            spark, f"SELECT * FROM {call}", tables, options
+        )
         s_name = None
     else:
         s_name, s_alias = _name_and_alias(src_txt)

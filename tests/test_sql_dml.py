@@ -249,3 +249,49 @@ class TestMergeInto:
                 "WHEN MATCHED THEN DELETE WHEN MATCHED THEN DELETE",
                 tables={"t": t},
             )
+
+
+class TestMergeTvfSource:
+    def test_merge_using_bare_tvf(self, spark, tmp_path):
+        from hudi_rs_spark.write.sql import hudi_sql
+
+        t = _seed(spark, tmp_path, "t")
+        s = _seed(spark, tmp_path, "s")
+        # mutate the source so the merge has updates to carry
+        hudi_sql(
+            spark, "UPDATE s SET name = 'x5' WHERE id = 5",
+            tables={"s": s},
+        )
+        hudi_sql(
+            spark,
+            "MERGE INTO t USING hudi_query(s, 'snapshot') src "
+            "ON t.id = src.id "
+            "WHEN MATCHED AND src.name = 'x5' THEN UPDATE SET "
+            "name = src.name",
+            tables={"t": t, "s": s},
+        )
+        got = _snap(spark, t)
+        assert got[5][0] == "x5"
+        assert got[4][0] == "n4"  # untouched
+
+    def test_merge_using_subquery_with_tvf(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.sql import hudi_sql
+        from hudi_rs_spark.write.upsert import upsert
+
+        t = _seed(spark, tmp_path, "t")
+        s = _seed(spark, tmp_path, "s")
+        first = HudiTable(s, spark).timeline.latest_commit_timestamp()
+        upsert(_rows(spark, n=2, start=3, ts=2, name="w"), s)
+        # only the change window (first, latest] feeds the merge
+        hudi_sql(
+            spark,
+            "MERGE INTO t USING (SELECT id, name FROM "
+            f"hudi_table_changes('s', 'latest_state', '{first}')) src "
+            "ON t.id = src.id "
+            "WHEN MATCHED THEN UPDATE SET name = src.name",
+            tables={"t": t, "s": s},
+        )
+        got = _snap(spark, t)
+        assert got[3][0] == "w3" and got[4][0] == "w4"
+        assert got[5][0] == "n5"  # outside the window: untouched
