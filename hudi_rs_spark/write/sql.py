@@ -233,6 +233,28 @@ def hudi_sql(spark, statement: str, tables: dict | None = None, **options):
         return _run_tvf_select(spark, stmt, tables, options)
     if head.startswith("SELECT") or head.startswith("WITH"):
         return _run_plain_select(spark, stmt, tables)
+    em = re.match(
+        r"EXPLAIN\s+(?P<mode>EXTENDED|FORMATTED|CODEGEN|COST)?\s*"
+        r"(?P<q>(?:SELECT|WITH)\b.*)$",
+        stmt, re.I | re.S,
+    )
+    if em:
+        # EXPLAIN over the routed query (views + AS OF + TVF rewrites
+        # apply first, so the plan shown is the plan that would run)
+        q = em.group("q")
+        df = (
+            _run_tvf_select(spark, q, tables, options)
+            if _TVF.search(q)
+            else _run_plain_select(spark, q, tables)
+        )
+        mode = (em.group("mode") or "simple").lower()
+        try:
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), mode
+            )
+        except Exception:  # noqa: BLE001 — private helper moved: degrade
+            plan = df._jdf.queryExecution().toString()
+        return spark.createDataFrame([(plan,)], "plan string")
     raise SqlDmlError(
         "supported statements: MERGE INTO / UPDATE / DELETE FROM / "
         "ALTER TABLE ... DROP PARTITION / CALL <procedure>(...) / "

@@ -803,3 +803,26 @@ class TestRepairOrphanFiles:
         ).collect()
         assert name not in {r["file"] for r in out}
         assert os.path.exists(os.path.join(path, name))
+
+
+class TestExplainStatement:
+    def test_explain_routes_and_shows_plan(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path, n=5)
+        out = hudi_sql(
+            spark,
+            "EXPLAIN FORMATTED SELECT name FROM t WHERE id = 1",
+            tables={"t": path},
+        ).collect()
+        plan = out[0]["plan"]
+        assert "BatchScan hudi_py" in plan and "Filter" in plan
+
+    def test_explain_over_tvf(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path, n=5)
+        out = hudi_sql(
+            spark,
+            "EXPLAIN SELECT id FROM hudi_query('t', 'snapshot')",
+            tables={"t": path},
+        ).collect()
+        assert "Physical Plan" in out[0]["plan"] or "Scan" in out[0]["plan"]
