@@ -261,7 +261,9 @@ def hudi_sql(spark, statement: str, tables: dict | None = None, **options):
         "CREATE TABLE ... USING hudi_py ... AS SELECT / "
         "CREATE INDEX ... ON <t> USING <type>(...) / DROP INDEX / "
         "INSERT INTO|OVERWRITE <t> SELECT|VALUES ... / "
-        "SHOW INDEXES|PARTITIONS|... FROM <t> / "
+        "SHOW INDEXES|PARTITIONS|... FROM <t> / SHOW CREATE TABLE <t> / "
+        "CREATE TABLE <new> LIKE <src> / ALTER TABLE ... SET|UNSET "
+        "TBLPROPERTIES / EXPLAIN [mode] SELECT ... / "
         "SELECT ... FROM hudi_table_changes(...) | hudi_query(...)"
     )
 
