@@ -169,7 +169,12 @@ def _maybe_ttl(cfg) -> None:
         return
     from hudi_rs_spark.write.ttl import apply_partition_ttl
 
-    apply_partition_ttl(cfg.path, days)
+    apply_partition_ttl(
+        cfg.path, days,
+        policy=props.get(
+            "hoodie.partition.ttl.strategy", "KEEP_BY_TIME"
+        ),
+    )
 
 
 def _maybe_archive(cfg) -> None:

@@ -1883,7 +1883,8 @@ def _run_call(spark, stmt: str, tables, options):
         if "retain_days" not in args:
             raise SqlDmlError("run_ttl needs retain_days => <days>")
         dropped = apply_partition_ttl(
-            path, float(args["retain_days"]), as_of=args.get("as_of")
+            path, float(args["retain_days"]), as_of=args.get("as_of"),
+            policy=args.get("policy", "KEEP_BY_TIME"),
         )
         return _one_col_df(spark, "dropped_partition", dropped)
 

@@ -29,12 +29,22 @@ _DAY_MS = 24 * 60 * 60 * 1000
 
 
 def expired_partitions(
-    path: str, retain_days: float, as_of: str | None = None
+    path: str, retain_days: float, as_of: str | None = None,
+    policy: str = "KEEP_BY_TIME",
 ) -> list[str]:
-    """Relative partition paths whose newest file instant is older than
-    ``retain_days`` before ``as_of`` (default: the latest completed
-    instant). Unpartitioned tables never expire (the '' partition is
-    the table)."""
+    """Relative partition paths expired under ``policy``:
+
+    - ``KEEP_BY_TIME`` (default): the partition's NEWEST touching
+      instant is older than ``retain_days`` before ``as_of`` (default:
+      the latest completed instant) — idle partitions expire, active
+      ones are rescued by any write.
+    - ``KEEP_BY_CREATION_TIME``: the partition's OLDEST touching
+      instant decides — a partition expires a fixed time after its
+      birth no matter how recently it was written (RFC-65's second
+      strategy; rolling raw-landing zones use this).
+
+    Unpartitioned tables never expire (the '' partition is the
+    table)."""
     from hudi_rs_spark.sources.hudi import HudiTable
 
     table = HudiTable(path, spark=None, listing="direct")
@@ -51,7 +61,14 @@ def expired_partitions(
     )
     if not completed:
         return []
+    pol = policy.strip().upper()
+    if pol not in ("KEEP_BY_TIME", "KEEP_BY_CREATION_TIME"):
+        raise ValueError(
+            f"unknown partition TTL policy {policy!r}: expected "
+            "KEEP_BY_TIME or KEEP_BY_CREATION_TIME"
+        )
     newest_touch: dict[str, str] = {}
+    epoch_touch: dict[str, str] = {}  # per-policy deciding instant
     for inst in completed:
         try:
             meta = table.timeline.metadata_for(inst)
@@ -61,6 +78,10 @@ def expired_partitions(
             part = (ws.partition_path or "").strip("/")
             if part:
                 newest_touch[part] = max(newest_touch.get(part, ""), inst.timestamp)
+                if pol == "KEEP_BY_CREATION_TIME":
+                    epoch_touch.setdefault(part, inst.timestamp)
+    if pol == "KEEP_BY_TIME":
+        epoch_touch = newest_touch
     if as_of is None:
         if not newest_touch:
             return []  # no data write in the active timeline: no epoch
@@ -69,7 +90,7 @@ def expired_partitions(
     earliest_active_ms = parse_hudi_timestamp_millis(completed[0].timestamp)
     out = []
     for part in live:
-        newest = newest_touch.get(part)
+        newest = epoch_touch.get(part)
         if newest is not None:
             if parse_hudi_timestamp_millis(newest) < boundary:
                 out.append(part)
@@ -81,14 +102,15 @@ def expired_partitions(
 
 
 def apply_partition_ttl(
-    path: str, retain_days: float, as_of: str | None = None
+    path: str, retain_days: float, as_of: str | None = None,
+    policy: str = "KEEP_BY_TIME",
 ) -> list[str]:
     """Drop every expired partition (one replacecommit for all of them);
     returns the dropped relative partition paths ([] = nothing expired,
     no instant published)."""
     from hudi_rs_spark.write.dml import delete_partitions
 
-    victims = expired_partitions(path, retain_days, as_of)
+    victims = expired_partitions(path, retain_days, as_of, policy=policy)
     if victims:
         delete_partitions(path, victims)
     return victims

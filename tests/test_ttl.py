@@ -171,3 +171,37 @@ class TestInlineTtl:
             .select("part").distinct().collect()
         )
         assert sorted(r["part"] for r in got) == ["a", "b"]
+
+
+class TestCreationTimePolicy:
+    def test_recent_touch_does_not_rescue(self, spark, tmp_path):
+        from hudi_rs_spark.write.ttl import expired_partitions
+        from hudi_rs_spark.write.upsert import upsert
+
+        t = str(tmp_path / "t")
+        _write(spark, t, "a", OLD, 0)   # born Jan 1
+        _write(spark, t, "b", NEW, 100)  # born Mar 1
+        # touch part=a at NEW-era: rescues it under KEEP_BY_TIME...
+        upsert(
+            spark.createDataFrame(
+                [(1, 2, "a")], "id long, ts long, part string"
+            ),
+            t,
+            instant="20240301000000500",
+        )
+        assert expired_partitions(t, 30, as_of=NEW) == []
+        # ...but NOT under KEEP_BY_CREATION_TIME (birth decides)
+        assert expired_partitions(
+            t, 30, as_of=NEW, policy="KEEP_BY_CREATION_TIME"
+        ) == ["part=a"]
+        assert expired_partitions(
+            t, 90, as_of=NEW, policy="KEEP_BY_CREATION_TIME"
+        ) == []
+
+    def test_unknown_policy_rejected(self, spark, tmp_path):
+        from hudi_rs_spark.write.ttl import expired_partitions
+
+        t = str(tmp_path / "t")
+        _write(spark, t, "a", OLD, 0)
+        with pytest.raises(ValueError, match="TTL policy"):
+            expired_partitions(t, 30, policy="KEEP_FOREVER")
