@@ -32,13 +32,22 @@ from pyspark.sql import functions as F
 
 
 def agg_state(
-    df: DataFrame, group_cols: list[str], sum_cols: list[str]
+    df: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    minmax_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Full recompute of the maintained state shape:
-    (group_cols..., n_rows, sum_<c> per sum col)."""
+    (group_cols..., n_rows, sum_<c> per sum col, min_<c>/max_<c> per
+    min/max col)."""
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
         *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        *[
+            a
+            for c in minmax_cols
+            for a in (F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"))
+        ],
     )
 
 
@@ -56,11 +65,20 @@ def incremental_agg_refresh(
     key_type: str,
     from_instant: str,
     to_instant: str | None = None,
+    minmax_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """Merge the (from_instant, to_instant] change window into ``state``
     (shape of ``agg_state``; column types as declared in the dicts —
     name -> Spark type string). Returns the refreshed state, equal to a
-    full recompute over the end-of-window snapshot."""
+    full recompute over the end-of-window snapshot.
+
+    ``minmax_cols`` opts into min/max maintenance: counts and sums are
+    pure ± arithmetic, but a delete can retire the current extremum, so
+    min/max are RECOMPUTED — only for the groups the window touched,
+    from the end-of-window snapshot restricted to those groups (a
+    group-pruned scan: with group columns = partition columns that is a
+    partition-pruned read). Untouched groups keep their stored
+    extremes; work stays proportional to the changed groups' data."""
     from pyspark.sql import Window
 
     from hudi_rs_spark.config.read_config import HudiReadOptions
@@ -113,6 +131,7 @@ def incremental_agg_refresh(
             ],
         )
     )
+    mm = dict(minmax_cols or {})
     merged = state.join(delta, gcols, "full").select(
         *gcols,
         (
@@ -126,5 +145,45 @@ def incremental_agg_refresh(
             ).alias(f"sum_{c}")
             for c, t in sum_cols.items()
         ],
+        *[F.col(f"min_{c}") for c in mm],
+        *[F.col(f"max_{c}") for c in mm],
     )
-    return merged.filter(F.col("n_rows") > 0)
+    merged = merged.filter(F.col("n_rows") > 0)
+    if not mm:
+        return merged
+    end = table.read(
+        HudiReadOptions(as_of_timestamp=to_instant) if to_instant else None
+    )
+    affected = delta.select(*gcols).distinct()
+    fresh = (
+        end.join(affected, gcols, "inner")
+        .groupBy(*gcols)
+        .agg(
+            F.lit(True).alias("_touched"),
+            *[
+                a
+                for c, t in mm.items()
+                for a in (
+                    F.min(F.col(c).cast(t)).alias(f"_f_min_{c}"),
+                    F.max(F.col(c).cast(t)).alias(f"_f_max_{c}"),
+                )
+            ],
+        )
+    )
+    return merged.join(fresh, gcols, "left").select(
+        *gcols,
+        "n_rows",
+        *[f"sum_{c}" for c in sum_cols],
+        *[
+            c2
+            for c in mm
+            for c2 in (
+                F.when(F.col("_touched"), F.col(f"_f_min_{c}"))
+                .otherwise(F.col(f"min_{c}"))
+                .alias(f"min_{c}"),
+                F.when(F.col("_touched"), F.col(f"_f_max_{c}"))
+                .otherwise(F.col(f"max_{c}"))
+                .alias(f"max_{c}"),
+            )
+        ],
+    )

@@ -197,3 +197,61 @@ def _snapshot_state_asof(spark, path, instant):
     return agg_state(
         snap.select(F.col("cat"), F.col("v").cast("bigint")), ["cat"], ["v"]
     )
+
+
+class TestMinMaxMaintenance:
+    def test_delete_retires_extremum(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)  # cat x: v in {10,30,50,70,90}; y: {20,...,100}
+        seed_instant = _commits(path)[-1]
+        snap0 = spark.read.format("hudi_py").option("path", path).load()
+        state = agg_state(
+            snap0.select("cat", F.col("v").cast("bigint")),
+            ["cat"], ["v"], minmax_cols=["v"],
+        ).localCheckpoint(eager=True)
+
+        # delete cat-x's max (id 8 -> v 90) and update its min upward
+        delete(_rows(spark, [(8, "y", 90, 2)]), path)
+        upsert(_rows(spark, [(0, "x", 45, 3)]), path)
+
+        refreshed = incremental_agg_refresh(
+            spark, path, state, GROUPS, SUMS, "id", "int", seed_instant,
+            minmax_cols={"v": "bigint"},
+        )
+        snap = spark.read.format("hudi_py").option("path", path).load()
+        want = agg_state(
+            snap.select("cat", F.col("v").cast("bigint")),
+            ["cat"], ["v"], minmax_cols=["v"],
+        )
+        got = sorted(tuple(r) for r in refreshed.collect())
+        exp = sorted(tuple(r) for r in want.collect())
+        assert got == exp
+        # pin that the delete ACTUALLY retired an extremum: id 8 was
+        # cat x's v=90 (deletes route by KEY, the frame's cat is
+        # ignored), so x's max falls to 70; id 0's re-value 10 -> 45
+        # moves x's min to 30; y is untouched
+        pre = {r["cat"]: (r["min_v"], r["max_v"]) for r in state.collect()}
+        post = {r[0]: (r[3], r[4]) for r in got}
+        assert pre["x"] == (10, 90) and post["x"] == (30, 70)
+        assert pre["y"] == post["y"] == (20, 100)
+
+    def test_untouched_group_keeps_stored_extremes(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        seed_instant = _commits(path)[-1]
+        snap0 = spark.read.format("hudi_py").option("path", path).load()
+        state = agg_state(
+            snap0.select("cat", F.col("v").cast("bigint")),
+            ["cat"], ["v"], minmax_cols=["v"],
+        ).localCheckpoint(eager=True)
+        # only touch cat y (ids odd); x must come through bit-identical
+        delete(_rows(spark, [(9, "y", 100, 2)]), path)
+        refreshed = {
+            r["cat"]: (r["n_rows"], r["sum_v"], r["min_v"], r["max_v"])
+            for r in incremental_agg_refresh(
+                spark, path, state, GROUPS, SUMS, "id", "int",
+                seed_instant, minmax_cols={"v": "bigint"},
+            ).collect()
+        }
+        assert refreshed["x"] == (5, 10 + 30 + 50 + 70 + 90, 10, 90)
+        assert refreshed["y"] == (4, 20 + 40 + 60 + 80, 20, 80)
