@@ -296,21 +296,30 @@ def write_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = commits[0]
     pre = t.read(HudiReadOptions(as_of_timestamp=seed))
     state = agg_state(
-        pre.select("lang", F.col("ts").cast("bigint")), ["lang"], ["ts"]
+        pre.select(
+            "lang", F.col("ts").cast("bigint"),
+            F.col("doc_id").cast("bigint"),
+        ),
+        ["lang"], ["ts"], minmax_cols=["doc_id"],
     ).localCheckpoint(eager=True)
     refreshed = incremental_agg_refresh(
         spark, path, state,
         group_cols={"lang": "string"}, sum_cols={"ts": "bigint"},
         key_col="doc_id", key_type="long", from_instant=seed,
+        minmax_cols={"doc_id": "bigint"},
     )
-    return refreshed.select("lang", "n_rows", "sum_ts").orderBy("lang")
+    return refreshed.select(
+        "lang", "n_rows", "sum_ts", "min_doc_id", "max_doc_id"
+    ).orderBy("lang")
 
 
 INCR_VIEW_SQL = """
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 1 END) AS BIGINT)
-         AS sum_ts
+         AS sum_ts,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
 FROM documents
 WHERE doc_id % 11 <> 0
 GROUP BY lang
