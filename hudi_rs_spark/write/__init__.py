@@ -212,4 +212,4 @@ from hudi_rs_spark.write.expr_index import (  # noqa: F401
 from hudi_rs_spark.write.mdt_bloom import backfill_bloom_filters  # noqa: F401
 from hudi_rs_spark.write.ttl import apply_partition_ttl, expired_partitions  # noqa: F401
 from hudi_rs_spark.write.validate import validate_table  # noqa: F401
-from hudi_rs_spark.write.upsert import delete, upsert  # noqa: F401
+from hudi_rs_spark.write.upsert import bulk_insert, delete, upsert  # noqa: F401

@@ -729,3 +729,51 @@ def delete(df_keys: DataFrame, path: str, **options) -> None:
     """Delete by key: ``df_keys`` needs the record key (+ partition +
     precombine) columns; implemented as an upsert of tombstone rows."""
     upsert(df_keys.withColumn(DELETE_COL, F.lit(True)), path, **options)
+
+
+def bulk_insert(
+    df: DataFrame, path: str, sort_mode: str = "GLOBAL_SORT", **options
+) -> None:
+    """Hudi's bulk_insert operation: the fastest bulk-load path — no
+    index lookup, no tagging, no small-file bin-packing — with the
+    layout shaped by ``hoodie.bulkinsert.sort.mode`` semantics:
+
+    - ``GLOBAL_SORT`` (Hudi's default): range-sort the whole frame on
+      (partition columns, record key). At 100 TB this is the mode that
+      matters: one global sort buys minimal file counts per partition
+      (each task writes one contiguous partition run), tight min/max
+      key ranges per file (bloom/column-stat pruning stays selective),
+      and monotone keys for later compaction.
+    - ``PARTITION_SORT``: sort within tasks only — no shuffle, files
+      are key-sorted internally but partitions span tasks.
+    - ``NONE``: write the frame exactly as it arrives.
+
+    The commit records operationType=bulk_insert. Identity options
+    (keys/type/version) inherit from the existing table when absent —
+    same as every other write entry point."""
+    from hudi_rs_spark.write.config import WriteConfig
+    from hudi_rs_spark.write.writer import inherit_table_identity
+
+    mode = str(
+        options.pop("sort.mode", None) or sort_mode or "GLOBAL_SORT"
+    ).upper()
+    if mode not in ("GLOBAL_SORT", "PARTITION_SORT", "NONE"):
+        raise ValueError(
+            f"unknown bulk_insert sort mode {mode!r}: expected "
+            "GLOBAL_SORT, PARTITION_SORT, or NONE"
+        )
+    merged = inherit_table_identity({**options, "path": path})
+    cfg = WriteConfig.from_options(merged)
+    sort_cols = [
+        c for c in (*cfg.partition_fields, *cfg.record_key_fields)
+        if c in df.columns
+    ]
+    if sort_cols and mode == "GLOBAL_SORT":
+        df = df.orderBy(*sort_cols)
+    elif sort_cols and mode == "PARTITION_SORT":
+        df = df.sortWithinPartitions(*sort_cols)
+    w = df.write.format("hudi_py").option("path", path)
+    for k, v in merged.items():
+        if k != "path":
+            w = w.option(k, v)
+    w.option("operation", "bulk_insert").mode("append").save()

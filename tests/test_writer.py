@@ -1658,3 +1658,96 @@ class TestUntaggedUpsertGuard:
         from hudi_rs_spark.sources.hudi import HudiTable
 
         assert HudiTable(tdir, spark).read().count() == 8
+
+
+class TestBulkInsert:
+    @pytest.fixture(autouse=True)
+    def _reg(self, spark):
+        from hudi_rs_spark.sources.pyds import HudiPyDataSource
+
+        spark.dataSource.register(HudiPyDataSource)
+
+    def _df(self, spark, n=40):
+        return spark.createDataFrame(
+            [(i, f"n{i}", ["a", "b"][i % 2], 1) for i in range(n)],
+            "id long, name string, part string, ts long",
+        )
+
+    def test_global_sort_layout_and_metadata(self, spark, tmp_path):
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write import bulk_insert
+
+        t = str(tmp_path / "t")
+        bulk_insert(
+            self._df(spark).repartition(8), t,
+            **{
+                "recordkey.field": "id", "precombine.field": "ts",
+                "partitionpath.field": "part",
+                "table.type": "MERGE_ON_READ", "table.version": "8",
+            },
+        )
+        table = HudiTable(t, spark)
+        rows = table.read().select("id", "name").collect()
+        assert len(rows) == 40
+        # operationType recorded
+        tl = table.timeline
+        inst = max(tl.instants, key=lambda i: i.timestamp)
+        assert tl.metadata_for(inst).operation_type == "BULK_INSERT" or \
+            tl.metadata_for(inst).operation_type == "bulk_insert"
+        # global sort: within each base file the keys are CONTIGUOUS —
+        # file key-ranges never overlap inside a partition
+        import pyarrow.parquet as pq
+
+        by_part: dict[str, list[tuple[int, int]]] = {}
+        for sl in table.get_file_slices():
+            if not sl.base_file:
+                continue
+            rel = (
+                f"{sl.partition_path}/{sl.base_file.file_name}"
+                if sl.partition_path else sl.base_file.file_name
+            )
+            ids = pq.read_table(f"{t}/{rel}", columns=["id"])["id"].to_pylist()
+            assert ids == sorted(ids)  # sorted inside the file
+            by_part.setdefault(sl.partition_path, []).append(
+                (min(ids), max(ids))
+            )
+        for spans in by_part.values():
+            spans.sort()
+            for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+                assert hi1 <= lo2  # no overlap between files
+
+    def test_append_to_existing_inherits_identity(self, spark, tmp_path):
+        from hudi_rs_spark.write import bulk_insert
+
+        t = str(tmp_path / "t")
+        bulk_insert(
+            self._df(spark, 10), t,
+            **{
+                "recordkey.field": "id", "precombine.field": "ts",
+                "partitionpath.field": "part",
+                "table.type": "MERGE_ON_READ", "table.version": "8",
+            },
+        )
+        # second load: nothing but the path (identity inherited)
+        bulk_insert(
+            spark.createDataFrame(
+                [(100 + i, f"m{i}", "a", 1) for i in range(5)],
+                "id long, name string, part string, ts long",
+            ),
+            t,
+        )
+        n = (
+            spark.read.format("hudi_py").option("path", t).load().count()
+        )
+        assert n == 15
+
+    def test_bad_sort_mode_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from hudi_rs_spark.write import bulk_insert
+
+        with _pytest.raises(ValueError, match="sort mode"):
+            bulk_insert(
+                self._df(spark, 2), str(tmp_path / "t"),
+                sort_mode="SHUFFLE",
+            )
