@@ -37,6 +37,7 @@ _SURFACE_FIRST = [
     "text_decontam_bloom",  # broadcast-Bloom prefiltered decontamination
     "sim_int8_topk",  # int8-quantized cosine top-k (4x corpus bytes cut)
     "write_incremental_view",  # CDC-delta view refresh == recompute
+    "write_bulk_insert",  # GLOBAL_SORT bulk load layout
     # REWORKED r13 — now renames over LIVE MOR logs (3 schema epochs)
     "write_ddl_columns",
     # newest evidence r10 — the planned r12->r13 agers (13)
@@ -59,16 +60,16 @@ _SURFACE_FIRST = [
     "sim_embedding_near_dups", "sim_semdedup",
     "sample_temperature_mix", "sample_shuffle_shard",
     "sample_split_leakfree",
-    "text_quality", "text_lang_id", "text_fingerprint_groups",
+    "text_quality", "text_lang_id",
     "text_interdup_score",
-    # --- 50-row window boundary: the nineteen stable r11 rows below
+    # --- 50-row window boundary: the twenty stable r11 rows below
     # age to r14 (pure relational SQL + merge composites + gopher/
-    # chunking/repetition/PII rules untouched since r11 — least
-    # regression surface; chunk_overlap, repetition and pii_scrub
-    # traded in for the new bloom-decontam, int8-ANN and
-    # incremental-view rows)
-    "text_pii_scrub", "text_repetition", "text_chunk_overlap",
-    "text_gopher_filter",
+    # chunking/repetition/PII/fingerprint rules untouched since r11 —
+    # least regression surface; chunk_overlap, repetition, pii_scrub
+    # and fingerprint_groups traded in for the new bloom-decontam,
+    # int8-ANN, incremental-view and bulk-insert rows)
+    "text_fingerprint_groups", "text_pii_scrub", "text_repetition",
+    "text_chunk_overlap", "text_gopher_filter",
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q19_disjunctive",
     "q22_no_order_customers",

@@ -82,6 +82,7 @@ HEADLINE = [
     "text_decontam_bloom",  # r13: broadcast-Bloom prefilter scale path
     "sim_int8_topk",  # r13: int8-quantized ANN
     "write_incremental_view",  # r13: CDC-delta materialized view refresh
+    "write_bulk_insert",  # r13: GLOBAL_SORT bulk load
     "dedup_incremental",
     "grouping_sets_revenue",
     # round-6 quality scoring

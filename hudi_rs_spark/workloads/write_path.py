@@ -220,6 +220,41 @@ ORDER BY lang
 """
 
 
+def write_bulk_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fresh GLOBAL_SORT bulk_insert into a scratch dir, then the same
+    read-back aggregate as the COW row. Prices the bulk-load path: one
+    range sort on (partition, key) shapes minimal files with
+    non-overlapping key ranges — the 100 TB initial-load layout — with
+    no index lookup or bin-packing on the way in."""
+    from hudi_rs_spark.write import bulk_insert
+
+    _register(spark)
+    tmp = tempfile.mkdtemp(prefix="hudi_bulk_bench_")
+    path = os.path.join(tmp, "t")
+    bulk_insert(
+        _docs(spark, sf_dir), path,
+        **{
+            "recordkey.field": "doc_id", "precombine.field": "ts",
+            "partitionpath.field": "lang",
+            "hoodie.table.name": "docs_bulk",
+        },
+    )
+    out = (
+        spark.read.format("hudi_py").option("path", path).load()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def write_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot of the writer-seeded, upserted+deleted MOR table —
     the connector merges the writer's own log blocks."""
@@ -1615,6 +1650,8 @@ for _n, _f, _s, _d in [
      "writer-emitted CDC blocks -> typed change feed (i/u/d)"),
     ("write_incremental_view", write_incremental_view, INCR_VIEW_SQL,
      "materialized count/sum view refreshed by CDC deltas == recompute"),
+    ("write_bulk_insert", write_bulk_insert, WRITE_COW_SQL,
+     "GLOBAL_SORT bulk load: fresh range-sorted write + read-back"),
     ("write_merge_into", write_merge_into, MERGE_INTO_SQL,
      "MERGE INTO (update/delete/insert clauses) via bloom-tier tagging"),
     ("write_bucket_upsert", write_bucket_upsert, LIFECYCLE_SQL,

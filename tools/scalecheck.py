@@ -220,6 +220,9 @@ def main() -> None:
         # change window + pre-state of touched keys; with change volume
         # ∝ corpus (fixed %9/%11 rates) the row must track corpus size
         "write_incremental_view",
+        # r13: bulk load — one global range sort + distributed write;
+        # the sort is the dominant term and must track corpus size
+        "write_bulk_insert",
     ]
 
     def semdedup_at(k: int):
