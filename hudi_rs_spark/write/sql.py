@@ -1875,6 +1875,17 @@ def _run_call(spark, stmt: str, tables, options):
             df.createOrReplaceTempView(view)
         return 0
 
+    if proc == "rollback_failed_writes":
+        # Hudi's crashed-writer reclaim: roll back every orphan
+        # (claimed-but-never-completed) instant, or one specific
+        # instant via instant_time
+        from hudi_rs_spark.write.rollback import rollback_failed_writes
+
+        rolled = rollback_failed_writes(
+            path, instant=args.get("instant_time")
+        )
+        return _one_col_df(spark, "rolled_back", rolled)
+
     if proc in ("run_ttl", "run_partition_ttl"):
         # RFC-65 KEEP_BY_TIME partition TTL as a procedure: drops every
         # expired partition in ONE replacecommit; returns the victims
@@ -1919,7 +1930,8 @@ def _run_call(spark, stmt: str, tables, options):
         "show_logfile_metadata, show_logfile_records, stats_file_sizes, "
         "stats_wa, show_metadata_table_partitions, "
         "show_metadata_table_stats, export_instants, copy_to_temp_view, "
-        "run_ttl, repair_orphan_files, archive_commits"
+        "run_ttl, rollback_failed_writes, repair_orphan_files, "
+        "archive_commits"
     )
 
 

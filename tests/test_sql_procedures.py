@@ -826,3 +826,40 @@ class TestExplainStatement:
             tables={"t": path},
         ).collect()
         assert "Physical Plan" in out[0]["plan"] or "Scan" in out[0]["plan"]
+
+
+class TestRollbackFailedWritesProcedure:
+    def test_reclaims_orphan_instant(self, spark, tmp_path):
+        import os
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        # fabricate a crashed writer: a claimed instant newer than the
+        # seed with a data file but no completion
+        from hudi_rs_spark.sources.hudi import HudiTable
+        from hudi_rs_spark.write.savepoint import _timeline_dir
+
+        seed_i = max(
+            i.timestamp
+            for i in HudiTable(path, spark=None, listing="direct")
+            .timeline.instants
+        )
+        orphan = seed_i + "9"
+        tdir = _timeline_dir(path)
+        open(os.path.join(tdir, f"{orphan}.commit.requested"), "wb").close()
+        open(os.path.join(tdir, f"{orphan}.inflight"), "wb").close()
+        fname = f"0000beef-0000-0000-0000-00000000000f-0_0-0-0_{orphan}.parquet"
+        with open(os.path.join(path, fname), "wb") as f:
+            f.write(b"PAR1junkPAR1")
+        out = hudi_sql(
+            spark, "CALL rollback_failed_writes(table => 't')",
+            tables={"t": path},
+        ).collect()
+        assert [r["rolled_back"] for r in out] == [orphan]
+        assert not os.path.exists(os.path.join(path, fname))
+        assert _snap(spark, path)[0] == (0, "n0")  # table intact
+        # clean table: second call is a no-op
+        assert hudi_sql(
+            spark, "CALL rollback_failed_writes(table => 't')",
+            tables={"t": path},
+        ).count() == 0
