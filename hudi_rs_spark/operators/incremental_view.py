@@ -30,6 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hudi_rs_spark.operators.pin import pin
+
+# above this many changed keys the IN-pushdown fast path stops paying
+# (driver collect + filter size); the refresh falls back to the join
+_MAX_KEY_PUSHDOWN = 10_000
+
 
 def agg_state(
     df: DataFrame,
@@ -109,15 +115,42 @@ def incremental_agg_refresh(
         F.lit(1).alias("_sign"),
     )
 
-    touched = keyed.select("_key").distinct()
-    pre = table.read(HudiReadOptions(as_of_timestamp=from_instant))
-    minus = (
-        pre.join(touched, pre[key_col] == touched["_key"], "inner")
-        .select(
+    # pre-window rows of the touched keys. Fast path: when the change
+    # set is small (the normal case — that is the point of incremental
+    # maintenance), collect the keys and push an IN filter into the
+    # time-travel read, so partition pruning + column-stats file
+    # skipping bound the scan to the files that can hold those keys.
+    # Past the threshold, fall back to a distributed join (change
+    # volume that large is near-recompute territory anyway).
+    touched = pin(keyed.select("_key").distinct())
+    sample = touched.limit(_MAX_KEY_PUSHDOWN + 1).collect()
+    small = len(sample) <= _MAX_KEY_PUSHDOWN
+    if small:
+        keys = [r["_key"] for r in sample if r["_key"] is not None]
+        if not keys:
+            return state  # empty window: nothing changes
+        val = ",".join(
+            str(k).replace("\\", "\\\\").replace(",", "\\,") for k in keys
+        )
+        pre = table.read(
+            HudiReadOptions(
+                as_of_timestamp=from_instant,
+                filters=[(key_col, "IN", val)],
+            )
+        )
+        minus = pre.select(
             *[F.col(c).cast(t).alias(c) for c, t in cols.items()],
             F.lit(-1).alias("_sign"),
         )
-    )
+    else:
+        pre = table.read(HudiReadOptions(as_of_timestamp=from_instant))
+        minus = (
+            pre.join(touched, pre[key_col] == touched["_key"], "inner")
+            .select(
+                *[F.col(c).cast(t).alias(c) for c, t in cols.items()],
+                F.lit(-1).alias("_sign"),
+            )
+        )
 
     gcols = list(group_cols)
     delta = (

@@ -255,3 +255,28 @@ class TestMinMaxMaintenance:
         }
         assert refreshed["x"] == (5, 10 + 30 + 50 + 70 + 90, 10, 90)
         assert refreshed["y"] == (4, 20 + 40 + 60 + 80, 20, 80)
+
+
+class TestKeyPushdownPaths:
+    def test_join_fallback_matches_fast_path(self, spark, tmp_path, monkeypatch):
+        import hudi_rs_spark.operators.incremental_view as iv
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        seed_instant = _commits(path)[-1]
+        state = _snapshot_state(spark, path).localCheckpoint(eager=True)
+        upsert(_rows(spark, [(0, "y", 11, 2), (3, "x", 7, 2)]), path)
+        delete(_rows(spark, [(4, "x", 50, 3)]), path)
+
+        fast = _as_rows(
+            incremental_agg_refresh(
+                spark, path, state, GROUPS, SUMS, "id", "int", seed_instant
+            )
+        )
+        monkeypatch.setattr(iv, "_MAX_KEY_PUSHDOWN", 1)  # force the join
+        slow = _as_rows(
+            incremental_agg_refresh(
+                spark, path, state, GROUPS, SUMS, "id", "int", seed_instant
+            )
+        )
+        assert fast == slow == _as_rows(_snapshot_state(spark, path))
