@@ -93,12 +93,17 @@ def has_files_partition(config: HudiTableConfig) -> bool:
 
 
 def iter_partition_hfiles(
-    data_table_base_path: str, partition: str, file_id: str | None = None
+    data_table_base_path: str, partition: str, file_id: str | None = None,
+    with_instants: bool = False,
 ):
     """Yield (is_base, HFile) for the given MDT partition's file
     slice(s), in merge order: base first, then valid log-block payloads.
     ``file_id`` restricts to one file group (a record-index SHARD reads
     only its own slice — the per-shard parallel read path).
+    ``with_instants=True`` yields (is_base, HFile, instant) instead,
+    where instant is the block's writing instant (base: the base file's
+    commit) — needed by folds that order same-instant twins
+    semantically (read_record_index).
 
     Planning of the MDT itself reuses the normal timeline/slice machinery
     (it IS a Hudi MOR table); only the payload format differs."""
@@ -124,9 +129,13 @@ def iter_partition_hfiles(
         if file_id is not None and sl.file_id != file_id:
             continue
         if sl.base_file is not None:
-            yield True, HFile.from_path(
+            hf = HFile.from_path(
                 os.path.join(base, sl.base_file_relative_path())
             )
+            if with_instants:
+                yield True, hf, sl.base_file.commit_timestamp
+            else:
+                yield True, hf
         # MDT file groups are LOG-ONLY until their first compaction (the
         # writer appends HFile-payload log blocks); a baseless slice just
         # means every record is still in the logs
@@ -138,7 +147,10 @@ def iter_partition_hfiles(
                 pending_instants=timeline.pending_timestamps,
             ):
                 if b.hfile_content is not None:
-                    yield False, HFile(b.hfile_content)
+                    if with_instants:
+                        yield False, HFile(b.hfile_content), b.instant_time
+                    else:
+                        yield False, HFile(b.hfile_content)
 
 
 def read_files_partition(

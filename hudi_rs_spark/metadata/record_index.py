@@ -48,11 +48,23 @@ def read_record_index(
     lookup_records — reference reader.rs:937 parity): only the blocks
     holding requested keys decompress, O(log blocks) per key, instead of
     a full index scan — the point of a point lookup on a 10^9-key index."""
-    out: dict[str, tuple[str, str]] = {}
     schema = names = None
     sorted_keys = sorted(keys) if keys is not None else None
-    for is_base, hf in iter_partition_hfiles(
-        data_table_base_path, RECORD_INDEX_PARTITION, file_id=file_id
+    # Collect first, fold second. One commit can legitimately emit BOTH
+    # a tombstone and an add for the same key from DIFFERENT writer
+    # tasks (update.partition.path=true: the record moves — tombstone at
+    # the old location, insert at the new one), landing as same-instant
+    # same-version log-file twins whose filename order is task-schedule
+    # dependent. A commit's index mutations are a SET: within one
+    # instant, deletes must apply BEFORE adds so delete+add nets to the
+    # add, deterministically. Across instants the instant order (later
+    # commit wins) is the semantic order; base files (compacted merged
+    # state) sort before every log instant.
+    entries: list[tuple[str, int, int, str, tuple[str, str] | None]] = []
+    seq = 0
+    for is_base, hf, instant in iter_partition_hfiles(
+        data_table_base_path, RECORD_INDEX_PARTITION, file_id=file_id,
+        with_instants=True,
     ):
         if schema is None:
             schema = hf.avro_schema()
@@ -63,22 +75,27 @@ def read_record_index(
             pairs = sorted(hf.lookup_records(sorted_keys).items())
         else:
             pairs = hf.records()
+        order_instant = "" if is_base else (instant or "")
         for k, v in pairs:
             key = k.decode("utf-8", errors="replace")
             if keys is not None and key not in keys:
                 continue
-            if not v:
-                out.pop(key, None)  # tombstone: key deleted
-                continue
-            d = decode(Reader(v), schema, names)
-            ri = d.get("recordIndexMetadata")
-            if ri is None:
-                out.pop(key, None)  # null payload = tombstone
-                continue
-            fid = _file_id(ri)
-            part = ri.get("partitionName") or ""
-            if fid:
-                out[key] = (part, fid)
+            loc: tuple[str, str] | None = None
+            if v:
+                d = decode(Reader(v), schema, names)
+                ri = d.get("recordIndexMetadata")
+                if ri is not None:
+                    fid = _file_id(ri)
+                    if fid:
+                        loc = (ri.get("partitionName") or "", fid)
+            entries.append((order_instant, loc is not None, seq, key, loc))
+            seq += 1
+    out: dict[str, tuple[str, str]] = {}
+    for _, _, _, key, loc in sorted(entries, key=lambda e: e[:3]):
+        if loc is None:
+            out.pop(key, None)  # tombstone: key deleted
+        else:
+            out[key] = loc
     return out
 
 

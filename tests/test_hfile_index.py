@@ -182,7 +182,8 @@ class TestRecordIndexUsesBlockIndex:
 
         hf = self._index_hfile()
         monkeypatch.setattr(
-            ri, "iter_partition_hfiles", lambda *a, **k: iter([(True, hf)])
+            ri, "iter_partition_hfiles",
+            lambda *a, **k: iter([(True, hf, "001")]),
         )
         before = hf.n_blocks_decoded
         out = ri.read_record_index("unused", {"key0005", "key0100"})
@@ -198,7 +199,8 @@ class TestRecordIndexUsesBlockIndex:
 
         hf = self._index_hfile()
         monkeypatch.setattr(
-            ri, "iter_partition_hfiles", lambda *a, **k: iter([(True, hf)])
+            ri, "iter_partition_hfiles",
+            lambda *a, **k: iter([(True, hf, "001")]),
         )
         out = ri.read_record_index("unused", None)
         assert len(out) == len(KEYS)
