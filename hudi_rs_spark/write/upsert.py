@@ -500,6 +500,17 @@ def upsert(df: DataFrame, path: str, **options) -> None:
         "update.partition.path",
     )
 
+    # key/partition tag columns computed ONCE, by name: the precombine
+    # window partitions by exactly the columns the tag join later
+    # shuffles on, so naming them up front lets the window's Exchange
+    # satisfy the join's distribution requirement — the batch shuffles
+    # once, not twice (guide §2.4; measured: the anonymous-expression
+    # window emitted hashpartitioning(_w0,_w1) which the join did not
+    # recognize and re-exchanged on __hoodie_key_x/__hoodie_part_x)
+    df = df.withColumn("__hoodie_key_x", key_expr).withColumn(
+        "__hoodie_part_x", part_expr
+    )
+
     # precombine within the batch: keep the highest ordering value per
     # (key, partition) — rank over the same keys the tag join shuffles
     # on (key ONLY under a global index: one survivor per key wherever
@@ -507,7 +518,11 @@ def upsert(df: DataFrame, path: str, **options) -> None:
     if cfg.precombine_field and cfg.precombine_field in df.columns:
         w = (
             Window.partitionBy(
-                *( [key_expr] if global_index else [key_expr, part_expr] )
+                *(
+                    ["__hoodie_key_x"]
+                    if global_index
+                    else ["__hoodie_key_x", "__hoodie_part_x"]
+                )
             )
             .orderBy(F.col(cfg.precombine_field).desc())
         )
@@ -535,15 +550,23 @@ def upsert(df: DataFrame, path: str, **options) -> None:
             raise ValueError(
                 "bucket table without hoodie.bucket.index.num.buckets"
             )
+        # bucket routing computes its own map-side columns; the named
+        # tag columns would otherwise leak into the writer as data
         tagged = _tag_by_bucket(
-            spark, cfg, n_buckets, df, key_expr, part_expr, exists,
+            spark, cfg, n_buckets,
+            df.drop("__hoodie_key_x", "__hoodie_part_x"),
+            key_expr, part_expr, exists,
             splits=parse_splits(tc.props) if tc is not None else frozenset(),
         )
         next_version = {}
         n_groups = n_buckets
     else:
         index, next_version = _location_index(
-            spark, cfg, df.select(key_expr.alias("k"), part_expr.alias("p"))
+            spark, cfg,
+            df.select(
+                F.col("__hoodie_key_x").alias("k"),
+                F.col("__hoodie_part_x").alias("p"),
+            ),
         )
         # per-file-group next log version as a broadcast-joined frame,
         # NOT a create_map literal: a map literal inlines every file
@@ -564,9 +587,7 @@ def upsert(df: DataFrame, path: str, **options) -> None:
                 "_hoodie_partition_path", "__hoodie_loc_part"
             )
             tagged = (
-                df.withColumn("__hoodie_key_x", key_expr)
-                .withColumn("__hoodie_part_x", part_expr)
-                .join(
+                df.join(
                     index,
                     F.col("__hoodie_key_x") == index["_hoodie_record_key"],
                     "left",
@@ -583,23 +604,53 @@ def upsert(df: DataFrame, path: str, **options) -> None:
             )
             if update_partition_path:
                 # Hudi update.partition.path=true: the record MOVES —
-                # tombstone at the old location + insert at the new one
+                # tombstone at the old location + insert at the new one.
+                # ONE pass: a filter/union triple (same/tomb/ins) would
+                # execute the tag subtree (index scan + join + window)
+                # once per branch — drifted rows instead EXPLODE into
+                # their two output roles and the non-drifted keep one,
+                # with role-conditional column rewrites. Identical rows
+                # out, tag subtree executed once.
                 if DELETE_COL not in tagged.columns:
                     tagged = tagged.withColumn(DELETE_COL, F.lit(False))
-                same = tagged.filter(~drifted)
-                moved = tagged.filter(drifted)
-                tomb = _restore_partition_cols(
-                    moved, cfg, "__hoodie_loc_part", F.lit(True)
-                ).withColumn(DELETE_COL, F.lit(True))
-                ins = (
-                    moved
-                    .withColumn(TARGET_FILE_COL, F.lit(None).cast("string"))
-                    .withColumn(
-                        TARGET_INSTANT_COL, F.lit(None).cast("string")
-                    )
-                    .withColumn(LOG_VERSION_COL, F.lit(1))
+                tagged = tagged.withColumn(
+                    "__hoodie_role",
+                    F.explode(
+                        F.when(
+                            drifted, F.array(F.lit("tomb"), F.lit("ins"))
+                        ).otherwise(F.array(F.lit("keep")))
+                    ),
                 )
-                tagged = same.unionByName(tomb).unionByName(ins)
+                is_tomb = F.col("__hoodie_role") == "tomb"
+                is_ins = F.col("__hoodie_role") == "ins"
+                tagged = _restore_partition_cols(
+                    tagged, cfg, "__hoodie_loc_part", is_tomb
+                )
+                tagged = (
+                    tagged.withColumn(
+                        DELETE_COL,
+                        F.when(is_tomb, F.lit(True))
+                        .otherwise(F.col(DELETE_COL)),
+                    )
+                    .withColumn(
+                        TARGET_FILE_COL,
+                        F.when(
+                            is_ins, F.lit(None).cast("string")
+                        ).otherwise(F.col(TARGET_FILE_COL)),
+                    )
+                    .withColumn(
+                        TARGET_INSTANT_COL,
+                        F.when(
+                            is_ins, F.lit(None).cast("string")
+                        ).otherwise(F.col(TARGET_INSTANT_COL)),
+                    )
+                    .withColumn(
+                        LOG_VERSION_COL,
+                        F.when(is_ins, F.lit(1))
+                        .otherwise(F.col(LOG_VERSION_COL)),
+                    )
+                    .drop("__hoodie_role")
+                )
             else:
                 # Hudi default: the update lands in (and keeps) the
                 # record's original partition
@@ -611,9 +662,7 @@ def upsert(df: DataFrame, path: str, **options) -> None:
             )
         else:
             tagged = (
-                df.withColumn("__hoodie_key_x", key_expr)
-                .withColumn("__hoodie_part_x", part_expr)
-                .join(
+                df.join(
                     index,
                     (F.col("__hoodie_key_x") == index["_hoodie_record_key"])
                     & (
@@ -668,13 +717,32 @@ def upsert(df: DataFrame, path: str, **options) -> None:
             .drop("__hoodie_plan_anchor")
         )
 
+    # ONE routed pass: a filter/unionByName(updates, inserts) pair would
+    # execute the whole tag subtree (index scan + tag join + precombine
+    # window) once PER BRANCH — at 100 TB that is the table-index scan
+    # twice. Instead both classes ride a single hash repartition on a
+    # coalesced routing key: updates keep their target file id (a file
+    # group's log file is still written by exactly one task — the hash
+    # lands all of a group's rows in one partition for ANY n_parts),
+    # inserts spread deterministically by record-key hash (~20 distinct
+    # values per partition so the hash spreads evenly; deterministic so
+    # task retries re-route identically, unlike rand()-derived keys).
+    # n_parts stays at the session shuffle parallelism rather than
+    # min(shuffle_n, touched groups): an insert-heavy batch into a table
+    # with few touched groups must not collapse to that few tasks, and
+    # surplus partitions on small update batches are empty (cost ~0).
+    # The task writer routes per row (writer.py consume: tagged mask ->
+    # _route_updates/_route_inserts), so mixed partitions are its diet.
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    updates = tagged.filter(F.col(TARGET_FILE_COL).isNotNull()).repartition(
-        min(shuffle_n, max(1, n_groups or 1)), TARGET_FILE_COL
+    route = F.coalesce(
+        F.col(TARGET_FILE_COL),
+        F.pmod(
+            F.xxhash64(*[F.col(f) for f in cfg.record_key_fields]),
+            F.lit(20 * shuffle_n),
+        ).cast("string"),
     )
-    inserts = tagged.filter(F.col(TARGET_FILE_COL).isNull())
-
-    writer = updates.unionByName(inserts).write.format("hudi_py").mode("append")
+    n_parts = shuffle_n
+    writer = tagged.repartition(n_parts, route).write.format("hudi_py").mode("append")
     for k, v in merged_options.items():
         writer = writer.option(k, v)
     try:
