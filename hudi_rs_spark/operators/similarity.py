@@ -94,35 +94,39 @@ def int8_quantize(
 
     The production rationale at 100 TB: an int8 corpus is 4x fewer scan
     + shuffle + broadcast bytes than float32 and the candidate scoring
-    becomes an integer-SIMD dot product. The quantization itself runs in
-    ONE Arrow-vectorized pandas UDF (a numpy matrix op per batch —
-    per-vector work, map-only, no shuffle); the squared norm folds
-    JVM-side over the quantized array. The dequantization scale is NOT
-    kept: it cancels exactly in cosine, which is what downstream ranks
-    by. All-zero vectors quantize to all-zero (scale pinned to 1) and
-    carry qnorm 0 — consumers must exclude them from cosine ranking
-    (0/0 is engine-dependent).
+    becomes an integer-SIMD dot product. The quantization runs entirely
+    in JVM higher-order functions (transform/array_max/aggregate) —
+    no Python boundary at all. It used to be an Arrow pandas UDF; that
+    paid the JVM->Arrow->JVM transpose AND, worse, a filter on the UDF
+    output (``qnorm > 0`` in int8_brute_topk) was pushed below the
+    projection and DUPLICATED the UDF — two ArrowEvalPython nodes per
+    side, every vector crossing the boundary twice. The JVM expressions
+    are bit-identical: float->double widening is exact, and
+    floor(x/scale + 0.5) runs the same IEEE-754 double ops numpy did.
+    The dequantization scale is NOT kept: it cancels exactly in cosine,
+    which is what downstream ranks by. All-zero vectors quantize to
+    all-zero (scale pinned to 1) and carry qnorm 0 — consumers must
+    exclude them from cosine ranking (0/0 is engine-dependent).
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    def _quant(col):
-        out = []
-        for v in col:
-            if v is None:
-                out.append(None)
-                continue
-            x = np.asarray(v, dtype=np.float64)
-            maxabs = float(np.max(np.abs(x))) if len(x) else 0.0
-            scale = 1.0 if maxabs == 0.0 else maxabs / 127.0
-            out.append(np.floor(x / scale + 0.5).astype(np.int32))
-        return pd.Series(out, dtype=object)
-
-    _quant.__annotations__ = {"col": pd.Series, "return": pd.Series}
-    quant = pandas_udf("array<int>")(_quant)
-    return df.select(
-        F.col(id_col).alias(out_id), quant(F.col(vec_col)).alias("qvec")
+    # Three SEPARATE selects, each alias referenced >=2x above, so
+    # CollapseProject keeps _xd and _maxabs materialized per ROW —
+    # collapsed into the transform lambdas they would re-evaluate
+    # array_max per ELEMENT (O(dim^2)/vector).
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    step = df.select(F.col(id_col).alias(out_id), xd.alias("_xd"))
+    step = step.select(
+        out_id,
+        "_xd",
+        F.array_max(F.transform("_xd", F.abs)).alias("_maxabs"),
+    )
+    scale = F.when(F.col("_maxabs") == 0.0, F.lit(1.0)).otherwise(
+        F.col("_maxabs") / F.lit(127.0)
+    )
+    return step.select(
+        out_id,
+        F.transform(
+            "_xd", lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
+        ).alias("qvec"),
     ).withColumn(
         "qnorm",
         F.aggregate(
@@ -292,6 +296,8 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
+    from hudi_rs_spark.operators.pin import pin
+
     cents = (
         corpus.select(
             F.col(id_col).alias("cid"),
@@ -303,6 +309,12 @@ def ivf_topk(
         .limit(n_centroids)
         .drop("__h")
     )
+    # pin: this n_centroids-row frame is broadcast into BOTH assign()
+    # calls below; unpinned, each broadcast re-executes the full-corpus
+    # scan + global top-n_centroids sort that selects the seeds — two
+    # extra corpus passes for an 8-row result (guide §2.4/§5: reuse
+    # beats recompute when the recompute is a full pass)
+    cents = pin(cents)
 
     def assign(side: DataFrame, sid: str, svec: str, snorm: str, keep: int) -> DataFrame:
         scored = side.crossJoin(F.broadcast(cents)).select(

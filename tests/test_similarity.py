@@ -296,6 +296,61 @@ class TestInt8Quantized:
         assert out[2]["qvec"] == [0, 0, 0, 0]
         assert out[2]["qnorm"] == 0
 
+    def test_jvm_quantize_bit_matches_numpy_reference(self, spark):
+        # the r13 optimization moved quantization from an Arrow pandas
+        # UDF to JVM higher-order functions; this pins bit-parity with
+        # the original numpy semantics (float64 widening, round-half-up
+        # via floor(x/scale + 0.5)) on adversarial vectors: tiny/huge
+        # magnitudes, negative halves, empty, null, all-zero
+        import numpy as np
+
+        from hudi_rs_spark.operators.similarity import int8_quantize
+
+        def ref(v):
+            if v is None:
+                return None
+            x = np.asarray(v, dtype=np.float64)
+            maxabs = float(np.max(np.abs(x))) if len(x) else 0.0
+            scale = 1.0 if maxabs == 0.0 else maxabs / 127.0
+            return [int(q) for q in np.floor(x / scale + 0.5).astype(np.int32)]
+
+        rng = np.random.RandomState(7)
+        rows = [
+            (0, None),
+            (1, []),
+            (2, [0.0, 0.0]),
+            (3, [1e-30, -1e-30, 5e-31]),
+            (4, [3.4e38, -3.4e38, 1.0]),
+            (5, [-0.5, 0.5, -0.25, 0.25]),
+        ] + [
+            (10 + i, [float(np.float32(x)) for x in rng.randn(16)])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r["vid"]: (r["qvec"], r["qnorm"])
+            for r in int8_quantize(df, "embedding", "vec_id", "vid").collect()
+        }
+        for vid, vec in rows:
+            want = ref([np.float32(x) for x in vec] if vec is not None else None)
+            if want is None:
+                assert got[vid][0] is None and got[vid][1] is None
+            else:
+                assert got[vid][0] == want, f"vec_id={vid}"
+                assert got[vid][1] == sum(q * q for q in want)
+
+    def test_no_python_eval_in_plan(self, spark):
+        # the point of the rewrite: zero Python-boundary nodes
+        from hudi_rs_spark.operators.similarity import int8_brute_topk
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1])],
+            "vec_id long, embedding array<float>",
+        )
+        plan = int8_brute_topk(df, df, k=1)._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+
     def test_topk_matches_float_ranking_on_separated_corpus(self, spark, corpus):
         # int8 keeps ~7 bits of precision per component; on the planted
         # corpus (clusters at cosine>0.99, background random) the top-1
