@@ -49,13 +49,31 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Lazy-DataFrame memo, keyed by (Spark application, sf_dir, table). Each
+# spark.read.parquet() call pays ~0.1s of driver-side setup (file listing
+# + footer schema read) — multiplied across every query build and bench
+# repeat of the same immutable input table. Reusing the DataFrame object
+# reuses its InMemoryFileIndex/schema, the same economy Spark's own
+# catalog tables get. NO results are cached: the plan is lazy and every
+# action still scans the parquet files.
+_DF_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # Harmless when the file is timestamp[us]; required so that a
-        # timestamp[ns] file reads as long instead of erroring.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _DF_MEMO.get(key)
+    if df is None:
+        if name == "events":
+            # Harmless when the file is timestamp[us]; required so that a
+            # timestamp[ns] file reads as long instead of erroring.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = normalize_event_ts(
+                spark.read.parquet(f"{sf_dir}/events.parquet")
+            )
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _DF_MEMO[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from hudi_rs_spark.workloads import QuerySpec, register
 from hudi_rs_spark.workloads.mor import _REPO_CACHE as _MOR_CACHE
+from hudi_rs_spark.workloads.tables import load
 
 _CACHE = os.path.join(os.path.dirname(_MOR_CACHE), "write_bench")
 _LAYOUT_V = "v4"
@@ -47,7 +48,7 @@ def _register(spark: SparkSession) -> None:
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        load(spark, sf_dir, "documents")
         .select("doc_id", "text", "lang", "source", F.lit(1).alias("ts"))
     )
 
@@ -447,9 +448,7 @@ def write_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark)
     path = _ensure_lifecycle_table(spark, sf_dir, compacted=False)
-    n_docs = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
-    ).count()
+    n_docs = load(spark, sf_dir, "documents").count()
     keys = [str(i) for i in range(0, n_docs, 23)]
     return (
         HudiTable(path, spark).point_lookup(keys)
@@ -476,7 +475,7 @@ def write_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark)
     path = _ensure_lifecycle_table(spark, sf_dir, compacted=False)
     min_source = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        load(spark, sf_dir, "documents")
         .agg(F.min("source").alias("m")).collect()[0].m
     )
     return (
@@ -674,7 +673,7 @@ def write_delete_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = w.option(k, v)
     w.mode("append").save()
     min_lang = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        load(spark, sf_dir, "documents")
         .agg(F.min("lang").alias("m")).collect()[0].m
     )
     n = delete_partitions(path, [f"lang={min_lang}"])
@@ -926,7 +925,7 @@ def write_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hudi_sql(spark, "DELETE FROM docs WHERE doc_id % 17 = 0", tables=tables)
     min_lang = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        load(spark, sf_dir, "documents")
         .agg(F.min("lang").alias("m")).collect()[0].m
     )
     hudi_sql(
