@@ -48,6 +48,23 @@ def configure_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # shuffle parallelism derived from the session's core count (NOT a
+    # constant): an externally created session otherwise runs Spark's
+    # default 200 reduce partitions regardless of cores — at bench scale
+    # that is ~6x task overhead per exchange, on a cluster it underuses
+    # it. AQE coalescing still right-sizes per stage; this sets the
+    # pre-AQE ceiling proportional to the machine. Matches get_spark.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(8, spark.sparkContext.defaultParallelism)),
+    )
+    # same broadcast ceiling as get_spark: without it an external
+    # session plans the SAME query differently (10 MB default demotes
+    # mid-size dimension broadcasts to shuffle joins) — the explicit
+    # F.broadcast hints on known-small dims are unaffected either way
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+    )
     try:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:
