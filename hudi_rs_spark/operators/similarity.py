@@ -94,46 +94,70 @@ def int8_quantize(
 
     The production rationale at 100 TB: an int8 corpus is 4x fewer scan
     + shuffle + broadcast bytes than float32 and the candidate scoring
-    becomes an integer-SIMD dot product. The quantization runs entirely
-    in JVM higher-order functions (transform/array_max/aggregate) —
-    no Python boundary at all. It used to be an Arrow pandas UDF; that
-    paid the JVM->Arrow->JVM transpose AND, worse, a filter on the UDF
-    output (``qnorm > 0`` in int8_brute_topk) was pushed below the
-    projection and DUPLICATED the UDF — two ArrowEvalPython nodes per
-    side, every vector crossing the boundary twice. The JVM expressions
-    are bit-identical: float->double widening is exact, and
-    floor(x/scale + 0.5) runs the same IEEE-754 double ops numpy did.
-    The dequantization scale is NOT kept: it cancels exactly in cosine,
-    which is what downstream ranks by. All-zero vectors quantize to
-    all-zero (scale pinned to 1) and carry qnorm 0 — consumers must
-    exclude them from cosine ranking (0/0 is engine-dependent).
+    becomes an integer-SIMD dot product. The quantization runs in ONE
+    Arrow-vectorized pandas UDF per side (a numpy matrix op per batch —
+    per-vector work, map-only, no shuffle), shipping only the embedding
+    column across the boundary and returning (qvec, qnorm) as a struct.
+
+    Two measured dead ends, both r13 (guide §1.2 "measure first"):
+
+    - The ORIGINAL shape evaluated the UDF and then filtered on a
+      JVM-side fold of its output (``qnorm > 0`` in int8_brute_topk);
+      Catalyst pushed that filter below the projection and DUPLICATED
+      the UDF — two ArrowEvalPython nodes per side (guide §4.4).
+      ``asNondeterministic()`` on the UDF is the spec-level defuse:
+      Catalyst will not reorder a filter through a nondeterministic
+      projection, so each side quantizes exactly once. The output is
+      deterministic; the flag only pins evaluation order/count.
+    - A pure-JVM rewrite (transform/array_max/aggregate higher-order
+      functions, zero Python nodes) benched 97-210s vs 1.2-2.0s for
+      this UDF on 100k x 384-dim vectors: separate selects did NOT
+      stop the lambda inlining (the per-element plan re-derived the
+      vector max -> O(dim^2) per vector), and interpreted per-element
+      lambdas are >10x slower than numpy SIMD even at O(dim). Scan
+      byte-savings cannot buy back an 80x compute regression, so the
+      Arrow UDF is the 100 TB shape, per guide §4.1's own escape
+      hatch: built-ins first UNLESS the built-in form degenerates.
+
+    The dequantization scale is NOT kept: it cancels exactly in
+    cosine, which is what downstream ranks by. All-zero vectors
+    quantize to all-zero (scale pinned to 1) and carry qnorm 0 —
+    consumers must exclude them from cosine ranking (0/0 is
+    engine-dependent).
     """
-    # Three SEPARATE selects, each alias referenced >=2x above, so
-    # CollapseProject keeps _xd and _maxabs materialized per ROW —
-    # collapsed into the transform lambdas they would re-evaluate
-    # array_max per ELEMENT (O(dim^2)/vector).
-    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    step = df.select(F.col(id_col).alias(out_id), xd.alias("_xd"))
-    step = step.select(
-        out_id,
-        "_xd",
-        F.array_max(F.transform("_xd", F.abs)).alias("_maxabs"),
-    )
-    scale = F.when(F.col("_maxabs") == 0.0, F.lit(1.0)).otherwise(
-        F.col("_maxabs") / F.lit(127.0)
-    )
-    return step.select(
-        out_id,
-        F.transform(
-            "_xd", lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
-        ).alias("qvec"),
-    ).withColumn(
-        "qnorm",
-        F.aggregate(
-            "qvec",
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x.cast("bigint") * x.cast("bigint"),
-        ),
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _quant(col):
+        qvecs, qnorms = [], []
+        for v in col:
+            if v is None:
+                qvecs.append(None)
+                qnorms.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            maxabs = float(np.max(np.abs(x))) if len(x) else 0.0
+            scale = 1.0 if maxabs == 0.0 else maxabs / 127.0
+            q = np.floor(x / scale + 0.5).astype(np.int32)
+            qvecs.append(q)
+            qnorms.append(int((q.astype(np.int64) ** 2).sum()))
+        return pd.DataFrame(
+            {
+                "qvec": pd.Series(qvecs, dtype=object),
+                "qnorm": pd.Series(qnorms, dtype=object),
+            }
+        )
+
+    _quant.__annotations__ = {"col": pd.Series, "return": pd.DataFrame}
+    quant = pandas_udf("struct<qvec: array<int>, qnorm: bigint>")(
+        _quant
+    ).asNondeterministic()
+    s = quant(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias(out_id),
+        s["qvec"].alias("qvec"),
+        s["qnorm"].alias("qnorm"),
     )
 
 

@@ -296,12 +296,14 @@ class TestInt8Quantized:
         assert out[2]["qvec"] == [0, 0, 0, 0]
         assert out[2]["qnorm"] == 0
 
-    def test_jvm_quantize_bit_matches_numpy_reference(self, spark):
-        # the r13 optimization moved quantization from an Arrow pandas
-        # UDF to JVM higher-order functions; this pins bit-parity with
-        # the original numpy semantics (float64 widening, round-half-up
-        # via floor(x/scale + 0.5)) on adversarial vectors: tiny/huge
-        # magnitudes, negative halves, empty, null, all-zero
+    def test_quantize_bit_matches_numpy_reference(self, spark):
+        # pins bit-parity with the reference numpy semantics (float64
+        # widening, round-half-up via floor(x/scale + 0.5)) on
+        # adversarial vectors: tiny/huge magnitudes, negative halves,
+        # empty, null, all-zero. r13 history: a pure-JVM higher-order-
+        # function rewrite passed this test bit-for-bit but benched
+        # ~80x slower at 100k vectors (O(dim^2) lambda inlining), so
+        # the operator went back to the single-eval Arrow UDF
         import numpy as np
 
         from hudi_rs_spark.operators.similarity import int8_quantize
@@ -339,8 +341,13 @@ class TestInt8Quantized:
                 assert got[vid][0] == want, f"vec_id={vid}"
                 assert got[vid][1] == sum(q * q for q in want)
 
-    def test_no_python_eval_in_plan(self, spark):
-        # the point of the rewrite: zero Python-boundary nodes
+    def test_quantization_single_eval_per_side(self, spark):
+        # the guide §4.4 trap this operator pins against: the
+        # qnorm > 0 filter used to be pushed below the quantization
+        # projection, DUPLICATING the UDF (two ArrowEvalPython per
+        # side, four total). asNondeterministic must hold it to
+        # exactly one evaluation per side — and never a row-at-a-time
+        # BatchEvalPython.
         from hudi_rs_spark.operators.similarity import int8_brute_topk
 
         df = spark.createDataFrame(
@@ -348,7 +355,7 @@ class TestInt8Quantized:
             "vec_id long, embedding array<float>",
         )
         plan = int8_brute_topk(df, df, k=1)._jdf.queryExecution().executedPlan().toString()
-        assert "ArrowEvalPython" not in plan
+        assert plan.count("ArrowEvalPython") == 2, plan
         assert "BatchEvalPython" not in plan
 
     def test_topk_matches_float_ranking_on_separated_corpus(self, spark, corpus):
