@@ -251,19 +251,19 @@ def main() -> None:
     tpch = {n: t for n, t in timings.items() if n.startswith("q")}
     ordered = {n: t for n, t in timings.items() if n not in tpch}
     ordered.update(tpch)
-    # normalized = raw / calibration: unit-free multiples of the fixed
-    # probe job, comparable ACROSS rounds even as the host drifts.
-    # Emitted before "queries" so tail truncation sacrifices it first;
-    # calibration_sec itself rides at the very tail and always survives
-    # (the raw queries + the scalar are enough to recompute it).
-    normalized = {n: round(t / calibration, 3) for n, t in ordered.items()}
+    # r14: the per-row "normalized" dict is NO LONGER emitted on stdout.
+    # r12's line overflowed the driver's tail capture (BENCH_r12.parsed:
+    # null -> PERF_r13 computed nothing), and the dict doubled the line
+    # for information that is recomputable as queries[name] /
+    # calibration_sec. The scalar calibration_sec stays — it is the
+    # machine-speed probe that makes cross-round comparison readable.
+    # No existing "queries" row is removed or renamed.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "normalized": normalized,
                 "queries": ordered,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs_per_query": n_runs,

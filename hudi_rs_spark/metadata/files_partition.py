@@ -100,10 +100,12 @@ def iter_partition_hfiles(
     slice(s), in merge order: base first, then valid log-block payloads.
     ``file_id`` restricts to one file group (a record-index SHARD reads
     only its own slice — the per-shard parallel read path).
-    ``with_instants=True`` yields (is_base, HFile, instant) instead,
-    where instant is the block's writing instant (base: the base file's
-    commit) — needed by folds that order same-instant twins
-    semantically (read_record_index).
+    ``with_instants=True`` yields (is_base, HFile, instant, slice_ix)
+    instead, where instant is the block's writing instant (base: the
+    base file's commit) and slice_ix the ordinal of the file slice the
+    payload belongs to — needed by folds that order same-instant twins
+    semantically and stream per slice (read_record_index; record keys
+    never span slices, so cross-slice order is free).
 
     Planning of the MDT itself reuses the normal timeline/slice machinery
     (it IS a Hudi MOR table); only the payload format differs."""
@@ -125,7 +127,7 @@ def iter_partition_hfiles(
     )
     if not slices:
         return
-    for sl in slices:
+    for slice_ix, sl in enumerate(slices):
         if file_id is not None and sl.file_id != file_id:
             continue
         if sl.base_file is not None:
@@ -133,7 +135,7 @@ def iter_partition_hfiles(
                 os.path.join(base, sl.base_file_relative_path())
             )
             if with_instants:
-                yield True, hf, sl.base_file.commit_timestamp
+                yield True, hf, sl.base_file.commit_timestamp, slice_ix
             else:
                 yield True, hf
         # MDT file groups are LOG-ONLY until their first compaction (the
@@ -148,7 +150,15 @@ def iter_partition_hfiles(
             ):
                 if b.hfile_content is not None:
                     if with_instants:
-                        yield False, HFile(b.hfile_content), b.instant_time
+                        # valid_blocks only passes blocks whose instant
+                        # is a real timeline instant; the fold's
+                        # ordering contract must not silently depend on
+                        # that filtering (ADVICE r13) — fail loudly if
+                        # it ever changes.
+                        assert b.instant_time is not None, (
+                            f"valid log block without instant in {rel}"
+                        )
+                        yield False, HFile(b.hfile_content), b.instant_time, slice_ix
                     else:
                         yield False, HFile(b.hfile_content)
 

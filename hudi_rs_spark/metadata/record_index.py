@@ -48,24 +48,50 @@ def read_record_index(
     lookup_records — reference reader.rs:937 parity): only the blocks
     holding requested keys decompress, O(log blocks) per key, instead of
     a full index scan — the point of a point lookup on a 10^9-key index."""
-    schema = names = None
-    sorted_keys = sorted(keys) if keys is not None else None
-    # Collect first, fold second. One commit can legitimately emit BOTH
-    # a tombstone and an add for the same key from DIFFERENT writer
+    # Fold rule (r13 correctness fix): one commit can legitimately emit
+    # BOTH a tombstone and an add for the same key from DIFFERENT writer
     # tasks (update.partition.path=true: the record moves — tombstone at
     # the old location, insert at the new one), landing as same-instant
     # same-version log-file twins whose filename order is task-schedule
     # dependent. A commit's index mutations are a SET: within one
-    # instant, deletes must apply BEFORE adds so delete+add nets to the
-    # add, deterministically. Across instants the instant order (later
-    # commit wins) is the semantic order; base files (compacted merged
-    # state) sort before every log instant.
-    entries: list[tuple[str, int, int, str, tuple[str, str] | None]] = []
-    seq = 0
-    for is_base, hf, instant in iter_partition_hfiles(
+    # instant, deletes apply BEFORE adds so delete+add nets to the add,
+    # deterministically. Across instants the instant order (later commit
+    # wins) is the semantic order; base files (compacted merged state)
+    # apply first.
+    #
+    # r14 (ADVICE): iter_partition_hfiles yields in slice merge order —
+    # base first, log blocks in non-decreasing instant order except the
+    # same-instant twins — so the fold streams with PER-INSTANT
+    # buffering: memory stays O(live keys + one commit's entries), not
+    # O(all log entries), and there is no global sort. If a block ever
+    # arrives with an instant EARLIER than one already folded (possible
+    # only if log-file name order ever disagrees with block-instant
+    # order), the streaming pass aborts and the fold re-reads in the
+    # r13 collect-everything/global-sort mode — bitwise-identical
+    # semantics, never silently wrong.
+    try:
+        return _fold_streaming(data_table_base_path, keys, file_id)
+    except _OutOfOrderInstant:
+        return _fold_collected(data_table_base_path, keys, file_id)
+
+
+class _OutOfOrderInstant(Exception):
+    pass
+
+
+def _iter_entries(data_table_base_path, keys, file_id):
+    """Yield (slice_ix, order_instant, key, loc) per decoded index
+    entry, in iter_partition_hfiles merge order (loc None = tombstone).
+    Record keys never span slices (shard = hash(key)), so folds may
+    treat each slice as an independent stream."""
+    schema = names = None
+    sorted_keys = sorted(keys) if keys is not None else None
+    for tup in iter_partition_hfiles(
         data_table_base_path, RECORD_INDEX_PARTITION, file_id=file_id,
         with_instants=True,
     ):
+        is_base, hf, instant = tup[0], tup[1], tup[2]
+        slice_ix = tup[3] if len(tup) > 3 else 0
         if schema is None:
             schema = hf.avro_schema()
             if schema is None:
@@ -88,12 +114,58 @@ def read_record_index(
                     fid = _file_id(ri)
                     if fid:
                         loc = (ri.get("partitionName") or "", fid)
-            entries.append((order_instant, loc is not None, seq, key, loc))
-            seq += 1
+            yield slice_ix, order_instant, key, loc
+
+
+def _fold_streaming(data_table_base_path, keys, file_id):
+    out: dict[str, tuple[str, str]] = {}
+    group: list[tuple[str, tuple[str, str] | None]] = []
+    group_key: tuple[int, str] = (-1, "")
+
+    def apply_group() -> None:
+        # deletes before adds within the instant; input order inside
+        # each class (matches the stable global sort on (is_add, seq))
+        for want_add in (False, True):
+            for key, loc in group:
+                if (loc is not None) != want_add:
+                    continue
+                if loc is None:
+                    out.pop(key, None)  # tombstone: key deleted
+                else:
+                    out[key] = loc
+        group.clear()
+
+    for slice_ix, order_instant, key, loc in _iter_entries(
+        data_table_base_path, keys, file_id
+    ):
+        k = (slice_ix, order_instant)
+        if k < group_key:
+            # instant order regressed WITHIN a slice: name order and
+            # block-instant order disagree — fall back to global sort
+            raise _OutOfOrderInstant
+        if k != group_key:
+            apply_group()
+            group_key = k
+        group.append((key, loc))
+    apply_group()
+    return out
+
+
+def _fold_collected(data_table_base_path, keys, file_id):
+    """r13 shape: collect every entry, stable global sort on
+    (instant, deletes-before-adds, arrival), fold once. Keys never span
+    slices, so sorting on instant across slices is equivalent to
+    per-slice folding."""
+    entries = [
+        (order_instant, loc is not None, seq, key, loc)
+        for seq, (_six, order_instant, key, loc) in enumerate(
+            _iter_entries(data_table_base_path, keys, file_id)
+        )
+    ]
     out: dict[str, tuple[str, str]] = {}
     for _, _, _, key, loc in sorted(entries, key=lambda e: e[:3]):
         if loc is None:
-            out.pop(key, None)  # tombstone: key deleted
+            out.pop(key, None)
         else:
             out[key] = loc
     return out

@@ -56,7 +56,27 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 # reuses its InMemoryFileIndex/schema, the same economy Spark's own
 # catalog tables get. NO results are cached: the plan is lazy and every
 # action still scans the parquet files.
+#
+# CONTRACT (ADVICE r13): the memo assumes the sf_dir inputs are
+# IMMUTABLE for the lifetime of the Spark application — true for the
+# driver/bench test data this registry exists for. Regenerating a
+# parquet input in-place within one application would leave the pinned
+# file listing stale (FileNotFoundException or stale rows); call
+# invalidate_table_memo() after doing that. The memo is also scoped by
+# applicationId, so sibling SparkSessions of one application share
+# DataFrames — fine for reads of immutable inputs, which is all this
+# loader serves.
 _DF_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def invalidate_table_memo(sf_dir: str | None = None) -> None:
+    """Drop memoized DataFrames (all, or those under ``sf_dir``) — the
+    escape hatch for the immutable-input contract above."""
+    if sf_dir is None:
+        _DF_MEMO.clear()
+        return
+    for key in [k for k in _DF_MEMO if k[1] == sf_dir]:
+        del _DF_MEMO[key]
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
