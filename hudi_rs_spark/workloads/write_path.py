@@ -85,20 +85,34 @@ def _fingerprint(sf_dir: str) -> str:
     )
 
 
-def _apply_upserts(spark: SparkSession, sf_dir: str, path: str) -> None:
-    from hudi_rs_spark.write.upsert import delete, upsert
+def _apply_upserts(spark: SparkSession, sf_dir: str, path: str):
+    """Standard lifecycle round: update %9, tombstone %11. The tag
+    index is materialized ONCE and shared across the pair (and returned
+    for any follow-up upsert of pre-existing keys) — both calls touch
+    only keys present since the seed, which is exactly the
+    TagIndexHandle staleness contract. Bucket tables route map-side and
+    never read an index, so they skip the handle."""
+    from hudi_rs_spark.config.table_config import HudiTableConfig
+    from hudi_rs_spark.write.bucket import is_bucket_table
+    from hudi_rs_spark.write.upsert import delete, tag_index_handle, upsert
 
+    handle = None
+    if not is_bucket_table(HudiTableConfig.from_base_path(path).props):
+        handle = tag_index_handle(spark, path)
     docs = _docs(spark, sf_dir)
     upsert(
         docs.filter(F.col("doc_id") % 9 == 0)
         .withColumn("text", F.concat(F.col("text"), F.lit("#u")))
         .withColumn("ts", F.lit(2)),
         path,
+        index_handle=handle,
     )
     delete(
         docs.filter(F.col("doc_id") % 11 == 0).withColumn("ts", F.lit(3)),
         path,
+        index_handle=handle,
     )
+    return handle
 
 
 def _ensure_lifecycle_table(
@@ -782,15 +796,18 @@ def write_async_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, v in _seed_options().items():
         w = w.option(k, v)
     w.mode("append").save()
-    _apply_upserts(spark, sf_dir, path)
+    h = _apply_upserts(spark, sf_dir, path)
     inst = schedule_compaction(path)
     assert inst is not None, "lifecycle table must have dirty groups"
     docs = _docs(spark, sf_dir)
+    # %7 touches only seed-time keys and the plan is merely SCHEDULED
+    # (no group replaced yet), so the lifecycle handle stays valid
     upsert(
         docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 0))
         .withColumn("text", F.concat(F.col("text"), F.lit("#p")))
         .withColumn("ts", F.lit(4)),
         path,
+        index_handle=h,
     )
     run_scheduled_compaction(spark, path)
     out = (
@@ -826,17 +843,20 @@ def write_async_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, v in _seed_options().items():
         w = w.option(k, v)
     w.mode("append").save()
-    _apply_upserts(spark, sf_dir, path)
+    h = _apply_upserts(spark, sf_dir, path)
     inst = schedule_clustering(
         path, sort_columns=("doc_id",), min_group_slices=1
     )
     assert inst is not None, "lifecycle table must have groups to plan"
     docs = _docs(spark, sf_dir)
+    # %7 touches only seed-time keys and the clustering plan is merely
+    # SCHEDULED (groups not yet rewritten), so the handle stays valid
     upsert(
         docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 0))
         .withColumn("text", F.concat(F.col("text"), F.lit("#p")))
         .withColumn("ts", F.lit(4)),
         path,
+        index_handle=h,
     )
     run_scheduled_clustering(spark, path)
     out = (
@@ -1204,13 +1224,16 @@ def write_savepoint_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, v in _seed_options().items():
         w = w.option(k, v)
     w.mode("append").save()
-    _apply_upserts(spark, sf_dir, path)
+    h = _apply_upserts(spark, sf_dir, path)
     sp = savepoint(path)
+    # the junk %5 upsert touches only seed-time keys; savepoint is
+    # metadata-only, so the lifecycle handle stays valid
     upsert(
         _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
         .withColumn("text", F.concat(F.col("text"), F.lit("#junk")))
         .withColumn("ts", F.lit(9)),
         path,
+        index_handle=h,
     )
     restore(path, sp)
     out = (

@@ -85,7 +85,7 @@ def _spark_partition_expr(cfg: WriteConfig):
 
 
 def _index_from_record_index(
-    spark, cfg: WriteConfig, slices
+    spark, path: str, slices
 ) -> DataFrame | None:
     """Tagging index from the MDT record index: each SHARD slice decodes
     executor-side into (key, partition, file_id) rows — index bytes
@@ -100,12 +100,11 @@ def _index_from_record_index(
         shard_file_id,
     )
 
-    if not record_index_enabled_on_table(cfg.path):
+    if not record_index_enabled_on_table(path):
         return None
-    n = existing_shard_count(cfg.path)
+    n = existing_shard_count(path)
     if not n:
         return None
-    path = cfg.path
 
     def read_shard(shard: int):
         from hudi_rs_spark.metadata.record_index import read_record_index
@@ -132,7 +131,7 @@ def _index_from_record_index(
 
 
 def _bloom_candidate_files(
-    spark, cfg: WriteConfig, keys_df: DataFrame
+    spark, path: str, keys_df: DataFrame
 ) -> dict | None:
     """Middle index tier (no record index, bloom_filters MDT partition
     present): base-file NAMES the incoming keys may live in, so the
@@ -151,9 +150,8 @@ def _bloom_candidate_files(
         has_bloom_filters_partition,
     )
 
-    if not has_bloom_filters_partition(HudiTableConfig.from_base_path(cfg.path)):
+    if not has_bloom_filters_partition(HudiTableConfig.from_base_path(path)):
         return None
-    path = cfg.path
 
     def gen(batches):
         import pandas as pd
@@ -195,17 +193,20 @@ def _bloom_candidate_files(
     return {"touched": touched, "hits": candidates, "recorded": pruned}
 
 
-def _location_index(
-    spark, cfg: WriteConfig, keys_df: DataFrame | None = None
-) -> tuple[DataFrame, dict[str, int]]:
-    """(key, partition) -> (file_id, base_instant) over CURRENT slices,
-    plus the next log version per file group (from driver planning —
-    the file-group listing is already in hand). Tiers: MDT record index
-    (O(index)), bloom-pruned meta-column scan (O(candidate files), needs
-    ``keys_df``), full meta-column scan (O(live base files))."""
+def _empty_index(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [],
+        "_hoodie_record_key string, _hoodie_partition_path string, "
+        f"{TARGET_FILE_COL} string, {TARGET_INSTANT_COL} string",
+    )
+
+
+def _current_slices(spark, path: str):
+    """(slices, next-log-version per file group, base-file paths) of the
+    CURRENT table state — the driver-side listing every tag pass needs."""
     from hudi_rs_spark.sources.hudi import HudiTable
 
-    table = HudiTable(cfg.path, spark, listing="direct")
+    table = HudiTable(path, spark, listing="direct")
     slices = table.get_file_slices()
     next_version: dict[str, int] = {}
     paths = []
@@ -217,19 +218,61 @@ def _location_index(
             )
         versions = [lf.version for lf in sl.log_files]
         next_version[sl.file_id] = (max(versions) + 1) if versions else 1
-        paths.append(os.path.join(cfg.path, sl.base_file_relative_path()))
+        paths.append(os.path.join(path, sl.base_file_relative_path()))
+    return slices, next_version, paths
+
+
+class TagIndexHandle:
+    """A materialized snapshot of the tag index — (key, partition) ->
+    (file_id, base_instant) — shared across SEVERAL write calls on one
+    table so the index is read ONCE, not once per call
+    (``tag_index_handle``).
+
+    Contract (the caller asserts it, the handle cannot check it): between
+    handle creation and last use, (a) no call inserts a NEW key that a
+    later call references — a stale handle would tag that key as an
+    insert again (duplicate) or tombstone it into the wrong group — and
+    (b) no compaction / clustering / rescale replaces file groups. Log
+    appends are fine: updating or deleting a key never moves its file
+    group, so the standard seed -> upsert -> delete lifecycle qualifies.
+    Next log versions are NOT part of the handle — every call re-lists
+    the table for those (cheap driver-side planning).
+    """
+
+    def __init__(self, path: str, index: DataFrame):
+        self.path = path
+        self.index = index
+
+
+def tag_index_handle(spark, path: str) -> TagIndexHandle:
+    """Materialize the tag index for ``path`` once (record-index tier
+    when available, else the meta-column scan) for reuse via
+    ``upsert(..., index_handle=h)``. The returned frame is pinned
+    (checkpointed), so each consuming write reads the materialized rows
+    instead of re-running the index decode/scan."""
+    from hudi_rs_spark.operators.pin import pin
+    from hudi_rs_spark.write.writer import _base
+
+    base = _base(path)
+    slices, _next_version, paths = _current_slices(spark, base)
+    index = _build_tag_index(spark, base, slices, paths, keys_df=None)
+    return TagIndexHandle(base, pin(index))
+
+
+def _build_tag_index(
+    spark, path: str, slices, paths, keys_df: DataFrame | None
+) -> DataFrame:
+    """(key, partition) -> (file_id, base_instant) over CURRENT slices.
+    Tiers: MDT record index (O(index)), bloom-pruned meta-column scan
+    (O(candidate files), needs ``keys_df``), full meta-column scan
+    (O(live base files))."""
     if not paths:
-        empty = spark.createDataFrame(
-            [],
-            "_hoodie_record_key string, _hoodie_partition_path string, "
-            f"{TARGET_FILE_COL} string, {TARGET_INSTANT_COL} string",
-        )
-        return empty, next_version
-    via_index = _index_from_record_index(spark, cfg, slices)
+        return _empty_index(spark)
+    via_index = _index_from_record_index(spark, path, slices)
     if via_index is not None:
-        return via_index, next_version
+        return via_index
     if keys_df is not None:
-        bloom = _bloom_candidate_files(spark, cfg, keys_df)
+        bloom = _bloom_candidate_files(spark, path, keys_df)
         if bloom is not None:
             keep = []
             for sl, p in zip(slices, paths):
@@ -242,14 +285,9 @@ def _location_index(
                 keep.append(p)
             paths = keep
             if not paths:
-                empty = spark.createDataFrame(
-                    [],
-                    "_hoodie_record_key string, _hoodie_partition_path string, "
-                    f"{TARGET_FILE_COL} string, {TARGET_INSTANT_COL} string",
-                )
-                return empty, next_version
+                return _empty_index(spark)
     # meta-columns-only projection: Catalyst prunes to 3 columns at scan
-    index = (
+    return (
         spark.read.parquet(*paths)
         .select("_hoodie_record_key", "_hoodie_partition_path", "_hoodie_file_name")
         .select(
@@ -261,7 +299,27 @@ def _location_index(
             ).alias(TARGET_INSTANT_COL),
         )
     )
-    return index, next_version
+
+
+def _location_index(
+    spark, cfg: WriteConfig, keys_df: DataFrame | None = None,
+    index_handle: TagIndexHandle | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Tag index plus the next log version per file group (from driver
+    planning — the file-group listing is already in hand). With
+    ``index_handle`` the materialized index is reused and only the
+    listing runs (one index read per LIFECYCLE instead of per call)."""
+    slices, next_version, paths = _current_slices(spark, cfg.path)
+    if index_handle is not None:
+        from hudi_rs_spark.write.writer import _base
+
+        if index_handle.path != _base(cfg.path):
+            raise ValueError(
+                f"index_handle built for {index_handle.path}, "
+                f"used against {cfg.path}"
+            )
+        return index_handle.index, next_version
+    return _build_tag_index(spark, cfg.path, slices, paths, keys_df), next_version
 
 
 def _tag_by_bucket(
@@ -364,12 +422,21 @@ def _restore_partition_cols(df: DataFrame, cfg, loc_col: str, cond):
     return out
 
 
-def upsert(df: DataFrame, path: str, **options) -> None:
+def upsert(
+    df: DataFrame, path: str,
+    index_handle: TagIndexHandle | None = None, **options,
+) -> None:
     """Upsert ``df`` into the MOR table at ``path``.
 
     Rows whose key exists get appended as log blocks to their file
     group; new keys become new base files. Rows with
     ``_hoodie_is_deleted=true`` emit delete-block entries.
+
+    ``index_handle``: a ``tag_index_handle(spark, path)`` snapshot to
+    reuse across several calls on this table (one index read per
+    lifecycle instead of per call) — see TagIndexHandle for the
+    staleness contract. Ignored by bucket tables (their routing never
+    reads an index).
 
     ``options``: forwarded to the writer (``precombine.field`` etc.);
     table identity options default from the existing hoodie.properties.
@@ -567,6 +634,7 @@ def upsert(df: DataFrame, path: str, **options) -> None:
                 F.col("__hoodie_key_x").alias("k"),
                 F.col("__hoodie_part_x").alias("p"),
             ),
+            index_handle=index_handle,
         )
         # per-file-group next log version as a broadcast-joined frame,
         # NOT a create_map literal: a map literal inlines every file
@@ -793,10 +861,16 @@ def upsert(df: DataFrame, path: str, **options) -> None:
         warnings.warn(f"inline compaction skipped: {e}", stacklevel=2)
 
 
-def delete(df_keys: DataFrame, path: str, **options) -> None:
+def delete(
+    df_keys: DataFrame, path: str,
+    index_handle: TagIndexHandle | None = None, **options,
+) -> None:
     """Delete by key: ``df_keys`` needs the record key (+ partition +
     precombine) columns; implemented as an upsert of tombstone rows."""
-    upsert(df_keys.withColumn(DELETE_COL, F.lit(True)), path, **options)
+    upsert(
+        df_keys.withColumn(DELETE_COL, F.lit(True)), path,
+        index_handle=index_handle, **options,
+    )
 
 
 def bulk_insert(
