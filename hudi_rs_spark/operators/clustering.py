@@ -83,9 +83,12 @@ def kmeans_assign(
 
     for _ in range(iterations):
         assigned = _assign(q, centroids)
-        # update: explode to (cluster, dim) cells, exact integer mean
+        # update: explode to (cluster, dim) cells, exact integer mean.
+        # _assign carries q through (map-only), so no join back — the
+        # only shuffle per iteration is this partial-aggregated groupBy
+        # (k*D cells after map-side combine).
         cells = (
-            assigned.join(q, "id")
+            assigned
             .select("cid", F.posexplode("q").alias("pos", "v"))
             .groupBy("cid", "pos")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
@@ -103,37 +106,62 @@ def kmeans_assign(
                 ).alias("cq")
             )
             # Truncate the iterative lineage: each round's centroid plan
-            # otherwise EMBEDS the previous round's full assignment plan
-            # (and _assign references centroids twice), so the final
-            # plan replicates the corpus scan ~2^iterations times
-            # (measured: 20 source scans at iterations=2 when composed
-            # downstream). The checkpoint is k rows — one centroid per
-            # cluster — materialized immediately.
+            # otherwise EMBEDS the previous round's full assignment plan,
+            # so the final plan replicates the corpus scan
+            # ~2^iterations times (measured: 20 source scans at
+            # iterations=2 when composed downstream). The checkpoint is
+            # k rows — one centroid per cluster — materialized
+            # immediately.
         )
         centroids = pin(centroids)
 
-    return _assign(q, centroids, keep_dist=True)
+    return _assign(q, centroids, keep_dist=True).select(
+        "id", "cid", "dist2"
+    )
 
 
 def _assign(q: DataFrame, centroids: DataFrame, keep_dist: bool = False) -> DataFrame:
-    scored = q.crossJoin(F.broadcast(centroids)).select(
-        "id", "cid", _dist2("q", "cq").alias("dist2")
+    """Nearest centroid per row as a MAP-ONLY pass: the k centroids
+    collapse into ONE array-of-structs row, broadcast-crossJoined onto
+    the corpus, and argmin((dist2, cid)) is array_min over that array —
+    integer dist2 and the lowest-cid tie-break give the same total
+    order as the old crossJoin + groupBy(id).min(struct) shape, with
+    ZERO shuffles instead of two (the n*k exchange for the min and the
+    join back for q; guide §2.4). Output carries (id, q, cid[, dist2])
+    so downstream never re-joins the corpus."""
+    carr = centroids.agg(
+        F.collect_list(F.struct("cid", "cq")).alias("cs")
     )
-    best = scored.groupBy("id").agg(
-        F.min(F.struct("dist2", "cid")).alias("b")
+    best = F.array_min(
+        F.expr(
+            "transform(cs, c -> struct("
+            "aggregate(zip_with(q, c.cq, (x, y) -> (x - y) * (x - y)),"
+            " bigint(0), (acc, v) -> acc + v) AS dist2,"
+            " c.cid AS cid))"
+        )
     )
-    cols = [F.col("id"), F.col("b.cid").alias("cid")]
+    out = q.crossJoin(F.broadcast(carr)).select(
+        "id", "q", best.alias("b")
+    )
+    cols = [F.col("id"), F.col("q"), F.col("b.cid").alias("cid")]
     if keep_dist:
         cols.append(F.col("b.dist2").alias("dist2"))
-    return best.select(*cols)
+    return out.select(*cols)
 
 
 def _within_cluster_pairs_exact(withv: DataFrame) -> DataFrame:
-    """All (cid, id_a, va, id_b, vb) pairs within each cluster, id_a <
-    id_b — the exact SemDeDup candidate set, O(population^2) per
-    cluster."""
-    a = withv.select("cid", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = withv.select("cid", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    """All (cid, id_a, va, na, id_b, vb, nb) pairs within each cluster,
+    id_a < id_b — the exact SemDeDup candidate set, O(population^2) per
+    cluster. Norms ride along so the per-pair cosine downstream is ONE
+    array fold (the dot product), not three."""
+    a = withv.select(
+        "cid", F.col("id").alias("id_a"),
+        F.col("v").alias("va"), F.col("vn").alias("na"),
+    )
+    b = withv.select(
+        "cid", F.col("id").alias("id_b"),
+        F.col("v").alias("vb"), F.col("vn").alias("nb"),
+    )
     return a.join(b, "cid").filter(F.col("id_a") < F.col("id_b"))
 
 
@@ -173,10 +201,20 @@ def _within_cluster_pairs_lsh(
         .select("cid", "id_a", "id_b")
         .distinct()
     )
-    vecs = withv.select(F.col("id").alias("vid"), "v")
+    vecs = withv.select(F.col("id").alias("vid"), "v", "vn")
     return cand.join(
-        vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va")), "id_a"
-    ).join(vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        vecs.select(
+            F.col("vid").alias("id_a"),
+            F.col("v").alias("va"), F.col("vn").alias("na"),
+        ),
+        "id_a",
+    ).join(
+        vecs.select(
+            F.col("vid").alias("id_b"),
+            F.col("v").alias("vb"), F.col("vn").alias("nb"),
+        ),
+        "id_b",
+    )
 
 
 def semdedup_candidates(
@@ -188,7 +226,12 @@ def semdedup_candidates(
 ) -> DataFrame:
     """Candidate pair frame for :func:`semdedup` — split by cluster
     population when the large-cluster guard is armed. Exposed so tests
-    can count candidate pairs directly."""
+    can count candidate pairs directly. Pairs carry the per-vector
+    norms (na/nb), computed here when the caller did not already."""
+    if "vn" not in withv.columns:
+        from hudi_rs_spark.operators.similarity import norm
+
+        withv = withv.withColumn("vn", norm(F.col("v")))
     if exact_max_cluster is None:
         return _within_cluster_pairs_exact(withv)
     sizes = withv.groupBy("cid").agg(F.count("*").alias("__csize"))
@@ -242,19 +285,31 @@ def semdedup(
     defaults give >0.999 at threshold 0.9). ``None`` (default) keeps
     the exact contract everywhere.
     """
-    from hudi_rs_spark.operators.similarity import cosine
+    from hudi_rs_spark.operators.similarity import dot, norm
 
     # The assignment feeds three plan branches (both pair-join sides and
     # the final kept-flag join); materialize it once — (id, cid, dist2)
     # rows, corpus-sized but narrow — instead of clustering three times.
     assigned = pin(kmeans_assign(df, id_col, vec_col, k, iterations))
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # per-vector norm computed ONCE here (r14): the pair filter below is
+    # then a single dot-product fold per pair instead of dot + two norm
+    # folds — same expressions, same float order (dot / (na * nb) is
+    # exactly cosine's arithmetic), ~3x less per-pair compute on the
+    # dominant stage.
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("vn"),
+    )
     withv = assigned.select("id", "cid").join(vecs, "id")
     pairs = semdedup_candidates(
         withv, exact_max_cluster, dim, lsh_bands, lsh_planes
     )
     dropped = (
-        pairs.filter(cosine(F.col("va"), F.col("vb")) >= F.lit(float(threshold)))
+        pairs.filter(
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+            >= F.lit(float(threshold))
+        )
         .select(F.col("id_b").alias("id"))
         .distinct()
     )
