@@ -407,6 +407,26 @@ def split_bucket(
     metadata-only path and just pins the trie). Pinned by
     tests/test_bucket_index.py::TestRescaleCrashRecovery.
     """
+    return split_buckets(spark, path, [(bucket, modulus)], instant=instant)
+
+
+def split_buckets(
+    spark, path: str, leaves, instant: str | None = None,
+) -> int:
+    """Split SEVERAL bucket leaves in ONE replacecommit (r14, guide §6
+    commit batching): one snapshot read over every parent slice, one
+    (partition, child-leaf) shuffle, one commit + one MDT fold —
+    instead of a full claim/read/shuffle/commit/MDT round PER leaf, the
+    sequential shape ``rescale_oversized_buckets`` had before. Routing
+    for the rewrite is the child trie itself (``bucket_route_exprs``
+    under the post-split map), so every row lands in its child group in
+    one pass regardless of which parent it came from.
+
+    ``leaves``: iterable of (bucket, modulus) — modulus None means the
+    bucket's CURRENT leaf modulus. Validation and crash recovery match
+    ``split_bucket`` per leaf (parents already replaced degrade to the
+    metadata-only trie pin). Returns the number of file groups replaced.
+    """
     from hudi_rs_spark.config.read_config import HudiReadOptions
     from hudi_rs_spark.config.table_config import HudiTableConfig
     from hudi_rs_spark.sources.hudi import HudiTable
@@ -425,42 +445,50 @@ def split_bucket(
         raise ValueError(f"{path} is not bucket-indexed")
     n = num_buckets(tc.props)
     splits = parse_splits(tc.props)
-    if modulus is None:
-        # descend to the current leaf holding this bucket id
-        modulus = n
-        while (bucket % modulus, modulus) in splits:
-            modulus *= 2
-        if bucket % modulus != bucket:
-            raise ValueError(
-                f"bucket {bucket} is not a leaf id (its id exceeds its "
-                f"leaf modulus {modulus})"
-            )
-    if (bucket, modulus) in splits:
-        raise ValueError(f"bucket ({bucket}, {modulus}) is already split")
-    if bucket >= modulus:
-        raise ValueError(f"bucket {bucket} must be < modulus {modulus}")
-    if modulus != n:
-        # the leaf must exist: its parent chain must be fully split
-        if (bucket % (modulus // 2), modulus // 2) not in splits:
-            raise ValueError(
-                f"({bucket}, {modulus}) is not a current leaf of the "
-                "split trie"
-            )
-    if 2 * modulus > MAX_MODULUS:
-        raise ValueError(
-            f"child modulus {2 * modulus} exceeds the file-id encoding "
-            f"bound {MAX_MODULUS}"
-        )
 
-    parent_fid = leaf_file_id(bucket, modulus, n)
+    norm_leaves: list[tuple[int, int]] = []
+    for bucket, modulus in leaves:
+        if modulus is None:
+            # descend to the current leaf holding this bucket id
+            modulus = n
+            while (bucket % modulus, modulus) in splits:
+                modulus *= 2
+            if bucket % modulus != bucket:
+                raise ValueError(
+                    f"bucket {bucket} is not a leaf id (its id exceeds "
+                    f"its leaf modulus {modulus})"
+                )
+        if (bucket, modulus) in splits:
+            raise ValueError(f"bucket ({bucket}, {modulus}) is already split")
+        if bucket >= modulus:
+            raise ValueError(f"bucket {bucket} must be < modulus {modulus}")
+        if modulus != n:
+            # the leaf must exist: its parent chain must be fully split
+            if (bucket % (modulus // 2), modulus // 2) not in splits:
+                raise ValueError(
+                    f"({bucket}, {modulus}) is not a current leaf of the "
+                    "split trie"
+                )
+        if 2 * modulus > MAX_MODULUS:
+            raise ValueError(
+                f"child modulus {2 * modulus} exceeds the file-id encoding "
+                f"bound {MAX_MODULUS}"
+            )
+        if (bucket, modulus) in norm_leaves:
+            raise ValueError(f"duplicate leaf ({bucket}, {modulus})")
+        norm_leaves.append((bucket, modulus))
+    if not norm_leaves:
+        return 0
+
+    parent_fids = {leaf_file_id(b, m, n) for b, m in norm_leaves}
     read_point = completed_instant_set(path)
     table = HudiTable(path, spark)
     parent_slices = [
-        s for s in table.get_file_slices() if s.file_id == parent_fid
+        s for s in table.get_file_slices() if s.file_id in parent_fids
     ]
     replaced: dict[str, list[str]] = {}
     for s in parent_slices:
-        replaced.setdefault(s.partition_path or "", []).append(parent_fid)
+        replaced.setdefault(s.partition_path or "", []).append(s.file_id)
 
     cfg = WriteConfig(
         path=path,
@@ -474,9 +502,9 @@ def split_bucket(
         instant_pinned=instant is not None,
         operation="cluster",
     )
-    new_splits = splits | {(bucket, modulus)}
+    new_splits = splits | set(norm_leaves)
     if not parent_slices:
-        # no partition materialized the parent: the split is metadata-only
+        # no partition materialized any parent: metadata-only splits
         def pin_only(have: dict) -> dict:
             have[SPLITS_PROP] = splits_str(new_splits)
             return have
@@ -491,7 +519,6 @@ def split_bucket(
     spark_schema = snap.schema
     schema_json = table.schema_json()
     base_path = cfg.path
-    child_mod = 2 * modulus
     meta_parts = tc.props.get("hoodie.table.metadata.partitions", "")
     with_stats = "column_stats" in meta_parts
     with_bloom = "bloom_filters" in meta_parts
@@ -514,6 +541,7 @@ def split_bucket(
 
         part = pdf["_hoodie_partition_path"].iloc[0] or ""
         b = int(pdf["__hoodie_bucket_x"].iloc[0])
+        child_mod = int(pdf["__hoodie_bmod_x"].iloc[0])
         fid = leaf_file_id(b, child_mod, n)
         tctx = TaskContext.get()
         token = (
@@ -522,7 +550,7 @@ def split_bucket(
         )
         name = f"{fid}_{token}_{instant}.parquet"
         rel = f"{part}/{name}" if part else name
-        pdf = pdf.drop(columns=["__hoodie_bucket_x"])
+        pdf = pdf.drop(columns=["__hoodie_bucket_x", "__hoodie_bmod_x"])
         pdf["_hoodie_file_name"] = name
         arrow_schema = to_arrow_schema(spark_schema)
         tbl = pa.Table.from_pandas(
@@ -565,16 +593,23 @@ def split_bucket(
         )
 
     try:
+        # child assignment via the POST-split trie: each row read from a
+        # split parent descends exactly one level to its child leaf, so
+        # one expression routes every leaf's rows in the same pass
+        b_col, m_col = bucket_route_exprs(
+            F.col("_hoodie_record_key"), n, new_splits
+        )
         stats_df = (
-            snap.withColumn(
-                "__hoodie_bucket_x",
-                F.pmod(
-                    F.xxhash64(F.col("_hoodie_record_key")),
-                    F.lit(child_mod),
-                ).cast("int"),
+            snap.withColumn("__hoodie_bucket_x", b_col)
+            .withColumn("__hoodie_bmod_x", m_col)
+            .repartition(
+                "_hoodie_partition_path",
+                "__hoodie_bucket_x", "__hoodie_bmod_x",
             )
-            .repartition("_hoodie_partition_path", "__hoodie_bucket_x")
-            .groupBy("_hoodie_partition_path", "__hoodie_bucket_x")
+            .groupBy(
+                "_hoodie_partition_path",
+                "__hoodie_bucket_x", "__hoodie_bmod_x",
+            )
             .applyInPandas(
                 write_child,
                 "fileId string, path string, partitionPath string, "
@@ -967,11 +1002,17 @@ def rescale_oversized_buckets(
     )
     if max_splits is not None:
         oversized = oversized[: max(0, int(max_splits))]
-    done: list[tuple[int, int]] = []
-    for bucket, modulus in oversized:
-        split_bucket(spark, path, bucket, modulus)
-        done.append((bucket, modulus))
-    return done
+    if not oversized:
+        return []
+    # One BATCHED replacecommit for the whole round (r14, guide §6):
+    # every oversized leaf is rewritten in one snapshot read + one
+    # (partition, child) shuffle + one commit + one MDT fold, instead of
+    # a full claim/read/shuffle/commit/MDT cycle per leaf. Leaves are
+    # current by construction (computed from this listing), so the batch
+    # satisfies split_buckets' validation; a leaf still too big after
+    # halving splits again on a LATER invocation, as before.
+    split_buckets(spark, path, oversized)
+    return oversized
 
 
 def rescale_undersized_buckets(

@@ -148,3 +148,61 @@ class TestAutoRescale:
         ).collect()
         assert [(r.bucket, r.modulus) for r in done] == [(0, N)]
         assert _snap_ids(spark, path) == expected
+
+
+class TestBatchedRound:
+    def _replacecommits(self, path):
+        import os
+
+        tl = os.path.join(path, ".hoodie", "timeline")
+        return sorted(
+            n for n in os.listdir(tl) if n.endswith(".replacecommit")
+        )
+
+    def test_round_is_one_replacecommit(self, spark, tmp_path):
+        """r14: a rescale round splits EVERY oversized leaf in ONE
+        batched replacecommit (one snapshot read, one shuffle, one MDT
+        fold) instead of a commit per leaf — data and routing identical
+        to the sequential shape."""
+        path = str(tmp_path / "t")
+        expected = _seed_skewed(spark, path)
+        before = self._replacecommits(path)
+        done = rescale_oversized_buckets(spark, path, max_bucket_mb=1e-4)
+        assert sorted(done) == [(0, N), (1, N)]  # both leaves oversized
+        after = self._replacecommits(path)
+        assert len(after) == len(before) + 1, (before, after)
+        leaves = _leaves(spark, path)
+        assert {(0, 2 * N), (N, 2 * N), (1, 2 * N), (1 + N, 2 * N)} <= leaves
+        assert _snap_ids(spark, path) == expected
+        # routed upserts descend the grown trie into the children
+        k0 = _keys_for_bucket(0, 1)[0]
+        k1 = _keys_for_bucket(1, 1)[0]
+        upsert(
+            spark.createDataFrame(
+                [(k0, "u0", 2), (k1, "u1", 2)],
+                "id int, payload string, ts int",
+            ),
+            path,
+        )
+        got = {
+            r.id: r.payload
+            for r in spark.read.format("hudi_py").option("path", path)
+            .load().filter(F.col("id").isin(k0, k1)).collect()
+        }
+        assert got == {k0: "u0", k1: "u1"}
+
+    def test_multi_leaf_split_matches_sequential(self, spark, tmp_path):
+        """split_buckets([(a), (b)]) produces the same snapshot and the
+        same leaf set as two sequential split_bucket calls."""
+        from hudi_rs_spark.write.bucket import split_bucket, split_buckets
+
+        p_seq = str(tmp_path / "seq")
+        p_bat = str(tmp_path / "bat")
+        expected = _seed_skewed(spark, p_seq)
+        _seed_skewed(spark, p_bat)
+        split_bucket(spark, p_seq, 0)
+        split_bucket(spark, p_seq, 1)
+        split_buckets(spark, p_bat, [(0, None), (1, None)])
+        assert _leaves(spark, p_bat) == _leaves(spark, p_seq)
+        assert _snap_ids(spark, p_bat) == expected
+        assert _snap_ids(spark, p_seq) == expected
