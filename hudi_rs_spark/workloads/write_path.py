@@ -983,7 +983,7 @@ def write_sql_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs/reader-spec.md:311-319."""
     from hudi_rs_spark.sources.hudi import HudiTable
     from hudi_rs_spark.write.sql import hudi_sql
-    from hudi_rs_spark.write.upsert import upsert
+    from hudi_rs_spark.write.upsert import tag_index_handle, upsert
 
     _register(spark)
     tmp = tempfile.mkdtemp(prefix="hudi_ttsql_bench_")
@@ -993,11 +993,15 @@ def write_sql_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = w.option(k, v)
     w.mode("append").save()
     docs = _docs(spark, sf_dir)
+    # both upserts touch only seed-time keys and nothing rewrites file
+    # groups in between, so one pinned tag index serves the pair
+    h = tag_index_handle(spark, path)
     upsert(
         docs.filter(F.col("doc_id") % 9 == 0)
         .withColumn("text", F.concat(F.col("text"), F.lit("#u")))
         .withColumn("ts", F.lit(2)),
         path,
+        index_handle=h,
     )
     mid = HudiTable(
         path, spark=None, listing="direct"
@@ -1007,6 +1011,7 @@ def write_sql_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("text", F.concat(F.col("text"), F.lit("#x")))
         .withColumn("ts", F.lit(3)),
         path,
+        index_handle=h,
     )
     out = hudi_sql(
         spark,
@@ -1160,7 +1165,7 @@ def write_ddl_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     rename logs across three schema epochs with zero data rewrites.
     Routed through the SQL ALTER statements."""
     from hudi_rs_spark.write.sql import hudi_sql
-    from hudi_rs_spark.write.upsert import upsert
+    from hudi_rs_spark.write.upsert import tag_index_handle, upsert
 
     _register(spark)
     tmp = tempfile.mkdtemp(prefix="hudi_ddl_bench_")
@@ -1173,6 +1178,9 @@ def write_ddl_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     hudi_sql(spark, "ALTER TABLE docs ADD COLUMNS (grade string)",
              tables=tables)
     docs = _docs(spark, sf_dir)
+    # schema DDL publishes metadata-only commits (no file group moves)
+    # and both upserts touch only seed-time keys -> one pinned tag index
+    h = tag_index_handle(spark, path)
     upsert(
         docs.filter(F.col("doc_id") % 9 == 0).select(
             "doc_id",
@@ -1182,6 +1190,7 @@ def write_ddl_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("grade"),
         ),
         path,
+        index_handle=h,
     )
     hudi_sql(spark, "ALTER TABLE docs DROP COLUMN source", tables=tables)
     hudi_sql(spark, "ALTER TABLE docs RENAME COLUMN text TO body",
@@ -1195,6 +1204,7 @@ def write_ddl_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("grade"),
         ),
         path,
+        index_handle=h,
     )
     out = (
         spark.read.format("hudi_py").option("path", path).load()
@@ -1535,7 +1545,7 @@ def write_schema_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     states the oracle. (The narrow-KEY upcast path is pytest-pinned in
     tests/test_schema_widening.py; an int key cast here would overflow
     on scalecheck's id-shifted synthetic corpus.)"""
-    from hudi_rs_spark.write.upsert import delete, upsert
+    from hudi_rs_spark.write.upsert import delete, tag_index_handle, upsert
 
     _register(spark)
     tmp = tempfile.mkdtemp(prefix="hudi_evolve_bench_")
@@ -1551,6 +1561,10 @@ def write_schema_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = w.option(k, v)
     w.mode("append").save()
     docs = _docs(spark, sf_dir)
+    # the widening upsert publishes a schema commit but appends logs in
+    # place (no file group moves), and both calls touch only seed-time
+    # keys -> one pinned tag index serves the pair
+    h = tag_index_handle(spark, path)
     upsert(
         docs.filter(F.col("doc_id") % 9 == 0).select(
             "doc_id",
@@ -1562,12 +1576,14 @@ def write_schema_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("grade"),
         ),
         path,
+        index_handle=h,
     )
     delete(
         docs.filter(F.col("doc_id") % 11 == 0).select(
             "doc_id", "lang", F.lit(3).alias("ts"),
         ),
         path,
+        index_handle=h,
     )
     out = (
         spark.read.format("hudi_py").option("path", path).load()
@@ -1604,7 +1620,7 @@ def write_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed column (absent ≠ null), so the payload and that index don't
     compose — the writer validates the rest (MOR + precombine, no CDC).
     """
-    from hudi_rs_spark.write.upsert import delete, upsert
+    from hudi_rs_spark.write.upsert import delete, tag_index_handle, upsert
 
     _register(spark)
     tmp = tempfile.mkdtemp(prefix="hudi_partial_bench_")
@@ -1620,6 +1636,9 @@ def write_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = w.option(k, v)
     w.mode("append").save()
     docs = _docs(spark, sf_dir)
+    # all three sparse batches touch only seed-time keys (log appends,
+    # no file group moves) -> one pinned tag index serves the triple
+    h = tag_index_handle(spark, path)
     upsert(
         docs.filter(F.col("doc_id") % 9 == 0)
         .select(
@@ -1627,6 +1646,7 @@ def write_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", F.lit(2).alias("ts"),
         ),
         path,
+        index_handle=h,
     )
     upsert(
         docs.filter(F.col("doc_id") % 6 == 0)
@@ -1635,11 +1655,13 @@ def write_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", F.lit(3).alias("ts"),
         ),
         path,
+        index_handle=h,
     )
     delete(
         docs.filter(F.col("doc_id") % 11 == 0)
         .select("doc_id", "lang", F.lit(4).alias("ts")),
         path,
+        index_handle=h,
     )
     out = (
         spark.read.format("hudi_py").option("path", path).load()
