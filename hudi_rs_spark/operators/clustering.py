@@ -67,7 +67,18 @@ def kmeans_assign(
     the output is unique and reproducible.
     """
     q = df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q"))
+    centroids = _kmeans_centroids(q, k, iterations)
+    return _assign(q, centroids, keep_dist=True).select(
+        "id", "cid", "dist2"
+    )
 
+
+def _kmeans_centroids(q: DataFrame, k: int, iterations: int) -> DataFrame:
+    """Final (cid, cq) centroid frame after ``iterations`` update rounds
+    over the narrow (id, q) frame — the iterative half of
+    :func:`kmeans_assign`, split out so callers that need the assignment
+    WITH extra payload columns (semdedup) can run the cheap iterations
+    on the narrow frame and the final assignment on the wide one."""
     # deterministic init: k smallest md5(id), numbered in md5 order
     seeded = q.select(
         "id", "q", F.md5(F.col("id").cast("string")).alias("seed")
@@ -115,9 +126,7 @@ def kmeans_assign(
         )
         centroids = pin(centroids)
 
-    return _assign(q, centroids, keep_dist=True).select(
-        "id", "cid", "dist2"
-    )
+    return centroids
 
 
 def _assign(q: DataFrame, centroids: DataFrame, keep_dist: bool = False) -> DataFrame:
@@ -127,8 +136,10 @@ def _assign(q: DataFrame, centroids: DataFrame, keep_dist: bool = False) -> Data
     integer dist2 and the lowest-cid tie-break give the same total
     order as the old crossJoin + groupBy(id).min(struct) shape, with
     ZERO shuffles instead of two (the n*k exchange for the min and the
-    join back for q; guide §2.4). Output carries (id, q, cid[, dist2])
-    so downstream never re-joins the corpus."""
+    join back for q; guide §2.4). Output carries EVERY input column of
+    ``q`` plus cid[, dist2] — payload columns (float vectors, norms)
+    ride the map-only pass for free, so downstream never re-joins the
+    corpus (semdedup relies on this to skip a corpus-sized id-join)."""
     carr = centroids.agg(
         F.collect_list(F.struct("cid", "cq")).alias("cs")
     )
@@ -140,10 +151,11 @@ def _assign(q: DataFrame, centroids: DataFrame, keep_dist: bool = False) -> Data
             " c.cid AS cid))"
         )
     )
+    in_cols = list(q.columns)
     out = q.crossJoin(F.broadcast(carr)).select(
-        "id", "q", best.alias("b")
+        *in_cols, best.alias("b")
     )
-    cols = [F.col("id"), F.col("q"), F.col("b.cid").alias("cid")]
+    cols = [F.col(c) for c in in_cols] + [F.col("b.cid").alias("cid")]
     if keep_dist:
         cols.append(F.col("b.dist2").alias("dist2"))
     return out.select(*cols)
@@ -287,21 +299,28 @@ def semdedup(
     """
     from hudi_rs_spark.operators.similarity import dot, norm
 
-    # The assignment feeds three plan branches (both pair-join sides and
-    # the final kept-flag join); materialize it once — (id, cid, dist2)
-    # rows, corpus-sized but narrow — instead of clustering three times.
-    assigned = pin(kmeans_assign(df, id_col, vec_col, k, iterations))
-    # per-vector norm computed ONCE here (r14): the pair filter below is
+    # The float vector and its norm RIDE the map-only assignment pass
+    # (r14, guide §2.4): the k-means iterations run on the narrow
+    # (id, q) frame, then ONE final broadcast-assign over the wide frame
+    # carries (v, vn) straight through — the old shape re-joined the
+    # corpus on id to get the vectors back (a corpus-sized SortMergeJoin
+    # executed once per pair-join side). The assignment feeds three plan
+    # branches (both pair-join sides and the final kept-flag join);
+    # materialize it once.
+    # per-vector norm computed ONCE here (r13): the pair filter below is
     # then a single dot-product fold per pair instead of dot + two norm
     # folds — same expressions, same float order (dot / (na * nb) is
     # exactly cosine's arithmetic), ~3x less per-pair compute on the
     # dominant stage.
-    vecs = df.select(
+    base = df.select(
         F.col(id_col).alias("id"),
+        quantize(vec_col).alias("q"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("vn"),
     )
-    withv = assigned.select("id", "cid").join(vecs, "id")
+    centroids = _kmeans_centroids(base.select("id", "q"), k, iterations)
+    assigned = pin(_assign(base, centroids, keep_dist=True).drop("q"))
+    withv = assigned.select("id", "cid", "v", "vn")
     pairs = semdedup_candidates(
         withv, exact_max_cluster, dim, lsh_bands, lsh_planes
     )
@@ -313,6 +332,6 @@ def semdedup(
         .select(F.col("id_b").alias("id"))
         .distinct()
     )
-    return assigned.join(
+    return assigned.select("id", "cid", "dist2").join(
         dropped.withColumn("__drop", F.lit(True)), "id", "left"
     ).select("id", "cid", F.col("__drop").isNull().alias("kept"), "dist2")

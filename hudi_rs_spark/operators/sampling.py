@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hudi_rs_spark.operators.pin import pin
+
 _U32 = 4294967296.0  # 2^32, exactly representable as a double
 
 
@@ -104,6 +106,10 @@ def temperature_mix(
             return F.sqrt(c)
         return F.pow(c, F.lit(one_minus))
 
+    # counts feeds BOTH min_cnt and rates; pin the <= |strata|-row frame
+    # so each branch does not re-execute the corpus-sized aggregate
+    # (r14, guide §5 — same fix as proportional_mix's ratios).
+    counts = pin(counts)
     min_cnt = counts.agg(F.min("cnt").alias("min_cnt"))
     rates = counts.crossJoin(F.broadcast(min_cnt)).select(
         stratum_col,
@@ -177,6 +183,12 @@ def proportional_mix(
     ratios = counts.join(F.broadcast(tgt), stratum_col).select(
         stratum_col, "cnt", "p", (F.col("cnt") / F.col("p")).alias("ratio")
     )
+    # ratios feeds BOTH feasible and rates; without the pin each branch
+    # re-executes the corpus-sized counts aggregate (r14, guide §5
+    # materialize reused subtrees — measured: the df subtree ran 3x in
+    # pipeline_curate's plan, 3 -> 2 full passes after). The pinned
+    # frame is <= |strata| rows.
+    ratios = pin(ratios)
     feasible = ratios.agg(F.min("ratio").alias("n_total"))
     rates = ratios.crossJoin(F.broadcast(feasible)).select(
         stratum_col,

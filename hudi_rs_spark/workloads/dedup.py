@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hudi_rs_spark.operators import dedup as D
 from hudi_rs_spark.workloads import QuerySpec, register
@@ -202,12 +203,15 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = labeled.select(
         "doc_id", F.coalesce("component", F.col("doc_id")).alias("canon_id")
     )
-    sizes = canon.groupBy("canon_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        canon.join(sizes, "canon_id")
-        .select("doc_id", "canon_id", "cluster_size")
-        .orderBy("doc_id")
-    )
+    # cluster_size as a window count over canon_id (r14, guide §2.4):
+    # the old groupBy(canon_id) + join-back shuffled the corpus TWICE on
+    # canon_id (aggregate exchange + join exchange on each side); the
+    # window is one exchange and is literally the oracle's own shape
+    # (count(*) OVER (PARTITION BY canon_id)).
+    w = Window.partitionBy("canon_id")
+    return canon.select(
+        "doc_id", "canon_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    ).orderBy("doc_id")
 
 
 # DuckDB recursive CTE: walk = reachability over the symmetrized edge
