@@ -420,6 +420,11 @@ def substring_dup_pairs(
         .groupBy("id", "h")
         .agg((F.min("p0") + 1).alias("pos"))
     )
+    # sh feeds BOTH the bucket count and the join probe: without this
+    # pin the whole normalize/split/md5/explode/groupBy pipeline — the
+    # operator's dominant pass — executed twice (r14; the later
+    # pin(shf) only stopped the PAIR join from making it four).
+    sh = pin(sh)
     buckets = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -427,7 +432,7 @@ def substring_dup_pairs(
         .select("h")
     )
     shf = sh.join(buckets, "h")
-    shf = pin(shf)  # one shingle pass, not two
+    shf = pin(shf)  # one bucket-filter join, not one per pair side
     a = shf.select(
         F.col("h"), F.col("id").alias("id_a"), F.col("pos").alias("pa")
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hudi_rs_spark.operators.pin import pin
 from hudi_rs_spark.workloads import QuerySpec, register
 from hudi_rs_spark.workloads.tables import load
 from hudi_rs_spark.workloads.sqlutil import (
@@ -361,6 +362,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
     rev = l.groupBy("l_suppkey").agg(F.sum(disc_price()).alias("total_rev_dec"))
+    # rev feeds BOTH the max subquery and the join: without the pin the
+    # filtered lineitem scan + aggregation executes twice (r14, guide §5
+    # materialize reused subtrees). The pinned frame is one row per
+    # supplier with Q1-1996 shipments — tiny vs the lineitem pass saved.
+    rev = pin(rev)
     max_rev = rev.agg(F.max("total_rev_dec").alias("m"))
     return (
         rev.join(_b(max_rev), rev.total_rev_dec == F.col("m"))
