@@ -188,7 +188,7 @@ class TestBloomTagPruning:
             _spark_key_expr(cfg.record_key_fields).alias("k"),
             _spark_partition_expr(cfg).alias("p"),
         )
-        bloom = _bloom_candidate_files(spark, cfg, keys_df)
+        bloom = _bloom_candidate_files(spark, cfg.path, keys_df)
         assert bloom is not None
         assert bloom["touched"] == {"part=a"}
         assert all(p == "part=a" for p, _f in bloom["recorded"])
@@ -203,7 +203,7 @@ class TestBloomTagPruning:
         _write(_rows(spark, n=10), t, **opts)
         cfg = WriteConfig.from_options({"path": t, **opts, "operation": "upsert"})
         keys_df = spark.createDataFrame([("1", "part=a")], "k string, p string")
-        assert _bloom_candidate_files(spark, cfg, keys_df) is None
+        assert _bloom_candidate_files(spark, cfg.path, keys_df) is None
 
 
 class TestBloomUpsertParity:
