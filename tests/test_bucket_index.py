@@ -816,3 +816,8 @@ class TestRescaleCrashRecovery:
         assert parse_splits(tc.props) == frozenset()
         assert validate_table(t)["checks"]["bucket"]["ok"]
         assert _snap(spark, t) == before
+
+# Driver fast lane (r14, VERDICT r13 item 1): slow-lane suite — infra/
+# feature matrix whose surfaces the oracle write rows exercise end-to-end;
+# the builder runs the full lane each round via `pytest -m "slow or not slow"`.
+pytestmark = pytest.mark.slow

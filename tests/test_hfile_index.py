@@ -290,3 +290,8 @@ class TestRawCodecs:
         lit = bytes(300)
         buf = bytes([15 << 4, 255, 300 - 15 - 255]) + lit
         assert lz4_decompress_block(buf) == lit
+
+# Driver fast lane (r14, VERDICT r13 item 1): slow-lane suite — infra/
+# feature matrix whose surfaces the oracle write rows exercise end-to-end;
+# the builder runs the full lane each round via `pytest -m "slow or not slow"`.
+pytestmark = pytest.mark.slow

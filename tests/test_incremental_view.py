@@ -280,3 +280,8 @@ class TestKeyPushdownPaths:
             )
         )
         assert fast == slow == _as_rows(_snapshot_state(spark, path))
+
+# Driver fast lane (r14, VERDICT r13 item 1): slow-lane suite — infra/
+# feature matrix whose surfaces the oracle write rows exercise end-to-end;
+# the builder runs the full lane each round via `pytest -m "slow or not slow"`.
+pytestmark = pytest.mark.slow

@@ -10,6 +10,8 @@ by merging the logs against an empty base, in both the eager path
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from hudi_rs_spark.sources.hudi import HudiTable
@@ -267,3 +269,8 @@ class TestPerSliceStream:
         [sl] = t.get_file_slices()
         with pytest.raises(ValueError, match="batch_size"):
             list(t.read_file_slice_stream(sl, batch_size=0))
+
+# Driver fast lane (r14, VERDICT r13 item 1): slow-lane suite — infra/
+# feature matrix whose surfaces the oracle write rows exercise end-to-end;
+# the builder runs the full lane each round via `pytest -m "slow or not slow"`.
+pytestmark = pytest.mark.slow

@@ -317,3 +317,8 @@ class TestListingEquality:
         )
         assert entries and all(p == "city=chennai" for p, _, _ in entries)
         assert {n for _, n, _ in entries} == CHENNAI_EXPECTED
+
+# Driver fast lane (r14, VERDICT r13 item 1): slow-lane suite — infra/
+# feature matrix whose surfaces the oracle write rows exercise end-to-end;
+# the builder runs the full lane each round via `pytest -m "slow or not slow"`.
+pytestmark = pytest.mark.slow
